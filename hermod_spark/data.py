@@ -1,0 +1,47 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings. One parquet file per table under an sf dir.
+
+Reads go through ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown / column pruning / partition pruning on the scan — at 100 TB
+these tables would be partitioned+bucketed parquet/iceberg and the same
+code path applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so plans can be written in SQL."""
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

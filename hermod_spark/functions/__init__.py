@@ -1,0 +1,6 @@
+from hermod_spark.functions.topic import (  # noqa: F401
+    topic_filter_to_regex,
+    topic_matches,
+    topic_matches_py,
+)
+from hermod_spark.functions import scalar  # noqa: F401

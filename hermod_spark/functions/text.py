@@ -1,0 +1,113 @@
+"""Text-analysis column builders for the LLM-data-pipeline operators.
+
+All pure native Column expressions (no Python in the hot path) so they
+whole-stage-codegen and scale linearly with input splits — the design
+constraint is a 100 TB documents table, where any per-row Python would
+dominate runtime.
+
+Functions return Columns; the query-shaped wrappers live in
+hermod_spark.operators.textops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; trims so no empty edge tokens."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def word_set(col: Column | str) -> Column:
+    """Sorted distinct lowercase words — canonical token set."""
+    return F.array_sort(F.array_distinct(F.split(F.trim(F.lower(_c(col))), r"\s+")))
+
+
+# BPE-ish subword proxy: alternating letter-runs / digit-runs / single
+# punctuation marks, the standard pre-tokenizer regex shape.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(_BPE_RE), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + hardcoded: language ID at 100 TB must
+# be a broadcastable constant expression, not a model lookup.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "no", "un", "una", "por", "para"],
+}
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax of per-language distinct-stopword hits; ties broken by
+    language code order; no hits at all -> 'und' (undetermined)."""
+    scored = [(lang, stopword_hits(col, lang)) for lang in sorted(STOPWORDS)]
+    best = None
+    best_score = None
+    for lang, score in scored:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    total = None
+    for _, score in scored:
+        total = score if total is None else total + score
+    return F.when(total > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length,
+    low punctuation density, and stopword presence (English-weighted).
+
+    score = 0.4*min(n_tokens/100,1) + 0.3*(1-min(punct_ratio*5,1))
+          + 0.3*min(stopword_ratio*10,1)
+    """
+    n_tok = token_count(col).cast("double")
+    sw_ratio = stopword_hits(col, "en").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    return (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))) * 0.3
+        + F.least(sw_ratio * 10.0, F.lit(1.0)) * 0.3
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct
+    lowercase word set — whitespace/dup/word-order insensitive, exact
+    content-set sensitive. A content-defined key usable as a shuffle/
+    dedup key at any scale."""
+    return F.md5(F.concat_ws(" ", word_set(col)))
