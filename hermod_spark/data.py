@@ -34,7 +34,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
+        # default (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos and
+        # truncate to micros — the same truncation DuckDB applies — so
+        # both engines see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div — a double intermediate would lose precision at
+            # ~1.7e18 ns epoch values (double mantissa is 53 bits).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

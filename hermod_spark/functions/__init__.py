@@ -3,4 +3,4 @@ from hermod_spark.functions.topic import (  # noqa: F401
     topic_matches,
     topic_matches_py,
 )
-from hermod_spark.functions import scalar  # noqa: F401
+from hermod_spark.functions import scalar, text  # noqa: F401

@@ -40,9 +40,19 @@ def base64_encode(col: Column | str) -> Column:
     return F.regexp_replace(F.base64(F.encode(_c(col), "UTF-8")), "\r\n", "")
 
 
+def _safe_utf8(binary: Column) -> Column:
+    """BINARY -> STRING, null when the bytes are not valid UTF-8.
+
+    F.decode(..., 'UTF-8') raises MALFORMED_CHARACTER_CODING on bad
+    bytes, which would abort a 100 TB job on one poisoned row; the
+    reference instead returns (nil, err) per row (lua.go:103-136), so
+    per-row null is the faithful mapping."""
+    return F.when(F.is_valid_utf8(binary), F.decode(binary, "UTF-8"))
+
+
 def base64_decode(col: Column | str) -> Column:
     """Invalid input -> null (reference returns (nil, err); lua.go:103-114)."""
-    return F.decode(F.unbase64(_c(col)), "UTF-8")
+    return _safe_utf8(F.try_to_binary(_c(col), F.lit("base64")))
 
 
 def hex_encode(col: Column | str) -> Column:
@@ -52,7 +62,8 @@ def hex_encode(col: Column | str) -> Column:
 
 
 def hex_decode(col: Column | str) -> Column:
-    return F.decode(F.unhex(_c(col)), "UTF-8")
+    """Invalid hex or non-UTF-8 payload -> null (lua.go:125-136)."""
+    return _safe_utf8(F.try_to_binary(_c(col), F.lit("hex")))
 
 
 @F.pandas_udf(StringType())

@@ -20,8 +20,12 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; trims so no empty edge tokens."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokenization; trims so no empty edge tokens; blank or
+    whitespace-only input yields an empty array (not [''])."""
+    c = _c(col)
+    return F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:
@@ -34,7 +38,7 @@ def distinct_token_count(col: Column | str) -> Column:
 
 def word_set(col: Column | str) -> Column:
     """Sorted distinct lowercase words — canonical token set."""
-    return F.array_sort(F.array_distinct(F.split(F.trim(F.lower(_c(col))), r"\s+")))
+    return F.array_sort(F.array_distinct(tokens(F.lower(_c(col)))))
 
 
 # BPE-ish subword proxy: alternating letter-runs / digit-runs / single
@@ -65,7 +69,7 @@ STOPWORDS = {
 
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang``."""
-    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    toks = tokens(F.lower(_c(col)))
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.array_intersect(F.array_distinct(toks), sw))
 
