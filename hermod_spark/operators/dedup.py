@@ -1,0 +1,296 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, all shaped for 100 TB:
+
+- **exact**: hash-key dedup. The key is either ``md5(text)`` (byte
+  exact) or the canonical word-set fingerprint
+  (hermod_spark.functions.text.fingerprint — whitespace/order/dup
+  insensitive). One shuffle on the hash key; keys are uniform so no
+  skew; `row_number` picks the deterministic survivor (min doc_id).
+- **MinHash + LSH banding**: shingle → per-seed min-hash → band keys →
+  bucket self-join. NEVER all-pairs: candidate generation is an
+  equi-join on (band_id, band_key), which AQE handles like any skewed
+  shuffle join. Hashes are md5 strings (lexicographic min) so every
+  engine — and the DuckDB oracle — computes identical signatures.
+- **SimHash**: 64-bit sign-sum fingerprint; hamming-close pairs are
+  near-dups. Token hashing is Python (Arrow-batched pandas_udf, the
+  justified slow path: Spark SQL has no per-token 64-bit mixing hash
+  we can also reproduce in the oracle); banding the 64 bits into 4
+  16-bit keys gives the same bucket-join shape as MinHash.
+- **n-gram Jaccard**: exact verification scorer for candidate pairs
+  (runs AFTER LSH pruning, never on the cross product).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from hermod_spark.functions.text import fingerprint, tokens
+
+
+def exact_key(col: Column | str, *, canonical: bool = False) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return fingerprint(c) if canonical else F.md5(c)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    canonical: bool = False,
+) -> DataFrame:
+    """Keep one deterministic survivor (min id) per content key.
+
+    `row_number` over (key, id) — one shuffle, map-side-combinable
+    nothing (windows don't partial-agg) but the key space is ~|docs| so
+    partitions stay balanced at any scale."""
+    w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_key", exact_key(text_col, canonical=canonical))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_key")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, canonical: bool = True
+) -> DataFrame:
+    """Groups with >1 member: (key, n_docs, min_doc_id). groupBy, so
+    partial aggregation halves the shuffle at scale."""
+    return (
+        df.select(exact_key(text_col, canonical=canonical).alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("dup_key")
+    )
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+
+
+def shingles(col: Column | str, w: int = 3) -> Column:
+    """Word w-shingles as an array; docs shorter than w words get their
+    whole token array as one shingle."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.when(F.size(toks) < w, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.expr(
+            f"transform(sequence(1, size({_tok_expr(col)}) - {w} + 1),"
+            f" i -> concat_ws(' ', slice({_tok_expr(col)}, i, {w})))"
+        )
+    )
+
+
+def _tok_expr(col: Column | str) -> str:
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("shingles() requires a column name for the SQL-expr path")
+    # mirrors functions.text.tokens on lowered input
+    return (
+        f"case when length(trim(lower({name}))) = 0 then array()"
+        f" else split(trim(lower({name})), '\\\\s+') end"
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 16, w: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hash values. Hash h_i(shingle) =
+    md5(i || ':' || shingle); the signature element is the
+    lexicographic min — md5 strings are uniform, so lexicographic min
+    is a faithful min-hash, and every SQL engine reproduces it
+    byte-for-byte (no engine-specific integer hash)."""
+    sh = shingles(col, w)
+
+    def hasher(seed: int):
+        # single-arg lambda: a two-param lambda would make PySpark pass
+        # the element index as the second argument
+        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+
+    return F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)])
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: band key b_j = md5 of rows j*r..j*r+r-1.
+    Equal band key ⇒ candidate pair."""
+    keys = [
+        F.md5(F.concat_ws("|", *[F.element_at(sig, j * rows + r + 1) for r in range(rows)]))
+        for j in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """(_id, band_id, band_key) rows via explode → N min-aggregates.
+
+    Shape chosen for scale AND compile-time sanity: one explode of the
+    shingle array, then ``num_hashes`` `min(md5(seed:shingle))` columns
+    in a single groupBy — map-side partial aggregation halves the
+    shuffle, and no expression tree is duplicated (the nested-transform
+    alternative re-inlines the tokenizer 16× under projection collapse
+    and takes minutes to codegen on even small inputs)."""
+    rows = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, w)).alias("_s")
+    )
+    mins = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"m{j * rows + r}") for r in range(rows)]))
+            for j in range(bands)
+        ]
+    )
+    return mins.select("_id", F.posexplode(band_keys)).toDF("_id", "band_id", "band_key")
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: minhash_bands → self-equi-join on (band_id, band_key) →
+    distinct pairs. The join is a plain shuffle hash join on a
+    high-cardinality key; hot buckets (boilerplate docs) are exactly
+    what AQE skew-join splitting is for.
+    """
+    banded = minhash_bands(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def jaccard(col_a: Column, col_b: Column) -> Column:
+    """Exact Jaccard over two shingle/token arrays."""
+    inter = F.size(F.array_intersect(col_a, col_b)).cast("double")
+    union = F.size(F.array_union(col_a, col_b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+
+    The expensive exact scorer touches only LSH survivors — the
+    bucket join did the pruning, so verification cost is O(candidates),
+    not O(n²)."""
+    cands = near_dup_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
+    sh = df.select(F.col(id_col).alias("_sid"), shingles(text_col, w).alias("_sh"))
+    return (
+        cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+@F.pandas_udf(LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens; token hash = first 8 bytes
+    of md5. Arrow-batched — the per-token bit loop has no native-SQL
+    equivalent that a second engine would reproduce, so Python is the
+    honest path; batches keep it off the row-at-a-time cliff."""
+
+    def one(t):
+        if t is None:
+            return None
+        acc = [0] * 64
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(one)
+
+
+def simhash(col: Column | str) -> Column:
+    return _simhash64(F.col(col) if isinstance(col, str) else col)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation bands the 64 bits into 4×16-bit keys (any pair
+    within hamming 3 shares at least one intact band) — same bucketed
+    self-join shape as MinHash LSH, no cross product."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    bandkeys = F.array(
+        *[F.shiftrightunsigned(F.col("_sh"), 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(4)]
+    )
+    banded = sh.select("_id", "_sh", F.posexplode(bandkeys)).toDF(
+        "_id", "_sh", "band_id", "band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")

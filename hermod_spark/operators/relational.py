@@ -1,0 +1,215 @@
+"""Relational query surface over the star schema.
+
+The reference has NO relational engine (SURVEY §2.6) — its analytical
+workload is delegated to TimescaleDB: the hourly continuous aggregate
+(migrations/001_initial_schema.sql:38-53) and doc examples
+(README.md:520-527). Spark provides joins/aggs/windows/sorts/set-ops
+natively; this module exposes them through engine-shaped builders so
+the oracle can hash-check each one.
+
+Scale posture baked in:
+- dimension joins (region/nation/customer/supplier/part) are explicit
+  ``broadcast()`` — at 100 TB the fact tables shuffle-join each other
+  but dims must never shuffle;
+- aggregations are plain groupBy → map-side partial aggregation is
+  automatic; decimal-cast sums keep money math exact AND make results
+  bit-reproducible across engines and partitionings (float sums are
+  order-dependent; a 100 TB re-run should not flap the answer);
+- top-k per group uses a window over a single shuffle, not a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# Exact, order-independent money arithmetic. Precisions are chosen so
+# every product stays within decimal(38,_) WITHOUT precision-loss
+# rounding (whose rules differ between engines): price(12,4) x
+# rate(7,4) -> (20,8); x rate again -> (28,12). Sums of decimals are
+# exact in any engine and any partitioning -- a 100 TB re-run cannot
+# flap the answer the way float summation order can.
+PRICE = "decimal(12,4)"
+RATE = "decimal(6,4)"
+
+
+def dec(col, typ: str = PRICE):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dbl(decimal_col):
+    """decimal → double for result columns, via round-to-scale-4 first.
+
+    Casting a high-scale decimal (e.g. the (28,12) charge sum) straight
+    to double is correctly-rounded in the JVM but not in every engine —
+    DuckDB converts int128/10^s with two roundings, off by 1 ulp. At
+    scale 4 the unscaled value fits in 2^53, so int→double is exact and
+    the single division rounds identically everywhere: bit-reproducible
+    results."""
+    return F.round(decimal_col, 4).cast("decimal(18,4)").cast("double")
+
+
+def one_minus(rate_col: str):
+    return F.lit(1).cast(RATE) - dec(rate_col, RATE)
+
+
+def one_plus(rate_col: str):
+    return F.lit(1).cast(RATE) + dec(rate_col, RATE)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg
+    workload. All sums decimal-exact, averages derived from exact sums
+    so every engine computes the same doubles."""
+    li = lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("_sq"),
+        F.sum(dec("l_extendedprice")).alias("_sbp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.sum(charge).alias("_sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        dbl(F.col("_sdp")).alias("sum_disc_price"),
+        dbl(F.col("_sc")).alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / n).alias("avg_price"),
+        n,
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Fact⋈fact shuffle join + broadcast dim chain: revenue per nation.
+    customer/nation/region broadcast (small dims); lineitem⋈orders is
+    the only shuffle pair."""
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(dbl(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_customers_per_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, k: int = 3
+) -> DataFrame:
+    """Window-function top-k: rank customers by total spend within each
+    nation. One shuffle for the agg, one for the window partition —
+    never a self-join."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spend"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("n_name", "c_name", "total_spend", "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """Grouping-sets aggregation: order counts by (status, priority)
+    with ROLLUP subtotals — grouping_id disambiguates null-vs-subtotal."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def running_order_total(orders: DataFrame, custkey: int | None = None) -> DataFrame:
+    """Analytic frame window: per-customer running revenue ordered by
+    order date — cumulative sums over an unbounded-preceding frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = orders
+    if custkey is not None:
+        df = df.filter(F.col("o_custkey") == custkey)
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def part_supplier_overlap(lineitem: DataFrame) -> DataFrame:
+    """Set operations: parts shipped by supplier 1 INTERSECT supplier 2,
+    and EXCEPT, via the engine's set-op surface."""
+    s1 = lineitem.filter(F.col("l_suppkey") == 1).select("l_partkey")
+    s2 = lineitem.filter(F.col("l_suppkey") == 2).select("l_partkey")
+    both = s1.intersect(s2).withColumn("which", F.lit("both"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep a
+    # value whose multiplicity in s1 exceeds its multiplicity in s2
+    only1 = s1.subtract(s2).withColumn("which", F.lit("only_s1"))
+    return both.unionByName(only1).orderBy("which", "l_partkey")
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """THE reference analytical workload: the TimescaleDB continuous
+    aggregate (migrations/001_initial_schema.sql:38-53) —
+    time_bucket('1 hour') × topic with avg/min/max/count — expressed as
+    date_trunc groupBy. In streaming mode the same plan runs under
+    ``withWatermark`` (hermod_spark.streaming.windows)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type").alias("topic"),
+        )
+        .agg(
+            F.sum(dec("value")).cast("double").alias("_sum"),
+            F.count(F.col("value")).alias("value_count"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            "topic",
+            (F.col("_sum") / F.col("value_count")).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "value_count",
+        )
+        .orderBy("bucket", "topic")
+    )
+
+
+def recent_events(events: DataFrame, n: int = 10) -> DataFrame:
+    """README.md:520-521 — ORDER BY timestamp DESC LIMIT n (tie-broken
+    by event_id so the row set is deterministic)."""
+    return events.orderBy(F.desc("ts"), F.desc("event_id")).limit(n)

@@ -1,0 +1,69 @@
+"""Query-shaped text-analysis operators over ``documents``.
+
+Thin wrappers turning the column builders in
+hermod_spark.functions.text into engine queries — per-document metric
+projections and per-group aggregate rollups. Everything stays native
+Column exprs (whole-stage codegen; zero Python per row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hermod_spark.functions import text as X
+
+
+def doc_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document metric projection: token counts, BPE-ish subword
+    count, punctuation density, language ID, quality, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        X.token_count(text_col).alias("n_tokens"),
+        X.distinct_token_count(text_col).alias("n_distinct_tokens"),
+        X.bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(X.punct_ratio(text_col), 6).alias("punct_ratio"),
+        X.lang_id(text_col).alias("lang_pred"),
+        F.round(X.quality_score(text_col), 6).alias("quality"),
+        X.fingerprint(text_col).alias("fingerprint"),
+    ).orderBy(id_col)
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group corpus rollup: doc counts, token totals, mean quality.
+    groupBy → partial aggregation; sums are longs (exact)."""
+    n_tok = X.token_count(text_col)
+    return (
+        df.select(F.col(by), n_tok.alias("_nt"), X.quality_score(text_col).alias("_q"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+            F.round(F.sum("_q") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+        .orderBy(by)
+    )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Declared language vs heuristic language-ID — the operator a
+    filtering pipeline runs to find mislabeled documents."""
+    return (
+        df.select(F.col(lang_col).alias("lang_declared"), X.lang_id(text_col).alias("lang_pred"))
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_declared", "lang_pred")
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """The training-data gate: drop short/low-quality docs. Pure filter
+    → pushes to the scan."""
+    return df.filter(
+        (X.quality_score(text_col) >= min_quality) & (X.token_count(text_col) >= min_tokens)
+    )

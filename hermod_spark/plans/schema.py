@@ -1,0 +1,184 @@
+"""Schema registry: declaration, validation, merge, and DDL generation.
+
+Reference semantics (all file:line into /root/reference):
+- declared table shape `TableSchema{Name, Columns map[col]sqltype}` —
+  internal/schema/schema.go:13-21
+- record validation: every emitted column must be declared; subset OK,
+  extras fatal, empty OK — schema.go:200-207, enforced at
+  internal/router/router.go:230-237
+- DDL: sorted tables, sorted columns, `CREATE TABLE IF NOT EXISTS` —
+  schema.go:113-161 (pinned by schema_test.go device<time<value order)
+- merge: union of tables; same table → union of columns, FIRST
+  declaration wins on conflict — schema.go:164-197
+- identifier hygiene: router/schema accept `^[A-Za-z0-9_]+$`
+  (router.go:77, schema.go:24); the storage layer is stricter:
+  `^[a-zA-Z_][a-zA-Z0-9_]*$` (storage.go:31-36)
+
+Spark-first mapping: a declared table is also exposable as a
+``StructType`` so the same declaration drives (a) plan-build-time
+validation of a DataFrame about to be written (cheap, static — strictly
+better than the reference's per-row map check and semantically identical
+because all rows of a branch share one schema) and (b) JDBC
+``createTableColumnTypes`` / DDL emission.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# router.go:77 / schema.go:24 — used for route tables and Lua-emitted columns
+IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
+# storage.go:31-36 — stricter: must not start with a digit
+STORAGE_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+class SchemaValidationError(ValueError):
+    """A record/DataFrame carries a column not declared for its table."""
+
+
+class IdentifierError(ValueError):
+    """Table or column name fails the identifier gate."""
+
+
+def validate_identifier(name: str, *, strict: bool = True) -> str:
+    """Gate a table/column name before it reaches generated SQL.
+
+    strict=True applies the storage-layer rule (no leading digit);
+    strict=False the router/schema rule. Raises IdentifierError —
+    SQL-injection strings like ``users; DROP TABLE``
+    (storage_test.go:7-126) must never reach SQL text.
+    """
+    rx = STORAGE_IDENT_RE if strict else IDENT_RE
+    if not isinstance(name, str) or not rx.match(name):
+        raise IdentifierError(f"invalid identifier: {name!r}")
+    return name
+
+
+# Declared SQL type → Spark type (the set actually used by the reference:
+# examples/multi_table.lua:3-19, migrations/001_initial_schema.sql:5-23).
+_SQL_TO_SPARK: dict[str, T.DataType] = {
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "text": T.StringType(),
+    "double precision": T.DoubleType(),
+    "float8": T.DoubleType(),
+    "bigint": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "boolean": T.BooleanType(),
+    "jsonb": T.StringType(),  # nested values travel as JSON text (§1.4)
+}
+
+_SPARK_TO_SQL = {
+    T.TimestampType(): "timestamptz",
+    T.StringType(): "text",
+    T.DoubleType(): "double precision",
+    T.LongType(): "bigint",
+    T.IntegerType(): "int",
+    T.BooleanType(): "boolean",
+}
+
+
+@dataclass
+class TableSchema:
+    """One declared table: column name → declared SQL type string."""
+
+    name: str
+    columns: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        validate_identifier(self.name, strict=False)
+        for col in self.columns:
+            validate_identifier(col, strict=False)
+
+    def validate_record(self, columns: dict | list | set) -> None:
+        """Extra (undeclared) column → SchemaValidationError; subset OK;
+        empty OK (schema.go:200-207)."""
+        for col in columns:
+            if col not in self.columns:
+                raise SchemaValidationError(
+                    f"column '{col}' not declared in schema for table '{self.name}'"
+                )
+
+    def validate_df(self, df: DataFrame) -> DataFrame:
+        """Plan-build-time equivalent of per-row validation."""
+        self.validate_record(df.columns)
+        return df
+
+    def to_struct_type(self) -> T.StructType:
+        fields = [
+            T.StructField(c, _SQL_TO_SPARK.get(t.lower().strip(), T.StringType()))
+            for c, t in sorted(self.columns.items())
+        ]
+        return T.StructType(fields)
+
+    def generate_create_table(self) -> str:
+        """Deterministic DDL, byte-compatible with schema.go:136-161:
+        sorted columns, two-space indent, trailing ');'."""
+        lines = [f"CREATE TABLE IF NOT EXISTS {self.name} ("]
+        cols = sorted(self.columns)
+        for i, col in enumerate(cols):
+            sep = "," if i < len(cols) - 1 else ""
+            lines.append(f"  {col} {self.columns[col]}{sep}")
+        lines.append(");")
+        return "\n".join(lines)
+
+    @classmethod
+    def from_struct_type(cls, name: str, st: T.StructType) -> "TableSchema":
+        return cls(
+            name,
+            {f.name: _SPARK_TO_SQL.get(f.dataType, "text") for f in st.fields},
+        )
+
+
+@dataclass
+class Schema:
+    """A set of declared tables (schema.go:17-21)."""
+
+    tables: dict[str, TableSchema] = field(default_factory=dict)
+
+    @classmethod
+    def declare(cls, decl: dict[str, dict[str, str]]) -> "Schema":
+        """From the Lua-global shape ``{tables = {t = {col = type}}}``
+        (examples/multi_table.lua:3-19)."""
+        return cls({t: TableSchema(t, dict(cols)) for t, cols in decl.items()})
+
+    def generate_sql(self) -> str:
+        """Sorted-table deterministic DDL (schema.go:113-134)."""
+        if not self.tables:
+            return ""
+        return "\n\n".join(
+            self.tables[t].generate_create_table() for t in sorted(self.tables)
+        )
+
+    def validate_record(self, table: str, columns) -> None:
+        """Validation only applies when the table has a declared schema
+        (router.go:230-237)."""
+        ts = self.tables.get(table)
+        if ts is not None:
+            ts.validate_record(columns)
+
+
+def merge(*schemas: Schema | None) -> Schema:
+    """Union of tables; per-table union of columns; first declaration
+    wins on conflicting column type (schema.go:164-197)."""
+    merged = Schema()
+    for s in schemas:
+        if s is None:
+            continue
+        for tname, ts in s.tables.items():
+            if tname in merged.tables:
+                existing = merged.tables[tname]
+                for col, typ in ts.columns.items():
+                    existing.columns.setdefault(col, typ)
+            else:
+                merged.tables[tname] = TableSchema(ts.name, dict(ts.columns))
+    return merged
+
+
+def validate_record(schema: Schema, table: str, columns) -> None:
+    schema.validate_record(table, columns)

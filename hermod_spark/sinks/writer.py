@@ -1,0 +1,97 @@
+"""Multi-table batched sink (snk-insert / snk-multi / snk-dryrun).
+
+Reference semantics (file:line into /root/reference):
+- one transform invocation may emit records for several tables; each
+  record routes to its own table insert — internal/router/
+  router.go:222-242
+- inserts use sorted column order and parameterized SQL; identifiers
+  are gated by `^[a-zA-Z_][a-zA-Z0-9_]*$` — internal/storage/
+  storage.go:87-151, 31-36
+- dry-run logs the SQL instead of executing — storage.go:139-143,
+  flag cmd/hermod/main.go:32
+
+Spark-first: the reference inserts ONE ROW PER STATEMENT; here each
+micro-batch/table branch is one batched write (`foreachBatch` in
+streaming, direct `DataFrameWriter` in batch) — identical semantics,
+orders of magnitude fewer round-trips, and the documented improvement
+over the reference (SURVEY §2.7: at-most-once row inserts become
+per-batch atomic appends per table).
+
+Targets: ``parquet`` (tests/local), ``jdbc`` (the reference's
+Postgres/Timescale path — exercised only when a jdbc_url is supplied;
+no DB ships in this environment)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hermod_spark.plans.schema import Schema, validate_identifier
+
+
+@dataclass
+class MultiTableWriter:
+    """Fan a labeled DataFrame (or {table: df} dict) out to per-table
+    appends.
+
+    base_path: parquet root (one subdir per table), OR jdbc_url+options
+    for the JDBC path. dry_run collects nothing and writes nothing —
+    it returns the per-table plans and row counts, the Spark analogue
+    of logging the SQL it would have run."""
+
+    base_path: str | None = None
+    jdbc_url: str | None = None
+    jdbc_options: dict = field(default_factory=dict)
+    schema: Schema | None = None
+    dry_run: bool = False
+
+    def _write_one(self, table: str, df: DataFrame) -> dict:
+        validate_identifier(table, strict=True)
+        for c in df.columns:
+            validate_identifier(c, strict=True)
+        if self.schema is not None:
+            self.schema.validate_record(table, df.columns)
+        # sorted column order — storage.go:97-106 determinism, preserved
+        df = df.select(*sorted(df.columns))
+        if self.dry_run:
+            return {"table": table, "columns": df.columns, "plan": df._jdf.queryExecution().simpleString()}
+        if self.jdbc_url:
+            (
+                df.write.format("jdbc")
+                .option("url", self.jdbc_url)
+                .option("dbtable", table)
+                .options(**self.jdbc_options)
+                .mode("append")
+                .save()
+            )
+        elif self.base_path:
+            df.write.mode("append").parquet(os.path.join(self.base_path, table))
+        else:
+            raise ValueError("MultiTableWriter needs base_path or jdbc_url")
+        return {"table": table, "columns": df.columns}
+
+    def write(self, branches: dict[str, DataFrame]) -> list[dict]:
+        """Batch-mode multi-table write: {table: df} → N appends."""
+        return [self._write_one(t, df) for t, df in branches.items()]
+
+    def write_labeled(self, df: DataFrame, label_col: str = "_table") -> list[dict]:
+        """Single labeled frame → per-table filtered appends
+        (router.go:222-242's loop, as N column-pruned branches over one
+        cached scan)."""
+        tables = [r[0] for r in df.select(label_col).distinct().collect()]
+        return [
+            self._write_one(t, df.filter(F.col(label_col) == t).drop(label_col))
+            for t in sorted(tables)
+        ]
+
+    def foreach_batch(self, branches_of):
+        """Adapter for streaming: ``writeStream.foreachBatch(
+        writer.foreach_batch(lambda batch_df: {table: df, ...}))``."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.write(branches_of(batch_df))
+
+        return _fn
