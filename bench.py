@@ -1,0 +1,102 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + collect-count)
+on local[$SPARK_GRAFT_CPUS] and prints exactly ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+The query set spans every operator family so a regression anywhere
+shows up: routing/projection, the reference's continuous-aggregate
+workload, the relational surface (scan-heavy agg, fact-fact join,
+window), dedup (exact + MinHash LSH), similarity (LSH top-k), and the
+text-analysis metrics projection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per family, heaviest representatives.
+HEADLINE = [
+    "flt_route",
+    "prj_pass",
+    "stream_windowed",
+    "rel_pricing_summary",
+    "rel_revenue_nation",
+    "rel_top_customers",
+    "rel_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash_cand",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "text_doc_metrics",
+    "text_corpus_stats",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hermod-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = E.queries()
+    # Warm the JVM + parquet footers with one cheap query so q1 doesn't
+    # pay session startup.
+    queries["rel_recent_events"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = queries[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    sf = 0.1
+    try:
+        tail = os.path.basename(SF_DIR.rstrip("/"))
+        if tail.startswith("sf"):
+            sf = float(tail[2:])
+    except ValueError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

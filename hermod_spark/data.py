@@ -52,6 +52,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-partitioned.
+
+    Row-amplifying operators (shingle explode, LSH banding, self-joins)
+    inherit the scan's partitioning; a small single-file table gives one
+    task and serializes the whole map side. At 100 TB the scan arrives
+    with thousands of splits and this is a no-op — the guard means we
+    never pay a gratuitous full shuffle on a big input."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in names}
 

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from hermod_spark.data import ensure_min_partitions
 from hermod_spark.functions.text import fingerprint, tokens
 
 
@@ -143,7 +144,7 @@ def minhash_bands(
     alternative re-inlines the tokenizer 16× under projection collapse
     and takes minutes to codegen on even small inputs)."""
     rows = num_hashes // bands
-    exploded = df.select(
+    exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col, w)).alias("_s")
     )
     mins = exploded.groupBy("_id").agg(
@@ -271,7 +272,9 @@ def simhash_near_dups(
     Candidate generation bands the 64 bits into 4×16-bit keys (any pair
     within hamming 3 shares at least one intact band) — same bucketed
     self-join shape as MinHash LSH, no cross product."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+    )
     bandkeys = F.array(
         *[F.shiftrightunsigned(F.col("_sh"), 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(4)]
     )

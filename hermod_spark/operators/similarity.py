@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hermod_spark.data import ensure_min_partitions
+
 
 def _vec(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -63,7 +65,9 @@ def brute_force_topk(
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine("q_vec", "c_vec"))
@@ -114,7 +118,7 @@ def lsh_topk(
     multi-probe for production recall targets."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    hashed = embeddings.select(
+    hashed = ensure_min_partitions(embeddings).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
     )
     q = hashed.filter(F.col(id_col) < n_queries).select(
@@ -151,7 +155,7 @@ def embedding_near_dups(
     recall high precisely for the pairs dedup cares about."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    hashed = embeddings.select(
+    hashed = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         lsh_bucket(vec_col, planes).alias("bucket"),
     )
