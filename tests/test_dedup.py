@@ -1,0 +1,100 @@
+"""Dedup operators: exact, MinHash/LSH, SimHash, Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators import dedup
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "Dog lazy the over jumps fox brown quick the"),  # same word set as 1
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # 2 removed; 5 differs byte-wise
+
+
+def test_exact_dedup_canonical_merges_word_set_dups(docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs, canonical=True).collect())
+    assert kept == [1, 3, 4]  # 5 now collapses into 1's group
+
+
+def test_duplicate_groups(docs):
+    rows = dedup.duplicate_groups(docs, canonical=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 3 and rows[0]["keep_id"] == 1
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text STRING")
+    assert df.select(dedup.shingles("text", 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_shingles_window(spark):
+    df = spark.createDataFrame([("a b c d",)], "text STRING")
+    assert df.select(dedup.shingles("text", 3).alias("s")).first()["s"] == [
+        "a b c", "b c d",
+    ]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v"), (2, "x y z w v")], "doc_id INT, text STRING"
+    )
+    sigs = [
+        r["sig"]
+        for r in df.select(dedup.minhash_signature("text", 8).alias("sig")).collect()
+    ]
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 8
+
+
+def test_near_dup_candidates_find_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.near_dup_candidates(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated content
+
+
+def test_near_dup_pairs_jaccard_threshold(docs):
+    rows = dedup.near_dup_pairs(docs, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert got[(1, 2)] == 1.0
+    assert all(j >= 0.99 for j in got.values())
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame([(["a", "b"], ["b", "c"])], "a ARRAY<STRING>, b ARRAY<STRING>")
+    j = df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    assert abs(j - 1 / 3) < 1e-12
+
+
+def test_jaccard_both_empty_is_one(spark):
+    df = spark.createDataFrame([(1,)], "x INT").select(
+        F.array().cast("array<string>").alias("a"), F.array().cast("array<string>").alias("b")
+    )
+    assert df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"] == 1.0
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "unrelated words entirely about databases and clusters"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dups(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs

@@ -1,0 +1,32 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema;
+every oracle has a matching query; queries are well-formed at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+from conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == [
+        "bucket", "route_table", "avg_value", "min_value", "max_value", "n",
+    ]
+
+
+def test_every_oracle_has_a_query():
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert o <= q
+    # rows-only entries are the documented non-SQL-expressible ones
+    assert q - o == {"dedup_simhash", "fn_hmac"}
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_each_query_builds_a_plan(spark, name):
+    """Every entry must at least analyze at sf0.001 (no execution)."""
+    df = E.queries()[name](spark, SF_SMOKE)
+    assert df.schema is not None and len(df.columns) > 0

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: binary column conventions, Arrow-batched decode,
+resize/frame-sample planning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hermod_spark.operators import multimodal as MM
+
+
+@pytest.fixture
+def blobs(spark):
+    rows = [
+        (1, MM.fake_image_blob(640, 480, 3)),
+        (2, MM.fake_image_blob(100, 200, 1)),
+        (3, b"not a real blob"),
+        (4, None),
+    ]
+    return spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ])
+    )
+
+
+def test_decode_images(blobs):
+    rows = {r["doc_id"]: r for r in MM.decode_images(blobs).collect()}
+    assert rows[1]["decode_ok"] and rows[1]["width"] == 640 and rows[1]["height"] == 480
+    assert rows[2]["n_channels"] == 1
+    assert 0.0 <= rows[1]["mean_intensity"] <= 1.0
+    # corrupt / null blobs degrade to decode_ok=false, never raise
+    assert rows[3]["decode_ok"] is False and rows[3]["width"] is None
+    assert rows[4]["decode_ok"] is False
+
+
+def test_resize_plan_aspect_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, (1024, 512)), (2, (100, 50))],
+        "doc_id INT, content_meta STRUCT<width INT, height INT>",
+    )
+    rows = {r["doc_id"]: r for r in MM.resize_plan(df, max_side=512).collect()}
+    assert (rows[1]["target_width"], rows[1]["target_height"]) == (512, 256)
+    # already small -> untouched
+    assert (rows[2]["target_width"], rows[2]["target_height"]) == (100, 50)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, (2500,)), (2, (None,))],
+        "doc_id INT, content_meta STRUCT<duration_ms BIGINT>",
+    )
+    rows = MM.frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r["doc_id"], r["frame_ts_ms"]) for r in rows] == [(1, 0), (1, 1000), (1, 2000)]

@@ -1,0 +1,204 @@
+"""Schema registry conformance (reference: internal/schema/schema_test.go
+:10-341, internal/storage/storage_test.go:7-126,
+internal/router/router_test.go:179-204)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hermod_spark.plans import schema as S
+
+
+# --- identifier gates ----------------------------------------------------
+
+# router_test.go:179-204 — router/schema rule ^[A-Za-z0-9_]+$
+ROUTER_IDENT_CASES = [
+    ("table_name", True),
+    ("table123", True),
+    ("_table", True),
+    ("table name", False),
+    ("table-name", False),
+    ("table$name", False),
+    ("schema.table", False),
+    ("TableName", True),
+    ("My_Table_123", True),
+]
+
+# storage_test.go:7-126 — storage rule ^[a-zA-Z_][a-zA-Z0-9_]*$
+STORAGE_IDENT_CASES = [
+    ("mqtt_messages", True),
+    ("my_test_table_123", True),
+    ("_private_table", True),
+    ("my table", False),
+    ("table-name", False),
+    ("table; DROP TABLE users;", False),
+    ("123table", False),
+    ("", False),
+    ("temperature", True),
+    ("sensor_id_123", True),
+    ("_internal", True),
+    ("column name", False),
+    ("column-name", False),
+    ("func()", False),
+    ("column'name", False),
+    ("1column", False),
+]
+
+
+@pytest.mark.parametrize("name,valid", ROUTER_IDENT_CASES)
+def test_router_identifier_gate(name, valid):
+    if valid:
+        assert S.validate_identifier(name, strict=False) == name
+    else:
+        with pytest.raises(S.IdentifierError):
+            S.validate_identifier(name, strict=False)
+
+
+@pytest.mark.parametrize("name,valid", STORAGE_IDENT_CASES)
+def test_storage_identifier_gate(name, valid):
+    if valid:
+        assert S.validate_identifier(name, strict=True) == name
+    else:
+        with pytest.raises(S.IdentifierError):
+            S.validate_identifier(name, strict=True)
+
+
+def test_leading_digit_divergence():
+    """'123table' passes the router rule but not the storage rule —
+    the same asymmetry as router.go:77 vs storage.go:31-36."""
+    assert S.validate_identifier("123table", strict=False) == "123table"
+    with pytest.raises(S.IdentifierError):
+        S.validate_identifier("123table", strict=True)
+
+
+# --- record validation (schema_test.go:255-307) --------------------------
+
+
+@pytest.fixture
+def table_schema():
+    return S.TableSchema("test_table", {"col1": "text", "col2": "int"})
+
+
+def test_validate_record_ok(table_schema):
+    table_schema.validate_record({"col1": "value1", "col2": 42})
+
+
+def test_validate_record_subset_ok(table_schema):
+    table_schema.validate_record({"col1": "value1"})
+
+
+def test_validate_record_extra_fatal(table_schema):
+    with pytest.raises(S.SchemaValidationError):
+        table_schema.validate_record({"col1": "v", "col99": "extra"})
+
+
+def test_validate_record_empty_ok(table_schema):
+    table_schema.validate_record({})
+
+
+def test_validate_only_declared_tables():
+    # router.go:230-237: validation applies only when the table is declared
+    sch = S.Schema.declare({"known": {"a": "text"}})
+    sch.validate_record("unknown_table", {"anything": 1})  # no raise
+    with pytest.raises(S.SchemaValidationError):
+        sch.validate_record("known", {"b": 1})
+
+
+# --- DDL generation (schema_test.go:103-171, 309-341) --------------------
+
+
+def test_generate_create_table_sorted_columns():
+    ts = S.TableSchema(
+        "iot_metrics",
+        {"time": "timestamptz", "device": "text", "value": "double precision"},
+    )
+    sql = ts.generate_create_table()
+    assert sql == (
+        "CREATE TABLE IF NOT EXISTS iot_metrics (\n"
+        "  device text,\n"
+        "  time timestamptz,\n"
+        "  value double precision\n"
+        ");"
+    )
+
+
+def test_generate_create_table_contents():
+    ts = S.TableSchema(
+        "test_table", {"id": "bigint", "name": "text", "timestamp": "timestamptz"}
+    )
+    sql = ts.generate_create_table()
+    for frag in ("CREATE TABLE IF NOT EXISTS test_table", "id bigint", "name text",
+                 "timestamp timestamptz"):
+        assert frag in sql
+    assert sql.strip().endswith(");")
+
+
+def test_generate_sql_empty():
+    assert S.Schema().generate_sql() == ""
+
+
+def test_generate_sql_sorted_tables():
+    sch = S.Schema.declare({"zebra": {"a": "int"}, "alpha": {"b": "int"}})
+    sql = sch.generate_sql()
+    assert sql.index("alpha") < sql.index("zebra")
+
+
+# --- merge (schema_test.go:173-253) --------------------------------------
+
+
+def test_merge_disjoint_tables():
+    s1 = S.Schema.declare({"table1": {"col1": "text", "col2": "int"}})
+    s2 = S.Schema.declare({"table2": {"col3": "text"}})
+    merged = S.merge(s1, s2)
+    assert set(merged.tables) == {"table1", "table2"}
+
+
+def test_merge_same_table_unions_columns():
+    s1 = S.Schema.declare({"shared": {"col1": "text"}})
+    s2 = S.Schema.declare({"shared": {"col2": "int"}})
+    merged = S.merge(s1, s2)
+    assert set(merged.tables["shared"].columns) == {"col1", "col2"}
+
+
+def test_merge_first_wins_on_conflict():
+    # schema.go:164-197 — first declaration wins
+    s1 = S.Schema.declare({"t": {"c": "text"}})
+    s2 = S.Schema.declare({"t": {"c": "bigint"}})
+    assert S.merge(s1, s2).tables["t"].columns["c"] == "text"
+    assert S.merge(s2, s1).tables["t"].columns["c"] == "bigint"
+
+
+def test_merge_does_not_mutate_inputs():
+    s1 = S.Schema.declare({"t": {"a": "text"}})
+    s2 = S.Schema.declare({"t": {"b": "int"}})
+    S.merge(s1, s2)
+    assert set(s1.tables["t"].columns) == {"a"}
+
+
+def test_merge_skips_none():
+    s1 = S.Schema.declare({"t": {"a": "text"}})
+    assert set(S.merge(None, s1, None).tables) == {"t"}
+
+
+# --- Spark bridge --------------------------------------------------------
+
+
+def test_struct_type_mapping():
+    from pyspark.sql import types as T
+
+    ts = S.TableSchema(
+        "t", {"time": "timestamptz", "v": "double precision", "n": "bigint"}
+    )
+    st = ts.to_struct_type()
+    fields = {f.name: f.dataType for f in st.fields}
+    assert fields == {
+        "n": T.LongType(), "time": T.TimestampType(), "v": T.DoubleType(),
+    }
+
+
+def test_validate_df(spark, table_schema):
+    df = spark.createDataFrame([("a", 1)], "col1 STRING, col2 INT")
+    table_schema.validate_df(df)  # ok
+    bad = spark.createDataFrame([("a", 1)], "col1 STRING, col99 INT")
+    with pytest.raises(S.SchemaValidationError):
+        table_schema.validate_df(bad)

@@ -1,0 +1,83 @@
+"""Similarity search: cosine math, brute-force top-k, LSH bucketing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators import similarity as S
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [1.0, 0.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    got = [r["c"] for r in df.select(S.cosine("a", "b").alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1 / math.sqrt(2))
+
+
+@pytest.fixture
+def embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),  # closest to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_brute_force_topk(embeddings):
+    out = S.brute_force_topk(embeddings, k=2, n_queries=1)
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert [r["query_id"] for r in rows] == [0, 0]
+    assert rows[0]["neighbor_id"] == 1  # nearest
+    assert rows[0]["sim"] > rows[1]["sim"]
+    assert all(r["neighbor_id"] != 0 for r in rows)  # self excluded
+
+
+def test_brute_force_topk_k_bound(embeddings):
+    out = S.brute_force_topk(embeddings, k=3, n_queries=2)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1}
+    assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_hyperplanes_deterministic():
+    assert S.hyperplanes(8, 4, seed=42) == S.hyperplanes(8, 4, seed=42)
+    assert S.hyperplanes(8, 4, seed=1) != S.hyperplanes(8, 4, seed=2)
+
+
+def test_lsh_bucket_same_vector_same_bucket(spark):
+    planes = S.hyperplanes(3, 4, seed=7)
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.0]), (1, [0.5, 0.5, 0.0]), (2, [-0.5, -0.5, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", S.lsh_bucket("embedding", planes).alias("b")).collect()
+    }
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]  # opposite vector flips every plane sign
+
+
+def test_lsh_topk_subset_of_bucketmates(embeddings):
+    out = S.lsh_topk(embeddings, k=3, n_queries=1, n_planes=2)
+    for r in out.collect():
+        assert r["query_id"] == 0 and r["neighbor_id"] != 0
+
+
+def test_embedding_near_dups_symmetric_dedup(embeddings):
+    out = S.embedding_near_dups(embeddings, threshold=0.9, n_planes=2).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.9

@@ -1,0 +1,84 @@
+"""Multi-table sink conformance (reference: internal/storage/
+storage.go:87-151 sorted+gated inserts; internal/router/router.go:222-242
+multi-table fan-out; dry-run storage.go:139-143)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.plans.schema import IdentifierError, Schema, SchemaValidationError
+from hermod_spark.sinks.writer import MultiTableWriter
+
+
+@pytest.fixture
+def labeled(spark):
+    return spark.createDataFrame(
+        [
+            (1, 25.5, "sensor_readings"),
+            (2, 30.0, "sensor_readings"),
+            (3, 1.0, "sensor_events"),
+        ],
+        "id INT, value DOUBLE, _table STRING",
+    )
+
+
+def test_write_labeled_fans_out(spark, labeled, tmp_path):
+    w = MultiTableWriter(base_path=str(tmp_path))
+    results = w.write_labeled(labeled)
+    assert [r["table"] for r in results] == ["sensor_events", "sensor_readings"]
+    readings = spark.read.parquet(str(tmp_path / "sensor_readings"))
+    events = spark.read.parquet(str(tmp_path / "sensor_events"))
+    assert readings.count() == 2 and events.count() == 1
+    assert "_table" not in readings.columns
+    # sorted column order — storage.go:97-106
+    assert readings.columns == sorted(readings.columns)
+
+
+def test_write_dict_branches(spark, tmp_path):
+    a = spark.createDataFrame([(1,)], "x INT")
+    b = spark.createDataFrame([(2.0,)], "y DOUBLE")
+    w = MultiTableWriter(base_path=str(tmp_path))
+    w.write({"t_a": a, "t_b": b})
+    assert spark.read.parquet(str(tmp_path / "t_a")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "t_b")).count() == 1
+
+
+def test_dry_run_writes_nothing(spark, labeled, tmp_path):
+    w = MultiTableWriter(base_path=str(tmp_path), dry_run=True)
+    results = w.write_labeled(labeled)
+    assert len(results) == 2
+    assert all("plan" in r for r in results)  # the logged-SQL analogue
+    assert not any(tmp_path.iterdir())  # nothing written
+
+
+def test_identifier_gate_blocks_injection(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x INT")
+    w = MultiTableWriter(base_path=str(tmp_path))
+    with pytest.raises(IdentifierError):
+        w.write({"users; DROP TABLE students": df})
+
+
+def test_column_gate_blocks_bad_names(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], ["column name"])
+    w = MultiTableWriter(base_path=str(tmp_path))
+    with pytest.raises(IdentifierError):
+        w.write({"t": df})
+
+
+def test_schema_validation_blocks_undeclared(spark, tmp_path):
+    # integration_test.go:88-149: undeclared column -> error, zero inserts
+    sch = Schema.declare({"declared": {"x": "int"}})
+    df = spark.createDataFrame([(1, 2)], "x INT, y INT")
+    w = MultiTableWriter(base_path=str(tmp_path), schema=sch)
+    with pytest.raises(SchemaValidationError):
+        w.write({"declared": df})
+    assert not any(tmp_path.iterdir())
+
+
+def test_undeclared_table_skips_validation(spark, tmp_path):
+    sch = Schema.declare({"declared": {"x": "int"}})
+    df = spark.createDataFrame([(1, 2)], "x INT, y INT")
+    w = MultiTableWriter(base_path=str(tmp_path), schema=sch)
+    w.write({"other_table": df})  # router.go:230-237 — only declared tables
+    assert spark.read.parquet(str(tmp_path / "other_table")).count() == 1

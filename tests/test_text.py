@@ -1,0 +1,102 @@
+"""Text-analysis column builders (LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.functions import text as X
+
+
+def _one(spark, expr, value):
+    df = spark.createDataFrame([(value,)], "s STRING")
+    return df.select(expr("s").alias("o")).first()["o"]
+
+
+@pytest.mark.parametrize(
+    "value,want",
+    [
+        ("hello world", 2),
+        ("  padded   spaces  ", 2),
+        ("", 0),  # ADVICE r1: blank -> 0, not 1
+        ("   ", 0),
+        ("one", 1),
+        ("a\tb\nc", 3),
+    ],
+)
+def test_token_count(spark, value, want):
+    assert _one(spark, X.token_count, value) == want
+
+
+def test_distinct_token_count(spark):
+    assert _one(spark, X.distinct_token_count, "a b a c b") == 3
+
+
+def test_bpe_token_count(spark):
+    # letter-runs, digit-runs, single punct: 'abc', '123', ',', 'x' -> 4
+    assert _one(spark, X.bpe_token_count, "abc123, x") == 4
+    assert _one(spark, X.bpe_token_count, "") == 0
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, X.punct_ratio, "abcd") == 0.0
+    assert _one(spark, X.punct_ratio, "a!b!") == 0.5
+    assert _one(spark, X.punct_ratio, "") == 0.0  # guarded denominator
+
+
+@pytest.mark.parametrize(
+    "value,want",
+    [
+        ("the cat and the dog is in that house", "en"),
+        ("der hund und die katze ist nicht ein tier", "de"),
+        ("le chat et la maison est pour un homme dans", "fr"),
+        ("el perro es un animal por la casa", "es"),
+        ("xyzzy plugh quux", "und"),
+        ("", "und"),
+    ],
+)
+def test_lang_id(spark, value, want):
+    assert _one(spark, X.lang_id, value) == want
+
+
+def test_lang_id_tie_prefers_earlier_code(spark):
+    # 'la' is a stopword for both fr and es; tie -> first in sorted order
+    # of codes with max hits among {de,en,es,fr}: es wins over fr.
+    assert _one(spark, X.lang_id, "la la la") == "es"
+
+
+def test_quality_score_bounds(spark):
+    vals = [
+        "the quick brown fox jumps over the lazy dog and runs to the hills",
+        "!!!! ???? ....",
+        "",
+        "word " * 200,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s STRING")
+    for r in df.select(X.quality_score("s").alias("q")).collect():
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "the cat and the dog is in that house with a friend for dinner"
+    junk = "@# $% ^& *! ~~ ||"
+    assert _one(spark, X.quality_score, good) > _one(spark, X.quality_score, junk)
+
+
+def test_fingerprint_invariances(spark):
+    """Order-, duplication-, whitespace-, and case-insensitive."""
+    variants = ["b a c", "a   b c", "C B A", "a a b b c c"]
+    df = spark.createDataFrame([(v,) for v in variants], "s STRING")
+    fps = {r["f"] for r in df.select(X.fingerprint("s").alias("f")).collect()}
+    assert len(fps) == 1
+    assert fps.pop() == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_fingerprint_distinguishes_content(spark):
+    assert _one(spark, X.fingerprint, "a b c") != _one(spark, X.fingerprint, "a b d")
+
+
+def test_word_set(spark):
+    assert _one(spark, X.word_set, "B a b A") == ["a", "b"]
