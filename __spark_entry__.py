@@ -25,6 +25,8 @@ from hermod_spark.functions.topic import topic_filter_to_regex, topic_matches
 from hermod_spark.operators import dedup, relational as R, similarity as S, textops
 from hermod_spark.operators import multimodal as MM, transforms as XF
 from hermod_spark.plans.routes import Route, RoutePlanner, passthrough_record
+from hermod_spark.plans.schema import IDENT_RE, STORAGE_IDENT_RE, Schema, merge as schema_merge
+from hermod_spark.sinks.writer import MultiTableWriter
 from hermod_spark.sources.messages import message_frame
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -54,6 +56,29 @@ ROUTES = [
 ]
 
 TOPIC_FILTERS = ["sensors/+/5", "sensors/error/#", "#", "sensors/purchase/1"]
+
+# Declared schemas for ddl_gen / ddl_merge / val_rec — the reference's
+# own example declaration (examples/multi_table.lua:3-19) plus an
+# overlapping second declaration to exercise first-wins merge.
+SCHEMA_A = {
+    "sensor_readings": {
+        "time": "timestamptz",
+        "sensor_id": "text",
+        "temperature": "double precision",
+        "humidity": "double precision",
+        "battery": "double precision",
+    },
+    "sensor_events": {
+        "time": "timestamptz",
+        "sensor_id": "text",
+        "event_type": "text",
+        "details": "jsonb",
+    },
+}
+SCHEMA_B = {
+    "sensor_events": {"time": "bigint", "severity": "int"},  # time conflicts: A wins
+    "iot_raw": {"time": "timestamptz", "topic": "text", "raw": "text"},
+}
 
 
 def _route_case_sql(topic_expr: str = "topic") -> str:
@@ -361,6 +386,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xf_copy"] = xf_copy
 
+    def xf_new(spark, sf):
+        """xf-new: the opaque row→0..N-records Python transform through
+        the mapInPandas envelope — emits an iot_metrics record per JSON
+        message plus an alerts record when temperature > 30
+        (router.go:248-341 contract; 0, 1, or 2 records per row)."""
+        msgs = message_frame(_prep(spark), sf)
+
+        def fn(msg):
+            if not isinstance(msg.get("json"), dict):
+                return []
+            t = msg["json"].get("temperature")
+            if t is None:
+                return []
+            recs = [{"columns": {"device": msg["topic"], "value": t}}]
+            if t > 30:
+                recs.append(
+                    {"table": "alerts", "columns": {"device": msg["topic"], "value": t}}
+                )
+            return recs
+
+        out = XF.record_transform(msgs, fn, default_table="iot_metrics")
+        return out.select(
+            F.col("table").alias("out_table"),
+            F.element_at("columns", "device").alias("device"),
+            F.element_at("columns", "value").cast("double").alias("value_out"),
+        )
+
+    q["xf_new"] = xf_new
+
+    def xf_legacy(spark, sf):
+        """xf-legacy: map→map single-table pipeline transform
+        (lua.go:255-288) — C→F derivation on the decoded payload."""
+        msgs = message_frame(_prep(spark), sf)
+
+        def fn(data):
+            c = data.get("temperature")
+            if c is None:
+                return {"topic": data["topic"], "celsius": 0.0, "fahrenheit": 32.0}
+            return {"topic": data["topic"], "celsius": c, "fahrenheit": c * 9 / 5 + 32}
+
+        out = XF.legacy_transform(msgs, fn, table="iot_metrics")
+        return out.select(
+            F.col("table").alias("out_table"),
+            F.element_at("columns", "topic").alias("topic"),
+            F.element_at("columns", "celsius").cast("double").alias("celsius"),
+            F.element_at("columns", "fahrenheit").cast("double").alias("fahrenheit"),
+        )
+
+    q["xf_legacy"] = xf_legacy
+
+    # --- schema registry / identifier gate / sink manifest ------------
+    def flt_ident(spark, sf):
+        """flt-ident: both identifier gates as data-driven predicates
+        (router.go:77 vs storage.go:31-36) over derived candidate names."""
+        ev = _t(spark, sf, "events")
+        base = ev.select(F.col("event_type").alias("ident"))
+        cands = (
+            base.union(base.select(F.concat("ident", F.lit("-bad"))))
+            .union(base.select(F.concat(F.lit("123"), "ident")))
+            .union(base.select(F.concat("ident", F.lit("; DROP TABLE users"))))
+            .union(base.select(F.concat(F.lit("_"), "ident")))
+            .distinct()
+        )
+        return cands.select(
+            "ident",
+            F.col("ident").rlike(IDENT_RE.pattern).alias("router_ok"),
+            F.col("ident").rlike(STORAGE_IDENT_RE.pattern).alias("storage_ok"),
+        )
+
+    q["flt_ident"] = flt_ident
+
+    def val_rec(spark, sf):
+        """val-rec: record-vs-schema validation as a data query — every
+        payload key must be declared (schema.go:200-207); 'error'
+        payloads carry an undeclared 'stack' key and fail."""
+        ev = _t(spark, sf, "events")
+        payload = F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit('{"k": '), F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")), F.lit(', "stack": "trace"}')),
+        ).otherwise(
+            F.concat(F.lit('{"k": '), F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")), F.lit("}"))
+        )
+        declared = F.array(F.lit("k"), F.lit("temperature"))
+        keys = F.json_object_keys(payload)
+        return ev.select(
+            "event_id",
+            F.forall(keys, lambda c: F.array_contains(declared, c)).alias("valid"),
+        )
+
+    q["val_rec"] = val_rec
+
+    def ddl_gen(spark, sf):
+        """ddl-gen: deterministic sorted CREATE TABLE emission
+        (schema.go:113-161) from the reference's example declaration."""
+        sch = Schema.declare(SCHEMA_A)
+        rows = [(t, sch.tables[t].generate_create_table()) for t in sorted(sch.tables)]
+        return _prep(spark).createDataFrame(rows, "table_name STRING, ddl STRING")
+
+    q["ddl_gen"] = ddl_gen
+
+    def ddl_merge(spark, sf):
+        """ddl-merge: union of tables, first declaration wins on column
+        conflict (schema.go:164-197) — flattened to (table, col, type)."""
+        merged = schema_merge(Schema.declare(SCHEMA_A), Schema.declare(SCHEMA_B))
+        rows = [
+            (t, c, merged.tables[t].columns[c])
+            for t in sorted(merged.tables)
+            for c in sorted(merged.tables[t].columns)
+        ]
+        return _prep(spark).createDataFrame(rows, "table_name STRING, col STRING, sql_type STRING")
+
+    q["ddl_merge"] = ddl_merge
+
+    def snk_dryrun(spark, sf):
+        """snk-dryrun/snk-multi: the per-table write manifest — table,
+        row count, and the sorted insert column order (storage.go:97-106)
+        — computed without writing (storage.go:139-143)."""
+        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
+        labeled = RoutePlanner(ROUTES).label(msgs)
+        return MultiTableWriter(dry_run=True).manifest(labeled)
+
+    q["snk_dryrun"] = snk_dryrun
+
     # --- relational surface (§2.6 / milestone 5) ----------------------
     q["rel_pricing_summary"] = lambda spark, sf: R.pricing_summary(_t(spark, sf, "lineitem"))
     q["rel_revenue_nation"] = lambda spark, sf: R.revenue_by_nation(
@@ -548,6 +696,69 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, ts, user_id, event_type, value AS temperature_celsius,"
         " value * 9 / 5 + 32 AS temperature_fahrenheit FROM events"
     )
+
+    o["xf_new"] = f"""
+WITH msg AS ({_MSG_SQL})
+SELECT 'iot_metrics' AS out_table, topic AS device, value AS value_out
+FROM msg WHERE value IS NOT NULL
+UNION ALL
+SELECT 'alerts' AS out_table, topic AS device, value AS value_out
+FROM msg WHERE value > 30"""
+    o["xf_legacy"] = f"""
+WITH msg AS ({_MSG_SQL})
+SELECT 'iot_metrics' AS out_table, topic,
+  COALESCE(value, 0.0) AS celsius,
+  COALESCE(value, 0.0) * 9 / 5 + 32 AS fahrenheit
+FROM msg"""
+    o["flt_ident"] = f"""
+WITH cands AS (
+  SELECT event_type AS ident FROM events
+  UNION ALL SELECT event_type || '-bad' FROM events
+  UNION ALL SELECT '123' || event_type FROM events
+  UNION ALL SELECT event_type || '; DROP TABLE users' FROM events
+  UNION ALL SELECT '_' || event_type FROM events)
+SELECT DISTINCT ident,
+  regexp_matches(ident, '{IDENT_RE.pattern}') AS router_ok,
+  regexp_matches(ident, '{STORAGE_IDENT_RE.pattern}') AS storage_ok
+FROM cands"""
+    o["val_rec"] = """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_type = 'error'
+      THEN '{"k": ' || COALESCE(props->>'$.k', 'null') || ', "stack": "trace"}'
+      ELSE '{"k": ' || COALESCE(props->>'$.k', 'null') || '}'
+    END AS payload
+  FROM events)
+SELECT event_id,
+  len(list_filter(json_keys(payload),
+      x -> NOT list_contains(['k', 'temperature'], x))) = 0 AS valid
+FROM p"""
+
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _sch_a = Schema.declare(SCHEMA_A)
+    ddl_rows = ", ".join(
+        f"({_sql_str(t)}, {_sql_str(_sch_a.tables[t].generate_create_table())})"
+        for t in sorted(_sch_a.tables)
+    )
+    o["ddl_gen"] = (
+        f"SELECT * FROM (VALUES {ddl_rows}) AS t(table_name, ddl)"
+    )
+    _merged = schema_merge(_sch_a, Schema.declare(SCHEMA_B))
+    merge_rows = ", ".join(
+        f"({_sql_str(t)}, {_sql_str(c)}, {_sql_str(_merged.tables[t].columns[c])})"
+        for t in sorted(_merged.tables)
+        for c in sorted(_merged.tables[t].columns)
+    )
+    o["ddl_merge"] = (
+        f"SELECT * FROM (VALUES {merge_rows}) AS t(table_name, col, sql_type)"
+    )
+    o["snk_dryrun"] = f"""
+WITH msg AS ({_MSG_SQL})
+SELECT {_route_case_sql()} AS table_name, COUNT(*) AS n_rows,
+  'event_id, payload, qos, retain, time, topic' AS insert_columns
+FROM msg GROUP BY 1"""
 
     DQ = "CAST(l_quantity AS DECIMAL(12,4))"
     DP = "CAST(l_extendedprice AS DECIMAL(12,4))"

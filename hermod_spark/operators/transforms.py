@@ -26,8 +26,14 @@ routing_transform.lua; goldens in internal/lua/lua_test.go:108-125:
 
 from __future__ import annotations
 
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hermod_spark.plans.schema import IDENT_RE, Schema
 
 
 def c2f(celsius: Column | str) -> Column:
@@ -113,6 +119,151 @@ def multi_table(
         )
     )
     return {"sensor_readings": readings, "sensor_events": events}
+
+
+class TransformError(ValueError):
+    """A record transform returned something other than a list of
+    record dicts (the reference errors the message: router.go:291-305)."""
+
+
+def record_transform(
+    df: DataFrame,
+    fn: Callable[[dict], list[dict]],
+    *,
+    default_table: str,
+    schema: Schema | None = None,
+    time_col: str = "time",
+    topic_col: str = "topic",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """xf-new — the opaque row → 0..N-records transform envelope.
+
+    The true equivalent of the reference's Lua contract
+    (router.go:248-341, README.md:184-220) for transforms that can't be
+    expressed as native Column builders. ``fn`` receives one message
+    dict ``{topic, payload, ts, json|None}`` (ts RFC3339-style ISO
+    string, json the parsed payload or None — router.go:256-267) and
+    returns a list of ``{table?: str, columns: dict}`` records:
+
+    - empty list → message emits nothing (0-row case);
+    - missing ``table`` → ``default_table`` (router.go:222-228);
+    - column names failing the identifier gate are SILENTLY skipped
+      (router.go:330-332);
+    - a declared ``schema`` rejects undeclared columns per record
+      (router.go:230-237);
+    - a non-list return raises TransformError (router.go:291-305).
+
+    Output: ``(table STRING, columns MAP<STRING,STRING>)`` — dynamic
+    record maps, exactly the reference's Record shape; values are
+    stringified (floats via repr → shortest round-trip). Downstream
+    either casts specific keys or hands the frame to the multi-table
+    sink.
+
+    Scale shape: ``mapInPandas`` — Arrow-batched, per-partition Python,
+    no shuffle; the 0..N fan-out happens inside the batch iterator so
+    Spark never materializes per-row lists.
+    """
+
+    def _stringify(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, sort_keys=True, separators=(",", ":"))
+        return str(v)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            tables: list[str] = []
+            columns: list[dict] = []
+            for topic, payload, ts in zip(
+                pdf["_topic"], pdf["_payload"], pdf["_ts"]
+            ):
+                parsed = None
+                if payload is not None:
+                    try:
+                        parsed = json.loads(payload)
+                    except (ValueError, TypeError):
+                        parsed = None
+                msg = {
+                    "topic": topic,
+                    "payload": payload,
+                    "ts": ts.isoformat() if ts is not None else None,
+                    "json": parsed,
+                }
+                recs = fn(msg)
+                if not isinstance(recs, list):
+                    raise TransformError(
+                        f"transform must return a list of records, got {type(recs).__name__}"
+                    )
+                for rec in recs:
+                    if not isinstance(rec, dict):
+                        raise TransformError("each record must be a dict")
+                    table = rec.get("table") or default_table
+                    cols = {
+                        k: _stringify(v)
+                        for k, v in rec.get("columns", {}).items()
+                        if isinstance(k, str) and IDENT_RE.match(k)
+                    }
+                    if schema is not None:
+                        schema.validate_record(table, cols)
+                    tables.append(table)
+                    columns.append(cols)
+            # dtype=object even when empty: an empty float64 column
+            # cannot convert to MAP and would kill the partition
+            yield pd.DataFrame(
+                {
+                    "table": pd.Series(tables, dtype="object"),
+                    "columns": pd.Series(columns, dtype="object"),
+                }
+            )
+
+    # dict -> MAP<STRING,STRING> conversion in the Python worker needs
+    # the Arrow pandas converter; the bare NumPy path raises
+    # ArrowNotImplementedError. Set it here — the engine cannot assume
+    # the caller's session is configured.
+    df.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    staged = df.select(
+        F.col(topic_col).alias("_topic"),
+        F.col(payload_col).cast("string").alias("_payload"),
+        F.col(time_col).alias("_ts"),
+    )
+    return staged.mapInPandas(batches, "table STRING, columns MAP<STRING,STRING>")
+
+
+def legacy_transform(
+    df: DataFrame,
+    fn: Callable[[dict], dict],
+    *,
+    table: str,
+    topic_col: str = "topic",
+    payload_col: str = "payload",
+    time_col: str = "time",
+) -> DataFrame:
+    """xf-legacy — the map→map single-table pipeline contract
+    (internal/lua/lua.go:255-288, internal/pipeline/pipeline.go:33-68):
+    the JSON-decoded payload (fallback ``{topic, payload}``) is merged
+    with ``topic``, transformed to ONE output map, inserted into the
+    configured table."""
+
+    def adapter(msg: dict) -> list[dict]:
+        data = msg["json"] if isinstance(msg["json"], dict) else {
+            "topic": msg["topic"],
+            "payload": msg["payload"],
+        }
+        data = {**data, "topic": msg["topic"]}  # pipeline.go:50-53
+        out = fn(data)
+        if not isinstance(out, dict):
+            raise TransformError("legacy transform must return a dict")
+        return [{"table": table, "columns": out}]
+
+    return record_transform(
+        df,
+        adapter,
+        default_table=table,
+        topic_col=topic_col,
+        payload_col=payload_col,
+        time_col=time_col,
+    )
 
 
 def iot_metrics(

@@ -87,6 +87,22 @@ class MultiTableWriter:
             for t in sorted(tables)
         ]
 
+    def manifest(self, df: DataFrame, label_col: str = "_table") -> DataFrame:
+        """Dry-run as a QUERY: the per-table write manifest — (table,
+        n_rows, insert_columns) with the sorted column order the insert
+        would use (storage.go:97-106) — computed as one aggregation,
+        nothing written. The distributed analogue of storage.go:139-143
+        logging the SQL instead of executing it."""
+        insert_cols = ", ".join(sorted(c for c in df.columns if c != label_col))
+        for c in df.columns:
+            if c != label_col:
+                validate_identifier(c, strict=True)
+        return (
+            df.groupBy(F.col(label_col).alias("table_name"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("insert_columns", F.lit(insert_cols))
+        )
+
     def foreach_batch(self, branches_of):
         """Adapter for streaming: ``writeStream.foreachBatch(
         writer.foreach_batch(lambda batch_df: {table: df, ...}))``."""

@@ -76,6 +76,16 @@ def test_schema_validation_blocks_undeclared(spark, tmp_path):
     assert not any(tmp_path.iterdir())
 
 
+def test_manifest_counts_and_sorted_columns(spark, labeled):
+    rows = {
+        r["table_name"]: r
+        for r in MultiTableWriter(dry_run=True).manifest(labeled).collect()
+    }
+    assert rows["sensor_readings"]["n_rows"] == 2
+    assert rows["sensor_events"]["n_rows"] == 1
+    assert rows["sensor_readings"]["insert_columns"] == "id, value"
+
+
 def test_undeclared_table_skips_validation(spark, tmp_path):
     sch = Schema.declare({"declared": {"x": "int"}})
     df = spark.createDataFrame([(1, 2)], "x INT, y INT")
