@@ -25,7 +25,9 @@ def doc_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         X.lang_id(text_col).alias("lang_pred"),
         F.round(X.quality_score(text_col), 6).alias("quality"),
         X.fingerprint(text_col).alias("fingerprint"),
-    ).orderBy(id_col)
+    )
+    # no orderBy: a global sort of a per-document projection is a full
+    # range shuffle that buys nothing — at 100 TB it would dominate
 
 
 def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:

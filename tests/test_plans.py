@@ -1,0 +1,118 @@
+"""Plan-quality gates: the physical plans the 100 TB posture demands.
+
+These assert the *shape* of the executed plan, not timings — predicate
+pushdown reaching the parquet scan, column pruning, broadcast of small
+dimensions, absence of Python evaluation in native paths, and no
+gratuitous shuffles. A regression here is a scale bug even when sf0.01
+results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+from conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    return E.queries()[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def count(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "rel_pricing_summary")
+    assert "LessThan(l_shipdate" in plan  # filter reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "l_comment" not in m.group(1)  # pruned to needed columns
+    assert count(r"HashAggregate", plan) >= 2  # partial + final
+
+
+def test_revenue_nation_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "rel_revenue_nation")
+    # orders/customer/nation/region are all broadcast; the lineitem
+    # fact is never shuffled for a join
+    assert count(r"BroadcastExchange", plan) == 4
+    assert count(r"SortMergeJoin", plan) == 0
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    li = next(s for s in schemas if "l_orderkey" in s)
+    assert set(li.split(",")) <= {
+        "l_orderkey:bigint", "l_extendedprice:double", "l_discount:double",
+    }
+
+
+def test_flt_route_is_shuffle_free_and_native(spark):
+    plan = plan_of(spark, "flt_route")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_prj_pass_is_shuffle_free_and_native(spark):
+    plan = plan_of(spark, "prj_pass")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_doc_metrics_is_pure_projection(spark):
+    plan = plan_of(spark, "text_doc_metrics")
+    assert count(r"Exchange", plan) == 0  # no sort, no shuffle
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_quality_filter_pushes_nothing_to_python(spark):
+    plan = plan_of(spark, "text_quality_filter")
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # exactly the window's hash partitioning; no extra exchanges
+    assert count(r"Exchange hashpartitioning", plan) == 1
+
+
+def test_minhash_single_pass(spark):
+    """The signature pipeline must execute once: one parquet scan of
+    documents, no self-join recomputation."""
+    plan = plan_of(spark, "dedup_minhash_cand")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "sim_bruteforce_topk")
+    assert count(r"BroadcastExchange", plan) == 1
+    assert "CartesianProduct" not in plan
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_lsh_topk_no_cartesian(spark):
+    plan = plan_of(spark, "sim_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_embedding_neardups_no_cartesian(spark):
+    plan = plan_of(spark, "sim_embedding_neardups")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["fn_rot13", "fn_b64e", "fn_b64d", "fn_hexe", "fn_hexd", "fn_jenc", "fn_jdec",
+     "flt_topic", "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_copy"],
+)
+def test_scalar_and_transform_paths_stay_jvm_side(spark, name):
+    """Everything except HMAC/SimHash/xf_new must run without Python."""
+    assert count(r"EvalPython", plan_of(spark, name)) == 0
+
+
+def test_entry_aggregation_is_partial(spark):
+    plan = E.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert count(r"HashAggregate", plan) >= 2  # map-side combine
+    assert count(r"EvalPython", plan) == 0
