@@ -526,6 +526,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_setops"] = lambda spark, sf: R.part_supplier_overlap(_t(spark, sf, "lineitem"))
     q["rel_hourly_rollup"] = lambda spark, sf: R.hourly_event_rollup(_t(spark, sf, "events"))
     q["rel_recent_events"] = lambda spark, sf: R.recent_events(_t(spark, sf, "events"))
+    q["rel_semi_anti"] = lambda spark, sf: R.customers_with_without_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["rel_cube"] = lambda spark, sf: R.order_status_cube(_t(spark, sf, "orders"))
+
+    def rel_asof(spark, sf):
+        """Backward as-of join: each purchase matched to the user's
+        latest signup at-or-before it — single shuffle, no range join."""
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        signups = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("signup_event_id"))
+            .select("user_id", "ts", F.col("ts").alias("signup_ts"), "signup_event_id")
+        )
+        return R.asof_join(
+            purchases,
+            signups,
+            key="user_id",
+            time_left="ts",
+            time_right="ts",
+            right_cols=["signup_ts", "signup_event_id"],
+        ).select("event_id", "user_id", "ts", "signup_ts_asof", "signup_event_id_asof")
+
+    q["rel_asof"] = rel_asof
+
+    def rel_sessionize(spark, sf):
+        return R.sessionize(
+            _t(spark, sf, "events"), key="user_id", time_col="ts", gap="30 minutes"
+        )
+
+    q["rel_sessionize"] = rel_sessionize
 
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
@@ -571,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sim_embedding_neardups"] = lambda spark, sf: S.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.3, n_planes=8
+    )
+    q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
+        _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_centroids=8
     )
 
     # --- text analysis -------------------------------------------------
@@ -822,6 +860,41 @@ FROM events GROUP BY 1, 2"""
     o["rel_recent_events"] = (
         "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
     )
+    o["rel_semi_anti"] = """
+SELECT c_custkey, 'with_orders' AS which FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS which FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+    o["rel_cube"] = """
+SELECT o_orderstatus, year(o_orderdate) AS order_year, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price,
+  GROUPING(o_orderstatus) * 2 + GROUPING(year(o_orderdate)) AS gid
+FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))"""
+    o["rel_asof"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+signups AS (
+  SELECT user_id, ts AS signup_ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts,
+  r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
+FROM purchases l ASOF LEFT JOIN signups r
+  ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    o["rel_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sid"""
 
     o["dedup_exact"] = """
 SELECT doc_id FROM (
@@ -865,6 +938,27 @@ r AS (SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+    cos_asg = _COS_SQL.format(a="v", b="cv")
+    cos_ivf = _COS_SQL.format(a="qv", b="nv")
+    o["sim_ivf_topk"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+asg AS (SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY {cos_asg} DESC, cent_id ASC) AS rn
+        FROM emb CROSS JOIN cent),
+lists AS (SELECT vec_id, v, cent_id AS list_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, list_id FROM lists
+      WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS nv, list_id FROM lists),
+s AS (SELECT query_id, neighbor_id, {cos_ivf} AS sim
+      FROM c JOIN q USING (list_id) WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+
     cosab = _COS_SQL.format(a="a.v", b="b.v")
     o["sim_embedding_neardups"] = f"""
 WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS v,

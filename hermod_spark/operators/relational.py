@@ -213,3 +213,127 @@ def recent_events(events: DataFrame, n: int = 10) -> DataFrame:
     """README.md:520-521 — ORDER BY timestamp DESC LIMIT n (tie-broken
     by event_id so the row set is deterministic)."""
     return events.orderBy(F.desc("ts"), F.desc("event_id")).limit(n)
+
+
+def customers_with_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi/anti join surface: customers tagged by order existence.
+
+    ``left_semi``/``left_anti`` never materialize the right side's
+    columns, so at scale the orders side reduces to a broadcast/shuffled
+    key set — strictly cheaper than an outer-join-then-filter."""
+    keys = orders.select("o_custkey")
+    with_orders = customer.join(keys, customer.c_custkey == keys.o_custkey, "left_semi")
+    without = customer.join(keys, customer.c_custkey == keys.o_custkey, "left_anti")
+    return (
+        with_orders.select("c_custkey", F.lit("with_orders").alias("which"))
+        .unionByName(without.select("c_custkey", F.lit("no_orders").alias("which")))
+    )
+
+
+def order_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, order year): every grouping-set combination
+    with a GROUPING id — one pass, Spark expands the sets internally."""
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("order_year")).alias("gid"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    time_left: str,
+    time_right: str,
+    right_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``time_right <= time_left`` on the same key.
+
+    Spark has no ASOF JOIN; the naive encodings are a range cross join
+    (quadratic) or a per-key collect (skew-bound). This is the
+    scale-correct shape: UNION both sides, ONE shuffle on the key, and
+    a running ``last(..., ignorenulls=True)`` window carries the most
+    recent right-side values forward onto left rows. Cost is a single
+    sort-within-partition of |L|+|R| — no join at all, no row blowup,
+    and AQE handles key skew like any other shuffle.
+
+    Ties (equal timestamps) resolve right-before-left, matching the
+    inclusive ``<=``. ``tolerance`` (e.g. "3600 seconds") nulls matches
+    older than the window, like pandas ``merge_asof``.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(time_left).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(time_right).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_m_t"),
+    )
+    out = matched.filter(F.col("_side") == 1)
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = F.col("_m_t") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.when(keep, F.col(f"_m_{c}")).alias(f"{c}_asof")
+            for c in right_cols
+        ],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows in batch: ``session_window`` groups rows of a key
+    into sessions separated by ≥gap of silence — one shuffle on the
+    key, state merged by Spark's native session aggregation (the same
+    operator Structured Streaming uses incrementally with a
+    watermark)."""
+    return (
+        events.groupBy(F.session_window(F.col(time_col), gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col(time_col)).alias("last_event"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -141,6 +141,77 @@ def lsh_topk(
     )
 
 
+def centroids_of(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse IVF centroids. Deterministic stand-in for k-means
+    training: the first ``n_centroids`` vectors by id. Real deployments
+    swap in sampled k-means — everything downstream (literal-array
+    assignment, inverted-list probe) is unchanged. The collect is the
+    'model': n_centroids × dim floats, trivially broadcastable."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (max cosine; ties → lowest id) as a pure
+    map-side expression: centroid vectors are LITERAL arrays, so
+    assignment costs n_centroids JVM dot products per row — no join,
+    no shuffle, exactly like lsh_bucket."""
+    sims = F.array(
+        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    # array_position is 1-based and returns the FIRST max → lowest id
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid (inverted lists), then score queries only against their
+    own list. Same probe shape as lsh_topk — broadcast the small query
+    side, join on the int list id — but the partitioning is data-driven
+    (centroids) instead of data-oblivious (hyperplanes), which is what
+    production ANN uses when recall matters. n_probe>1 ≡ unioning the
+    next-nearest lists; kept at 1 here for the oracle."""
+    cents = centroids_of(embeddings, n_centroids, id_col, vec_col)
+    assigned = ensure_min_partitions(embeddings).select(
+        F.col(id_col), F.col(vec_col), ivf_assign(vec_col, cents).alias("list_id")
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("list_id")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("list_id")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

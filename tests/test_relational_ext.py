@@ -1,0 +1,128 @@
+"""Extended relational operators: semi/anti, cube, as-of join,
+sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators import relational as R
+
+UTC = dt.timezone.utc
+
+
+def T(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m, tzinfo=UTC)
+
+
+def test_semi_anti_partition(spark):
+    customer = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey INT")
+    orders = spark.createDataFrame([(1,), (1,), (3,)], "o_custkey INT")
+    got = {
+        (r["c_custkey"], r["which"])
+        for r in R.customers_with_without_orders(customer, orders).collect()
+    }
+    assert got == {(1, "with_orders"), (3, "with_orders"), (2, "no_orders")}
+
+
+def test_cube_grouping_ids(spark):
+    orders = spark.createDataFrame(
+        [("O", dt.date(1995, 1, 1), 10.0), ("F", dt.date(1996, 1, 1), 20.0)],
+        "o_orderstatus STRING, o_orderdate DATE, o_totalprice DOUBLE",
+    )
+    rows = R.order_status_cube(orders).collect()
+    # cube over 2 cols -> 4 grouping sets; 2 statuses x 2 years distinct
+    gids = sorted(r["gid"] for r in rows)
+    assert gids == [0, 0, 1, 1, 2, 2, 3]
+    total = next(r for r in rows if r["gid"] == 3)
+    assert total["n_orders"] == 2 and total["total_price"] == 30.0
+
+
+@pytest.fixture
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, T(12)), (2, 100, T(9)), (3, 200, T(12))],
+        "event_id INT, user_id INT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(100, T(10), T(10), 7), (100, T(11), T(11), 8), (200, T(13), T(13), 9)],
+        "user_id INT, ts TIMESTAMP, signup_ts TIMESTAMP, signup_event_id INT",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["event_id"]: r
+        for r in R.asof_join(
+            left, right, key="user_id", time_left="ts", time_right="ts",
+            right_cols=["signup_ts", "signup_event_id"],
+        ).collect()
+    }
+    assert out[1]["signup_event_id_asof"] == 8  # latest of the two priors
+    assert out[2]["signup_event_id_asof"] is None  # nothing at-or-before 9:00
+    assert out[3]["signup_event_id_asof"] is None  # right is after left
+
+
+def test_asof_inclusive_tie(spark):
+    left = spark.createDataFrame([(1, 5, T(10))], "event_id INT, user_id INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(5, T(10), T(10), 42)],
+        "user_id INT, ts TIMESTAMP, signup_ts TIMESTAMP, signup_event_id INT",
+    )
+    row = R.asof_join(
+        left, right, key="user_id", time_left="ts", time_right="ts",
+        right_cols=["signup_ts", "signup_event_id"],
+    ).first()
+    assert row["signup_event_id_asof"] == 42  # <= is inclusive
+
+
+def test_asof_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["event_id"]: r
+        for r in R.asof_join(
+            left, right, key="user_id", time_left="ts", time_right="ts",
+            right_cols=["signup_event_id"], tolerance="30 minutes",
+        ).collect()
+    }
+    assert out[1]["signup_event_id_asof"] is None  # 11:00 is 1h before 12:00
+
+
+def test_asof_is_single_shuffle_no_join(spark, asof_frames):
+    left, right = asof_frames
+    plan = (
+        R.asof_join(
+            left, right, key="user_id", time_left="ts", time_right="ts",
+            right_cols=["signup_event_id"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # union + window, never a join
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize(spark):
+    events = spark.createDataFrame(
+        [
+            (1, T(10, 0)), (1, T(10, 10)), (1, T(10, 20)),  # one session
+            (1, T(12, 0)),  # second session after gap
+            (2, T(10, 0)),
+        ],
+        "user_id INT, ts TIMESTAMP",
+    )
+    rows = sorted(
+        R.sessionize(events, gap="30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert len(rows) == 3
+    s1 = rows[0]
+    assert s1["n_events"] == 3
+    assert s1["session_start"] == T(10, 0).replace(tzinfo=None)
+    assert s1["session_end"] == T(10, 50).replace(tzinfo=None)  # last + gap
+    assert rows[1]["n_events"] == 1
