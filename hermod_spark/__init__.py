@@ -19,5 +19,6 @@ Layout:
 
 __version__ = "0.1.0"
 
-from hermod_spark import data, operators, plans, sinks, sources, streaming  # noqa: F401
+from hermod_spark import config, data, operators, plans, sinks, sources, streaming  # noqa: F401
+from hermod_spark.engine import Engine  # noqa: F401
 from hermod_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,113 @@
+"""The assembled engine: config → source → routes → transforms → sinks.
+
+The Spark re-expression of the reference's main loop
+(reference: cmd/hermod/main.go:100-199): where the Go binary wires
+MQTT subscriber → Router worker pools → pgx inserts, this builds ONE
+declarative plan — source frame → first-match labeling → per-route
+transforms → multi-table writer — and runs it in batch or as a
+Structured Streaming query. Also exposes the offline ``-sql`` mode
+(DDL generation without touching broker/DB — main.go:202-237).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from hermod_spark.config import Config
+from hermod_spark.plans.routes import Route, RoutePlanner, passthrough_record
+from hermod_spark.plans.schema import Schema, merge as schema_merge
+from hermod_spark.sinks.writer import MultiTableWriter
+
+TransformFn = Callable[[DataFrame], DataFrame]
+
+
+class Engine:
+    """config + transform registry + declared schemas → runnable plans.
+
+    ``transforms`` maps a route's ``script`` name to a
+    DataFrame→DataFrame builder; ``schemas`` maps script names to
+    declared ``Schema`` objects (the Lua ``schema`` global's
+    replacement) for validation + DDL.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        transforms: dict[str, TransformFn] | None = None,
+        schemas: dict[str, Schema] | None = None,
+    ):
+        self.cfg = cfg
+        self.transforms = transforms or {}
+        self.schemas = schemas or {}
+        missing = [
+            r.script for r in cfg.routes if r.script and r.script not in self.transforms
+        ]
+        if missing:
+            raise KeyError(f"routes reference unregistered transforms: {missing}")
+        self.planner = RoutePlanner(
+            [
+                Route(
+                    r.filter,
+                    r.table,
+                    transform=self.transforms.get(r.script) if r.script else None,
+                    workers=r.workers,
+                    queue_size=r.queue_size,
+                )
+                for r in cfg.routes
+            ]
+        )
+
+    # --- offline DDL mode (main.go:202-237) ---------------------------
+
+    def merged_schema(self) -> Schema:
+        return schema_merge(*self.schemas.values())
+
+    def generate_sql(self) -> str:
+        return self.merged_schema().generate_sql()
+
+    # --- plan construction --------------------------------------------
+
+    def plan(self, messages: DataFrame) -> list[tuple[str, DataFrame]]:
+        """(table, DataFrame) branches: routed transforms + passthrough
+        default — the whole router as one declarative plan."""
+        return self.planner.apply(messages)
+
+    def writer(self, base_path: str | None = None) -> MultiTableWriter:
+        db = self.cfg.database
+        return MultiTableWriter(
+            base_path=base_path,
+            jdbc_url=None if base_path else (db.jdbc_url() if db.host else None),
+            jdbc_options={"user": db.user, "password": db.password} if db.host else {},
+            schema=self.merged_schema() if self.schemas else None,
+            dry_run=self.cfg.dry_run,
+        )
+
+    # --- execution ----------------------------------------------------
+
+    def run_batch(self, messages: DataFrame, base_path: str | None = None) -> list[dict]:
+        """Batch: route + transform + write each branch."""
+        w = self.writer(base_path)
+        return w.write(dict(self.plan(messages)))
+
+    def run_stream(
+        self,
+        messages: DataFrame,
+        base_path: str | None = None,
+        checkpoint: str | None = None,
+        trigger_once: bool = True,
+    ):
+        """Streaming: the same plan under foreachBatch. Returns the
+        started StreamingQuery (caller stops/awaits)."""
+        w = self.writer(base_path)
+
+        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+            w.write(dict(self.plan(batch_df)))
+
+        writer = messages.writeStream.foreachBatch(handle)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
