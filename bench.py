@@ -38,12 +38,16 @@ HEADLINE = [
     "rel_revenue_nation",
     "rel_top_customers",
     "rel_hourly_rollup",
+    "rel_asof",
+    "rel_sessionize",
     "dedup_exact",
     "dedup_minhash_cand",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "text_doc_metrics",
     "text_corpus_stats",
+    "xf_new",
 ]
 
 
