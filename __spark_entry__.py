@@ -620,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality_filter"] = lambda spark, sf: textops.quality_filter(
         _t(spark, sf, "documents")
     ).select("doc_id")
+    q["text_top_ngrams"] = lambda spark, sf: textops.top_ngrams(
+        _t(spark, sf, "documents"), n=2, k=20
+    )
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -989,6 +992,19 @@ FROM documents GROUP BY 1, 2"""
     o["text_quality_filter"] = f"""
 SELECT doc_id FROM documents
 WHERE ({_quality_sql("text")}) >= 0.5 AND len({_toks_sql("text")}) >= 5"""
+
+    toks2 = _toks_sql("text")
+    o["text_top_ngrams"] = f"""
+WITH t AS (SELECT {toks2} AS tk FROM documents),
+g AS (SELECT unnest(CASE WHEN len(tk) < 2 THEN []
+        ELSE list_transform(range(1, len(tk)),
+                            i -> array_to_string(tk[i:i+1], ' ')) END) AS ngram
+      FROM t),
+c AS (SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY ngram),
+r AS (SELECT ngram, n_occurrences,
+        ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+      FROM c)
+SELECT ngram, n_occurrences, rank FROM r WHERE rank <= 20"""
 
     o["mm_resize_plan"] = """
 WITH meta AS (

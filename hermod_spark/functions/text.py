@@ -109,6 +109,25 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams as an array; docs shorter than n words yield an
+    empty array. Token array bound once via the single-element-array
+    lambda trick (see operators.dedup.shingles for why)."""
+    toks = tokens(F.lower(_c(col)))
+
+    def _from_tokens(t: Column) -> Column:
+        return F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, F.lit(n))),
+            )
+        )
+
+    return F.flatten(F.transform(F.array(toks), _from_tokens))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical document fingerprint: md5 of the sorted distinct
     lowercase word set — whitespace/dup/word-order insensitive, exact

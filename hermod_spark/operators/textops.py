@@ -58,6 +58,30 @@ def lang_confusion(df: DataFrame, text_col: str = "text", lang_col: str = "lang"
     )
 
 
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode → count → rank.
+
+    The shuffle is the count groupBy (map-side combined); n-gram keys
+    are long-tailed, and AQE coalesces the mostly-tiny post-agg
+    partitions. Ties rank lexicographically so the result set is
+    deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(X.ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -100,3 +100,22 @@ def test_fingerprint_distinguishes_content(spark):
 
 def test_word_set(spark):
     assert _one(spark, X.word_set, "B a b A") == ["a", "b"]
+
+
+def test_ngrams(spark):
+    assert _one(spark, lambda c: X.ngrams(c, 2), "a b c") == ["a b", "b c"]
+    assert _one(spark, lambda c: X.ngrams(c, 3), "a b") == []
+    assert _one(spark, lambda c: X.ngrams(c, 2), "") == []
+
+
+def test_top_ngrams(spark):
+    from hermod_spark.operators.textops import top_ngrams
+
+    df = spark.createDataFrame(
+        [("x y x y",), ("x y z",)], "text STRING"
+    )
+    rows = top_ngrams(df, n=2, k=2).collect()
+    assert [(r["ngram"], r["n_occurrences"], r["rank"]) for r in rows] == [
+        ("x y", 3, 1),
+        ("y x", 1, 2),  # tie with 'y z' broken lexicographically
+    ]
