@@ -562,6 +562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_sessionize"] = rel_sessionize
 
+    q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
+    q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
+
+    def sketch_kmv(spark, sf):
+        from hermod_spark.operators.sketches import kmv_distinct
+
+        return kmv_distinct(_t(spark, sf, "events"), "event_type", "user_id", k=64)
+
+    q["sketch_kmv"] = sketch_kmv
+
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -884,6 +894,32 @@ SELECT l.event_id, l.user_id, l.ts,
   r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    o["rel_pivot"] = """
+SELECT user_id % 10 AS cohort,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1"""
+    o["rel_histogram"] = """
+SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events WHERE value IS NOT NULL GROUP BY 1"""
+    o["sketch_kmv"] = """
+WITH h AS (
+  SELECT DISTINCT event_type AS key,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0 AS hv
+  FROM events),
+r AS (SELECT key, hv, ROW_NUMBER() OVER (PARTITION BY key ORDER BY hv) AS rn
+      FROM h),
+kept AS (SELECT key, hv, rn FROM r WHERE rn <= 64)
+SELECT key AS event_type,
+  ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE 63 / MAX(CASE WHEN rn = 64 THEN hv END) END, 4) AS est_distinct
+FROM kept GROUP BY key"""
+
     o["rel_sessionize"] = """
 WITH flagged AS (
   SELECT user_id, ts,

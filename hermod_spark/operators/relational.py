@@ -244,6 +244,37 @@ def order_status_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def event_type_pivot(events: DataFrame, modulus: int = 10) -> DataFrame:
+    """PIVOT: per user-cohort counts, one column per event type.
+    Explicit pivot values keep the schema static (no extra pass to
+    discover them) — required for a deterministic plan at scale."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.withColumn("cohort", F.col("user_id") % modulus)
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def value_histogram(events: DataFrame, width: float = 5.0) -> DataFrame:
+    """Fixed-width histogram of ``value``: floor(value/width) buckets —
+    integer bucket math, single combined aggregation, no sampling."""
+    bucket = F.floor(F.col("value") / width).cast("bigint")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

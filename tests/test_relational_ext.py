@@ -107,6 +107,46 @@ def test_asof_is_single_shuffle_no_join(spark, asof_frames):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_pivot_static_schema(spark):
+    events = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (11, "view")], "user_id INT, event_type STRING"
+    )
+    rows = {r["cohort"]: r for r in R.event_type_pivot(events).collect()}
+    assert rows[1]["click"] == 2 and rows[1]["view"] == 1
+    assert rows[1]["purchase"] == 0  # missing combos are 0, not null
+
+
+def test_value_histogram(spark):
+    events = spark.createDataFrame(
+        [(2.0,), (4.9,), (5.0,), (12.0,), (None,)], "value DOUBLE"
+    )
+    rows = {r["bucket"]: r for r in R.value_histogram(events, width=5.0).collect()}
+    assert rows[0]["n"] == 2 and rows[0]["min_value"] == 2.0
+    assert rows[1]["n"] == 1
+    assert rows[2]["n"] == 1
+    assert set(rows) == {0, 1, 2}  # null dropped
+
+
+def test_kmv_exact_below_k(spark):
+    from hermod_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 1), ("b", 1)], "k STRING, v INT"
+    )
+    rows = {r["k"]: r["est_distinct"] for r in kmv_distinct(df, "k", "v", k=64).collect()}
+    assert rows == {"a": 10.0, "b": 1.0}  # < k distinct -> exact
+
+
+def test_kmv_estimates_within_rsd(spark):
+    from hermod_spark.operators.sketches import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame([("x", i) for i in range(n)], "k STRING, v INT")
+    est = kmv_distinct(df, "k", "v", k=256).first()["est_distinct"]
+    # KMV RSD ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25
+
+
 def test_sessionize(spark):
     events = spark.createDataFrame(
         [
