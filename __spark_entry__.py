@@ -634,6 +634,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), n=2, k=20
     )
 
+    # --- training-data curation ---------------------------------------
+    from hermod_spark.operators import curation as CUR
+
+    q["cur_split"] = lambda spark, sf: CUR.split_assign(
+        _t(spark, sf, "documents").select("doc_id")
+    )
+
+    q["cur_chunks"] = lambda spark, sf: CUR.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=50, overlap=10
+    )
+
+    def cur_clean(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", CUR.clean_text("text").alias("cleaned"))
+
+    q["cur_clean"] = cur_clean
+
+    def cur_contamination(spark, sf):
+        d = _t(spark, sf, "documents")
+        # probes derived deterministically from the corpus itself: the
+        # first two trigrams of the lowest-id document
+        first = d.orderBy("doc_id").select("text").first()[0]
+        toks = first.lower().split()
+        probes = [" ".join(toks[i : i + 3]) for i in range(2)]
+        return CUR.contamination_check(d, probes, n=3)
+
+    q["cur_contamination"] = cur_contamination
+
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1028,6 +1056,47 @@ FROM documents GROUP BY 1, 2"""
     o["text_quality_filter"] = f"""
 SELECT doc_id FROM documents
 WHERE ({_quality_sql("text")}) >= 0.5 AND len({_toks_sql("text")}) >= 5"""
+
+    b_train = repr(0.8)
+    b_val = repr(0.8 + 0.1)  # float accumulation, mirrored exactly
+    o["cur_split"] = f"""
+SELECT doc_id,
+  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_train} THEN 'train'
+       WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_val} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+    toksc = _toks_sql("text")
+    o["cur_chunks"] = f"""
+WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
+n AS (SELECT doc_id, tk,
+        CASE WHEN len(tk) <= 50 THEN 1
+             ELSE CAST(ceil((len(tk) - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+      FROM t)
+SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+  array_to_string(tk[ci * 40 + 1 : ci * 40 + 50], ' ') AS chunk_text,
+  CAST(least(len(tk) - ci * 40, 50) AS INTEGER) AS chunk_len
+FROM n, UNNEST(range(0, n_chunks)) AS u(ci)"""
+    o["cur_clean"] = """
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(lower(text), '[^a-z0-9\\s\\.,;:!\\?''\\-]', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS cleaned
+FROM documents"""
+    o["cur_contamination"] = f"""
+WITH first_doc AS (
+  SELECT {toksc} AS tk FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+probes AS (
+  SELECT list_transform(range(1, 3),
+           i -> array_to_string(tk[i:i+2], ' ')) AS ps
+  FROM first_doc)
+SELECT doc_id FROM documents, probes
+WHERE list_has_any(
+  CASE WHEN len({toksc}) < 3 THEN []
+       ELSE list_transform(range(1, len({toksc}) - 1),
+                           i -> array_to_string({toksc}[i:i+2], ' ')) END, ps)"""
 
     toks2 = _toks_sql("text")
     o["text_top_ngrams"] = f"""

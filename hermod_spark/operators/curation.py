@@ -1,0 +1,145 @@
+"""Training-data curation operators over ``documents`` — the pipeline
+steps between raw corpus and training shards.
+
+All native Column expressions (the chunker uses the same let-binding
+explode shape as the shingler); the split assignment reuses the
+deterministic md5 uniform hash, so shard membership is a pure function
+of the key — stable across runs, engines, and cluster sizes, which is
+what makes train/test splits reproducible at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hermod_spark.functions.text import tokens
+from hermod_spark.operators.sketches import uniform_hash
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic hash split: md5-fraction of the key against
+    cumulative weight boundaries. Same key → same split, forever,
+    everywhere; no sampling state, no shuffle."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = uniform_hash(key_col)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        expr = (
+            F.when(h < acc, F.lit(name))
+            if expr is None
+            else expr.when(h < acc, F.lit(name))
+        )
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def clean_text(col: Column | str) -> Column:
+    """Normalization: lowercase, collapse whitespace runs to single
+    spaces, strip non-alphanumeric-basic-punctuation characters, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s\.,;:!\?'\-]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — one
+    output row per chunk (the reference's row→N-rows shape, fully
+    native: no Python, no shuffle; chunk fan-out happens in the scan
+    projection).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); stride =
+    chunk_tokens - overlap; the final partial chunk is kept."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+
+    def _chunks(t: Column) -> Column:
+        n_chunks = F.when(F.size(t) <= chunk_tokens, F.lit(1)).otherwise(
+            F.ceil((F.size(t) - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(t, i * stride + 1, F.lit(chunk_tokens))
+                ).alias("chunk_text"),
+                F.least(F.size(t) - i * stride, F.lit(chunk_tokens)).alias(
+                    "chunk_len"
+                ),
+            ),
+        )
+
+    chunked = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.transform(F.array(toks), _chunks))).alias("c"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_len").alias("chunk_len"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    probe_ngrams: list[str],
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: documents containing ANY probe
+    n-gram. The probe set is a literal array (broadcast by
+    construction); membership is `arrays_overlap` against the doc's
+    n-gram array — one scan, no join, no shuffle."""
+    from hermod_spark.functions.text import ngrams
+
+    probes = F.array(*[F.lit(p.lower()) for p in probe_ngrams])
+    return df.filter(F.arrays_overlap(ngrams(text_col, n), probes)).select(id_col)
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_expr: Column,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group element-wise mean embedding: posexplode → (group, pos)
+    partial-aggregated sums → re-assembled ordered array. The shuffle
+    key is (group, position) — dim× more keys than groups, which is
+    exactly what keeps hot groups from concentrating on one reducer."""
+    exploded = embeddings.select(
+        group_expr.alias("grp"), F.posexplode(F.col(vec_col))
+    ).toDF("grp", "pos", "x")
+    sums = exploded.groupBy("grp", "pos").agg(
+        F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sums.groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "grp",
+            F.transform(F.col("pairs"), lambda p: F.round(p.getField("m"), 6)).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Training-data curation: split, cleaning, chunking, contamination,
+group centroids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators import curation as CUR
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id INT")
+    a = {r["doc_id"]: r["split"] for r in CUR.split_assign(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in CUR.split_assign(df).collect()}
+    assert a == b  # pure function of the key
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # roughly the 80/10/10 weights
+    assert 0.7 < counts["train"] / 500 < 0.9
+
+
+def test_split_assign_custom_weights(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id INT")
+    out = CUR.split_assign(df, weights={"a": 0.5, "b": 0.5})
+    assert set(r["split"] for r in out.collect()) == {"a", "b"}
+
+
+def test_clean_text(spark):
+    df = spark.createDataFrame([("  Héllo,   WORLD!! @#$ 123  ",)], "text STRING")
+    got = df.select(CUR.clean_text("text").alias("c")).first()["c"]
+    assert got == "h llo, world!! 123"
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    rows = CUR.chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+    # stride 3: starts 0,3,6 -> ceil((12-5)/3)+1 = 4 chunks (0,3,6,9)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3 w4"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6 w7"
+    assert rows[3]["chunk_text"] == "w9 w10 w11"
+    assert rows[3]["chunk_len"] == 3  # final partial kept
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    rows = CUR.chunk_documents(df, chunk_tokens=100, overlap=10).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError):
+        CUR.chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_contamination_check(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "completely unrelated words here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    hits = [r["doc_id"] for r in CUR.contamination_check(df, ["quick brown fox"]).collect()]
+    assert hits == [1]
+    # no-shuffle plan: probes are literals, membership is arrays_overlap
+    plan = (
+        CUR.contamination_check(df, ["quick brown fox"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_group_centroids(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [3.0, 2.0]),
+            (1, [10.0, 10.0]),
+        ],
+        "g INT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["grp"]: r["centroid"]
+        for r in CUR.group_centroids(df, F.col("g")).collect()
+    }
+    assert rows[0] == [2.0, 1.0]
+    assert rows[1] == [10.0, 10.0]
