@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hermod_spark.data import ensure_min_partitions
+
 MULTIMODAL_SCHEMA = T.StructType(
     [
         T.StructField("content", T.BinaryType()),
@@ -107,7 +109,12 @@ def decode_images(
                 columns=[id_col, "width", "height", "n_channels", "mean_intensity", "decode_ok"],
             )
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    # parallelize the Python decode stage even off a single-file scan
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )
 
 
 def resize_plan(df: DataFrame, max_side: int = 512, id_col: str = "doc_id") -> DataFrame:

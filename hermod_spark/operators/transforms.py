@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hermod_spark.data import ensure_min_partitions
 from hermod_spark.plans.schema import IDENT_RE, Schema
 
 
@@ -222,7 +223,10 @@ def record_transform(
     # ArrowNotImplementedError. Set it here — the engine cannot assume
     # the caller's session is configured.
     df.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    staged = df.select(
+    # Python stage parallelism = partition count: a single-file scan
+    # would serialize every batch through ONE worker (measured: the
+    # whole envelope pinned to one task). No-op on well-split inputs.
+    staged = ensure_min_partitions(df).select(
         F.col(topic_col).alias("_topic"),
         F.col(payload_col).cast("string").alias("_payload"),
         F.col(time_col).alias("_ts"),
