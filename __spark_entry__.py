@@ -168,22 +168,31 @@ def _shingles_sql(col: str, w: int = 3) -> str:
 
 
 def _minhash_banded_sql(num_hashes: int = 16, bands: int = 4, w: int = 3) -> str:
-    """(doc_id, band_id, band_key) rows mirroring minhash_signature +
-    lsh_band_keys."""
+    """(doc_id, band_id, band_key) rows mirroring minhash_bands: one
+    32-bit md5-prefix base hash per shingle, then the same fixed-seed
+    universal-hash family (a_i * h + b_i) mod P as the Spark side."""
+    from hermod_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     rows = num_hashes // bands
+    base = "CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)"
     mins = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS m{i}"
+        f"list_aggregate(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]})"
+        f" % {MINHASH_P}), 'min') AS m{i}"
         for i in range(num_hashes)
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {j} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM sig".format(
-            j=j, cols=", ".join(f"m{j * rows + r}" for r in range(rows))
+            j=j,
+            cols=", ".join(
+                f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for j in range(bands)
     )
     return (
         f"WITH sh AS (SELECT doc_id, {_shingles_sql('text', w)} AS s FROM documents),"
-        f" sig AS (SELECT doc_id, {mins} FROM sh),"
+        f" hb AS (SELECT doc_id, list_transform(s, x -> {base}) AS hs FROM sh),"
+        f" sig AS (SELECT doc_id, {mins} FROM hb),"
         f" banded AS ({band_rows})"
     )
 
@@ -651,6 +660,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_clean"] = cur_clean
 
+    def cur_pipeline(spark, sf):
+        """The assembled curation pipeline — quality gate → canonical
+        exact dedup → deterministic split → chunking — composed from
+        the individual operators, end-to-end oracle-checked."""
+        d = _t(spark, sf, "documents")
+        kept = textops.quality_filter(d, min_quality=0.5, min_tokens=5)
+        uniq = dedup.exact_dedup(kept, canonical=True)
+        split = CUR.split_assign(uniq)
+        chunks = CUR.chunk_documents(split.select("doc_id", "split", "text"),
+                                     chunk_tokens=50, overlap=10)
+        labels = split.select("doc_id", "split")
+        return chunks.join(labels, "doc_id").select(
+            "doc_id", "split", "chunk_id", "chunk_len"
+        )
+
+    q["cur_pipeline"] = cur_pipeline
+
     def cur_contamination(spark, sf):
         d = _t(spark, sf, "documents")
         # probes derived deterministically from the corpus itself: the
@@ -1084,6 +1110,33 @@ SELECT doc_id,
     regexp_replace(lower(text), '[^a-z0-9\\s\\.,;:!\\?''\\-]', ' ', 'g'),
     '\\s+', ' ', 'g')) AS cleaned
 FROM documents"""
+    o["cur_pipeline"] = f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE ({_quality_sql("text")}) >= 0.5 AND len({_toks_sql("text")}) >= 5),
+uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY {_fingerprint_sql("text")}
+                         ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+labeled AS (
+  SELECT doc_id, text,
+    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              / 4294967296.0 < {repr(0.8)} THEN 'train'
+         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              / 4294967296.0 < {repr(0.8 + 0.1)} THEN 'val'
+         ELSE 'test' END AS split
+  FROM uniq),
+t AS (SELECT doc_id, split, {_toks_sql("text")} AS tk FROM labeled),
+n AS (SELECT doc_id, split, tk,
+        CASE WHEN len(tk) <= 50 THEN 1
+             ELSE CAST(ceil((len(tk) - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+      FROM t)
+SELECT doc_id, split, CAST(ci AS INTEGER) AS chunk_id,
+  CAST(least(len(tk) - ci * 40, 50) AS INTEGER) AS chunk_len
+FROM n, UNNEST(range(0, n_chunks)) AS u(ci)"""
+
     o["cur_contamination"] = f"""
 WITH first_doc AS (
   SELECT {toksc} AS tk FROM documents

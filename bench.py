@@ -47,7 +47,9 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_doc_metrics",
     "text_corpus_stats",
+    "text_top_ngrams",
     "xf_new",
+    "cur_pipeline",
 ]
 
 
@@ -68,8 +70,18 @@ def main() -> None:
 
     queries = E.queries()
     # Warm the JVM + parquet footers with one cheap query so q1 doesn't
-    # pay session startup.
+    # pay session startup, and spin up the Python worker pool (one per
+    # core) so the pandas-UDF query measures steady-state throughput,
+    # not daemon fork time.
     queries["rel_recent_events"](spark, SF_DIR).count()
+
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield _pd.DataFrame({"x": [len(pdf)]})
+
+    spark.range(0, CPUS, 1, CPUS).mapInPandas(_noop, "x LONG").count()
 
     timings: dict[str, float] = {}
     total = 0.0

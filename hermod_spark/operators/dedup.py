@@ -99,20 +99,41 @@ def shingles(col: Column | str, w: int = 3) -> Column:
     return F.flatten(F.transform(F.array(toks), _from_tokens))
 
 
+# Universal-hash family h_i(x) = (a_i * base(x) + b_i) mod P over the
+# 32-bit md5-prefix base hash. ONE md5 per shingle + num_hashes cheap
+# long-affine transforms — vs num_hashes md5 calls, this cuts both the
+# generated-code size (JIT-stable) and the agg to long mins. Constants
+# are fixed-seed so every engine (and the DuckDB oracle) reproduces the
+# signature exactly; products stay < 2^63 (a < 2^31, base < 2^32).
+MINHASH_P = 4294967291  # largest prime < 2^32
+_rng = __import__("random").Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 31) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(64)]
+
+
+def _base_hash(col: Column) -> Column:
+    """Shingle → uniform 32-bit integer: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _affine(h: Column, i: int) -> Column:
+    return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 16, w: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hash values. Hash h_i(shingle) =
-    md5(i || ':' || shingle); the signature element is the
-    lexicographic min — md5 strings are uniform, so lexicographic min
-    is a faithful min-hash, and every SQL engine reproduces it
-    byte-for-byte (no engine-specific integer hash)."""
+    """Array of ``num_hashes`` min-hash values (longs), one per
+    universal-hash function."""
     sh = shingles(col, w)
+    hashed = F.transform(sh, _base_hash)
 
-    def hasher(seed: int):
-        # single-arg lambda: a two-param lambda would make PySpark pass
-        # the element index as the second argument
-        return lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+    def make(i: int):
+        # single-arg lambda: PySpark passes the element index to a
+        # second parameter, so a `lambda h, i=i` would be fed (h, idx)
+        return lambda h: _affine(h, i)
 
-    return F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)])
+    return F.array(
+        *[F.array_min(F.transform(hashed, make(i))) for i in range(num_hashes)]
+    )
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -146,11 +167,8 @@ def minhash_bands(
     exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col, w)).alias("_s")
     )
-    mins = exploded.groupBy("_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
+    mins = exploded.select("_id", _base_hash(F.col("_s")).alias("_h")).groupBy("_id").agg(
+        *[F.min(_affine(F.col("_h"), i)).alias(f"m{i}") for i in range(num_hashes)]
     )
     band_keys = F.array(
         *[
