@@ -83,6 +83,17 @@ def main() -> None:
 
     spark.range(0, CPUS, 1, CPUS).mapInPandas(_noop, "x LONG").count()
 
+    # Compile warm-up: run every headline plan once at the smoke scale.
+    # The generated code is identical for any input size, so Janino/JIT
+    # compile once here (~0 rows) and the timed sf run below measures
+    # execution, not per-session compilation.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_sf).count()
+        except Exception as ex:  # noqa: BLE001 - warm-up must never fail the bench
+            print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
