@@ -1031,14 +1031,13 @@ r AS (SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
-    cos_asg = _COS_SQL.format(a="v", b="cv")
     cos_ivf = _COS_SQL.format(a="qv", b="nv")
     o["sim_ivf_topk"] = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
 asg AS (SELECT vec_id, v, cent_id,
           ROW_NUMBER() OVER (PARTITION BY vec_id
-                             ORDER BY {cos_asg} DESC, cent_id ASC) AS rn
+                             ORDER BY list_dot_product(v, cv) DESC, cent_id ASC) AS rn
         FROM emb CROSS JOIN cent),
 lists AS (SELECT vec_id, v, cent_id AS list_id FROM asg WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, v AS qv, list_id FROM lists

@@ -162,12 +162,17 @@ def centroids_of(
 
 
 def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (max cosine; ties → lowest id) as a pure
-    map-side expression: centroid vectors are LITERAL arrays, so
+    """Nearest-centroid id (max inner product; ties → lowest id) as a
+    pure map-side expression: centroid vectors are LITERAL arrays, so
     assignment costs n_centroids JVM dot products per row — no join,
-    no shuffle, exactly like lsh_bucket."""
+    no shuffle, exactly like lsh_bucket.
+
+    Inner product (the IVF-IP coarse quantizer) rather than cosine:
+    normalizing by ||v|| cannot change a row's argmax, and dropping
+    the norms cuts 2×n_centroids aggregate folds per row to zero —
+    only the raw dots remain, identical in any engine."""
     sims = F.array(
-        *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
     )
     # array_position is 1-based and returns the FIRST max → lowest id
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
