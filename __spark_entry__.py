@@ -1008,7 +1008,31 @@ WITH sh AS (SELECT doc_id, {_shingles_sql("text")} AS s FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   ROUND({_jaccard_sql("a.s", "b.s")}, 6) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
-    # dedup_simhash: pandas-UDF token hashing -> rows-only check
+    from hermod_spark.operators.dedup import SIMHASH_BITS
+
+    _sh_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    _sh_val = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    o["dedup_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_toks_sql("text")}) AS t FROM documents),
+h AS (SELECT doc_id,
+        CAST(CAST(('0x' || substring(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+      FROM tok),
+bits AS (SELECT doc_id, {_sh_sums} FROM h GROUP BY doc_id),
+shv AS (SELECT doc_id, CAST({_sh_val} AS BIGINT) AS sh FROM bits),
+allids AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+           FROM documents d LEFT JOIN shv s USING (doc_id)),
+banded AS (SELECT doc_id, sh, j AS band_id, (sh >> (15 * j)) & 32767 AS band_key
+           FROM allids, UNNEST([0, 1, 2, 3]) AS u(j))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.sh, b.sh)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
 
     cos = _COS_SQL.format(a="qv", b="cv")
     o["sim_bruteforce_topk"] = f"""

@@ -12,23 +12,18 @@ Four families, all shaped for 100 TB:
   equi-join on (band_id, band_key), which AQE handles like any skewed
   shuffle join. Hashes are md5 strings (lexicographic min) so every
   engine — and the DuckDB oracle — computes identical signatures.
-- **SimHash**: 64-bit sign-sum fingerprint; hamming-close pairs are
-  near-dups. Token hashing is Python (Arrow-batched pandas_udf, the
-  justified slow path: Spark SQL has no per-token 64-bit mixing hash
-  we can also reproduce in the oracle); banding the 64 bits into 4
-  16-bit keys gives the same bucket-join shape as MinHash.
+- **SimHash**: 60-bit sign-sum fingerprint; hamming-close pairs are
+  near-dups. Token hash = md5-prefix integer, bit sums as one native
+  grouped aggregation (no Python), banding the 60 bits into 4
+  15-bit keys gives the same bucket-join shape as MinHash.
 - **n-gram Jaccard**: exact verification scorer for candidate pairs
   (runs AFTER LSH pruning, never on the cross product).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from hermod_spark.data import ensure_min_partitions
 from hermod_spark.functions.text import fingerprint, tokens
@@ -272,33 +267,44 @@ def near_dup_pairs(
 # ------------------------------------------------------------------- SimHash
 
 
-@F.pandas_udf(LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens; token hash = first 8 bytes
-    of md5. Arrow-batched — the per-token bit loop has no native-SQL
-    equivalent that a second engine would reproduce, so Python is the
-    honest path; batches keep it off the row-at-a-time cliff."""
-
-    def one(t):
-        if t is None:
-            return None
-        acc = [0] * 64
-        for tok in t.lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # to signed 64-bit
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return text.map(one)
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in any engine
 
 
-def simhash(col: Column | str) -> Column:
-    return _simhash64(F.col(col) if isinstance(col, str) else col)
+def simhash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, _sh): 60-bit SimHash per document, fully native.
+
+    Token hash = first 15 md5 hex chars as a 60-bit integer; bit b of
+    the fingerprint is the sign of Σ_tokens (±1 by token-hash bit b).
+    Shape: token explode → ONE groupBy with 60 conditional sums
+    (map-side combined) → sign recombination — the same single-pass
+    aggregation spine as MinHash, zero Python, and exactly
+    reproducible in the DuckDB oracle (which the former Arrow-UDF
+    token loop was not). Tokenless docs keep fingerprint 0."""
+    exploded = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("bigint")
+    staged = exploded.select("_id", h.alias("_h"))
+    sums = staged.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sh: Column = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    fingerprints = sums.select("_id", sh.alias("_sh"))
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return ids.join(fingerprints, "_id", "left").select(
+        "_id", F.coalesce("_sh", F.lit(0)).alias("_sh")
+    )
 
 
 def simhash_near_dups(
@@ -306,14 +312,12 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation bands the 64 bits into 4×16-bit keys (any pair
+    Candidate generation bands the 60 bits into 4×15-bit keys (any pair
     within hamming 3 shares at least one intact band) — same bucketed
     self-join shape as MinHash LSH, no cross product."""
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
-    )
+    sh = simhash_frame(df, text_col, id_col)
     bandkeys = F.array(
-        *[F.shiftrightunsigned(F.col("_sh"), 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(4)]
+        *[F.shiftrightunsigned(F.col("_sh"), 15 * j).bitwiseAND(F.lit(0x7FFF)) for j in range(4)]
     )
     banded = sh.select("_id", "_sh", F.posexplode(bandkeys)).toDF(
         "_id", "_sh", "band_id", "band_key"

@@ -105,10 +105,12 @@ def test_embedding_neardups_no_cartesian(spark):
 @pytest.mark.parametrize(
     "name",
     ["fn_rot13", "fn_b64e", "fn_b64d", "fn_hexe", "fn_hexd", "fn_jenc", "fn_jdec",
-     "flt_topic", "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_copy"],
+     "flt_topic", "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_copy",
+     "dedup_simhash"],
 )
 def test_scalar_and_transform_paths_stay_jvm_side(spark, name):
-    """Everything except HMAC/SimHash/xf_new must run without Python."""
+    """Everything except HMAC and the xf_new envelope must run without
+    Python."""
     assert count(r"EvalPython", plan_of(spark, name)) == 0
 
 
