@@ -1,1 +1,2 @@
 from hermod_spark.streaming.windows import hourly_rollup_stream, windowed_agg  # noqa: F401
+from hermod_spark.streaming.stateful import dedup_stream, running_counts  # noqa: F401
