@@ -86,6 +86,20 @@ def test_manifest_counts_and_sorted_columns(spark, labeled):
     assert rows["sensor_readings"]["insert_columns"] == "id, value"
 
 
+def test_idempotent_foreach_batch_skips_replayed(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must not duplicate rows —
+    the exactly-once upgrade over the reference's at-most-once drops."""
+    w = MultiTableWriter(base_path=str(tmp_path / "out"))
+    fn = w.idempotent_foreach_batch(
+        lambda df: {"t": df}, commit_dir=str(tmp_path / "commits")
+    )
+    batch = spark.createDataFrame([(1,), (2,)], "x INT")
+    fn(batch, 7)
+    fn(batch, 7)  # replay after simulated failure
+    fn(batch, 8)  # a genuinely new batch still writes
+    assert spark.read.parquet(str(tmp_path / "out" / "t")).count() == 4
+
+
 def test_undeclared_table_skips_validation(spark, tmp_path):
     sch = Schema.declare({"declared": {"x": "int"}})
     df = spark.createDataFrame([(1, 2)], "x INT, y INT")

@@ -69,6 +69,61 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path):
     assert got_map == want
 
 
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Late-data semantics: with a 1h watermark, an event older than
+    (max seen - 1h) arriving in a LATER micro-batch is dropped from
+    append-mode output; an in-horizon late event still lands in its
+    original bucket. The reference has no late handling at all
+    (SURVEY §2.6) — it would mis-bucket by arrival time."""
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m, tzinfo=UTC)  # noqa: E731
+    src = str(tmp_path / "late_src")
+    # batch 1: advances the watermark to 12:00 - 1h = 11:00
+    spark.createDataFrame(
+        [(t(10, 30), "a", 1.0), (t(12, 0), "a", 9.0)],
+        "time TIMESTAMP, topic STRING, value DOUBLE",
+    ).repartition(1).write.mode("append").parquet(src)
+
+    stream = message_stream(
+        spark,
+        src,
+        schema="time TIMESTAMP, topic STRING, value DOUBLE",
+    )
+    out = windowed_agg(stream, window="1 hour", watermark="1 hour")
+    sink = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one in-horizon late row (11:30 >= watermark 11:00)
+        # and one too-late row (9:15 < 11:00)
+        spark.createDataFrame(
+            [(t(11, 30), "a", 5.0), (t(9, 15), "a", 100.0), (t(14, 0), "a", 2.0)],
+            "time TIMESTAMP, topic STRING, value DOUBLE",
+        ).repartition(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # close every window by pushing the watermark far forward
+        spark.createDataFrame(
+            [(t(20, 0), "a", 0.0)],
+            "time TIMESTAMP, topic STRING, value DOUBLE",
+        ).repartition(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {
+            r["bucket_start"].hour: r
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+    finally:
+        q.stop()
+
+    assert 9 not in rows  # too-late row dropped entirely
+    assert rows[11]["value_count"] == 1  # in-horizon late row landed
+    assert rows[10]["value_count"] == 1
+
+
 def test_stream_plan_has_watermark(spark, tmp_path):
     batch = _mk_batch(spark)
     src = str(tmp_path / "src2")
