@@ -629,6 +629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_centroids=8
     )
+    q["sim_ivf_probe2"] = lambda spark, sf: S.ivf_topk(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        n_probe=2,
+    )
 
     # --- text analysis -------------------------------------------------
     q["text_doc_metrics"] = lambda spark, sf: textops.doc_metrics(_t(spark, sf, "documents"))
@@ -1066,6 +1073,25 @@ asg AS (SELECT vec_id, v, cent_id,
 lists AS (SELECT vec_id, v, cent_id AS list_id FROM asg WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, v AS qv, list_id FROM lists
       WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS nv, list_id FROM lists),
+s AS (SELECT query_id, neighbor_id, {cos_ivf} AS sim
+      FROM c JOIN q USING (list_id) WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+
+    o["sim_ivf_probe2"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+asg AS (SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY list_dot_product(v, cv) DESC, cent_id ASC) AS rn
+        FROM emb CROSS JOIN cent),
+lists AS (SELECT vec_id, v, cent_id AS list_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS list_id FROM asg
+      WHERE vec_id < {_N_QUERIES} AND rn <= 2),
 c AS (SELECT vec_id AS neighbor_id, v AS nv, list_id FROM lists),
 s AS (SELECT query_id, neighbor_id, {cos_ivf} AS sim
       FROM c JOIN q USING (list_id) WHERE query_id <> neighbor_id),

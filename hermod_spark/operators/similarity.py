@@ -178,27 +178,49 @@ def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def ivf_probe_lists(
+    vec: Column | str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """Top-``n_probe`` centroid ids by inner product (ties → lowest
+    id), as an array — the lists a query probes. Same literal-array
+    map-side shape as ivf_assign."""
+    sims = F.array(
+        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    # rank (sim desc, index asc) without a shuffle: pair each sim with
+    # its index, sort pairs descending by (sim, -index) via struct sort
+    pairs = F.transform(
+        sims, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return F.transform(top, lambda p: (-p.getField("ni")).cast("int"))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_queries: int = 10,
     n_centroids: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse
     centroid (inverted lists), then score queries only against their
-    own list. Same probe shape as lsh_topk — broadcast the small query
-    side, join on the int list id — but the partitioning is data-driven
-    (centroids) instead of data-oblivious (hyperplanes), which is what
-    production ANN uses when recall matters. n_probe>1 ≡ unioning the
-    next-nearest lists; kept at 1 here for the oracle."""
+    ``n_probe`` nearest lists. Same probe shape as lsh_topk —
+    broadcast the small query side, join on the int list id — but the
+    partitioning is data-driven (centroids) instead of data-oblivious
+    (hyperplanes), which is what production ANN uses when recall
+    matters; raising n_probe trades candidate volume for recall
+    without touching the stored lists."""
     cents = centroids_of(embeddings, n_centroids, id_col, vec_col)
     assigned = ensure_min_partitions(embeddings).select(
         F.col(id_col), F.col(vec_col), ivf_assign(vec_col, cents).alias("list_id")
     )
     q = assigned.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("list_id")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_lists(vec_col, cents, n_probe)).alias("list_id"),
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("list_id")

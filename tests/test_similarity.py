@@ -76,6 +76,39 @@ def test_lsh_topk_subset_of_bucketmates(embeddings):
         assert r["query_id"] == 0 and r["neighbor_id"] != 0
 
 
+def test_ivf_probe_lists_ordering(spark):
+    planes = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    df = spark.createDataFrame([(0, [2.0, 1.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = df.select(
+        S.ivf_probe_lists("embedding", planes, 2).alias("l")
+    ).first()["l"]
+    # dots: 2.0, 1.0, -2.0 -> top-2 lists [0, 1]
+    assert got == [0, 1]
+
+
+def test_ivf_probe2_recall_not_worse(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, k=3, n_queries=4).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, k=3, n_queries=4, n_centroids=4, n_probe=n_probe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall(2) >= recall(1)
+
+
 def test_embedding_near_dups_symmetric_dedup(embeddings):
     out = S.embedding_near_dups(embeddings, threshold=0.9, n_planes=2).collect()
     for r in out:
