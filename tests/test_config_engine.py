@@ -167,6 +167,33 @@ def test_engine_ddl_mode():
     assert "CREATE TABLE IF NOT EXISTS temps" in sql
 
 
+def test_engine_with_mqtt_replay_source(spark, engine, tmp_path):
+    """The full reference main loop, Spark-shaped: recorded MQTT log →
+    replay DataSource stream → first-match routing → transform →
+    multi-table parquet sink (cmd/hermod/main.go:100-199 analogue)."""
+    from hermod_spark.sources import mqtt as M
+
+    log = M.write_message_log(
+        str(tmp_path / "log.jsonl"),
+        [
+            {"time": dt.datetime(2024, 1, 1, 12, tzinfo=UTC),
+             "topic": "sensors/temp/a", "payload": '{"temperature": 100}'},
+            {"time": dt.datetime(2024, 1, 1, 12, tzinfo=UTC),
+             "topic": "elsewhere", "payload": "x"},
+        ],
+    )
+    M.register(spark)
+    stream = spark.readStream.format("mqtt_replay").option("path", log).load()
+    q = engine.run_stream(
+        stream, base_path=str(tmp_path / "out"), checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(60)
+    temps = spark.read.parquet(str(tmp_path / "out" / "temps"))
+    assert temps.first()["temperature_fahrenheit"] == 212.0
+    raw = spark.read.parquet(str(tmp_path / "out" / "iot_raw"))
+    assert raw.first()["topic"] == "elsewhere"
+
+
 def test_engine_dry_run_writes_nothing(spark, messages, tmp_path):
     cfg = C.loads("dry_run = true\n" + VALID_TOML)
     eng = Engine(cfg, transforms={"c2f": _c2f})
