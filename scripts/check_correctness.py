@@ -56,6 +56,41 @@ def rows_canon(cols, rows):
     return out
 
 
+def duckdb_connection(sf_dir: str):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
+    """Run one Spark query + its oracle SQL; return problem strings
+    (empty = parity)."""
+    sdf = fn(spark, sf_dir)
+    scols, srows = sdf.columns, sdf.collect()
+    rel = con.execute(sql)
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    problems: list[str] = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        sc = rows_canon(scols, [tuple(r) for r in srows])
+        oc = rows_canon(ocols, orows)
+        if sc != oc:
+            diff = next((i for i, (a, b) in enumerate(zip(sc, oc)) if a != b), None)
+            msg = "values differ"
+            if diff is not None:
+                msg += f" @row {diff}: spark={sc[diff][:200]} oracle={oc[diff][:200]}"
+            problems.append(msg)
+    return problems
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -68,12 +103,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    con = duckdb_connection(SF_DIR)
 
     qs = E.queries()
     oracles = E.oracle_sql()
