@@ -616,6 +616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_clusters(spark, sf):
+        return dedup.near_dup_clusters(_t(spark, sf, "documents"), threshold=0.5)
+
+    q["dedup_clusters"] = dedup_clusters
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1015,6 +1020,26 @@ WITH sh AS (SELECT doc_id, {_shingles_sql("text")} AS s FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   ROUND({_jaccard_sql("a.s", "b.s")}, 6) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
+    o["dedup_clusters"] = (
+        _minhash_banded_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE ROUND({_jaccard_sql("sa.s", "sb.s")}, 6) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION ALL SELECT id_b, id_a FROM ver),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"""
+    )
+
     from hermod_spark.operators.dedup import SIMHASH_BITS
 
     _sh_sums = ", ".join(

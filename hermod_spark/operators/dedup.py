@@ -267,6 +267,73 @@ def near_dup_pairs(
 # ------------------------------------------------------------------- SimHash
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the verified near-dup graph: every
+    document labeled with the min doc id reachable through near-dup
+    edges (its cluster id; isolated docs label themselves). The keep-
+    one-per-cluster dedup is then ``filter(doc_id == cluster_id)``.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and takes the elementwise min — O(cluster diameter) rounds,
+    each ONE shuffle join on the node id. Near-dup clusters are
+    shallow (dup chains are short), so convergence is fast; the loop
+    stops early when a round changes nothing. This is the standard
+    large-graph CC shape (no driver-side graph, no recursion depth
+    bound by data size).
+    """
+    pairs = near_dup_pairs(
+        df, text_col, id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, w=w,
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .withColumnsRenamed({"id_a": "src", "id_b": "dst"})
+        # materialize once: every loop action would otherwise re-run the
+        # whole LSH + jaccard pipeline per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.node == nb_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in any engine
 
 

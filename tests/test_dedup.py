@@ -86,6 +86,25 @@ def test_jaccard_both_empty_is_one(spark):
     assert df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"] == 1.0
 
 
+def test_near_dup_clusters_transitive(spark):
+    """a~b and b~c near-dups (a never directly compared to c) must
+    still land in one cluster; isolated docs label themselves."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base + " extra more"),
+        (9, "completely different content about database engines and plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(df, threshold=0.5).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[9] == 9
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [
