@@ -42,6 +42,7 @@ HEADLINE = [
     "rel_sessionize",
     "dedup_exact",
     "dedup_minhash_cand",
+    "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
