@@ -97,13 +97,23 @@ class Engine:
         base_path: str | None = None,
         checkpoint: str | None = None,
         trigger_once: bool = True,
+        exactly_once_commit_dir: str | None = None,
     ):
         """Streaming: the same plan under foreachBatch. Returns the
-        started StreamingQuery (caller stops/awaits)."""
+        started StreamingQuery (caller stops/awaits). With
+        ``exactly_once_commit_dir`` set, replayed micro-batches are
+        skipped via batch-id commit markers (idempotent sink)."""
         w = self.writer(base_path)
 
-        def handle(batch_df: DataFrame, _batch_id: int) -> None:
-            w.write(dict(self.plan(batch_df)))
+        if exactly_once_commit_dir is not None:
+            handle = w.idempotent_foreach_batch(
+                lambda batch_df: dict(self.plan(batch_df)),
+                commit_dir=exactly_once_commit_dir,
+            )
+        else:
+
+            def handle(batch_df: DataFrame, _batch_id: int) -> None:
+                w.write(dict(self.plan(batch_df)))
 
         writer = messages.writeStream.foreachBatch(handle)
         if checkpoint:

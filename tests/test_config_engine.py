@@ -194,6 +194,29 @@ def test_engine_with_mqtt_replay_source(spark, engine, tmp_path):
     assert raw.first()["topic"] == "elsewhere"
 
 
+def test_engine_stream_exactly_once_restart(spark, engine, messages, tmp_path):
+    """Restarting the stream over the same source with the same
+    commit dir must not duplicate rows even though the checkpoint is
+    wiped (the replayed batch hits its commit marker)."""
+    src = str(tmp_path / "src")
+    messages.write.parquet(src)
+
+    def run(ck):
+        stream = spark.readStream.schema(messages.schema).parquet(src)
+        q = engine.run_stream(
+            stream,
+            base_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / ck),
+            exactly_once_commit_dir=str(tmp_path / "commits"),
+        )
+        q.awaitTermination(60)
+
+    run("ck1")
+    run("ck2")  # fresh checkpoint -> batch 0 replays -> must be skipped
+    temps = spark.read.parquet(str(tmp_path / "out" / "temps"))
+    assert temps.count() == 1
+
+
 def test_engine_dry_run_writes_nothing(spark, messages, tmp_path):
     cfg = C.loads("dry_run = true\n" + VALID_TOML)
     eng = Engine(cfg, transforms={"c2f": _c2f})
