@@ -67,12 +67,23 @@ class _RangePartition(InputPartition):
 
 
 def _read_range(path: str, start: int, end: int):
+    import logging
+
     with open(path, encoding="utf-8") as fh:
         for i, line in enumerate(fh):
             if i >= end:
                 break
             if i >= start and line.strip():
-                yield _parse_line(line)
+                try:
+                    yield _parse_line(line)
+                except (ValueError, TypeError) as ex:
+                    # log-and-continue, the reference's bad-message
+                    # behavior (a poisoned line must not kill the
+                    # stream; cf. subscriber error logging
+                    # cmd/hermod/main.go:128-131)
+                    logging.getLogger(__name__).warning(
+                        "skipping malformed message line %d: %s", i, ex
+                    )
 
 
 class MqttReplayBatchReader(DataSourceReader):

@@ -76,6 +76,18 @@ def test_replay_stream_end_to_end(spark, log_path, tmp_path):
     assert sorted(r["topic"] for r in got) == ["other", "sensors/a/1", "sensors/b/2"]
 
 
+def test_replay_skips_malformed_lines(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"topic": "ok/1", "payload": "a"}\n'
+        "this is not json\n"
+        '{"topic": "ok/2", "payload": "b"}\n'
+    )
+    M.register(spark)
+    df = spark.read.format("mqtt_replay").option("path", str(p)).load()
+    assert sorted(r["topic"] for r in df.collect()) == ["ok/1", "ok/2"]
+
+
 def test_live_source_requires_paho(spark):
     with pytest.raises(ImportError, match="paho-mqtt"):
         M.MqttLiveStreamReader({})
