@@ -727,6 +727,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frame_sample
 
+    def mm_audio_chunks(spark, sf):
+        d = _t(spark, sf, "documents")
+        meta = d.withColumn(
+            "content_meta",
+            F.struct(
+                (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+                F.lit(16000).alias("sample_rate"),
+            ),
+        )
+        return MM.audio_chunk_plan(meta, window_ms=5000)
+
+    q["mm_audio_chunks"] = mm_audio_chunks
+
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
         from hermod_spark.streaming.windows import windowed_agg
@@ -1251,6 +1264,16 @@ SELECT doc_id, width, height,
 FROM meta"""
     o["mm_frame_sample"] = """
 SELECT doc_id, unnest(range(0, n_chars * 10, 1000)) AS frame_ts_ms FROM documents"""
+    o["mm_audio_chunks"] = """
+WITH c AS (
+  SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS dur,
+    unnest(range(0, n_chars * 10, 5000)) AS chunk_start_ms
+  FROM documents)
+SELECT doc_id, chunk_start_ms,
+  least(chunk_start_ms + 5000, dur) AS chunk_end_ms,
+  CAST(chunk_start_ms * 16000 / 1000 AS BIGINT) AS start_sample,
+  CAST(least(chunk_start_ms + 5000, dur) * 16000 / 1000 AS BIGINT) AS end_sample
+FROM c"""
 
     o["stream_windowed"] = f"""
 WITH msg AS ({_MSG_SQL})

@@ -144,3 +144,69 @@ def frame_sample_plan(
         id_col,
         F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms))).alias("frame_ts_ms"),
     )
+
+
+def audio_chunk_plan(
+    df: DataFrame, window_ms: int = 5000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio chunking plan: fixed windows over duration, each with its
+    sample span (start sample inclusive, end exclusive) derived from
+    ``content_meta.sample_rate`` — the shuffle-free prelude to a
+    decode/feature kernel; the final partial window is kept."""
+    dur = F.col("content_meta.duration_ms")
+    sr = F.col("content_meta.sample_rate")
+    chunked = df.filter(dur.isNotNull() & sr.isNotNull()).select(
+        id_col,
+        sr.alias("_sr"),
+        dur.alias("_dur"),
+        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(window_ms))).alias("chunk_start_ms"),
+    )
+    end_ms = F.least(F.col("chunk_start_ms") + window_ms, F.col("_dur"))
+    return chunked.select(
+        id_col,
+        "chunk_start_ms",
+        end_ms.alias("chunk_end_ms"),
+        (F.col("chunk_start_ms") * F.col("_sr") / 1000).cast("bigint").alias("start_sample"),
+        (end_ms * F.col("_sr") / 1000).cast("bigint").alias("end_sample"),
+    )
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction — same plumbing as
+    decode_images. FAKE KERNEL: interprets the synthetic HSPK body as
+    unsigned 8-bit samples (a real deployment swaps in soundfile/
+    torchaudio; schema, batching, and error behavior stay as-is).
+    Corrupt blobs yield decode_ok=false rows, never a job abort."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(AUDIO_FEATURES.fields)
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob) if blob is not None else None
+                if b is None or len(b) <= 9 or b[:4] != _MAGIC:
+                    rows.append((i, None, None, False))
+                    continue
+                samples = b[9:]
+                rms = (sum(x * x for x in samples) / len(samples)) ** 0.5 / 255.0
+                rows.append((i, len(samples), rms, True))
+            yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms", "decode_ok"])
+
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )

@@ -47,6 +47,37 @@ def test_resize_plan_aspect_ratio(spark):
     assert (rows[2]["target_width"], rows[2]["target_height"]) == (100, 50)
 
 
+def test_audio_chunk_plan(spark):
+    df = spark.createDataFrame(
+        [(1, (12000, 16000)), (2, (None, 16000))],
+        "doc_id INT, content_meta STRUCT<duration_ms BIGINT, sample_rate INT>",
+    )
+    rows = MM.audio_chunk_plan(df, window_ms=5000).collect()
+    got = [(r["chunk_start_ms"], r["chunk_end_ms"], r["start_sample"], r["end_sample"]) for r in rows]
+    assert got == [
+        (0, 5000, 0, 80000),
+        (5000, 10000, 80000, 160000),
+        (10000, 12000, 160000, 192000),  # final partial window kept
+    ]
+
+
+def test_extract_audio_features(spark):
+    import pyspark.sql.types as T
+
+    rows = [(1, MM.fake_image_blob(4, 4, 1)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    got = {r["doc_id"]: r for r in MM.extract_audio_features(df).collect()}
+    assert got[1]["decode_ok"] and got[1]["n_samples"] == 32
+    assert 0.0 <= got[1]["rms"] <= 1.0
+    assert got[2]["decode_ok"] is False and got[3]["decode_ok"] is False
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, (2500,)), (2, (None,))],
