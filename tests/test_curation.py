@@ -57,6 +57,29 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         CUR.chunk_documents(df, chunk_tokens=10, overlap=10)
 
 
+def test_chunk_documents_invariants(spark):
+    """For a spread of doc lengths: every token appears in some chunk,
+    consecutive chunks overlap by exactly `overlap` (except the final
+    partial), and reassembling chunk starts reproduces the stride."""
+    chunk_tokens, overlap = 7, 3
+    stride = chunk_tokens - overlap
+    lengths = [1, 6, 7, 8, 13, 20, 29]
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in lengths]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {}
+    for r in CUR.chunk_documents(df, chunk_tokens, overlap).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for n in lengths:
+        chunks = sorted(out[n], key=lambda r: r["chunk_id"])
+        toks = [t for c in chunks for t in c["chunk_text"].split()]
+        assert set(toks) == {f"t{n}_{i}" for i in range(n)}  # full coverage
+        for j, c in enumerate(chunks):
+            assert c["chunk_len"] == len(c["chunk_text"].split())
+            first = int(c["chunk_text"].split()[0].split("_")[1])
+            assert first == j * stride  # stride respected
+        assert chunks[-1]["chunk_len"] <= chunk_tokens
+
+
 def test_contamination_check(spark):
     df = spark.createDataFrame(
         [
