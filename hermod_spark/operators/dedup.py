@@ -304,7 +304,12 @@ def near_dup_clusters(
         # whole LSH + jaccard pipeline per iteration
         .localCheckpoint(eager=True)
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Iterate only over nodes that have at least one edge — isolated
+    # documents (the overwhelming majority of a deduped corpus) are
+    # their own cluster by definition and would only widen every join.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     for _ in range(max_iterations):
         nb_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -331,7 +336,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    connected = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        df.select(id_col)
+        .join(connected, id_col, "left")
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed 64-bit in any engine
