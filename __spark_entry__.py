@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_sessionize"] = rel_sessionize
 
+    q["rel_quantiles"] = lambda spark, sf: R.value_quantiles(_t(spark, sf, "events"))
     q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
     q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
 
@@ -973,6 +974,18 @@ SELECT l.event_id, l.user_id, l.ts,
   r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    o["rel_quantiles"] = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+  MAX(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+  MAX(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+  MAX(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
+FROM ranked GROUP BY event_type"""
     o["rel_pivot"] = """
 SELECT user_id % 10 AS cohort,
   COUNT(*) FILTER (WHERE event_type = 'click') AS click,

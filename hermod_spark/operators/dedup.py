@@ -7,10 +7,10 @@ Four families, all shaped for 100 TB:
   (hermod_spark.functions.text.fingerprint — whitespace/order/dup
   insensitive). One shuffle on the hash key; keys are uniform so no
   skew; `row_number` picks the deterministic survivor (min doc_id).
-- **MinHash + LSH banding**: shingle → per-seed min-hash → band keys →
-  bucket self-join. NEVER all-pairs: candidate generation is an
-  equi-join on (band_id, band_key), which AQE handles like any skewed
-  shuffle join. Hashes are md5 strings (lexicographic min) so every
+- **MinHash + LSH banding**: shingle → universal-hash min per seed →
+  band keys → bucketed pair expansion. NEVER all-pairs: candidates
+  come from grouping on (band_id, band_key). Hashes are
+  (a_i·md5_32(x)+b_i) mod P with fixed-seed constants so every
   engine — and the DuckDB oracle — computes identical signatures.
 - **SimHash**: 60-bit sign-sum fingerprint; hamming-close pairs are
   near-dups. Token hash = md5-prefix integer, bit sums as one native

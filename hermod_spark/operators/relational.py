@@ -244,6 +244,33 @@ def order_status_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def value_quantiles(
+    events: DataFrame, probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-event-type quantiles as EXACT order statistics: the value at
+    rank ceil(p·n), ties broken by event_id. No interpolation — the
+    answer is an element of the data, so it is bit-identical in every
+    engine and under any partitioning (interpolating quantiles differ
+    in float rounding between engines). One shuffle for the window
+    sort; at scale prefer approx_percentile for a sketch, this for the
+    audited-exact path."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
 def event_type_pivot(events: DataFrame, modulus: int = 10) -> DataFrame:
     """PIVOT: per user-cohort counts, one column per event type.
     Explicit pivot values keep the schema static (no extra pass to

@@ -107,6 +107,17 @@ def test_asof_is_single_shuffle_no_join(spark, asof_frames):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_value_quantiles_exact_order_statistics(spark):
+    events = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 11)],  # values 1..10
+        "event_id INT, event_type STRING, value DOUBLE",
+    )
+    row = R.value_quantiles(events).first()
+    assert row["p50"] == 5.0  # ceil(0.5*10)=5th smallest
+    assert row["p90"] == 9.0
+    assert row["p99"] == 10.0  # ceil(9.9)=10th
+
+
 def test_pivot_static_schema(spark):
     events = spark.createDataFrame(
         [(1, "click"), (1, "click"), (11, "view")], "user_id INT, event_type STRING"
