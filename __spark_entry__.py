@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_sessionize"] = rel_sessionize
 
     q["rel_quantiles"] = lambda spark, sf: R.value_quantiles(_t(spark, sf, "events"))
+    q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
     q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
     q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
 
@@ -974,6 +975,24 @@ SELECT l.event_id, l.user_id, l.ts,
   r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    o["rel_funnel"] = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+per_user AS (
+  SELECT s.user_id, s.signup_ts,
+    COALESCE(MAX(p.ts >= s.signup_ts
+                 AND p.ts <= s.signup_ts + INTERVAL 7 DAY), FALSE) AS converted
+  FROM signups s
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    USING (user_id)
+  GROUP BY s.user_id, s.signup_ts)
+SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS cohort_day,
+  COUNT(*) AS n_signups,
+  SUM(CAST(converted AS INT)) AS n_converted,
+  ROUND(SUM(CAST(converted AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS conversion_rate
+FROM per_user GROUP BY 1"""
     o["rel_quantiles"] = """
 WITH ranked AS (
   SELECT event_type, value,

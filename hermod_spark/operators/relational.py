@@ -271,6 +271,46 @@ def value_quantiles(
     return ranked.groupBy("event_type").agg(*aggs)
 
 
+def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame:
+    """Conversion funnel: per signup-day cohort, how many users made a
+    purchase within ``within_days`` of their FIRST signup.
+
+    Two filtered aggregations + one equi-join on user_id (single
+    shuffle each); the conversion flag is a per-user EXISTS, expressed
+    as max(boolean) under the join so no row explosion survives the
+    final rollup."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = signups.join(purchases, "user_id", "left").withColumn(
+        "converted",
+        (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {within_days} DAYS")
+        ),
+    )
+    per_user = joined.groupBy("user_id", "signup_ts").agg(
+        F.coalesce(F.max("converted"), F.lit(False)).alias("converted")
+    )
+    return (
+        per_user.groupBy(F.date_trunc("day", "signup_ts").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.col("converted").cast("int")).alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted") / F.col("n_signups"), 6),
+        )
+    )
+
+
 def event_type_pivot(events: DataFrame, modulus: int = 10) -> DataFrame:
     """PIVOT: per user-cohort counts, one column per event type.
     Explicit pivot values keep the schema static (no extra pass to

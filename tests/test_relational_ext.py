@@ -107,6 +107,25 @@ def test_asof_is_single_shuffle_no_join(spark, asof_frames):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_signup_purchase_funnel(spark):
+    rows = [
+        (1, 10, "signup", T(1)),
+        (2, 10, "purchase", T(2)),  # converts (within 7 days)
+        (3, 20, "signup", T(1)),
+        (4, 20, "purchase", dt.datetime(2024, 1, 20, tzinfo=UTC)),  # too late
+        (5, 30, "signup", T(1)),  # never purchases
+        (6, 40, "purchase", T(1)),  # purchase without signup: not a cohort row
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP"
+    )
+    out = R.signup_purchase_funnel(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_signups"] == 3 and r["n_converted"] == 1
+    assert abs(r["conversion_rate"] - round(1 / 3, 6)) < 1e-12
+
+
 def test_value_quantiles_exact_order_statistics(spark):
     events = spark.createDataFrame(
         [(i, "a", float(i)) for i in range(1, 11)],  # values 1..10
