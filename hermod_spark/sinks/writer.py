@@ -47,6 +47,11 @@ class MultiTableWriter:
     jdbc_options: dict = field(default_factory=dict)
     schema: Schema | None = None
     dry_run: bool = False
+    # Hive-style partition columns for parquet targets (e.g. a derived
+    # date column): enables partition pruning on read and retention by
+    # partition drop — the Spark analogue of Timescale hypertable
+    # chunking (migrations/001_initial_schema.sql:27-35).
+    partition_by: tuple = ()
 
     def _write_one(self, table: str, df: DataFrame) -> dict:
         validate_identifier(table, strict=True)
@@ -68,7 +73,11 @@ class MultiTableWriter:
                 .save()
             )
         elif self.base_path:
-            df.write.mode("append").parquet(os.path.join(self.base_path, table))
+            writer = df.write.mode("append")
+            parts = [c for c in self.partition_by if c in df.columns]
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(os.path.join(self.base_path, table))
         else:
             raise ValueError("MultiTableWriter needs base_path or jdbc_url")
         return {"table": table, "columns": df.columns}
