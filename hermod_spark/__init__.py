@@ -8,13 +8,17 @@ operators (dedup, similarity search, text analysis) designed for 100 TB.
 
 Layout:
     session    — SparkSession factory tuned for the scale posture
-    data       — test-table loaders
-    functions/ — topic-filter compiler, scalar fn library, text & similarity
+    config     — the reference's TOML config schema (routes drive plans)
+    engine     — config + transforms + schemas → runnable batch/stream plans
+    data       — test-table loaders + partitioning guard
+    functions/ — topic-filter compiler, scalar fn library, text columns
     plans/     — route planner, schema registry/validation/DDL
-    operators/ — relational surface, dedup, ANN, text ops, multimodal
-    sources/   — batch/stream source adapters (file, kafka-shaped, MQTT stub)
-    sinks/     — multi-table foreachBatch writer, dry-run, jdbc/parquet
-    streaming/ — watermarked windowed aggregation builders
+    operators/ — relational surface, dedup, ANN, text ops, multimodal,
+                 curation (split/chunk/clean/contamination), sketches (KMV)
+    sources/   — message frames, file streams, MQTT DataSources (replay+live)
+    sinks/     — multi-table writer (dry-run, exactly-once), retention
+    streaming/ — watermarked windows, stateful dedup/counters
+    __main__   — CLI (--config / --sql / batch / stream)
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,74 @@
+"""Small-file compaction for streaming parquet sinks.
+
+Micro-batch appends accumulate small files (one+ per batch per
+partition); scan efficiency degrades with file count. Compaction
+rewrites ONE partition directory at a time into ``target_files``
+right-sized files: read partition → coalesce → write to a sibling tmp
+dir → atomic directory swap. Partition-scoped rewrites keep the unit
+of work bounded (never "rewrite the table") and the swap keeps readers
+consistent — the same contract Delta/Iceberg's OPTIMIZE gives, done
+manually for plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_directory(spark, path: str, target_files: int = 1) -> dict:
+    """Rewrite one directory of parquet files into ``target_files``."""
+    before = parquet_file_count(path)
+    if before <= target_files:
+        return {"path": path, "files_before": before, "files_after": before, "skipped": True}
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "path": path,
+        "files_before": before,
+        "files_after": parquet_file_count(path),
+        "skipped": False,
+    }
+
+
+def compact_table(
+    spark,
+    base_path: str,
+    table: str,
+    partition_col: str | None = None,
+    *,
+    min_files: int = 8,
+    target_files: int = 1,
+) -> list[dict]:
+    """Compact every partition directory (or the whole unpartitioned
+    table dir) holding more than ``min_files`` parquet files."""
+    root = os.path.join(base_path, table)
+    if partition_col is None:
+        dirs = [root]
+    else:
+        prefix = f"{partition_col}="
+        dirs = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+        ]
+    results = []
+    for d in dirs:
+        if parquet_file_count(d) > min_files:
+            results.append(compact_directory(spark, d, target_files))
+    return results

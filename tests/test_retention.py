@@ -52,6 +52,29 @@ def test_retention_dry_run_removes_nothing(spark, partitioned_table):
     assert spark.read.parquet(str(partitioned_table / "metrics")).count() == 3
 
 
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from hermod_spark.sinks.compaction import compact_table, parquet_file_count
+
+    path = tmp_path / "t"
+    df = spark.createDataFrame([(i,) for i in range(100)], "x INT")
+    for _ in range(10):  # simulate micro-batch appends
+        df.limit(10).repartition(2).write.mode("append").parquet(str(path))
+    before = parquet_file_count(str(path))
+    assert before >= 20
+    results = compact_table(spark, str(tmp_path), "t", min_files=8, target_files=1)
+    assert len(results) == 1 and not results[0]["skipped"]
+    assert parquet_file_count(str(path)) == 1
+    assert spark.read.parquet(str(path)).count() == 100
+
+
+def test_compaction_skips_small_dirs(spark, tmp_path):
+    from hermod_spark.sinks.compaction import compact_table
+
+    path = tmp_path / "t2"
+    spark.createDataFrame([(1,)], "x INT").write.parquet(str(path))
+    assert compact_table(spark, str(tmp_path), "t2", min_files=8) == []
+
+
 def test_partition_pruning_on_read(spark, partitioned_table):
     df = spark.read.parquet(str(partitioned_table / "metrics")).filter(
         F.col("day") == "2024-01-02"
