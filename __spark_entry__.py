@@ -636,6 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_centroids=8
     )
+    q["emb_quantize"] = lambda spark, sf: S.quantize_embeddings(
+        _t(spark, sf, "embeddings")
+    )
     q["sim_ivf_probe2"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"),
         k=_TOPK,
@@ -1152,6 +1155,16 @@ r AS (SELECT query_id, neighbor_id, sim,
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
 
+    o["emb_quantize"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
+        (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS sc
+      FROM e)
+SELECT vec_id, ROUND(lo, 6) AS zero_point, ROUND(sc, 6) AS scale,
+  CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+       ELSE list_transform(v, x -> CAST(floor((x - lo) / sc + 0.5) AS INTEGER))
+  END AS codes
+FROM s"""
     o["sim_ivf_probe2"] = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),

@@ -141,6 +141,34 @@ def lsh_topk(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine int8 quantization: q_i = floor((x_i - min) /
+    scale + 0.5) with scale = (max - min)/255 — 4× smaller embedding
+    storage with bounded error, the standard compression for 100 TB
+    vector corpora. Pure array exprs; degenerate constant vectors get
+    scale 0 and all-zero codes. floor(+0.5) rounding is explicit so
+    every engine reproduces the codes bit-for-bit."""
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = (hi - lo) / F.lit(255.0)
+    codes = F.when(scale == 0, F.transform(v, lambda _: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor((x.cast("double") - lo) / scale + 0.5).cast("int")
+        )
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.round(lo, 6).alias("zero_point"),
+        F.round(scale, 6).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
 def centroids_of(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -109,6 +109,19 @@ def test_ivf_probe2_recall_not_worse(spark):
     assert recall(2) >= recall(1)
 
 
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    rows = [(0, [0.0, 0.5, 1.0]), (1, [2.0, 2.0, 2.0])]  # incl. constant vec
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: r for r in S.quantize_embeddings(df).collect()}
+    r0 = got[0]
+    assert r0["codes"] == [0, 128, 255]  # full-range mapping
+    # dequantized error bounded by scale/2
+    for orig, code in zip([0.0, 0.5, 1.0], r0["codes"]):
+        assert abs(orig - (r0["zero_point"] + code * r0["scale"])) <= r0["scale"] / 2 + 1e-9
+    r1 = got[1]
+    assert r1["scale"] == 0.0 and r1["codes"] == [0, 0, 0]  # degenerate vec
+
+
 def test_embedding_near_dups_symmetric_dedup(embeddings):
     out = S.embedding_near_dups(embeddings, threshold=0.9, n_planes=2).collect()
     for r in out:
