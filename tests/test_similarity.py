@@ -115,9 +115,12 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     got = {r["vec_id"]: r for r in S.quantize_embeddings(df).collect()}
     r0 = got[0]
     assert r0["codes"] == [0, 128, 255]  # full-range mapping
-    # dequantized error bounded by scale/2
+    # dequantized error bounded by scale/2 (+ slack for the 6-decimal
+    # rounding of the reported scale: codes * 5e-7 each way)
+    true_scale = (1.0 - 0.0) / 255.0
     for orig, code in zip([0.0, 0.5, 1.0], r0["codes"]):
-        assert abs(orig - (r0["zero_point"] + code * r0["scale"])) <= r0["scale"] / 2 + 1e-9
+        err = abs(orig - (r0["zero_point"] + code * r0["scale"]))
+        assert err <= true_scale / 2 + 255 * 5e-7
     r1 = got[1]
     assert r1["scale"] == 0.0 and r1["codes"] == [0, 0, 0]  # degenerate vec
 
