@@ -659,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_ngrams"] = lambda spark, sf: textops.top_ngrams(
         _t(spark, sf, "documents"), n=2, k=20
     )
+    q["text_repetition"] = lambda spark, sf: textops.repetition_signals(
+        _t(spark, sf, "documents")
+    )
 
     # --- training-data curation ---------------------------------------
     from hermod_spark.operators import curation as CUR
@@ -704,6 +707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CUR.contamination_check(d, probes, n=3)
 
     q["cur_contamination"] = cur_contamination
+
+    q["cur_pack"] = lambda spark, sf: CUR.pack_chunks(
+        CUR.chunk_documents(_t(spark, sf, "documents"), chunk_tokens=50, overlap=10)
+        .select("doc_id", "chunk_id", "chunk_len"),
+        budget=200,
+        n_shards=8,
+    )
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -1295,6 +1305,39 @@ r AS (SELECT ngram, n_occurrences,
         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
       FROM c)
 SELECT ngram, n_occurrences, rank FROM r WHERE rank <= 20"""
+
+    o["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {toks2} AS tk FROM documents),
+tc AS (SELECT doc_id, w, COUNT(*) AS n
+       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+ts AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot, COUNT(*) AS nd FROM tc GROUP BY 1),
+gc AS (SELECT doc_id, gm, COUNT(*) AS n
+       FROM (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []
+               ELSE list_transform(range(1, len(tk)),
+                                   i -> array_to_string(tk[i:i+1], ' ')) END) AS gm
+             FROM t) GROUP BY 1, 2),
+gs AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM gc GROUP BY 1)
+SELECT t.doc_id, len(t.tk) AS n_tokens,
+  ROUND(CASE WHEN len(t.tk) > 0
+             THEN 1.0 - CAST(ts.nd AS DOUBLE) / ts.tot ELSE 0.0 END, 6) AS dup_token_frac,
+  ROUND(CASE WHEN len(t.tk) > 0
+             THEN CAST(ts.mx AS DOUBLE) / ts.tot ELSE 0.0 END, 6) AS top_token_frac,
+  ROUND(COALESCE(CAST(gs.mx AS DOUBLE) / gs.tot, 0.0), 6) AS top_bigram_frac
+FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id LEFT JOIN gs ON t.doc_id = gs.doc_id"""
+
+    o["cur_pack"] = f"""
+WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
+n AS (SELECT doc_id, tk,
+        CASE WHEN len(tk) <= 50 THEN 1
+             ELSE CAST(ceil((len(tk) - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+      FROM t),
+c AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+        CAST(least(len(tk) - ci * 40, 50) AS INTEGER) AS chunk_len
+      FROM n, UNNEST(range(0, n_chunks)) AS u(ci))
+SELECT doc_id, chunk_id, chunk_len, CAST(doc_id % 8 AS INTEGER) AS shard,
+  CAST(floor((SUM(chunk_len) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id)
+              - chunk_len) / 200) AS INTEGER) AS bin_id
+FROM c"""
 
     o["mm_resize_plan"] = """
 WITH meta AS (

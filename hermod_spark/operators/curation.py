@@ -97,6 +97,35 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    len_col: str = "chunk_len",
+) -> DataFrame:
+    """Context-window packing: assign chunks to fixed token-budget
+    training bins. A chunk whose exclusive prefix sum (within its
+    shard's (doc_id, chunk_id) order) lies in [k·budget, (k+1)·budget)
+    lands in bin k — a bin may overrun by at most one straddling chunk,
+    the standard streaming-pack tradeoff.
+
+    Scale shape: packing is inherently sequential, so we shard first
+    (doc_id mod n_shards — deterministic, engine-independent) and run
+    the running sum per shard. Parallelism = n_shards; pick it near the
+    cluster width. One shuffle (the window partition), no Python. A bin
+    is globally identified by (shard, bin_id)."""
+    from pyspark.sql import Window
+
+    sharded = chunks.withColumn("shard", (F.col(id_col) % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col), F.col(chunk_col))
+    cum_excl = F.sum(len_col).over(w) - F.col(len_col)
+    return sharded.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(budget)).cast("int")
+    )
+
+
 def contamination_check(
     df: DataFrame,
     probe_ngrams: list[str],

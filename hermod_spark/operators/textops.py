@@ -7,7 +7,7 @@ Column exprs (whole-stage codegen; zero Python per row)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hermod_spark.functions import text as X
@@ -79,6 +79,54 @@ def top_ngrams(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("rank")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics — the signals a
+    training-data filter uses to drop boilerplate and degenerate
+    repeated text (cf. Rae et al. 2021 §A1.1):
+
+    - ``dup_token_frac``: 1 − distinct/total tokens,
+    - ``top_token_frac``: occurrences of the most frequent token / total,
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / total.
+
+    All native exprs; the per-doc mode is a sort + run-length fold
+    (`max_run_length`), never a per-doc groupBy — one scan, no shuffle,
+    no Python. Empty documents score 0 on every fraction."""
+    toks = F.array_sort(X.tokens(F.lower(F.col(text_col))))
+    grams = F.array_sort(X.ngrams(text_col, 2))
+
+    def _signals(t: Column, g: Column) -> Column:
+        n_tok = F.size(t)
+        n_gram = F.size(g)
+        zero = F.lit(0.0)
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            F.round(
+                F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(t)) / n_tok).otherwise(zero), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.when(n_tok > 0, X.max_run_length(t) / n_tok).otherwise(zero), 6
+            ).alias("top_token_frac"),
+            F.round(
+                F.when(n_gram > 0, X.max_run_length(g) / n_gram).otherwise(zero), 6
+            ).alias("top_bigram_frac"),
+        )
+
+    # bind both arrays once (single-element-array lambda trick) so the
+    # sort and fold don't re-evaluate the split per metric
+    s = F.flatten(F.transform(F.array(toks), lambda t: F.array(
+        F.transform(F.array(grams), lambda g: _signals(t, g))[0]
+    )))[0]
+    return df.select(
+        F.col(id_col),
+        s.getField("n_tokens").alias("n_tokens"),
+        s.getField("dup_token_frac").alias("dup_token_frac"),
+        s.getField("top_token_frac").alias("top_token_frac"),
+        s.getField("top_bigram_frac").alias("top_bigram_frac"),
     )
 
 

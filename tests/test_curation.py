@@ -113,3 +113,47 @@ def test_group_centroids(spark):
     }
     assert rows[0] == [2.0, 1.0]
     assert rows[1] == [10.0, 10.0]
+
+
+def test_pack_chunks_exclusive_prefix_rule(spark):
+    # one shard (n_shards=1): bins follow floor(exclusive_cumsum/budget)
+    rows = [(1, 0, 60), (1, 1, 60), (2, 0, 60), (3, 0, 60), (3, 1, 10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, chunk_id INT, chunk_len INT")
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["shard"], r["bin_id"])
+        for r in CUR.pack_chunks(df, budget=100, n_shards=1).collect()
+    }
+    # cumsums before each chunk: 0, 60, 120, 180, 240 -> bins 0,0,1,1,2
+    assert out == {
+        (1, 0): (0, 0),
+        (1, 1): (0, 0),
+        (2, 0): (0, 1),
+        (3, 0): (0, 1),
+        (3, 1): (0, 2),
+    }
+
+
+def test_pack_chunks_sharding_and_invariants(spark):
+    import itertools
+
+    rows = [
+        (d, c, 25 + (d * 7 + c * 3) % 40)
+        for d in range(20)
+        for c in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, chunk_id INT, chunk_len INT")
+    got = CUR.pack_chunks(df, budget=120, n_shards=4).collect()
+    assert all(r["shard"] == r["doc_id"] % 4 for r in got)
+    by_shard = {
+        s: sorted(g, key=lambda r: (r["doc_id"], r["chunk_id"]))
+        for s, g in itertools.groupby(
+            sorted(got, key=lambda r: r["shard"]), key=lambda r: r["shard"]
+        )
+    }
+    for s, chunk_rows in by_shard.items():
+        cum = 0
+        for r in chunk_rows:
+            assert r["bin_id"] == cum // 120  # exclusive-prefix rule
+            cum += r["chunk_len"]
+        bins = [r["bin_id"] for r in chunk_rows]
+        assert bins == sorted(bins)  # bins are monotone within a shard

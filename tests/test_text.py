@@ -119,3 +119,47 @@ def test_top_ngrams(spark):
         ("x y", 3, 1),
         ("y x", 1, 2),  # tie with 'y z' broken lexicographically
     ]
+
+
+def test_max_run_length(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "b"],), (["x"],), ([],)], "arr ARRAY<STRING>"
+    )
+    got = [r[0] for r in df.select(X.max_run_length(F.col("arr"))).collect()]
+    assert got == [3, 1, 0]
+
+
+def test_repetition_signals_goldens(spark):
+    from hermod_spark.operators.textops import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "x y z"), (4, "go go go go")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_token_frac"],
+            r["top_token_frac"],
+            r["top_bigram_frac"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    # doc 1: 4 tokens {a:3,b:1}; bigrams [a a, a a, a b] -> 2/3
+    assert got[1] == (4, 0.5, 0.75, 0.666667)
+    # empty doc: zero everywhere, never null
+    assert got[2] == (0, 0.0, 0.0, 0.0)
+    # all-distinct doc: dup 0, top token 1/3, each bigram unique -> 1/2
+    assert got[3] == (3, 0.0, 0.333333, 0.5)
+    # fully degenerate doc: everything 1.0 except dup 3/4
+    assert got[4] == (4, 0.75, 1.0, 1.0)
+
+
+def test_repetition_signals_no_python_in_plan(spark):
+    from hermod_spark.operators.textops import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
