@@ -53,6 +53,44 @@ def windowed_agg(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "time",
+    right_time: str = "time",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time interval
+    bound: right rows join left rows with the same ``key`` whose
+    timestamp lies in ``[left_time, left_time + within]``.
+
+    Both sides carry a watermark and the join carries the time-range
+    predicate — together they bound the join state Spark must retain
+    (without the interval condition a stream-stream join would buffer
+    both streams forever; with it, state older than watermark + within
+    is evicted). Works identically on batch frames, where the interval
+    condition is just a predicate.
+
+    Outer variants (``how`` = left_outer/right_outer/full_outer) emit
+    unmatched rows only once the watermark passes — exactly the
+    late-data semantics the reference lacks."""
+    if left.isStreaming:
+        left = left.withWatermark(left_time, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_time, watermark)
+    l, r = left.alias("l"), right.alias("r")
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
 def hourly_rollup_stream(messages: DataFrame, value_expr=None) -> DataFrame:
     """The continuous-aggregate workload on the canonical message
     stream: value parsed from the JSON payload (temperature), hourly

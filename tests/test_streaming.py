@@ -131,3 +131,75 @@ def test_stream_plan_has_watermark(spark, tmp_path):
     stream = message_stream(spark, src, schema=batch.schema)
     out = windowed_agg(stream, window="1 hour", watermark="2 hours")
     assert "EventTimeWatermark" in out._jdf.queryExecution().analyzed().toString()
+
+
+def _join_fixture(spark):
+    t = lambda h, m=0: dt.datetime(2024, 1, 2, h, m, tzinfo=UTC)  # noqa: E731
+    readings = spark.createDataFrame(
+        [(t(10, 0), "dev1", 20.0), (t(10, 30), "dev2", 30.0), (t(13, 0), "dev1", 25.0)],
+        "time TIMESTAMP, device STRING, value DOUBLE",
+    )
+    alerts = spark.createDataFrame(
+        [
+            (t(10, 45), "dev1", "hi"),   # joins 10:00 reading (within 1h)
+            (t(12, 59), "dev1", "warn"), # joins nothing (>1h after 10:00, before 13:00)
+            (t(10, 40), "dev2", "lo"),   # joins 10:30 reading
+            (t(9, 0), "dev1", "old"),    # before every reading -> no match
+        ],
+        "time TIMESTAMP, device STRING, level STRING",
+    )
+    return readings, alerts
+
+
+def test_stream_stream_join_batch_semantics(spark):
+    from hermod_spark.streaming.windows import stream_stream_join
+
+    readings, alerts = _join_fixture(spark)
+    out = stream_stream_join(
+        readings, alerts, key="device", within="1 hour"
+    ).select(
+        F.col("l.device").alias("device"),
+        F.col("l.value").alias("value"),
+        F.col("r.level").alias("level"),
+    )
+    got = {(r["device"], r["value"], r["level"]) for r in out.collect()}
+    assert got == {("dev1", 20.0, "hi"), ("dev2", 30.0, "lo")}
+
+
+def test_stream_stream_join_e2e_matches_batch(spark, tmp_path):
+    from hermod_spark.sources.messages import message_stream
+    from hermod_spark.streaming.windows import stream_stream_join
+
+    readings, alerts = _join_fixture(spark)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    readings.write.parquet(lsrc)
+    alerts.write.parquet(rsrc)
+
+    lstream = message_stream(spark, lsrc, schema=readings.schema)
+    rstream = message_stream(spark, rsrc, schema=alerts.schema)
+    out = stream_stream_join(
+        lstream, rstream, key="device", within="1 hour"
+    ).select(
+        F.col("l.device").alias("device"),
+        F.col("l.value").alias("value"),
+        F.col("r.level").alias("level"),
+    )
+    assert out.isStreaming
+
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["device"], r["value"], r["level"])
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("dev1", 20.0, "hi"), ("dev2", 30.0, "lo")}
