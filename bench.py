@@ -51,6 +51,8 @@ HEADLINE = [
     "text_top_ngrams",
     "xf_new",
     "cur_pipeline",
+    "text_repetition",
+    "cur_pack",
 ]
 
 
