@@ -708,6 +708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_contamination"] = cur_contamination
 
+    q["cur_mixture"] = lambda spark, sf: CUR.sample_mixture(
+        _t(spark, sf, "documents"),
+        rates={"src0": 0.25, "src1": 0.5},
+    ).select("doc_id", "source")
+
     q["cur_pack"] = lambda spark, sf: CUR.pack_chunks(
         CUR.chunk_documents(_t(spark, sf, "documents"), chunk_tokens=50, overlap=10)
         .select("doc_id", "chunk_id", "chunk_len"),
@@ -1324,6 +1329,14 @@ SELECT t.doc_id, len(t.tk) AS n_tokens,
              THEN CAST(ts.mx AS DOUBLE) / ts.tot ELSE 0.0 END, 6) AS top_token_frac,
   ROUND(COALESCE(CAST(gs.mx AS DOUBLE) / gs.tot, 0.0), 6) AS top_bigram_frac
 FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id LEFT JOIN gs ON t.doc_id = gs.doc_id"""
+
+    o["cur_mixture"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0
+    < CASE WHEN source = 'src0' THEN 0.25
+           WHEN source = 'src1' THEN 0.5
+           ELSE 1.0 END"""
 
     o["cur_pack"] = f"""
 WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),

@@ -97,6 +97,27 @@ def chunk_documents(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-mixture resampling (domain reweighting):
+    keep a row iff uniform_hash(key) < rates[source]; sources not
+    listed keep everything. A pure filter — membership is a function
+    of the key alone, so the sampled corpus is reproducible at any
+    parallelism and the predicate pushes into the scan; no sampling
+    state, no shuffle, no RNG."""
+    h = uniform_hash(key_col)
+    rate: Column | None = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(source_col) == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate_expr = F.lit(1.0) if rate is None else rate.otherwise(F.lit(1.0))
+    return df.filter(h < rate_expr)
+
+
 def pack_chunks(
     chunks: DataFrame,
     budget: int = 512,

@@ -157,3 +157,21 @@ def test_pack_chunks_sharding_and_invariants(spark):
             cum += r["chunk_len"]
         bins = [r["bin_id"] for r in chunk_rows]
         assert bins == sorted(bins)  # bins are monotone within a shard
+
+
+def test_sample_mixture_deterministic_rates(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    kept1 = sorted(r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.3}).collect())
+    kept2 = sorted(r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.3}).collect())
+    assert kept1 == kept2  # pure function of the key
+    by_src = {
+        s: sum(1 for r in kept1 if (r % 2 == 0) == (s == "a")) for s in ("a", "b")
+    }
+    assert by_src["b"] == 500  # unlisted source keeps everything
+    assert 0.2 < by_src["a"] / 500 < 0.4  # listed source near its rate
+
+    # subset property: a lower rate keeps a subset of a higher rate
+    lo = {r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.1}).collect()}
+    hi = {r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.5}).collect()}
+    assert lo <= hi
