@@ -572,6 +572,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_sessionize"] = rel_sessionize
 
     q["rel_quantiles"] = lambda spark, sf: R.value_quantiles(_t(spark, sf, "events"))
+    # scale-safe EXACT twin of rel_quantiles (two-pass histogram refine;
+    # same order-statistic answer, same oracle — no #types-partition sort)
+    q["rel_quantiles_twopass"] = lambda spark, sf: R.value_quantiles_twopass(
+        _t(spark, sf, "events")
+    )
+    # sketch path (one agg, mergeable): sketch-dependent values ⇒ no
+    # cross-engine oracle; pinned by the error-bound test instead
+    q["rel_quantiles_approx"] = lambda spark, sf: R.value_quantiles_approx(
+        _t(spark, sf, "events")
+    )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
     q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
     q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
@@ -628,10 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
     )
     q["sim_lsh_topk"] = lambda spark, sf: S.lsh_topk(
-        _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_planes=4
+        _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_planes=4,
+        dim=_EMB_DIM,  # from table metadata (TESTDATA.md) — keeps plan build lazy
     )
     q["sim_embedding_neardups"] = lambda spark, sf: S.embedding_near_dups(
-        _t(spark, sf, "embeddings"), threshold=0.3, n_planes=8
+        _t(spark, sf, "embeddings"), threshold=0.3, n_planes=8, dim=_EMB_DIM
     )
     q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_centroids=8
@@ -719,6 +730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         budget=200,
         n_shards=8,
     )
+
+    def cur_centroids(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return CUR.group_centroids(e, F.col("label").alias("grp")).orderBy("grp")
+
+    q["cur_centroids"] = cur_centroids
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -1008,7 +1025,7 @@ per_user AS (
 SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS cohort_day,
   COUNT(*) AS n_signups,
   SUM(CAST(converted AS INT)) AS n_converted,
-  ROUND(SUM(CAST(converted AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+  ((SUM(CAST(converted AS INT)) * 1000000) // COUNT(*)) / 1000000.0
     AS conversion_rate
 FROM per_user GROUP BY 1"""
     o["rel_quantiles"] = """
@@ -1023,6 +1040,9 @@ SELECT event_type,
   MAX(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
   MAX(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
 FROM ranked GROUP BY event_type"""
+    # the two-pass refine computes the SAME exact order statistics —
+    # identical oracle by construction
+    o["rel_quantiles_twopass"] = o["rel_quantiles"]
     o["rel_pivot"] = """
 SELECT user_id % 10 AS cohort,
   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1351,6 +1371,19 @@ SELECT doc_id, chunk_id, chunk_len, CAST(doc_id % 8 AS INTEGER) AS shard,
   CAST(floor((SUM(chunk_len) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id)
               - chunk_len) / 200) AS INTEGER) AS bin_id
 FROM c"""
+
+    o["cur_centroids"] = """
+WITH x AS (
+  SELECT label AS grp,
+    unnest(embedding) AS v,
+    unnest(range(len(embedding))) AS pos
+  FROM embeddings),
+m AS (
+  SELECT grp, pos,
+    ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mean_v
+  FROM x GROUP BY grp, pos)
+SELECT grp, list(mean_v ORDER BY pos) AS centroid
+FROM m GROUP BY grp ORDER BY grp"""
 
     o["mm_resize_plan"] = """
 WITH meta AS (

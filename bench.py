@@ -29,6 +29,26 @@ import __spark_entry__ as E  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Recorded baseline: BENCH_r02.json (sf0.1, local[32]) — the operative
+# regression gate; the reference publishes no numbers (BASELINE.md §6).
+# A query >2× its baseline fails loudly (stderr + "regressions" field).
+# Queries added after r02 have no baseline row and are skipped.
+BASELINE_R02 = {
+    "flt_route": 0.229, "prj_pass": 0.222, "stream_windowed": 0.793,
+    "rel_pricing_summary": 0.514, "rel_revenue_nation": 1.439,
+    "rel_top_customers": 1.074, "rel_hourly_rollup": 0.488,
+    "rel_asof": 0.35, "rel_sessionize": 0.691, "dedup_exact": 0.268,
+    "dedup_minhash_cand": 1.262, "dedup_clusters": 2.332,
+    "sim_bruteforce_topk": 0.487, "sim_lsh_topk": 0.694,
+    "sim_ivf_topk": 1.553, "text_doc_metrics": 0.307,
+    "text_corpus_stats": 0.247, "text_top_ngrams": 0.647,
+    "xf_new": 1.064, "cur_pipeline": 1.03, "text_repetition": 0.329,
+    "cur_pack": 0.317,
+}
+# Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
+# absolute floor below which a 2× ratio is not meaningful.
+_NOISE_FLOOR_SEC = 0.5
+
 # Headline set: one per family, heaviest representatives.
 HEADLINE = [
     "flt_route",
@@ -53,6 +73,9 @@ HEADLINE = [
     "cur_pipeline",
     "text_repetition",
     "cur_pack",
+    # added r03 (no baseline row yet — gate skips them this round)
+    "rel_quantiles_twopass",
+    "cur_centroids",
 ]
 
 
@@ -115,6 +138,25 @@ def main() -> None:
     except ValueError:
         pass
 
+    # Regression gate vs the recorded baseline (only meaningful at the
+    # baseline's scale factor).
+    regressions: dict[str, float] = {}
+    if abs(sf - 0.1) < 1e-9:
+        for name, dt in timings.items():
+            base = BASELINE_R02.get(name)
+            if base is None:
+                continue
+            ratio = dt / base
+            if ratio > 2.0 and dt > _NOISE_FLOOR_SEC:
+                regressions[name] = round(ratio, 2)
+                print(
+                    f"# REGRESSION {name}: {dt:.2f}s vs baseline "
+                    f"{base:.2f}s ({ratio:.1f}x > 2x gate)",
+                    file=sys.stderr,
+                )
+    if regressions:
+        print(f"# BENCH REGRESSION GATE FAILED: {sorted(regressions)}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -123,6 +165,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )

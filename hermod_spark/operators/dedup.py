@@ -267,6 +267,66 @@ def near_dup_pairs(
 # ------------------------------------------------------------------- SimHash
 
 
+def min_label_propagation(
+    pairs: DataFrame, max_iterations: int = 20
+) -> tuple[DataFrame, int]:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list ``(id_a, id_b)``.
+
+    Returns ``(labels, rounds)`` — labels is (node, label) for every
+    edge-connected node; rounds is how many propagation rounds ran
+    (the convergence-detection round included). Each round is ONE
+    shuffle join on the node id; labels converge in O(cluster
+    diameter) rounds (near-dup chains are shallow), and the loop stops
+    the first round nothing changes. Edges are localCheckpointed once
+    so loop actions never re-run the upstream (LSH) pipeline; labels
+    are checkpointed per round to truncate lineage. No driver-side
+    graph — the only per-round action is a limit(1) existence probe on
+    the checkpointed label table."""
+    edges = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .withColumnsRenamed({"id_a": "src", "id_b": "dst"})
+        .localCheckpoint(eager=True)
+    )
+    # Iterate only over nodes that have at least one edge — isolated
+    # documents (the overwhelming majority of a deduped corpus) are
+    # their own cluster by definition and would only widen every join.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        nb_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.node == nb_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, rounds
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -295,47 +355,7 @@ def near_dup_clusters(
         df, text_col, id_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, w=w,
     ).select("id_a", "id_b")
-    edges = (
-        pairs.union(
-            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
-        .withColumnsRenamed({"id_a": "src", "id_b": "dst"})
-        # materialize once: every loop action would otherwise re-run the
-        # whole LSH + jaccard pipeline per iteration
-        .localCheckpoint(eager=True)
-    )
-    # Iterate only over nodes that have at least one edge — isolated
-    # documents (the overwhelming majority of a deduped corpus) are
-    # their own cluster by definition and would only widen every join.
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(max_iterations):
-        nb_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        new_labels = (
-            labels.join(nb_min, labels.node == nb_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
     connected = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     return (
         df.select(id_col)

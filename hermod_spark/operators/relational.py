@@ -271,6 +271,111 @@ def value_quantiles(
     return ranked.groupBy("event_type").agg(*aggs)
 
 
+def value_quantiles_twopass(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width: float = 5.0,
+) -> DataFrame:
+    """EXACT per-type quantiles, scale-safe: the same order statistics
+    as :func:`value_quantiles` (value at rank ceil(p·n), ties by
+    event_id) without its killer window — `row_number` partitioned by
+    event_type alone sorts the WHOLE table in #types partitions, and
+    AQE cannot split window exchanges.
+
+    Two passes instead:
+
+    1. histogram: count rows per (event_type, floor(value/width))
+       bucket — one map-side-combinable aggregation; the collected
+       histogram is model-sized (#types × #buckets), like IVF's
+       centroids.
+    2. refine: from the cumulative histogram, each target rank lands
+       in exactly one bucket. Only those ≤ len(probs) buckets per type
+       are re-scanned (the filter pushes to the scan) and sorted, with
+       the window partitioned by (event_type, bucket) — each sort
+       partition is ONE bucket (~n/width rows), never the table. The
+       in-bucket row_number plus the cumulative count below the bucket
+       reconstructs the exact global rank.
+
+    floor() bucketing is monotonic, so in-bucket order + bucket order
+    is the global order and the answer is bit-identical to the
+    single-window exact query — same DuckDB oracle, hash-green."""
+    import math
+
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    bucketed = vals.withColumn(
+        "bucket", F.floor(F.col("value") / F.lit(width)).cast("long")
+    )
+    hist = (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_type: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_type.setdefault(r["event_type"], []).append((r["bucket"], r["cnt"]))
+
+    cand_rows = []  # (event_type, bucket, base = rows in lower buckets)
+    rank_rows = []  # (event_type, rank_p0, rank_p1, ...)
+    for et, lst in per_type.items():
+        lst.sort()
+        n = sum(c for _, c in lst)
+        targets = [math.ceil(p * n) for p in probs]
+        rank_rows.append((et, *targets))
+        cum = 0
+        for b, c in lst:
+            if any(cum < t <= cum + c for t in targets):
+                cand_rows.append((et, b, cum))
+            cum += c
+
+    spark = events.sparkSession
+    names = [f"p{int(p * 100)}" for p in probs]
+    cand_meta = spark.createDataFrame(
+        cand_rows, "event_type string, bucket long, base long"
+    )
+    rank_meta = spark.createDataFrame(
+        rank_rows, "event_type string, " + ", ".join(f"_r_{c} long" for c in names)
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        bucketed.join(F.broadcast(cand_meta), ["event_type", "bucket"])
+        .withColumn("rn", F.row_number().over(w) + F.col("base"))
+        .join(F.broadcast(rank_meta), "event_type")
+    )
+    aggs = [
+        F.max(F.when(F.col("rn") == F.col(f"_r_{c}"), F.col("value"))).alias(c)
+        for c in names
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def value_quantiles_approx(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based per-type quantiles: ONE map-side-combinable
+    aggregation (Greenwald-Khanna via `approx_percentile`), error
+    bounded by 1/accuracy of rank. The cheapest shape at 100 TB — no
+    window, no second pass, mergeable partial sketches. Values are
+    sketch-dependent, so this has no cross-engine oracle; the
+    error-bound test pins it against the exact path instead."""
+    aggs = [
+        F.percentile_approx("value", F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(*aggs)
+    )
+
+
 def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame:
     """Conversion funnel: per signup-day cohort, how many users made a
     purchase within ``within_days`` of their FIRST signup.
@@ -305,8 +410,15 @@ def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame
             F.sum(F.col("converted").cast("int")).alias("n_converted"),
         )
         .withColumn(
+            # exact integer micro-rate: (n_converted·1e6) div n_signups,
+            # then an exact double divide — no float rounding anywhere,
+            # so every engine (Spark HALF_UP vs DuckDB round-half-even)
+            # produces bit-identical rates. Truncation at the 6th digit
+            # is the defined semantics.
             "conversion_rate",
-            F.round(F.col("n_converted") / F.col("n_signups"), 6),
+            # 1e6 (not 1000000.0): Spark parses the latter as DECIMAL(8,1)
+            # and the division would come out decimal-typed
+            F.expr("((n_converted * 1000000L) div n_signups) / 1e6"),
         )
     )
 

@@ -107,6 +107,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed approximate top-k: score only same-bucket pairs.
 
@@ -115,8 +116,13 @@ def lsh_topk(
     100 TB the corpus side still never shuffles (bucket id is computed
     in the scan projection) and the per-query candidate set shrinks
     ~2^n_planes-fold. Recall < 1 by design; raise n_planes bands or
-    multi-probe for production recall targets."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    multi-probe for production recall targets.
+
+    Pass ``dim`` (the embedding dimensionality, from table metadata)
+    so plan construction stays lazy; omitting it falls back to a
+    one-row ``.first()`` probe — an eager driver-side job per plan
+    build, fine interactively, wrong inside a pipeline."""
+    dim = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     hashed = ensure_min_partitions(embeddings).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("bucket")
@@ -274,12 +280,16 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-bucket self-join,
     cosine ≥ threshold. True near-dups (cosine→1) collide in every
     sign-LSH bucket with overwhelming probability, so bucketing keeps
-    recall high precisely for the pairs dedup cares about."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    recall high precisely for the pairs dedup cares about.
+
+    ``dim`` as in :func:`lsh_topk` — pass it to keep plan construction
+    lazy (no eager ``.first()`` probe)."""
+    dim = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     hashed = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),

@@ -61,12 +61,18 @@ def lang_confusion(df: DataFrame, text_col: str = "text", lang_col: str = "lang"
 def top_ngrams(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:
-    """Corpus-wide top-k word n-grams: explode → count → rank.
+    """Corpus-wide top-k word n-grams: explode → count → top-k.
 
     The shuffle is the count groupBy (map-side combined); n-gram keys
     are long-tailed, and AQE coalesces the mostly-tiny post-agg
-    partitions. Ties rank lexicographically so the result set is
-    deterministic at any parallelism."""
+    partitions. The rank step is `orderBy(...).limit(k)` which Spark
+    compiles to TakeOrderedAndProject — each task keeps its local
+    top-k and the driver merges k·n_tasks rows — NOT a global window,
+    which would funnel the entire (billions-row at 100 TB) n-gram
+    vocabulary through one partition. `rank` is derived afterwards
+    over the k-row result (a window over k rows, not the corpus).
+    Ties rank lexicographically so the result set is deterministic at
+    any parallelism."""
     from pyspark.sql import Window
 
     counts = (
@@ -74,12 +80,9 @@ def top_ngrams(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def repetition_signals(

@@ -117,3 +117,29 @@ def test_simhash_deterministic_and_near(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dups(df).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs
+
+
+def test_min_label_propagation_chain_converges_within_diameter(spark):
+    """Convergence guard: on a 10-node chain (diameter 9) min-label
+    propagation must finish in ≤ diameter+1 rounds (+1 is the no-change
+    detection round) and label every node with the chain minimum. A
+    regression to a non-converging shape trips the bound, not the
+    20-round safety cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a LONG, id_b LONG"
+    )
+    labels, rounds = dedup.min_label_propagation(pairs, max_iterations=20)
+    assert rounds <= 10
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_min_label_propagation_star_converges_fast(spark):
+    """Star graphs (one canonical + N copies, the common dup shape)
+    converge in 2 rounds + detection."""
+    pairs = spark.createDataFrame(
+        [(1, i) for i in range(2, 30)], "id_a LONG, id_b LONG"
+    )
+    labels, rounds = dedup.min_label_propagation(pairs, max_iterations=20)
+    assert rounds <= 3
+    assert {r["label"] for r in labels.collect()} == {1}

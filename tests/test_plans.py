@@ -118,3 +118,50 @@ def test_entry_aggregation_is_partial(spark):
     plan = E.entry(spark)._jdf.queryExecution().executedPlan().toString()
     assert count(r"HashAggregate", plan) >= 2  # map-side combine
     assert count(r"EvalPython", plan) == 0
+
+
+def test_top_ngrams_is_take_ordered_not_global_window(spark):
+    """The corpus-wide top-k must compile to TakeOrderedAndProject
+    (per-task local top-k, k-row driver merge) — a global
+    Window.orderBy rank would funnel the entire n-gram vocabulary
+    through ONE partition at 100 TB."""
+    plan = plan_of(spark, "text_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    # the only window left runs over the k-row result, under the take —
+    # the take must sit BELOW the window in the tree (executed first)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_quantiles_twopass_windows_by_bucket(spark):
+    """The refine window must partition by (event_type, bucket), never
+    event_type alone — low-cardinality window partitions are whole-
+    table sorts AQE cannot split."""
+    plan = plan_of(spark, "rel_quantiles_twopass")
+    import re as _re
+
+    # physical form: Window [row_number() windowspecdefinition(...)],
+    # [<partition cols>], [<order cols>]
+    m = _re.search(r"Window \[row_number\(\)[^\n]*\], \[([^\]]*)\], \[", plan)
+    assert m and "bucket" in m.group(1) and "event_type" in m.group(1), plan[:2000]
+    # both metadata joins broadcast; the events scan never shuffles for them
+    assert count(r"BroadcastExchange", plan) >= 2
+
+
+def test_lsh_topk_plan_build_is_lazy(spark):
+    """With dim supplied, constructing the LSH top-k plan must launch
+    ZERO Spark jobs (no .first() probe inside query construction)."""
+    from hermod_spark.operators import similarity as S
+
+    rows = [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-lazy-probe", "plan build must not run jobs")
+    try:
+        out = S.lsh_topk(df, k=3, n_queries=2, n_planes=4, dim=4)
+        out._jdf.queryExecution().optimizedPlan()  # force full planning
+        ids = sc.statusTracker().getJobIdsForGroup("lsh-lazy-probe")
+    finally:
+        sc.setJobGroup("default", "")
+    assert list(ids) == []
+    # and the plan still executes correctly afterwards
+    assert out.count() >= 0

@@ -196,3 +196,61 @@ def test_sessionize(spark):
     assert s1["session_start"] == T(10, 0).replace(tzinfo=None)
     assert s1["session_end"] == T(10, 50).replace(tzinfo=None)  # last + gap
     assert rows[1]["n_events"] == 1
+
+
+def _quantile_events(spark):
+    rows = []
+    eid = 0
+    for t, n in (("a", 37), ("b", 101), ("c", 7)):
+        for i in range(n):
+            eid += 1
+            # non-uniform values so buckets are uneven
+            rows.append((eid, t, float((i * i) % 97) + i / 10.0))
+    return spark.createDataFrame(rows, "event_id INT, event_type STRING, value DOUBLE")
+
+
+def test_value_quantiles_twopass_matches_exact(spark):
+    """The scale-safe two-pass refine must reproduce the single-window
+    exact order statistics bit-for-bit (same answer, same oracle)."""
+    events = _quantile_events(spark)
+    exact = {r["event_type"]: r for r in R.value_quantiles(events).collect()}
+    twop = {r["event_type"]: r for r in R.value_quantiles_twopass(events).collect()}
+    assert set(exact) == set(twop)
+    for t in exact:
+        for c in ("p50", "p90", "p99"):
+            assert exact[t][c] == twop[t][c], (t, c)
+
+
+def test_value_quantiles_twopass_odd_width(spark):
+    """Bucket width must not change the answer (monotonic bucketing)."""
+    events = _quantile_events(spark)
+    a = {r["event_type"]: r for r in R.value_quantiles_twopass(events, width=5.0).collect()}
+    b = {r["event_type"]: r for r in R.value_quantiles_twopass(events, width=13.7).collect()}
+    for t in a:
+        for c in ("p50", "p90", "p99"):
+            assert a[t][c] == b[t][c], (t, c)
+
+
+def test_value_quantiles_approx_rank_error_bound(spark):
+    """approx_percentile's GK sketch guarantees rank error ≤ n/accuracy:
+    the returned element's true rank must sit within that bound of
+    ceil(p·n)."""
+    import math
+
+    events = _quantile_events(spark)
+    approx = {r["event_type"]: r for r in R.value_quantiles_approx(events).collect()}
+    vals = {}
+    for r in events.collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for t, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        tol = max(1, math.ceil(n / 10000))
+        for p, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = approx[t][c]
+            assert v in xs  # GK returns an element of the data
+            # any rank the value occupies may satisfy the bound (ties)
+            lo = xs.index(v) + 1
+            hi = n - xs[::-1].index(v)
+            target = math.ceil(p * n)
+            assert lo - tol <= target <= hi + tol, (t, c, v, target)

@@ -106,3 +106,39 @@ def test_undeclared_table_skips_validation(spark, tmp_path):
     w = MultiTableWriter(base_path=str(tmp_path), schema=sch)
     w.write({"other_table": df})  # router.go:230-237 — only declared tables
     assert spark.read.parquet(str(tmp_path / "other_table")).count() == 1
+
+
+def test_jdbc_write_roundtrip_embedded_derby(spark, tmp_path):
+    """Exercise the REAL JDBC branch (writer.py) against the embedded
+    Derby database that ships in Spark's jars — the same code path the
+    reference's Postgres/Timescale insert uses (storage.go:87-151),
+    executed, not just code-reviewed. Verifies batched append semantics
+    and the sorted-column insert order."""
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, 25.5, "a"), (2, 30.0, "b")], "id INT, value DOUBLE, name STRING"
+    )
+    w = MultiTableWriter(jdbc_url=url, jdbc_options=opts)
+    out = w.write({"sensor_readings": df})
+    assert out == [{"table": "sensor_readings", "columns": ["id", "name", "value"]}]
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sensor_readings")
+        .options(**opts)
+        .load()
+    )
+    # sorted column order survived the write (storage.go:97-106 parity)
+    assert back.columns == ["id", "name", "value"]
+    rows = sorted((r["id"], r["value"], r["name"]) for r in back.collect())
+    assert rows == [(1, 25.5, "a"), (2, 30.0, "b")]
+
+    # append mode: a second write adds, never truncates
+    w.write({"sensor_readings": df})
+    assert (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "sensor_readings").options(**opts).load().count()
+    ) == 4
