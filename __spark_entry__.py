@@ -583,6 +583,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
+    # thresholded anomaly gate on the scale-safe two-pass p99
+    q["rel_outliers"] = lambda spark, sf: R.value_outliers(_t(spark, sf, "events"))
+    # per-user gap stats: the high-cardinality window shape that scales
+    q["rel_user_deltas"] = lambda spark, sf: R.user_event_deltas(
+        _t(spark, sf, "events")
+    )
+    q["rel_retention"] = lambda spark, sf: R.retention_cohorts(_t(spark, sf, "events"))
     q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
     q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
 
@@ -673,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = lambda spark, sf: textops.repetition_signals(
         _t(spark, sf, "documents")
     )
+    q["text_vocab"] = lambda spark, sf: textops.vocab_stats(_t(spark, sf, "documents"))
 
     # --- training-data curation ---------------------------------------
     from hermod_spark.operators import curation as CUR
@@ -729,6 +737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "chunk_id", "chunk_len"),
         budget=200,
         n_shards=8,
+    )
+
+    q["cur_sample_stratified"] = lambda spark, sf: CUR.stratified_sample_exact(
+        _t(spark, sf, "documents"), k=50
     )
 
     def cur_centroids(spark, sf):
@@ -1043,6 +1055,45 @@ FROM ranked GROUP BY event_type"""
     # the two-pass refine computes the SAME exact order statistics —
     # identical oracle by construction
     o["rel_quantiles_twopass"] = o["rel_quantiles"]
+    o["rel_outliers"] = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  SELECT event_type, MAX(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
+  FROM ranked GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value, q.p99
+FROM events e JOIN q USING (event_type) WHERE e.value > q.p99"""
+    o["rel_user_deltas"] = """
+WITH d AS (
+  SELECT user_id,
+    (epoch_ns(ts) // 1000)
+      - LAG(epoch_ns(ts) // 1000)
+          OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000, event_id) AS delta_us
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+  ROUND(AVG(delta_us) / 1e6, 6) AS avg_gap_s,
+  MAX(delta_us) / 1e6 AS max_gap_s
+FROM d GROUP BY user_id HAVING COUNT(*) >= 2"""
+    o["rel_retention"] = """
+WITH firstseen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events)
+SELECT cohort_day, COUNT(DISTINCT a.user_id) AS n_users,
+  COUNT(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 1
+                      THEN a.user_id END) AS d1,
+  COUNT(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 3
+                      THEN a.user_id END) AS d3,
+  COUNT(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 7
+                      THEN a.user_id END) AS d7
+FROM active a JOIN firstseen USING (user_id) GROUP BY cohort_day"""
     o["rel_pivot"] = """
 SELECT user_id % 10 AS cohort,
   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1349,6 +1400,24 @@ SELECT t.doc_id, len(t.tk) AS n_tokens,
              THEN CAST(ts.mx AS DOUBLE) / ts.tot ELSE 0.0 END, 6) AS top_token_frac,
   ROUND(COALESCE(CAST(gs.mx AS DOUBLE) / gs.tot, 0.0), 6) AS top_bigram_frac
 FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id LEFT JOIN gs ON t.doc_id = gs.doc_id"""
+
+    o["text_vocab"] = f"""
+WITH t AS (SELECT source, unnest({toks2}) AS tok FROM documents)
+SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_vocab,
+  ROUND(COUNT(DISTINCT tok) / CAST(COUNT(*) AS DOUBLE), 6) AS type_token_ratio
+FROM t GROUP BY source"""
+
+    o["cur_sample_stratified"] = """
+WITH h AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0 AS hv
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h)
+SELECT doc_id, source, rn FROM r WHERE rn <= 50"""
 
     o["cur_mixture"] = """
 SELECT doc_id, source FROM documents

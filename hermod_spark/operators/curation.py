@@ -164,6 +164,59 @@ def contamination_check(
     return df.filter(F.arrays_overlap(ngrams(text_col, n), probes)).select(id_col)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    k: int = 50,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    oversample: float = 8.0,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: the k smallest
+    ``uniform_hash(key)`` in each stratum — reproducible at any
+    parallelism (membership is a pure function of the key), unlike
+    ``df.sample`` whose output depends on partitioning.
+
+    Scale shape (two-pass hash-threshold): the naive form —
+    ``row_number`` partitioned by stratum — sorts ENTIRE strata, and
+    strata are few (the low-cardinality-window trap, same as exact
+    quantiles). Instead:
+
+    1. count per stratum (map-side-combinable agg; collected result is
+       #strata rows, model-sized);
+    2. filter ``hash < oversample·k/n`` per stratum — a scan-side
+       predicate that keeps ~oversample·k rows per stratum regardless
+       of n; the k smallest hashes survive it with probability
+       1 − exp(−Θ(k·oversample)), i.e. never missing in practice, and
+       deterministically so for fixed data;
+    3. rank only the survivors — the window sorts ~8k rows per
+       stratum, not n.
+
+    Result identical to ranking the full stratum (the filter is a
+    superset of the answer), so the full-sort SQL is its oracle."""
+    from pyspark.sql import Window
+
+    h = uniform_hash(key_col)
+    counts = (
+        df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    thr: Column | None = None
+    for r in sorted(counts, key=lambda r: str(r[0])):
+        t = min(1.0, oversample * k / max(r["n"], 1))
+        cond = F.col(stratum_col) == r[0]
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    if thr is None:  # empty input
+        return df.select(F.col(key_col), F.col(stratum_col)).withColumn(
+            "rn", F.lit(0)
+        ).limit(0)
+    survivors = df.filter(h < thr.otherwise(F.lit(1.0)))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(key_col, stratum_col, "rn")
+    )
+
+
 def group_centroids(
     embeddings: DataFrame,
     group_expr: Column,

@@ -376,6 +376,74 @@ def value_quantiles_approx(
     )
 
 
+def value_outliers(events: DataFrame, prob: float = 0.99) -> DataFrame:
+    """Events strictly above their type's exact p-quantile — the
+    per-metric anomaly gate. Thresholds come from the scale-safe
+    two-pass quantile (histogram → bucket refine), then broadcast-join
+    back onto the fact: the events table is scanned, never shuffled,
+    and the threshold side is #types rows."""
+    name = f"p{int(prob * 100)}"
+    thresholds = value_quantiles_twopass(events, probs=(prob,))
+    return (
+        events.join(F.broadcast(thresholds), "event_type")
+        .filter(F.col("value") > F.col(name))
+        .select("event_id", "event_type", "value", name)
+    )
+
+
+def user_event_deltas(events: DataFrame) -> DataFrame:
+    """Per-user inter-event time statistics: lag over (user_id, ts,
+    event_id), aggregated to (n_events, avg/max gap seconds). The
+    window partitions by user_id — high-cardinality and hash-spread,
+    the shape that DOES scale (contrast the per-type quantile window).
+    Gap math stays in integer microseconds (`unix_micros`) until the
+    final divide, so both engines see identical longs."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    delta_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    per_event = events.select("user_id", delta_us.alias("delta_us"))
+    return (
+        per_event.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("delta_us") / 1e6, 6).alias("avg_gap_s"),
+            (F.max("delta_us") / 1e6).alias("max_gap_s"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, offsets: tuple[int, ...] = (1, 3, 7)
+) -> DataFrame:
+    """Classic day-N retention: cohort users by first-seen day, count
+    how many were active again exactly N days later. Three shuffles,
+    all on high-cardinality keys: first-seen agg (user_id), active-day
+    distinct (user_id, day), final rollup (cohort_day — counts only,
+    rows per group already collapsed)."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            *[
+                F.count_distinct(
+                    F.when(off == d, F.col("user_id"))
+                ).alias(f"d{d}")
+                for d in offsets
+            ],
+        )
+    )
+
+
 def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame:
     """Conversion funnel: per signup-day cohort, how many users made a
     purchase within ``within_days`` of their FIRST signup.

@@ -85,6 +85,27 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+def vocab_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group vocabulary rollup: token totals, distinct-token
+    (vocabulary) size, type-token ratio. `count_distinct` expands to
+    Spark's two-phase distinct aggregate — partial de-dup on
+    (group, token) map-side, so the shuffle carries the vocabulary,
+    not the corpus."""
+    toks = df.select(
+        F.col(by), F.explode(X.tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    return (
+        toks.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("n_vocab"),
+            F.round(F.count_distinct("tok") / F.count(F.lit(1)), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

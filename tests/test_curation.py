@@ -175,3 +175,45 @@ def test_sample_mixture_deterministic_rates(spark):
     lo = {r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.1}).collect()}
     hi = {r["doc_id"] for r in CUR.sample_mixture(df, {"a": 0.5}).collect()}
     assert lo <= hi
+
+
+def test_stratified_sample_exact_matches_full_sort(spark):
+    """The two-pass hash-threshold sample must equal the k smallest
+    hashes per stratum computed by a full per-stratum sort."""
+    from pyspark.sql import Window
+    from hermod_spark.operators.sketches import uniform_hash
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    got = sorted(
+        (r["source"], r["rn"], r["doc_id"])
+        for r in CUR.stratified_sample_exact(df, k=7).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        uniform_hash("doc_id").asc(), F.col("doc_id").asc()
+    )
+    want = sorted(
+        (r["source"], r["rn"], r["doc_id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    )
+    assert got == want
+    # exactly k per stratum
+    per = {}
+    for s, _, _ in got:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 7, "s1": 7, "s2": 7}
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    """A stratum with fewer than k rows returns every row (rate clamps
+    to 1.0)."""
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(1000 + i, "tiny") for i in range(3)],
+        "doc_id LONG, source STRING",
+    )
+    out = CUR.stratified_sample_exact(df, k=10).collect()
+    tiny = [r for r in out if r["source"] == "tiny"]
+    assert len(tiny) == 3
+    assert len([r for r in out if r["source"] == "big"]) == 10

@@ -254,3 +254,49 @@ def test_value_quantiles_approx_rank_error_bound(spark):
             hi = n - xs[::-1].index(v)
             target = math.ceil(p * n)
             assert lo - tol <= target <= hi + tol, (t, c, v, target)
+
+
+def test_value_outliers_strictly_above_p99(spark):
+    events = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 101)],
+        "event_id INT, event_type STRING, value DOUBLE",
+    )
+    # p99 = value at rank ceil(0.99*100)=99 → 99.0; only 100.0 is above
+    rows = R.value_outliers(events, prob=0.99).collect()
+    assert [(r["event_id"], r["value"], r["p99"]) for r in rows] == [(100, 100.0, 99.0)]
+
+
+def test_user_event_deltas(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, T(10, 0)), (2, 10, T(10, 1)), (3, 10, T(10, 31)),
+            (4, 20, T(9, 0)),  # single event: excluded (no gaps)
+        ],
+        "event_id INT, user_id INT, ts TIMESTAMP",
+    )
+    rows = {r["user_id"]: r for r in R.user_event_deltas(events).collect()}
+    assert set(rows) == {10}
+    r = rows[10]
+    assert r["n_events"] == 3
+    assert r["max_gap_s"] == 1800.0
+    assert abs(r["avg_gap_s"] - (60 + 1800) / 2) < 1e-9
+
+
+def test_retention_cohorts(spark):
+    def D(day, h=12):
+        return dt.datetime(2024, 1, day, h, tzinfo=UTC)
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, D(1)), (2, 1, D(2)),            # user 1: d1 retained
+            (3, 2, D(1)), (4, 2, D(4)),            # user 2: d3 retained
+            (5, 3, D(1)),                          # user 3: gone
+            (6, 4, D(2)), (7, 4, D(9)),            # user 4: cohort day 2, d7
+        ],
+        "event_id INT, user_id INT, ts TIMESTAMP",
+    )
+    rows = {r["cohort_day"].day: r for r in R.retention_cohorts(events).collect()}
+    c1 = rows[1]
+    assert (c1["n_users"], c1["d1"], c1["d3"], c1["d7"]) == (3, 1, 1, 0)
+    c2 = rows[2]
+    assert (c2["n_users"], c2["d1"], c2["d3"], c2["d7"]) == (1, 0, 0, 1)

@@ -163,3 +163,23 @@ def test_repetition_signals_no_python_in_plan(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
     plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_stats(spark):
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the cat the dog"),
+            (2, "a", "the bird"),
+            (3, "b", ""),
+            (4, "b", "x y z"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    rows = {r["source"]: r for r in textops.vocab_stats(df).collect()}
+    a = rows["a"]
+    assert (a["n_tokens"], a["n_vocab"]) == (6, 4)  # the cat dog bird
+    assert abs(a["type_token_ratio"] - 4 / 6) < 1e-6
+    b = rows["b"]  # empty doc contributes nothing
+    assert (b["n_tokens"], b["n_vocab"]) == (3, 3)
