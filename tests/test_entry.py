@@ -21,10 +21,12 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_has_a_query():
     q, o = set(E.queries()), set(E.oracle_sql())
     assert o <= q
-    # rows-only entries are the documented non-SQL-expressible ones
-    # (DuckDB 1.0 sha256() is VARCHAR-only, so HMAC's raw-byte inner
-    # digest cannot be composed in the oracle)
-    assert q - o == {"fn_hmac"}
+    # rows-only entries are the documented non-SQL-expressible ones:
+    # - fn_hmac: DuckDB 1.0 sha256() is VARCHAR-only, so HMAC's
+    #   raw-byte inner digest cannot be composed in the oracle
+    # - rel_quantiles_approx: GK-sketch values are engine-specific by
+    #   construction; pinned by the rank-error-bound pytest instead
+    assert q - o == {"fn_hmac", "rel_quantiles_approx"}
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
