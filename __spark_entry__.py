@@ -583,6 +583,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
+    q["rel_latest_per_key"] = lambda spark, sf: R.latest_event_per_key(
+        _t(spark, sf, "events")
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+    q["rel_range_join"] = lambda spark, sf: R.value_tier_rollup(
+        _t(spark, sf, "events")
+    )
+    # rolling mean over the hourly continuous-aggregate (Timescale-shape)
+    q["rel_moving_avg"] = lambda spark, sf: R.hourly_moving_avg(
+        _t(spark, sf, "events"), hours=3
+    )
     # thresholded anomaly gate on the scale-safe two-pass p99
     q["rel_outliers"] = lambda spark, sf: R.value_outliers(_t(spark, sf, "events"))
     # per-user gap stats: the high-cardinality window shape that scales
@@ -599,6 +609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_distinct(_t(spark, sf, "events"), "event_type", "user_id", k=64)
 
     q["sketch_kmv"] = sketch_kmv
+
+    def sketch_hll(spark, sf):
+        from hermod_spark.operators.sketches import hll_distinct
+
+        # rows-only: HLL registers are engine-internal (no cross-engine
+        # oracle); the rsd-bound pytest pins accuracy vs exact counts
+        return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id")
+
+    q["sketch_hll"] = sketch_hll
 
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
@@ -681,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["text_vocab"] = lambda spark, sf: textops.vocab_stats(_t(spark, sf, "documents"))
+    q["text_tfidf_top"] = lambda spark, sf: textops.tfidf_top_terms(
+        _t(spark, sf, "documents"), k=10, min_tf=5
+    )
 
     # --- training-data curation ---------------------------------------
     from hermod_spark.operators import curation as CUR
@@ -808,6 +830,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_windowed"] = stream_windowed
+
+    def stream_sliding(spark, sf):
+        """Sliding-window variant (2h window, 1h slide): each event
+        lands in two overlapping buckets — same plan batch or stream."""
+        from hermod_spark.streaming.windows import windowed_agg
+
+        msgs = message_frame(_prep(spark), sf).withColumn(
+            "value", F.get_json_object(F.col("payload").cast("string"), "$.temperature").cast("double")
+        )
+        out = windowed_agg(
+            msgs, time_col="time", key_col="topic", window="2 hours", slide="1 hour"
+        )
+        return out.select(
+            "bucket_start",
+            "bucket_end",
+            "topic",
+            F.round("avg_value", 6).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "value_count",
+        )
+
+    q["stream_sliding"] = stream_sliding
 
     return q
 
@@ -1055,6 +1100,30 @@ FROM ranked GROUP BY event_type"""
     # the two-pass refine computes the SAME exact order statistics —
     # identical oracle by construction
     o["rel_quantiles_twopass"] = o["rel_quantiles"]
+    o["rel_latest_per_key"] = """
+WITH r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type, ts, value FROM r WHERE rn = 1"""
+    o["rel_range_join"] = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 30.0), ('mid', 30.0, 70.0), ('high', 70.0, 1e9))
+SELECT tier, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier"""
+    o["rel_moving_avg"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(12,4))) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, hour, n,
+  ROUND(CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS avg_3h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
     o["rel_outliers"] = """
 WITH ranked AS (
   SELECT event_type, value, event_id,
@@ -1407,6 +1476,20 @@ SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_vocab,
   ROUND(COUNT(DISTINCT tok) / CAST(COUNT(*) AS DOUBLE), 6) AS type_token_ratio
 FROM t GROUP BY source"""
 
+    o["text_tfidf_top"] = f"""
+WITH tok AS (SELECT source, doc_id, unnest({toks2}) AS tok FROM documents),
+tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, tok, tf,
+    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok), nd
+  WHERE tf >= 5),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY tfidf DESC, tok ASC) AS rank FROM scored)
+SELECT source, tok, tf, tfidf, rank FROM r WHERE rank <= 10"""
+
     o["cur_sample_stratified"] = """
 WITH h AS (
   SELECT doc_id, source,
@@ -1486,4 +1569,15 @@ SELECT date_trunc('hour', time) AS bucket_start,
   ROUND(AVG(value), 6) AS avg_value,
   MIN(value) AS min_value, MAX(value) AS max_value, COUNT(value) AS value_count
 FROM msg GROUP BY 1, 2, 3"""
+    o["stream_sliding"] = f"""
+WITH msg AS ({_MSG_SQL}),
+e AS (
+  SELECT topic, value,
+    unnest([date_trunc('hour', time),
+            date_trunc('hour', time) - INTERVAL 1 HOUR]) AS bucket_start
+  FROM msg)
+SELECT bucket_start, bucket_start + INTERVAL 2 HOUR AS bucket_end, topic,
+  ROUND(AVG(value), 6) AS avg_value,
+  MIN(value) AS min_value, MAX(value) AS max_value, COUNT(value) AS value_count
+FROM e GROUP BY 1, 2, 3"""
     return o

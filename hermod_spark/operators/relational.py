@@ -376,6 +376,92 @@ def value_quantiles_approx(
     )
 
 
+def latest_event_per_key(
+    events: DataFrame, key: str = "user_id", time_col: str = "ts"
+) -> DataFrame:
+    """Keep-latest dedup: the newest event per key (ties broken by
+    event_id desc). One shuffle on the high-cardinality key;
+    row_number + filter(=1) compiles to a rank-limited sort Spark
+    evaluates with per-key top-1 state, not a full materialized rank."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(time_col).desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+_DEFAULT_TIERS = (("low", 0.0, 30.0), ("mid", 30.0, 70.0), ("high", 70.0, 1e9))
+
+
+def value_tier_rollup(
+    events: DataFrame,
+    tiers: tuple[tuple[str, float, float], ...] = _DEFAULT_TIERS,
+) -> DataFrame:
+    """Range join: classify events against a band dimension
+    (value ∈ [lo, hi)) and roll up per tier. The tier table is a
+    literal — Spark plans a broadcast nested-loop join, the right
+    physical strategy for a non-equi join against a constant-size dim:
+    the fact side streams through unshuffled, each row probing #tiers
+    intervals. (With many bands, pre-discretize to an equi-key
+    instead — that's `value_histogram`.)"""
+    spark = events.sparkSession
+    tier_df = spark.createDataFrame(
+        list(tiers), "tier string, lo double, hi double"
+    )
+    joined = events.join(
+        F.broadcast(tier_df),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
+    )
+
+
+def hourly_moving_avg(events: DataFrame, hours: int = 3) -> DataFrame:
+    """Trailing ``hours``-hour moving average over the per-type hourly
+    rollup — the continuous-aggregate + rolling-window shape of the
+    reference's Timescale workload (migrations/001_initial_schema.sql
+    hypertable + time_bucket usage).
+
+    Scale note: the rolling window partitions by event_type
+    (low-cardinality) but its INPUT is the hourly rollup — rows =
+    #types × #hours, already collapsed by a map-side-combinable
+    aggregation. A century of hourly buckets is <1M rows per type;
+    the window sorts the series, not the events. The raw-event shuffle
+    happens once, keyed by (type, hour) — high cardinality, skew-free."""
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("_sum"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(-(hours - 1), 0)
+    )
+    # decimal sums keep the rolling numerator exact (order-independent);
+    # one double divide at the end
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            (F.sum("_sum").over(w).cast("double") / F.sum("n").over(w)), 6
+        ).alias(f"avg_{hours}h"),
+    )
+
+
 def value_outliers(events: DataFrame, prob: float = 0.99) -> DataFrame:
     """Events strictly above their type's exact p-quantile — the
     per-metric anomaly gate. Thresholds come from the scale-safe

@@ -67,3 +67,22 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-key HyperLogLog++ distinct count (`approx_count_distinct`)
+    — the production sketch at 100 TB: O(1) memory per key, partial
+    sketches merge map-side, one shuffle of sketch bytes (not values).
+
+    Unlike KMV (deterministic, oracle-checkable), HLL register values
+    are engine-internal — there is no cross-engine oracle; the
+    rsd-bound pytest pins it against the exact count instead."""
+    return (
+        df.groupBy(F.col(key_col))
+        .agg(F.approx_count_distinct(value_col, rsd).alias("est_distinct"))
+    )

@@ -106,6 +106,53 @@ def vocab_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> Da
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 10,
+    min_tf: int = 5,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-k TF-IDF terms: tf per (group, token), document
+    frequency across the corpus, score = tf·ln(N/df), ranked within
+    group.
+
+    Scale shape: both heavy aggregations shuffle on high-cardinality
+    keys ((group, token) and token); N is a 1-row broadcast, never a
+    driver action. The per-group rank window runs AFTER the
+    ``tf >= min_tf`` gate — the long Zipf tail (hapax legomena, the
+    overwhelming bulk of any corpus vocabulary) never reaches it.
+    Scores are rounded to 6 BEFORE ranking so rank order can't flap on
+    a final-ulp ln() difference; exact score ties break on the token."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(by), F.col(id_col),
+        F.explode(X.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = tok.groupBy(by, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("tf") >= min_tf)
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(by, "tok", "tf", "tfidf", "rank")
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -300,3 +300,38 @@ def test_retention_cohorts(spark):
     assert (c1["n_users"], c1["d1"], c1["d3"], c1["d7"]) == (3, 1, 1, 0)
     c2 = rows[2]
     assert (c2["n_users"], c2["d1"], c2["d3"], c2["d7"]) == (1, 0, 0, 1)
+
+
+def test_hourly_moving_avg_trailing_buckets(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "a", 2.0, T(10, 0)), (2, "a", 4.0, T(10, 30)),  # hour 10: avg 3
+            (3, "a", 6.0, T(11, 0)),                            # hour 11
+            (4, "a", 12.0, T(13, 0)),                           # hour 13 (gap: 12 missing)
+        ],
+        "event_id INT, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    )
+    rows = {r["hour"].hour: r for r in R.hourly_moving_avg(events, hours=3).collect()}
+    assert rows[10]["avg_3h"] == 3.0
+    assert rows[11]["avg_3h"] == 4.0  # (2+4+6)/3
+    # trailing window is BUCKET-based (rows), not wall-clock: hour 13
+    # averages over buckets {10, 11, 13}
+    assert rows[13]["avg_3h"] == 6.0  # (2+4+6+12)/4
+
+
+def test_hll_distinct_within_rsd(spark):
+    from hermod_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [(1, f"k{i % 3}", i % (200 + 50 * (i % 3))) for i in range(5000)],
+        "x INT, key STRING, v INT",
+    )
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    est = {r["key"]: r["est_distinct"] for r in hll_distinct(df, "key", "v").collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # rsd=0.02 nominal; allow 5 sigma
+        assert abs(est[k] - n) <= max(2, 0.1 * n), (k, est[k], n)

@@ -183,3 +183,32 @@ def test_vocab_stats(spark):
     assert abs(a["type_token_ratio"] - 4 / 6) < 1e-6
     b = rows["b"]  # empty doc contributes nothing
     assert (b["n_tokens"], b["n_vocab"]) == (3, 3)
+
+
+def test_tfidf_top_terms(spark):
+    from hermod_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "apple apple apple banana"),
+            (2, "a", "apple cherry cherry cherry"),
+            (3, "b", "banana banana banana banana"),
+            (4, "b", "common common common common"),
+            (5, "a", "common common"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    out = textops.tfidf_top_terms(docs, k=3, min_tf=3)
+    rows = [(r["source"], r["tok"], r["tf"], r["rank"]) for r in out.collect()]
+    import math
+
+    # source a: apple tf=4 df=2, cherry tf=3 df=1, common tf=2 < min_tf
+    # source b: banana tf=4 df=2, common tf=4 df=2
+    a = [r for r in rows if r[0] == "a"]
+    assert [(t, tf) for _, t, tf, _ in sorted(a, key=lambda r: r[3])] == [
+        ("cherry", 3), ("apple", 4)
+    ]  # cherry: 3*ln(5/1)=4.83 > apple: 4*ln(5/2)=3.67
+    b = sorted([r for r in rows if r[0] == "b"], key=lambda r: r[3])
+    assert [t for _, t, _, _ in b] == ["banana", "common"]  # tie → token asc
+    scores = {r["tok"]: r["tfidf"] for r in out.collect() if r["source"] == "a"}
+    assert abs(scores["cherry"] - round(3 * math.log(5 / 1), 6)) < 1e-9
