@@ -761,6 +761,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_shards=8,
     )
 
+    def cur_decontaminate_fuzzy(spark, sf):
+        """LSH decontamination of the corpus (doc_id ≥ 100) against a
+        probe set (first 100 docs standing in for a benchmark suite;
+        13 contaminated docs at sf0.01 — non-trivial on purpose)."""
+        d = _t(spark, sf, "documents")
+        return dedup.cross_contamination(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            threshold=0.3,
+        )
+
+    q["cur_decontaminate_fuzzy"] = cur_decontaminate_fuzzy
+
     q["cur_sample_stratified"] = lambda spark, sf: CUR.stratified_sample_exact(
         _t(spark, sf, "documents"), k=50
     )
@@ -1489,6 +1502,21 @@ scored AS (
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
         ORDER BY tfidf DESC, tok ASC) AS rank FROM scored)
 SELECT source, tok, tf, tfidf, rank FROM r WHERE rank <= 10"""
+
+    o["cur_decontaminate_fuzzy"] = (
+        _minhash_banded_sql()
+        + f""",
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, p.doc_id AS pid
+  FROM banded c JOIN banded p
+    ON c.band_id = p.band_id AND c.band_key = p.band_key
+  WHERE c.doc_id >= 100 AND p.doc_id < 100),
+v AS (
+  SELECT cid, pid, {_jaccard_sql('a.s', 'b.s')} AS j
+  FROM cand JOIN sh a ON a.doc_id = cid JOIN sh b ON b.doc_id = pid)
+SELECT cid AS doc_id, COUNT(*) AS n_probe_hits, ROUND(MAX(j), 6) AS max_jaccard
+FROM v WHERE j >= 0.3 GROUP BY cid"""
+    )
 
     o["cur_sample_stratified"] = """
 WITH h AS (

@@ -228,6 +228,53 @@ def near_dup_candidates(
     )
 
 
+def cross_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents whose shingle
+    set is near-duplicate (exact Jaccard ≥ threshold) of ANY probe
+    document — the LSH-recall upgrade of `contamination_check`'s exact
+    n-gram membership (a paraphrased benchmark leaks past exact
+    n-grams; it does not leak past MinHash).
+
+    Cross-table shape: both sides run the same single-pass
+    minhash_bands pipeline; the probe side (benchmark suites: thousands
+    of rows, not billions) is BROADCAST, so the corpus never shuffles
+    for the candidate join; exact Jaccard runs only on candidates.
+    Returns (doc_id, n_probe_hits, max_jaccard)."""
+    cb = minhash_bands(
+        corpus, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
+    pb = minhash_bands(
+        probes, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    ).withColumnsRenamed({"_id": "_pid"})
+    cand = (
+        cb.join(F.broadcast(pb), ["band_id", "band_key"])
+        .select("_id", "_pid")
+        .distinct()
+    )
+    c_sh = corpus.select(F.col(id_col).alias("_id"), shingles(text_col, w).alias("_sc"))
+    p_sh = probes.select(F.col(id_col).alias("_pid"), shingles(text_col, w).alias("_sp"))
+    verified = (
+        cand.join(c_sh, "_id")
+        .join(F.broadcast(p_sh), "_pid")
+        .withColumn("j", jaccard(F.col("_sc"), F.col("_sp")))
+        .filter(F.col("j") >= threshold)
+    )
+    return verified.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_probe_hits"),
+        F.round(F.max("j"), 6).alias("max_jaccard"),
+    )
+
+
 def jaccard(col_a: Column, col_b: Column) -> Column:
     """Exact Jaccard over two shingle/token arrays."""
     inter = F.size(F.array_intersect(col_a, col_b)).cast("double")

@@ -143,3 +143,23 @@ def test_min_label_propagation_star_converges_fast(spark):
     labels, rounds = dedup.min_label_propagation(pairs, max_iterations=20)
     assert rounds <= 3
     assert {r["label"] for r in labels.collect()} == {1}
+
+
+def test_cross_contamination_finds_paraphrase(spark):
+    """A corpus doc sharing most shingles with a probe is flagged; an
+    unrelated doc is not; the probe side itself never appears."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "completely different text about spark execution plans"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    probes = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    rows = dedup.cross_contamination(corpus, probes, threshold=0.5).collect()
+    assert [r["doc_id"] for r in rows] == [10]
+    assert rows[0]["n_probe_hits"] == 1
+    assert rows[0]["max_jaccard"] > 0.6

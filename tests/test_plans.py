@@ -165,3 +165,12 @@ def test_lsh_topk_plan_build_is_lazy(spark):
     assert list(ids) == []
     # and the plan still executes correctly afterwards
     assert out.count() >= 0
+
+
+def test_decontaminate_fuzzy_broadcasts_probes(spark):
+    """The probe (benchmark) side must broadcast — the corpus never
+    shuffles for the candidate join — and no cartesian appears."""
+    plan = plan_of(spark, "cur_decontaminate_fuzzy")
+    assert "CartesianProduct" not in plan
+    assert count(r"BroadcastExchange", plan) >= 2  # band join + verify join
+    assert count(r"EvalPython", plan) == 0
