@@ -335,3 +335,50 @@ def test_hll_distinct_within_rsd(spark):
     for k, n in exact.items():
         # rsd=0.02 nominal; allow 5 sigma
         assert abs(est[k] - n) <= max(2, 0.1 * n), (k, est[k], n)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hermod_spark.operators.joins import salted_join
+
+    # heavy skew: 90% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i % 5) for i in range(1000)], "row_id LONG, k LONG"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(5)], "k LONG, name STRING"
+    )
+    plain = sorted(
+        (r["row_id"], r["k"], r["name"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["row_id"], r["k"], r["name"])
+        for r in salted_join(fact, dim, "k", salt=8, scatter_col="row_id").collect()
+    )
+    assert salted == plain and len(plain) == 1000
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from hermod_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 1), (2, 99)], "row_id LONG, k LONG")
+    dim = spark.createDataFrame([(1, "one")], "k LONG, name STRING")
+    rows = {
+        r["row_id"]: r["name"]
+        for r in salted_join(fact, dim, "k", salt=4, scatter_col="row_id", how="left").collect()
+    }
+    assert rows == {1: "one", 2: None}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from hermod_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(i, 1) for i in range(64)], "row_id LONG, k LONG")
+    dim = spark.createDataFrame([(1, "x")], "k LONG, v STRING")
+    out = salted_join(fact, dim, "k", salt=8, scatter_col="row_id")
+    # the internal salt takes >1 distinct value for a single hot key
+    n_salts = (
+        fact.withColumn("_salt", F.pmod(F.hash(F.col("row_id")), F.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert n_salts > 1
+    assert out.count() == 64
