@@ -676,6 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_quantize"] = lambda spark, sf: S.quantize_embeddings(
         _t(spark, sf, "embeddings")
     )
+    q["emb_normalize"] = lambda spark, sf: S.normalize_embeddings(
+        _t(spark, sf, "embeddings")
+    )
     q["sim_ivf_probe2"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"),
         k=_TOPK,
@@ -1333,6 +1336,13 @@ SELECT vec_id, ROUND(lo, 6) AS zero_point, ROUND(sc, 6) AS scale,
        ELSE list_transform(v, x -> CAST(floor((x - lo) / sc + 0.5) AS INTEGER))
   END AS codes
 FROM s"""
+    o["emb_normalize"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+  CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
+       ELSE list_transform(v, x -> ROUND(x / nrm, 6)) END AS unit
+FROM n"""
     o["sim_ivf_probe2"] = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),

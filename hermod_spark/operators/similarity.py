@@ -175,6 +175,27 @@ def quantize_embeddings(
     )
 
 
+def normalize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2 normalization to unit vectors — the standard pre-step that
+    turns cosine search into plain inner product (so IVF-IP and dot
+    scoring are exact cosine). Pure array exprs, shuffle-free; the
+    norm uses the same left-to-right `aggregate` fold as DuckDB's
+    list_dot_product (bit-identical). Zero vectors pass through as
+    zeros (norm 0 guard)."""
+    v = F.col(vec_col)
+    n = norm(v)
+    unit = F.when(n == 0, F.transform(v, lambda _: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / n, 6))
+    )
+    return embeddings.select(
+        F.col(id_col), F.round(n, 6).alias("l2_norm"), unit.alias("unit")
+    )
+
+
 def centroids_of(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -382,3 +382,15 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert n_salts > 1
     assert out.count() == 64
+
+
+def test_value_quantiles_twopass_negative_values(spark):
+    """floor()-bucketing must stay monotonic for negative values (floor
+    of negatives rounds AWAY from zero — the property the global-order
+    reconstruction relies on)."""
+    rows = [(i, "a", float(i) - 50.5) for i in range(1, 102)]  # -49.5..50.5
+    events = spark.createDataFrame(rows, "event_id INT, event_type STRING, value DOUBLE")
+    exact = R.value_quantiles(events).first()
+    twop = R.value_quantiles_twopass(events).first()
+    for c in ("p50", "p90", "p99"):
+        assert exact[c] == twop[c], c

@@ -130,3 +130,16 @@ def test_embedding_near_dups_symmetric_dedup(embeddings):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert r["sim"] >= 0.9
+
+
+def test_normalize_embeddings_unit_norm_and_zero_guard(spark):
+    from hermod_spark.operators.similarity import normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    rows = {r["vec_id"]: r for r in normalize_embeddings(df).collect()}
+    assert rows[1]["l2_norm"] == 5.0
+    assert rows[1]["unit"] == [0.6, 0.8]
+    assert rows[2]["l2_norm"] == 0.0
+    assert rows[2]["unit"] == [0.0, 0.0]
