@@ -583,6 +583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
+    q["rel_grouping_sets"] = lambda spark, sf: R.event_grouping_sets(
+        _t(spark, sf, "events")
+    )
+    q["snk_retention_plan"] = lambda spark, sf: R.retention_drop_plan(
+        _t(spark, sf, "events"), keep_days=7
+    )
     q["rel_latest_per_key"] = lambda spark, sf: R.latest_event_per_key(
         _t(spark, sf, "events")
     ).select("event_id", "user_id", "event_type", "ts", "value")
@@ -1116,6 +1122,20 @@ FROM ranked GROUP BY event_type"""
     # the two-pass refine computes the SAME exact order statistics —
     # identical oracle by construction
     o["rel_quantiles_twopass"] = o["rel_quantiles"]
+    o["rel_grouping_sets"] = """
+WITH f AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+  FROM events)
+SELECT event_type, day, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
+  GROUPING(event_type) * 2 + GROUPING(day) AS gid
+FROM f GROUP BY GROUPING SETS ((event_type), (event_type, day), ())"""
+    o["snk_retention_plan"] = """
+WITH days AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_rows
+  FROM events GROUP BY 1),
+h AS (SELECT MAX(day) - INTERVAL 7 DAY AS cutoff FROM days)
+SELECT day, n_rows FROM days, h WHERE day < cutoff"""
     o["rel_latest_per_key"] = """
 WITH r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

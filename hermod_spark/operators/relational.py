@@ -376,6 +376,47 @@ def value_quantiles_approx(
     )
 
 
+def event_grouping_sets(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form `rollup`/`cube`
+    specialize: per-type totals, per-(type, day) details, and the
+    grand total in ONE pass (Spark expands the sets inside a single
+    aggregation; no union of three scans). GROUPING ids disambiguate
+    the null-as-aggregate rows."""
+    framed = events.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        framed.groupingSets(
+            [["event_type"], ["event_type", "day"], []], "event_type", "day"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            (F.grouping("event_type") * 2 + F.grouping("day")).alias("gid"),
+        )
+    )
+
+
+def retention_drop_plan(events: DataFrame, keep_days: int = 7) -> DataFrame:
+    """Retention as a QUERY: the daily partitions a drop-before policy
+    would remove (everything older than max(day) − keep_days), with
+    per-partition row counts — the planning half of
+    `sinks.retention.drop_partitions_before`, computed as one rollup +
+    a scalar broadcast. At 100 TB the real drop is a metadata
+    operation per partition directory; this plan is what it reads."""
+    days = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    horizon = days.agg(
+        F.date_sub(F.max("day"), keep_days).cast("timestamp").alias("_cutoff")
+    )
+    return (
+        days.crossJoin(F.broadcast(horizon))
+        .filter(F.col("day") < F.col("_cutoff"))
+        .select("day", "n_rows")
+    )
+
+
 def latest_event_per_key(
     events: DataFrame, key: str = "user_id", time_col: str = "ts"
 ) -> DataFrame:

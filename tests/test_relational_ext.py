@@ -394,3 +394,32 @@ def test_value_quantiles_twopass_negative_values(spark):
     twop = R.value_quantiles_twopass(events).first()
     for c in ("p50", "p90", "p99"):
         assert exact[c] == twop[c], c
+
+
+def test_event_grouping_sets_shapes(spark):
+    events = spark.createDataFrame(
+        [(1, "a", 2.0, T(10)), (2, "a", 4.0, T(11)), (3, "b", 6.0, T(10))],
+        "event_id INT, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    )
+    rows = R.event_grouping_sets(events).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0: (type, day) detail; gid 1: per-type; gid 3: grand total
+    assert len(by_gid[0]) == 2  # a has 1 day (same day both events), b has 1
+    assert {r["event_type"]: r["n"] for r in by_gid[1]} == {"a": 2, "b": 1}
+    grand = by_gid[3][0]
+    assert grand["n"] == 3 and grand["total_value"] == 12.0
+
+
+def test_retention_drop_plan(spark):
+    def D(day):
+        return dt.datetime(2024, 1, day, 12, tzinfo=UTC)
+
+    events = spark.createDataFrame(
+        [(i, D(d)) for i, d in enumerate([1, 1, 2, 5, 10])],
+        "event_id INT, ts TIMESTAMP",
+    )
+    rows = sorted(r["day"].day for r in R.retention_drop_plan(events, keep_days=7).collect())
+    # cutoff = day 10 - 7 = day 3: days 1 and 2 drop, day 5 and 10 stay
+    assert rows == [1, 2]
