@@ -65,8 +65,9 @@ def duplicate_groups(
         .groupBy("dup_key")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
-        .orderBy("dup_key")
     )
+    # no trailing orderBy: a global sort of an O(groups) result is a
+    # range shuffle that buys nothing — consumers sort if they need to
 
 
 # ---------------------------------------------------------------- MinHash/LSH
@@ -224,8 +225,9 @@ def near_dup_candidates(
         buckets.select(F.explode(pairs).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
-        .orderBy("id_a", "id_b")
     )
+    # unsorted on purpose: the pair set is O(candidates) — at 100 TB a
+    # trailing global sort would be a full range shuffle of every pair
 
 
 def cross_contamination(
@@ -307,8 +309,7 @@ def near_dup_pairs(
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    )
+    )  # unsorted: O(pairs) output, same rationale as near_dup_candidates
 
 
 # ------------------------------------------------------------------- SimHash
@@ -481,4 +482,5 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+    # unsorted: O(pairs) output, same rationale as near_dup_candidates
+    return pairs.filter(F.col("hamming") <= max_hamming)

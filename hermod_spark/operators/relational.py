@@ -165,7 +165,7 @@ def running_order_total(orders: DataFrame, custkey: int | None = None) -> DataFr
         "o_custkey",
         "o_orderkey",
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )  # unsorted: O(orders) output; the window already sorted within keys
 
 
 def part_supplier_overlap(lineitem: DataFrame) -> DataFrame:
@@ -177,7 +177,7 @@ def part_supplier_overlap(lineitem: DataFrame) -> DataFrame:
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep a
     # value whose multiplicity in s1 exceeds its multiplicity in s2
     only1 = s1.subtract(s2).withColumn("which", F.lit("only_s1"))
-    return both.unionByName(only1).orderBy("which", "l_partkey")
+    return both.unionByName(only1)  # unsorted: O(parts) output
 
 
 def hourly_event_rollup(events: DataFrame) -> DataFrame:

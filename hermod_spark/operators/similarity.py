@@ -326,5 +326,5 @@ def embedding_near_dups(
             F.col("b._id").alias("id_b"),
             F.round("sim", 6).alias("sim"),
         )
-        .orderBy("id_a", "id_b")
-    )
+    )  # unsorted: O(pairs) output — a trailing global sort is a full
+    # range shuffle at 100 TB; the correctness canon sorts rows itself
