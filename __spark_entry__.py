@@ -783,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_decontaminate_fuzzy"] = cur_decontaminate_fuzzy
 
+    q["cur_length_filter"] = lambda spark, sf: CUR.length_percentile_filter(
+        _t(spark, sf, "documents")
+    )
     q["cur_sample_stratified"] = lambda spark, sf: CUR.stratified_sample_exact(
         _t(spark, sf, "documents"), k=50
     )
@@ -1547,6 +1550,20 @@ v AS (
 SELECT cid AS doc_id, COUNT(*) AS n_probe_hits, ROUND(MAX(j), 6) AS max_jaccard
 FROM v WHERE j >= 0.3 GROUP BY cid"""
     )
+
+    o["cur_length_filter"] = f"""
+WITH l AS (SELECT doc_id, CAST(len({toks2}) AS DOUBLE) AS n_tok FROM documents),
+ranked AS (
+  SELECT doc_id, n_tok,
+    ROW_NUMBER() OVER (ORDER BY n_tok ASC, doc_id ASC) AS rn,
+    COUNT(*) OVER () AS n
+  FROM l),
+q AS (
+  SELECT MAX(CASE WHEN rn = ceil(0.05 * n) THEN n_tok END) AS p5,
+         MAX(CASE WHEN rn = ceil(0.95 * n) THEN n_tok END) AS p95
+  FROM ranked)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens, p5, p95
+FROM l, q WHERE n_tok >= p5 AND n_tok <= p95"""
 
     o["cur_sample_stratified"] = """
 WITH h AS (

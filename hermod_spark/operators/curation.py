@@ -217,6 +217,50 @@ def stratified_sample_exact(
     )
 
 
+def length_percentile_filter(
+    df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop length-outlier documents: keep docs whose token count sits
+    within the corpus's exact [p_lo, p_hi] (a standard curation gate —
+    truncated fragments and concatenation blobs sit in the tails).
+
+    The thresholds come from the generic two-pass exact quantile
+    (`relational.value_quantiles_twopass` over a single corpus-wide
+    group) — at 100 TB the single-group case is exactly where the
+    naive one-window form degenerates to ONE sort partition, and the
+    histogram-refine shape keeps every sort bucket-sized. The 2-row
+    threshold frame broadcasts back onto the scan."""
+    from hermod_spark.functions.text import token_count
+    from hermod_spark.operators.relational import value_quantiles_twopass
+
+    lengths = df.select(
+        F.lit("all").alias("_g"),
+        F.col(id_col),
+        token_count(text_col).cast("double").alias("n_tok"),
+    )
+    lo_name, hi_name = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    qs = value_quantiles_twopass(
+        lengths, probs=(lo, hi), width=16.0,
+        group_col="_g", value_col="n_tok", id_col=id_col,
+    ).drop("_g")
+    return (
+        lengths.crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col("n_tok") >= F.col(lo_name)) & (F.col("n_tok") <= F.col(hi_name))
+        )
+        .select(
+            id_col,
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            lo_name,
+            hi_name,
+        )
+    )
+
+
 def group_centroids(
     embeddings: DataFrame,
     group_expr: Column,

@@ -275,6 +275,9 @@ def value_quantiles_twopass(
     events: DataFrame,
     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
     width: float = 5.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """EXACT per-type quantiles, scale-safe: the same order statistics
     as :func:`value_quantiles` (value at rank ceil(p·n), ties by
@@ -298,26 +301,31 @@ def value_quantiles_twopass(
 
     floor() bucketing is monotonic, so in-bucket order + bucket order
     is the global order and the answer is bit-identical to the
-    single-window exact query — same DuckDB oracle, hash-green."""
+    single-window exact query — same DuckDB oracle, hash-green.
+
+    Generic over (group_col, value_col, id_col) — `cur_length_filter`
+    reuses it for document-length percentiles."""
     import math
 
-    vals = events.filter(F.col("value").isNotNull()).select(
-        "event_type", "value", "event_id"
+    vals = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_grp"),
+        F.col(value_col).alias("_val"),
+        F.col(id_col).alias("_tie"),
     )
     bucketed = vals.withColumn(
-        "bucket", F.floor(F.col("value") / F.lit(width)).cast("long")
+        "bucket", F.floor(F.col("_val") / F.lit(width)).cast("long")
     )
     hist = (
-        bucketed.groupBy("event_type", "bucket")
+        bucketed.groupBy("_grp", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     per_type: dict[str, list[tuple[int, int]]] = {}
     for r in hist:
-        per_type.setdefault(r["event_type"], []).append((r["bucket"], r["cnt"]))
+        per_type.setdefault(r["_grp"], []).append((r["bucket"], r["cnt"]))
 
-    cand_rows = []  # (event_type, bucket, base = rows in lower buckets)
-    rank_rows = []  # (event_type, rank_p0, rank_p1, ...)
+    cand_rows = []  # (_grp, bucket, base = rows in lower buckets)
+    rank_rows = []  # (_grp, rank_p0, rank_p1, ...)
     for et, lst in per_type.items():
         lst.sort()
         n = sum(c for _, c in lst)
@@ -332,24 +340,24 @@ def value_quantiles_twopass(
     spark = events.sparkSession
     names = [f"p{int(p * 100)}" for p in probs]
     cand_meta = spark.createDataFrame(
-        cand_rows, "event_type string, bucket long, base long"
+        cand_rows, "_grp string, bucket long, base long"
     )
     rank_meta = spark.createDataFrame(
-        rank_rows, "event_type string, " + ", ".join(f"_r_{c} long" for c in names)
+        rank_rows, "_grp string, " + ", ".join(f"_r_{c} long" for c in names)
     )
-    w = Window.partitionBy("event_type", "bucket").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+    w = Window.partitionBy("_grp", "bucket").orderBy(
+        F.col("_val").asc(), F.col("_tie").asc()
     )
     ranked = (
-        bucketed.join(F.broadcast(cand_meta), ["event_type", "bucket"])
+        bucketed.join(F.broadcast(cand_meta), ["_grp", "bucket"])
         .withColumn("rn", F.row_number().over(w) + F.col("base"))
-        .join(F.broadcast(rank_meta), "event_type")
+        .join(F.broadcast(rank_meta), "_grp")
     )
     aggs = [
-        F.max(F.when(F.col("rn") == F.col(f"_r_{c}"), F.col("value"))).alias(c)
+        F.max(F.when(F.col("rn") == F.col(f"_r_{c}"), F.col("_val"))).alias(c)
         for c in names
     ]
-    return ranked.groupBy("event_type").agg(*aggs)
+    return ranked.groupBy(F.col("_grp").alias(group_col)).agg(*aggs)
 
 
 def value_quantiles_approx(

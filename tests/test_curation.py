@@ -217,3 +217,18 @@ def test_stratified_sample_small_stratum_keeps_all(spark):
     tiny = [r for r in out if r["source"] == "tiny"]
     assert len(tiny) == 3
     assert len([r for r in out if r["source"] == "big"]) == 10
+
+
+def test_length_percentile_filter(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(
+            [1] + [10] * 38 + [500]  # one short outlier, one long outlier
+        )],
+        "doc_id LONG, text STRING",
+    )
+    # ceil(0.05*40)=2nd smallest → p5=10; ceil(0.95*40)=38th → p95=10
+    rows = CUR.length_percentile_filter(docs, lo=0.05, hi=0.95).collect()
+    kept = {r["doc_id"] for r in rows}
+    assert 0 not in kept and 39 not in kept  # both tails dropped
+    assert len(kept) == 38
+    assert all(r["n_tokens"] == 10 for r in rows)
