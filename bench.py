@@ -76,6 +76,10 @@ HEADLINE = [
     # added r03 (no baseline row yet — gate skips them this round)
     "rel_quantiles_twopass",
     "cur_centroids",
+    "text_tfidf_top",
+    "cur_decontaminate_fuzzy",
+    "rel_latest_per_key",
+    "cur_length_filter",
 ]
 
 
