@@ -165,6 +165,10 @@ def main() -> None:
                 )
     if regressions:
         print(f"# BENCH REGRESSION GATE FAILED: {sorted(regressions)}", file=sys.stderr)
+    # The driver must still receive the JSON line (below), so the
+    # default exit stays 0; CI callers that want a hard gate set
+    # SPARK_GRAFT_BENCH_STRICT=1 to turn regressions into rc=1.
+    strict_fail = bool(regressions) and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1"
 
     print(
         json.dumps(
@@ -178,6 +182,8 @@ def main() -> None:
             }
         )
     )
+    if strict_fail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

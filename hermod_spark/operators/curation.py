@@ -200,9 +200,16 @@ def stratified_sample_exact(
         df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
     )
     thr: Column | None = None
-    for r in sorted(counts, key=lambda r: str(r[0])):
+    for r in sorted(counts, key=lambda r: (r[0] is None, str(r[0]))):
         t = min(1.0, oversample * k / max(r["n"], 1))
-        cond = F.col(stratum_col) == r[0]
+        # eqNullSafe: a NULL stratum must match its own threshold too —
+        # `==` would leave every NULL row on the otherwise(1.0) branch
+        # and full-sort the whole NULL stratum
+        cond = (
+            F.col(stratum_col).isNull()
+            if r[0] is None
+            else F.col(stratum_col).eqNullSafe(F.lit(r[0]))
+        )
         thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
     if thr is None:  # empty input
         return df.select(F.col(key_col), F.col(stratum_col)).withColumn(
@@ -242,7 +249,9 @@ def length_percentile_filter(
         F.col(id_col),
         token_count(text_col).cast("double").alias("n_tok"),
     )
-    lo_name, hi_name = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    from hermod_spark.operators.relational import quantile_column_names
+
+    lo_name, hi_name = quantile_column_names((lo, hi))
     qs = value_quantiles_twopass(
         lengths, probs=(lo, hi), width=16.0,
         group_col="_g", value_col="n_tok", id_col=id_col,

@@ -265,10 +265,25 @@ def value_quantiles(
     aggs = [
         F.max(
             F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
-        ).alias(f"p{int(p * 100)}")
-        for p in probs
+        ).alias(n)
+        for p, n in zip(probs, quantile_column_names(probs))
     ]
     return ranked.groupBy("event_type").agg(*aggs)
+
+
+# sentinel join key for the NULL group (equi-joins drop NULL keys; the
+# sentinel keeps the NULL group flowing through the metadata joins)
+_NULL_KEY = "\x00<null-group>"
+
+
+def quantile_column_names(probs: tuple[float, ...]) -> list[str]:
+    """p0.29 → 'p29' (round, not truncate — int(0.29*100) is 28 in
+    binary float). Duplicate/colliding probs are a caller bug: fail
+    loudly rather than emit two identically-named columns."""
+    names = [f"p{int(round(p * 100))}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs {probs} collide into duplicate columns {names}")
+    return names
 
 
 def value_quantiles_twopass(
@@ -304,11 +319,18 @@ def value_quantiles_twopass(
     single-window exact query — same DuckDB oracle, hash-green.
 
     Generic over (group_col, value_col, id_col) — `cur_length_filter`
-    reuses it for document-length percentiles."""
+    reuses it for document-length percentiles. The metadata joins run
+    on a string-normalized group key (`_grpk`: cast-to-string, NULL →
+    sentinel) so non-string group columns and the NULL group both
+    survive the equi-joins; the ORIGINAL typed group value is carried
+    alongside and restored on output, matching the one-window exact
+    form exactly."""
     import math
 
+    names = quantile_column_names(probs)
     vals = events.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_grp"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY)).alias("_grpk"),
         F.col(value_col).alias("_val"),
         F.col(id_col).alias("_tie"),
     )
@@ -316,16 +338,16 @@ def value_quantiles_twopass(
         "bucket", F.floor(F.col("_val") / F.lit(width)).cast("long")
     )
     hist = (
-        bucketed.groupBy("_grp", "bucket")
+        bucketed.groupBy("_grpk", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     per_type: dict[str, list[tuple[int, int]]] = {}
     for r in hist:
-        per_type.setdefault(r["_grp"], []).append((r["bucket"], r["cnt"]))
+        per_type.setdefault(r["_grpk"], []).append((r["bucket"], r["cnt"]))
 
-    cand_rows = []  # (_grp, bucket, base = rows in lower buckets)
-    rank_rows = []  # (_grp, rank_p0, rank_p1, ...)
+    cand_rows = []  # (_grpk, bucket, base = rows in lower buckets)
+    rank_rows = []  # (_grpk, rank_p0, rank_p1, ...)
     for et, lst in per_type.items():
         lst.sort()
         n = sum(c for _, c in lst)
@@ -338,25 +360,25 @@ def value_quantiles_twopass(
             cum += c
 
     spark = events.sparkSession
-    names = [f"p{int(p * 100)}" for p in probs]
     cand_meta = spark.createDataFrame(
-        cand_rows, "_grp string, bucket long, base long"
+        cand_rows, "_grpk string, bucket long, base long"
     )
     rank_meta = spark.createDataFrame(
-        rank_rows, "_grp string, " + ", ".join(f"_r_{c} long" for c in names)
+        rank_rows, "_grpk string, " + ", ".join(f"_r_{c} long" for c in names)
     )
-    w = Window.partitionBy("_grp", "bucket").orderBy(
+    w = Window.partitionBy("_grpk", "bucket").orderBy(
         F.col("_val").asc(), F.col("_tie").asc()
     )
     ranked = (
-        bucketed.join(F.broadcast(cand_meta), ["_grp", "bucket"])
+        bucketed.join(F.broadcast(cand_meta), ["_grpk", "bucket"])
         .withColumn("rn", F.row_number().over(w) + F.col("base"))
-        .join(F.broadcast(rank_meta), "_grp")
+        .join(F.broadcast(rank_meta), "_grpk")
     )
     aggs = [
         F.max(F.when(F.col("rn") == F.col(f"_r_{c}"), F.col("_val"))).alias(c)
         for c in names
     ]
+    # group by the ORIGINAL typed value (1:1 with _grpk by construction)
     return ranked.groupBy(F.col("_grp").alias(group_col)).agg(*aggs)
 
 
@@ -372,10 +394,8 @@ def value_quantiles_approx(
     sketch-dependent, so this has no cross-engine oracle; the
     error-bound test pins it against the exact path instead."""
     aggs = [
-        F.percentile_approx("value", F.lit(p), F.lit(accuracy)).alias(
-            f"p{int(p * 100)}"
-        )
-        for p in probs
+        F.percentile_approx("value", F.lit(p), F.lit(accuracy)).alias(n)
+        for p, n in zip(probs, quantile_column_names(probs))
     ]
     return (
         events.filter(F.col("value").isNotNull())
@@ -426,14 +446,17 @@ def retention_drop_plan(events: DataFrame, keep_days: int = 7) -> DataFrame:
 
 
 def latest_event_per_key(
-    events: DataFrame, key: str = "user_id", time_col: str = "ts"
+    events: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Keep-latest dedup: the newest event per key (ties broken by
-    event_id desc). One shuffle on the high-cardinality key;
+    ``tiebreak_col`` desc). One shuffle on the high-cardinality key;
     row_number + filter(=1) compiles to a rank-limited sort Spark
     evaluates with per-key top-1 state, not a full materialized rank."""
     w = Window.partitionBy(key).orderBy(
-        F.col(time_col).desc(), F.col("event_id").desc()
+        F.col(time_col).desc(), F.col(tiebreak_col).desc()
     )
     return (
         events.withColumn("_rn", F.row_number().over(w))
@@ -517,7 +540,7 @@ def value_outliers(events: DataFrame, prob: float = 0.99) -> DataFrame:
     two-pass quantile (histogram → bucket refine), then broadcast-join
     back onto the fact: the events table is scanned, never shuffled,
     and the threshold side is #types rows."""
-    name = f"p{int(prob * 100)}"
+    name = quantile_column_names((prob,))[0]
     thresholds = value_quantiles_twopass(events, probs=(prob,))
     return (
         events.join(F.broadcast(thresholds), "event_type")

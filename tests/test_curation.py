@@ -232,3 +232,28 @@ def test_length_percentile_filter(spark):
     assert 0 not in kept and 39 not in kept  # both tails dropped
     assert len(kept) == 38
     assert all(r["n_tokens"] == 10 for r in rows)
+
+
+def test_stratified_sample_null_stratum_not_full_sorted(spark):
+    """A NULL stratum gets its own threshold (eqNullSafe) — not the
+    fall-through 1.0 that would full-sort it — and still returns
+    exactly k rows."""
+    df = spark.createDataFrame(
+        [(i, None if i < 200 else "s") for i in range(300)],
+        "doc_id LONG, source STRING",
+    )
+    out = CUR.stratified_sample_exact(df, k=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {None: 5, "s": 5}
+    # and the survivor filter really dropped most of the NULL stratum
+    # before the window (threshold 8*5/200 = 0.2, not 1.0)
+    from hermod_spark.operators.sketches import uniform_hash
+
+    survivors = df.filter(
+        uniform_hash("doc_id")
+        < F.when(F.col("source").isNull(), F.lit(8 * 5 / 200)).otherwise(F.lit(8 * 5 / 100))
+    ).count()
+    assert survivors < 100

@@ -423,3 +423,33 @@ def test_retention_drop_plan(spark):
     rows = sorted(r["day"].day for r in R.retention_drop_plan(events, keep_days=7).collect())
     # cutoff = day 10 - 7 = day 3: days 1 and 2 drop, day 5 and 10 stay
     assert rows == [1, 2]
+
+
+def test_value_quantiles_twopass_null_group_and_int_group(spark):
+    """The NULL group must survive the metadata equi-joins (sentinel
+    key), and a non-string group column must work (string-normalized
+    join key, original type restored on output)."""
+    events = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, None, 3.0), (4, "a", 9.0)],
+        "event_id INT, event_type STRING, value DOUBLE",
+    )
+    exact = {r["event_type"]: r for r in R.value_quantiles(events).collect()}
+    twop = {r["event_type"]: r for r in R.value_quantiles_twopass(events).collect()}
+    assert set(twop) == set(exact) == {None, "a"}
+    assert twop[None]["p50"] == exact[None]["p50"] == 2.0
+
+    ints = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(1, 21)],
+        "event_id INT, grp INT, value DOUBLE",
+    )
+    out = {r["grp"]: r for r in R.value_quantiles_twopass(
+        ints, group_col="grp"
+    ).collect()}
+    assert set(out) == {0, 1}  # typed int groups, not strings
+    assert out[1]["p50"] == 9.0  # odds 1..19: ceil(0.5*10)=5th = 9
+
+
+def test_quantile_column_names_round_and_collide(spark):
+    assert R.quantile_column_names((0.29, 0.57)) == ["p29", "p57"]
+    with pytest.raises(ValueError):
+        R.quantile_column_names((0.5, 0.504))
