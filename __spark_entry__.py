@@ -583,6 +583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "events")
     )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
+    # day-1 slice: over the full month every user completes the funnel
+    # (1 row); the 24h window yields the real 0..3 depth distribution
+    q["rel_seq_funnel"] = lambda spark, sf: R.sequence_funnel(
+        _t(spark, sf, "events").filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    )
     q["rel_grouping_sets"] = lambda spark, sf: R.event_grouping_sets(
         _t(spark, sf, "events")
     )
@@ -1110,6 +1115,23 @@ SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS cohort_day,
   ((SUM(CAST(converted AS INT)) * 1000000) // COUNT(*)) / 1000000.0
     AS conversion_rate
 FROM per_user GROUP BY 1"""
+    o["rel_seq_funnel"] = """
+WITH m AS (
+  SELECT user_id, {'t': epoch_ns(ts) // 1000,
+                   's': CASE event_type WHEN 'view' THEN 1
+                        WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END} AS e
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+seqs AS (SELECT user_id, list_sort(list(e)) AS seq FROM m GROUP BY user_id),
+d AS (
+  SELECT user_id,
+    list_reduce(
+      list_prepend({'t': CAST(0 AS BIGINT), 's': 0}, seq),
+      (acc, x) -> CASE WHEN x.s = acc.s + 1 THEN x ELSE acc END
+    ).s AS funnel_depth
+  FROM seqs)
+SELECT funnel_depth, COUNT(*) AS n_users FROM d GROUP BY funnel_depth"""
     o["rel_quantiles"] = """
 WITH ranked AS (
   SELECT event_type, value,

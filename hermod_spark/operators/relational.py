@@ -602,6 +602,48 @@ def retention_cohorts(
     )
 
 
+def sequence_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-sequence funnel (ClickHouse `windowFunnel` shape): per
+    user, how deep into the ``steps`` sequence their event history
+    progresses IN TIME ORDER (a purchase before any view counts 0),
+    rolled up to users-per-depth.
+
+    ONE shuffle (groupBy user) — no per-step self-joins: each user's
+    step events are collected, sorted by (µs timestamp, step index),
+    and folded with a native `aggregate` whose state is the last
+    matched step — per-user work is O(events·1) in codegen, and state
+    is one struct. The µs-long sort key (not raw timestamps) keeps the
+    fold order engine-identical."""
+    idx: Column | None = None
+    for i, s in enumerate(steps):
+        c = F.col("event_type") == s
+        idx = F.when(c, i + 1) if idx is None else idx.when(c, i + 1)
+    evs = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"), idx.cast("int").alias("s")
+        ).alias("e"),
+    )
+    seqs = evs.groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    init = F.struct(F.lit(0).cast("long").alias("t"), F.lit(0).cast("int").alias("s"))
+    depth = F.aggregate(
+        "seq",
+        init,
+        lambda acc, x: F.when(
+            x.getField("s") == acc.getField("s") + 1, x
+        ).otherwise(acc),
+    ).getField("s")
+    return (
+        seqs.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_depth")
+    )
+
+
 def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame:
     """Conversion funnel: per signup-day cohort, how many users made a
     purchase within ``within_days`` of their FIRST signup.

@@ -453,3 +453,19 @@ def test_quantile_column_names_round_and_collide(spark):
     assert R.quantile_column_names((0.29, 0.57)) == ["p29", "p57"]
     with pytest.raises(ValueError):
         R.quantile_column_names((0.5, 0.504))
+
+
+def test_sequence_funnel_depths(spark):
+    events = spark.createDataFrame(
+        [
+            # user 10: full ordered sequence
+            (1, 10, "view", T(1)), (2, 10, "click", T(2)), (3, 10, "purchase", T(3)),
+            # user 20: purchase BEFORE view → depth 1 only (view matched)
+            (4, 20, "purchase", T(1)), (5, 20, "view", T(2)),
+            # user 30: click only, never a view → depth 0
+            (6, 30, "click", T(5)),
+        ],
+        "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP",
+    )
+    rows = {r["funnel_depth"]: r["n_users"] for r in R.sequence_funnel(events).collect()}
+    assert rows == {3: 1, 1: 1, 0: 1}
