@@ -203,3 +203,41 @@ def test_stream_stream_join_e2e_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == {("dev1", 20.0, "hi"), ("dev2", 30.0, "lo")}
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """Sliding (2h window / 1h slide) variant: every event lands in two
+    overlapping buckets and the stream output equals the batch plan."""
+    batch = _mk_batch(spark)
+    src = str(tmp_path / "slide_src")
+    batch.write.parquet(src)
+
+    stream = message_stream(spark, src, schema=batch.schema)
+    out = windowed_agg(
+        stream, window="2 hours", slide="1 hour", watermark="4 hours"
+    )
+    sink = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {sink}").collect()
+    finally:
+        q.stop()
+
+    want = {
+        (r["bucket_start"], r["topic"]): (r["avg_value"], r["value_count"])
+        for r in windowed_agg(batch, window="2 hours", slide="1 hour").collect()
+    }
+    got_map = {
+        (r["bucket_start"], r["topic"]): (r["avg_value"], r["value_count"]) for r in got
+    }
+    assert got_map == want
+    # each 10:xx event appears in the 09:00 and 10:00 windows
+    assert (dt.datetime(2024, 1, 1, 9, 0), "a") in got_map
+    assert (dt.datetime(2024, 1, 1, 10, 0), "a") in got_map
