@@ -613,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_retention"] = lambda spark, sf: R.retention_cohorts(_t(spark, sf, "events"))
     q["rel_pivot"] = lambda spark, sf: R.event_type_pivot(_t(spark, sf, "events"))
     q["rel_histogram"] = lambda spark, sf: R.value_histogram(_t(spark, sf, "events"))
+    q["rel_histogram_equidepth"] = lambda spark, sf: R.value_histogram_equidepth(
+        _t(spark, sf, "events")
+    )
 
     def sketch_kmv(spark, sf):
         from hermod_spark.operators.sketches import kmv_distinct
@@ -1236,6 +1239,26 @@ FROM events GROUP BY 1"""
 SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, COUNT(*) AS n,
   MIN(value) AS min_value, MAX(value) AS max_value
 FROM events WHERE value IS NOT NULL GROUP BY 1"""
+    o["rel_histogram_equidepth"] = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  SELECT event_type,
+    MAX(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS p25,
+    MAX(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+    MAX(CASE WHEN rn = ceil(0.75 * n) THEN value END) AS p75
+  FROM ranked GROUP BY event_type)
+SELECT e.event_type,
+  CAST(e.value > q.p25 AS INT) + CAST(e.value > q.p50 AS INT)
+    + CAST(e.value > q.p75 AS INT) AS bucket,
+  COUNT(*) AS n, MIN(e.value) AS min_value, MAX(e.value) AS max_value
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1, 2"""
     o["sketch_kmv"] = """
 WITH h AS (
   SELECT DISTINCT event_type AS key,

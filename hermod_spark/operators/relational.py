@@ -534,6 +534,35 @@ def hourly_moving_avg(events: DataFrame, hours: int = 3) -> DataFrame:
     )
 
 
+def value_histogram_equidepth(
+    events: DataFrame, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram per type — the
+    statistics shape query optimizers keep. Boundaries come from the
+    scale-safe two-pass exact quantile; rows are then assigned to
+    buckets by VALUE comparison against the broadcast boundaries
+    (bucket = #boundaries strictly below the value) — a map-side
+    projection, no global rank, no single-partition NTILE sort.
+    Value-threshold assignment (not exact rank split) means duplicate
+    values straddling a boundary land together — the property that
+    makes the answer partitioning-independent and engine-identical."""
+    names = quantile_column_names(probs)
+    bounds = value_quantiles_twopass(events, probs=probs)
+    bucket = sum(
+        (F.col("value") > F.col(n)).cast("int") for n in names
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def value_outliers(events: DataFrame, prob: float = 0.99) -> DataFrame:
     """Events strictly above their type's exact p-quantile — the
     per-metric anomaly gate. Thresholds come from the scale-safe

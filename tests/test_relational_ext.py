@@ -469,3 +469,15 @@ def test_sequence_funnel_depths(spark):
     )
     rows = {r["funnel_depth"]: r["n_users"] for r in R.sequence_funnel(events).collect()}
     assert rows == {3: 1, 1: 1, 0: 1}
+
+
+def test_value_histogram_equidepth(spark):
+    events = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 101)],
+        "event_id INT, event_type STRING, value DOUBLE",
+    )
+    rows = {r["bucket"]: r for r in R.value_histogram_equidepth(events).collect()}
+    # p25=25, p50=50, p75=75; buckets: ≤25, 26-50, 51-75, 76-100
+    assert {b: rows[b]["n"] for b in rows} == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert rows[0]["min_value"] == 1.0 and rows[0]["max_value"] == 25.0
+    assert rows[3]["min_value"] == 76.0
