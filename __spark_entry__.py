@@ -720,6 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_top"] = lambda spark, sf: textops.tfidf_top_terms(
         _t(spark, sf, "documents"), k=10, min_tf=5
     )
+    q["text_dup_rate"] = lambda spark, sf: textops.dup_rate_by_group(
+        _t(spark, sf, "documents")
+    )
 
     # --- training-data curation ---------------------------------------
     from hermod_spark.operators import curation as CUR
@@ -791,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_decontaminate_fuzzy"] = cur_decontaminate_fuzzy
 
+    q["cur_token_budget"] = lambda spark, sf: CUR.token_budget_by_split(
+        _t(spark, sf, "documents")
+    )
     q["cur_length_filter"] = lambda spark, sf: CUR.length_percentile_filter(
         _t(spark, sf, "documents")
     )
@@ -1472,6 +1478,22 @@ SELECT doc_id,
        ELSE 'test' END AS split
 FROM documents"""
     toksc = _toks_sql("text")
+    o["cur_token_budget"] = f"""
+WITH s AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_train} THEN 'train'
+       WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_val} THEN 'val'
+       ELSE 'test' END AS split,
+    len({toksc}) AS nt
+  FROM documents)
+SELECT split, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+FROM s GROUP BY split"""
+    o["text_dup_rate"] = f"""
+WITH f AS (SELECT source, {_fingerprint_sql('text')} AS fp FROM documents)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+  ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM f GROUP BY source"""
     o["cur_chunks"] = f"""
 WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
 n AS (SELECT doc_id, tk,

@@ -270,6 +270,28 @@ def length_percentile_filter(
     )
 
 
+def token_budget_by_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The 'how many training tokens do I have' rollup: deterministic
+    split assignment + per-split doc/token totals. Pure scan-side
+    split hash + one map-side-combinable aggregation."""
+    from hermod_spark.functions.text import token_count
+
+    split = split_assign(df.select(key_col, text_col), key_col, weights)
+    return (
+        split.select("split", token_count(text_col).alias("_nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+    )
+
+
 def group_centroids(
     embeddings: DataFrame,
     group_expr: Column,

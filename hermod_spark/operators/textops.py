@@ -106,6 +106,29 @@ def vocab_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> Da
     )
 
 
+def dup_rate_by_group(
+    df: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Corpus-health rollup: per group, document count, distinct
+    canonical fingerprints, and the duplicate rate 1 − distinct/total.
+    Two-phase distinct aggregate — the shuffle carries (group,
+    fingerprint), map-side de-duplicated."""
+    from hermod_spark.functions.text import fingerprint
+
+    fp = fingerprint(text_col)
+    return (
+        df.select(F.col(by), fp.alias("_fp"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_fp").alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct("_fp") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 10,

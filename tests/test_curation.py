@@ -257,3 +257,15 @@ def test_stratified_sample_null_stratum_not_full_sorted(spark):
         < F.when(F.col("source").isNull(), F.lit(8 * 5 / 200)).otherwise(F.lit(8 * 5 / 100))
     ).count()
     assert survivors < 100
+
+
+def test_token_budget_by_split(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(100)],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["split"]: r for r in CUR.token_budget_by_split(docs).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 100
+    assert sum(r["total_tokens"] for r in rows.values()) == 1000
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]  # 0.8 vs 0.1

@@ -212,3 +212,19 @@ def test_tfidf_top_terms(spark):
     assert [t for _, t, _, _ in b] == ["banana", "common"]  # tie → token asc
     scores = {r["tok"]: r["tfidf"] for r in out.collect() if r["source"] == "a"}
     assert abs(scores["cherry"] - round(3 * math.log(5 / 1), 6)) < 1e-9
+
+
+def test_dup_rate_by_group(spark):
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y z"), (2, "a", "x y z"), (3, "a", "unique words"),
+            (4, "b", "all distinct"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    rows = {r["source"]: r for r in textops.dup_rate_by_group(df).collect()}
+    assert rows["a"]["n_docs"] == 3 and rows["a"]["n_unique"] == 2
+    assert abs(rows["a"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert rows["b"]["dup_rate"] == 0.0
