@@ -194,15 +194,28 @@ def test_stream_stream_join_e2e_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
         .start()
     )
+    want = {("dev1", 20.0, "hi"), ("dev2", 30.0, "lo")}
     try:
         q.processAllAvailable()
         got = {
             (r["device"], r["value"], r["level"])
             for r in spark.sql(f"SELECT * FROM {sink}").collect()
         }
+        if got != want:
+            # under heavy parallel load a trailing micro-batch can still
+            # be committing when processAllAvailable returns; one grace
+            # pass, then assert for real
+            import time
+
+            time.sleep(2)
+            q.processAllAvailable()
+            got = {
+                (r["device"], r["value"], r["level"])
+                for r in spark.sql(f"SELECT * FROM {sink}").collect()
+            }
     finally:
         q.stop()
-    assert got == {("dev1", 20.0, "hi"), ("dev2", 30.0, "lo")}
+    assert got == want
 
 
 def test_sliding_window_stream_matches_batch(spark, tmp_path):
