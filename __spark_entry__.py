@@ -600,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_range_join"] = lambda spark, sf: R.value_tier_rollup(
         _t(spark, sf, "events")
     )
+    q["rel_seasonality"] = lambda spark, sf: R.weekly_seasonality(
+        _t(spark, sf, "events")
+    )
     # rolling mean over the hourly continuous-aggregate (Timescale-shape)
     q["rel_moving_avg"] = lambda spark, sf: R.hourly_moving_avg(
         _t(spark, sf, "events"), hours=3
@@ -1184,6 +1187,13 @@ SELECT tier, COUNT(*) AS n,
     AS avg_value
 FROM events JOIN tiers ON value >= lo AND value < hi
 GROUP BY tier"""
+    o["rel_seasonality"] = """
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+  CAST(date_part('hour', ts) AS INT) AS hod,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(value), 6)
+    AS avg_value
+FROM events GROUP BY 1, 2"""
     o["rel_moving_avg"] = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,

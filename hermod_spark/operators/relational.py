@@ -495,6 +495,26 @@ def value_tier_rollup(
     )
 
 
+def weekly_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the ops-dashboard
+    seasonality rollup): one map-side-combinable aggregation over a
+    168-key space. Day numbering is normalized to 0=Sunday explicitly
+    — Spark's `dayofweek` is 1-based (1=Sunday), DuckDB's `dow`
+    0-based; the -1 keeps both engines on the same scale."""
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(dec("value")).cast("double") / F.count("value"), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
 def hourly_moving_avg(events: DataFrame, hours: int = 3) -> DataFrame:
     """Trailing ``hours``-hour moving average over the per-type hourly
     rollup — the continuous-aggregate + rolling-window shape of the

@@ -481,3 +481,18 @@ def test_value_histogram_equidepth(spark):
     assert {b: rows[b]["n"] for b in rows} == {0: 25, 1: 25, 2: 25, 3: 25}
     assert rows[0]["min_value"] == 1.0 and rows[0]["max_value"] == 25.0
     assert rows[3]["min_value"] == 76.0
+
+
+def test_weekly_seasonality_dow_numbering(spark):
+    # 2024-01-01 was a Monday → dow 1 (0=Sunday), 2024-01-07 a Sunday → 0
+    events = spark.createDataFrame(
+        [
+            (1, 2.0, dt.datetime(2024, 1, 1, 9, tzinfo=UTC)),
+            (2, 4.0, dt.datetime(2024, 1, 1, 9, 30, tzinfo=UTC)),
+            (3, 9.0, dt.datetime(2024, 1, 7, 23, tzinfo=UTC)),
+        ],
+        "event_id INT, value DOUBLE, ts TIMESTAMP",
+    )
+    rows = {(r["dow"], r["hod"]): r for r in R.weekly_seasonality(events).collect()}
+    assert rows[(1, 9)]["n_events"] == 2 and rows[(1, 9)]["avg_value"] == 3.0
+    assert rows[(0, 23)]["n_events"] == 1
