@@ -727,15 +727,15 @@ def signup_purchase_funnel(events: DataFrame, within_days: int = 7) -> DataFrame
             F.sum(F.col("converted").cast("int")).alias("n_converted"),
         )
         .withColumn(
-            # exact integer micro-rate: (n_converted·1e6) div n_signups,
-            # then an exact double divide — no float rounding anywhere,
-            # so every engine (Spark HALF_UP vs DuckDB round-half-even)
-            # produces bit-identical rates. Truncation at the 6th digit
-            # is the defined semantics.
-            "conversion_rate",
-            # 1e6 (not 1000000.0): Spark parses the latter as DECIMAL(8,1)
-            # and the division would come out decimal-typed
-            F.expr("((n_converted * 1000000L) div n_signups) / 1e6"),
+            # exact integer micro-rate: (n_converted·1e6) div n_signups.
+            # Kept INTEGER (parts-per-million) rather than a float: a
+            # float in the result surface hashes differently across
+            # engines whenever literal typing flips DOUBLE vs DECIMAL
+            # (DuckDB versions disagree on `/ 1000000.0`), so the rate
+            # is defined as micro-units and the caller divides by 1e6
+            # for display.
+            "micro_rate",
+            F.expr("(n_converted * 1000000L) div n_signups"),
         )
     )
 

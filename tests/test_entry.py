@@ -31,6 +31,19 @@ def test_every_oracle_has_a_query():
     assert q - o == {"fn_hmac", "rel_quantiles_approx", "sketch_hll"}
 
 
+def test_driver_window_covers_unchecked_block():
+    """The driver hashes only the first 50 queries() entries; round 4
+    front-loads the 32 entries never driver-checked in r01-r03 plus the
+    queries whose hashed surface changed this round (VERDICT r3 #2)."""
+    first50 = set(list(E.queries())[:50])
+    required = {
+        k
+        for k in E.queries()
+        if k.startswith(("text_", "cur_", "mm_", "emb_", "stream_", "sim_ivf_"))
+    } | {"sketch_hll", "rel_histogram_equidepth", "rel_funnel", "rel_quantiles_approx"}
+    assert required <= first50, sorted(required - first50)
+
+
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_each_query_builds_a_plan(spark, name):
     """Every entry must at least analyze at sf0.001 (no execution)."""

@@ -123,7 +123,7 @@ def test_signup_purchase_funnel(spark):
     assert len(out) == 1
     r = out[0]
     assert r["n_signups"] == 3 and r["n_converted"] == 1
-    assert abs(r["conversion_rate"] - round(1 / 3, 6)) < 1e-12
+    assert r["micro_rate"] == 333333  # (1 * 1_000_000) div 3, exact integer
 
 
 def test_value_quantiles_exact_order_statistics(spark):
