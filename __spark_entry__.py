@@ -577,9 +577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_quantiles_twopass"] = lambda spark, sf: R.value_quantiles_twopass(
         _t(spark, sf, "events")
     )
-    # sketch path (one agg, mergeable): sketch-dependent values ⇒ no
-    # cross-engine oracle; pinned by the error-bound test instead
-    q["rel_quantiles_approx"] = lambda spark, sf: R.value_quantiles_approx(
+    # sketch path: estimates are engine-specific, so the hashed surface
+    # is the sketch's rank-error CLAIM (booleans) + the exact n the
+    # oracle reproduces — out-of-bounds sketch ⇒ red row (VERDICT r3 #5)
+    q["rel_quantiles_approx"] = lambda spark, sf: R.value_quantiles_approx_checked(
         _t(spark, sf, "events")
     )
     q["rel_funnel"] = lambda spark, sf: R.signup_purchase_funnel(_t(spark, sf, "events"))
@@ -628,11 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sketch_kmv"] = sketch_kmv
 
     def sketch_hll(spark, sf):
-        from hermod_spark.operators.sketches import hll_distinct
+        from hermod_spark.operators.sketches import hll_distinct_checked
 
-        # rows-only: HLL registers are engine-internal (no cross-engine
-        # oracle); the rsd-bound pytest pins accuracy vs exact counts
-        return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id")
+        # HLL registers are engine-internal, so the hashed surface is
+        # the exact distinct count + a within-5σ·rsd boolean the oracle
+        # asserts as TRUE — drifting sketch ⇒ red row (VERDICT r3 #5)
+        return hll_distinct_checked(_t(spark, sf, "events"), "event_type", "user_id")
 
     q["sketch_hll"] = sketch_hll
 
@@ -1198,6 +1200,13 @@ FROM ranked GROUP BY event_type"""
     # the two-pass refine computes the SAME exact order statistics —
     # identical oracle by construction
     o["rel_quantiles_twopass"] = o["rel_quantiles"]
+    # the sketch path's hashed surface is (exact n, rank-bound booleans):
+    # the oracle reproduces n exactly and asserts the bounds hold — a
+    # drifting GK sketch flips a boolean and reds the row
+    o["rel_quantiles_approx"] = """
+SELECT event_type, COUNT(*) AS n,
+  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events WHERE value IS NOT NULL GROUP BY event_type"""
     o["rel_grouping_sets"] = """
 WITH f AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
@@ -1327,6 +1336,12 @@ SELECT key AS event_type,
   ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
              ELSE 63 / MAX(CASE WHEN rn = 64 THEN hv END) END, 4) AS est_distinct
 FROM kept GROUP BY key"""
+    # HLL surface = exact distinct count + within-bounds claim (see
+    # sketch_hll query comment); oracle computes the exact side
+    o["sketch_hll"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+  TRUE AS within_bounds
+FROM events GROUP BY event_type"""
 
     o["rel_sessionize"] = """
 WITH flagged AS (

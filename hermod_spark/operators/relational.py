@@ -404,6 +404,51 @@ def value_quantiles_approx(
     )
 
 
+def value_quantiles_approx_checked(
+    events: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Hash-checkable wrapper around :func:`value_quantiles_approx`:
+    instead of exposing the sketch-dependent estimates (which no other
+    engine can reproduce), expose the *claim* the sketch makes — that
+    each returned value's true rank sits within n/accuracy of the
+    target rank — as booleans, alongside the exact per-type row count.
+
+    A cross-engine oracle computes the exact surface (`n` and literal
+    TRUE bounds) so a drifting sketch turns the row red instead of
+    being unverifiable.  Production callers use the unchecked
+    :func:`value_quantiles_approx` (one mergeable agg); this wrapper
+    adds a second scan + a #types-row broadcast join, which is
+    verification cost, not query cost."""
+    names = quantile_column_names(probs)
+    approx = value_quantiles_approx(events, probs, accuracy)
+    base = events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    joined = base.join(F.broadcast(approx), "event_type")
+    rank_aggs = [F.count(F.lit(1)).alias("n")]
+    for c in names:
+        rank_aggs.append(
+            F.sum((F.col("value") <= F.col(c)).cast("long")).alias(f"_{c}_le")
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") < F.col(c)).cast("long")).alias(f"_{c}_lt")
+        )
+    counted = joined.groupBy("event_type").agg(*rank_aggs)
+    tol = F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(accuracy)))
+    checks = []
+    for p, c in zip(probs, names):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        # the value occupies rank interval [lt+1, le]; in-bounds iff that
+        # interval overlaps [target - tol, target + tol] (ties included)
+        checks.append(
+            (
+                (F.col(f"_{c}_le") >= target - tol)
+                & (F.col(f"_{c}_lt") + F.lit(1) <= target + tol)
+            ).alias(f"{c}_ok")
+        )
+    return counted.select("event_type", "n", *checks)
+
+
 def event_grouping_sets(events: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS — the general form `rollup`/`cube`
     specialize: per-type totals, per-(type, day) details, and the

@@ -86,3 +86,35 @@ def hll_distinct(
         df.groupBy(F.col(key_col))
         .agg(F.approx_count_distinct(value_col, rsd).alias("est_distinct"))
     )
+
+
+def hll_distinct_checked(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rsd: float = 0.02,
+    sigmas: float = 5.0,
+) -> DataFrame:
+    """Hash-checkable wrapper around :func:`hll_distinct`: exposes the
+    exact per-key distinct count (cross-engine reproducible) plus a
+    boolean asserting the HLL estimate landed within ``sigmas``·rsd of
+    it.  The oracle computes the exact count and literal TRUE, so an
+    out-of-bounds sketch turns the row red instead of being
+    unverifiable.  Production callers use :func:`hll_distinct` (no
+    exact count, O(1) memory per key); the exact count here is
+    verification cost."""
+    agg = df.groupBy(F.col(key_col)).agg(
+        F.approx_count_distinct(value_col, rsd).alias("_est"),
+        F.countDistinct(value_col).alias("exact_distinct"),
+    )
+    slack = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(sigmas * rsd) * F.col("exact_distinct")),
+    )
+    return agg.select(
+        key_col,
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct")) <= slack
+        ).alias("within_bounds"),
+    )

@@ -21,14 +21,12 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_has_a_query():
     q, o = set(E.queries()), set(E.oracle_sql())
     assert o <= q
-    # rows-only entries are the documented non-SQL-expressible ones:
-    # - fn_hmac: DuckDB 1.0 sha256() is VARCHAR-only, so HMAC's
-    #   raw-byte inner digest cannot be composed in the oracle
-    # - rel_quantiles_approx: GK-sketch values are engine-specific by
-    #   construction; pinned by the rank-error-bound pytest instead
-    # - sketch_hll: HLL register layout is engine-internal; pinned by
-    #   the rsd-bound pytest
-    assert q - o == {"fn_hmac", "rel_quantiles_approx", "sketch_hll"}
+    # the single rows-only entry is the documented non-SQL-expressible
+    # one: DuckDB 1.0 sha256() is VARCHAR-only, so HMAC's raw-byte
+    # inner digest cannot be composed in the oracle.  (The approx
+    # sketches rel_quantiles_approx / sketch_hll became hash-checkable
+    # in r4 via exact-surface + bounds-boolean wrappers.)
+    assert q - o == {"fn_hmac"}
 
 
 def test_driver_window_covers_unchecked_block():

@@ -337,6 +337,61 @@ def test_hll_distinct_within_rsd(spark):
         assert abs(est[k] - n) <= max(2, 0.1 * n), (k, est[k], n)
 
 
+def test_hll_distinct_checked_surface(spark):
+    from hermod_spark.operators.sketches import hll_distinct_checked
+
+    df = spark.createDataFrame(
+        [(1, f"k{i % 3}", i % (200 + 50 * (i % 3))) for i in range(5000)],
+        "x INT, key STRING, v INT",
+    )
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    rows = {r["key"]: r for r in hll_distinct_checked(df, "key", "v").collect()}
+    assert set(rows) == set(exact) == {"k0", "k1", "k2"}
+    for k, n in exact.items():
+        assert rows[k]["exact_distinct"] == n
+        assert rows[k]["within_bounds"] is True
+
+
+def test_quantiles_approx_checked_all_in_bounds(spark):
+    events = _quantile_events(spark)
+    rows = R.value_quantiles_approx_checked(events).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
+        assert r["n"] > 0
+
+
+def test_quantiles_approx_checked_flags_bad_sketch(spark):
+    """The bounds logic must actually be falsifiable: with accuracy so
+    coarse the sketch may legally return anything, shrink tol by
+    checking a tiny accuracy against a value we know is rank-extreme.
+    Construct the falsification directly: a degenerate 'sketch' that
+    returns the minimum for p99 must flip p99_ok to False."""
+    import hermod_spark.operators.relational as RR
+
+    events = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 1001)],
+        "event_id INT, event_type STRING, value DOUBLE",
+    )
+    real = RR.value_quantiles_approx
+
+    def broken(df, probs=(0.5, 0.9, 0.99), accuracy=10000):
+        out = real(df, probs, accuracy)
+        # sabotage p99: claim the minimum is the 99th percentile
+        return out.withColumn("p99", F.lit(1.0))
+
+    RR.value_quantiles_approx = broken
+    try:
+        row = RR.value_quantiles_approx_checked(events).collect()[0]
+    finally:
+        RR.value_quantiles_approx = real
+    assert row["p50_ok"] and row["p90_ok"]
+    assert row["p99_ok"] is False
+
+
 def test_salted_join_equals_plain_join(spark):
     from hermod_spark.operators.joins import salted_join
 
