@@ -689,8 +689,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_embedding_neardups"] = lambda spark, sf: S.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.3, n_planes=8, dim=_EMB_DIM
     )
+    # conformance pair: centroids pinned to the first-n-by-id model the
+    # DuckDB oracle replays verbatim; the TRAINED path is sim_ivf_trained
     q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
-        _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES, n_centroids=8
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        centroids=S.centroids_of(_t(spark, sf, "embeddings"), 8),
     )
     q["emb_quantize"] = lambda spark, sf: S.quantize_embeddings(
         _t(spark, sf, "embeddings")
@@ -703,7 +709,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=_TOPK,
         n_queries=_N_QUERIES,
         n_centroids=8,
+        centroids=S.centroids_of(_t(spark, sf, "embeddings"), 8),
         n_probe=2,
+    )
+    # TRAINED path (sampled spherical k-means centroids): hashed surface
+    # is the recall-vs-exact-truth claim — oracle reproduces n_truth
+    # exactly and asserts recall_ok, so a recall regression reds the row
+    q["sim_ivf_trained"] = lambda spark, sf: S.ivf_recall_check(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        n_probe=4,
+        min_recall=0.3,
     )
 
     # --- text analysis -------------------------------------------------
@@ -1433,6 +1451,18 @@ r AS (SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+    # trained-IVF recall claim: n_truth is the exact brute-force top-k
+    # size (oracle-computable); recall_ok is the sketch-quality claim
+    o["sim_ivf_trained"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {cos} AS sim FROM c, q WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM s)
+SELECT query_id, COUNT(*) AS n_truth, TRUE AS recall_ok
+FROM r WHERE rnk <= {_TOPK} GROUP BY query_id"""
     o["sim_lsh_topk"] = f"""
 WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS v,
              {_bucket_sql("embedding::DOUBLE[]", _PLANES_TOPK)} AS bucket FROM embeddings),

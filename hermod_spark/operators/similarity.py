@@ -147,6 +147,51 @@ def lsh_topk(
     )
 
 
+def ivf_recall_check(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    min_recall: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the TRAINED IVF path against exact brute-force
+    truth, as a hash-checkable claim: per query, ``n_truth`` (the
+    exact top-k size, which a cross-engine oracle reproduces) and
+    ``recall_ok`` (IVF found ≥ min_recall of the truth — a boolean the
+    oracle asserts TRUE, so a recall regression reds the row).
+
+    The whole pipeline is deterministic (hash-ordered k-means sample,
+    seeded init, tie-broken rankings), so the booleans are stable for
+    fixed data. Both inputs are n_queries×k rows — the verification
+    join is driver-trivial regardless of corpus size."""
+    ivf = ivf_topk(
+        embeddings, k, n_queries, n_centroids, n_probe, id_col, vec_col
+    )
+    bf = brute_force_topk(embeddings, k, n_queries, id_col, vec_col)
+    hits = bf.select("query_id", "neighbor_id").join(
+        ivf.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            (F.col("_hits") / F.col("n_truth") >= F.lit(min_recall)).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -202,11 +247,12 @@ def centroids_of(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Coarse IVF centroids. Deterministic stand-in for k-means
-    training: the first ``n_centroids`` vectors by id. Real deployments
-    swap in sampled k-means — everything downstream (literal-array
-    assignment, inverted-list probe) is unchanged. The collect is the
-    'model': n_centroids × dim floats, trivially broadcastable."""
+    """CONFORMANCE-ONLY coarse centroids: the first ``n_centroids``
+    vectors by id — a derivation DuckDB can replay verbatim
+    (``WHERE vec_id < n``), which is what keeps the `sim_ivf_*`
+    cross-engine oracle pairs exact. Production recall comes from
+    :func:`train_centroids_kmeans`; both produce the same model shape
+    (literal arrays), so everything downstream is shared."""
     rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
         .orderBy(id_col)
@@ -214,6 +260,87 @@ def centroids_of(
         .collect()
     )
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 2048,
+    n_iter: int = 20,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means trainer for the IVF coarse quantizer
+    (VERDICT r3 #4 — replaces the first-n-by-id stand-in for
+    production recall).
+
+    Scale shape: ONE TakeOrdered pass draws a deterministic
+    hash-ordered sample of ``sample_size`` vectors (no full sort, no
+    full collect — at 100 TB this still moves only sample_size × dim
+    floats to the driver), then Lloyd iterations run in numpy on the
+    driver. The resulting model is tiny (n_centroids × dim) and is
+    inlined as literal arrays, so assignment stays a 0-shuffle
+    map-side expression exactly like the stand-in.
+
+    Deterministic end-to-end: the sample is hash-ordered (not
+    ``.sample()``, whose output depends on partitioning), init is
+    k-means++ from a seeded RNG, and iteration count is fixed.
+    Spherical (unit-normalized) k-means so max-inner-product
+    assignment in :func:`ivf_assign` is exactly nearest-centroid for
+    cosine retrieval. Empty clusters reseed to the point farthest
+    from its centroid (deterministic argmax)."""
+    from hermod_spark.operators.sketches import uniform_hash
+
+    rows = (
+        embeddings.select(
+            uniform_hash(F.col(id_col).cast("string")).alias("_h"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n = len(X)
+    if n == 0:
+        raise ValueError("cannot train centroids on an empty/zero sample")
+    k = min(n_centroids, n)
+    rng = np.random.RandomState(seed)
+    # k-means++ init on the unit sphere (distance = 1 - cosine)
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.maximum(0.0, 1.0 - X @ c) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total == 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        centers.append(X[np.searchsorted(np.cumsum(d2), rng.rand() * total)])
+    C = np.asarray(centers)
+    for _ in range(n_iter):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                # reseed: the sample point worst-served by its centroid
+                newC[j] = X[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                newC[j] = m / nm if nm > 0 else C[j]
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    # round for stable, compact literals; re-rounding keeps them unit
+    # to ~1e-6 which is irrelevant for argmax assignment
+    return [[round(float(x), 6) for x in c] for c in C]
 
 
 def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
@@ -259,6 +386,7 @@ def ivf_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse
     centroid (inverted lists), then score queries only against their
@@ -267,8 +395,19 @@ def ivf_topk(
     partitioning is data-driven (centroids) instead of data-oblivious
     (hyperplanes), which is what production ANN uses when recall
     matters; raising n_probe trades candidate volume for recall
-    without touching the stored lists."""
-    cents = centroids_of(embeddings, n_centroids, id_col, vec_col)
+    without touching the stored lists.
+
+    ``centroids=None`` (the default) trains the coarse quantizer with
+    :func:`train_centroids_kmeans`; pass an explicit model (e.g.
+    :func:`centroids_of` for the cross-engine conformance queries) to
+    pin the assignment."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids_kmeans(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
     assigned = ensure_min_partitions(embeddings).select(
         F.col(id_col), F.col(vec_col), ivf_assign(vec_col, cents).alias("list_id")
     )
