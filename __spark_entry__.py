@@ -712,6 +712,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids=S.centroids_of(_t(spark, sf, "embeddings"), 8),
         n_probe=2,
     )
+    # skewed-key join through salted_join: 90% of fact rows share one
+    # hot key; result identical to the plain join (the salt is internal)
+    def rel_salted_join(spark, sf):
+        from hermod_spark.operators.joins import skewed_nation_rollup
+
+        return skewed_nation_rollup(
+            _t(spark, sf, "events"), _t(spark, sf, "nation")
+        )
+
+    q["rel_salted_join"] = rel_salted_join
+
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
     # exactly and asserts recall_ok, so a recall regression reds the row
@@ -1451,6 +1462,18 @@ r AS (SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+    # the salted join's oracle is the PLAIN join — salting must not
+    # change a single row
+    o["rel_salted_join"] = """
+WITH f AS (
+  SELECT CASE WHEN user_id % 10 <> 0 THEN 7
+              ELSE CAST(user_id % 25 AS INTEGER) END AS k, value
+  FROM events)
+SELECT n.n_name AS nation, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM f JOIN nation n ON f.k = n.n_nationkey
+GROUP BY n.n_name"""
+
     # trained-IVF recall claim: n_truth is the exact brute-force top-k
     # size (oracle-computable); recall_ok is the sketch-quality claim
     o["sim_ivf_trained"] = f"""

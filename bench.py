@@ -80,7 +80,105 @@ HEADLINE = [
     "cur_decontaminate_fuzzy",
     "rel_latest_per_key",
     "cur_length_filter",
+    # added r04
+    "rel_salted_join",
+    "sim_ivf_trained",
 ]
+
+# 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
+# story depends on model-sized collects and bounded buckets, re-run on a
+# 10× synthesized corpus. Per-row cost must stay ≤2× the sf0.1 cost.
+SCALE10X = ["dedup_exact", "dedup_minhash_cand", "cur_length_filter", "rel_quantiles_twopass"]
+
+
+def _documents_10x(spark):
+    """10 stacked copies of sf0.1 documents with disjoint ids and
+    per-copy letter-rotation of the text (translate is cheap and
+    deterministic) so copies are NOT near-dups of each other — the
+    candidate-pair count scales ~linearly instead of quadratically,
+    which is the honest way to test LSH scaling on synthesized data."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "documents")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    src = "etaoinshrdlu"
+    parts = []
+    for i in range(10):
+        rot = src[i:] + src[:i]
+        parts.append(
+            base.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.translate("text", src, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _events_10x(spark):
+    """10 stacked copies of sf0.1 events with disjoint event/user ids —
+    per-group row counts grow 10× with the same value distribution."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "events")
+    ne = base.agg(F.max("event_id")).first()[0] + 1
+    nu = base.agg(F.max("user_id")).first()[0] + 1
+    parts = []
+    for i in range(10):
+        parts.append(
+            base.withColumn("event_id", F.col("event_id") + F.lit(i * ne))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * nu))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
+    """Time each SCALE10X query on sf0.1 (best-of-2) and on the 10×
+    synthesized frame (single run — long enough to be noise-stable),
+    reporting per-row cost ratio t10/(10·t1)."""
+    from hermod_spark.operators import curation as CUR
+    from hermod_spark.operators import dedup
+    from hermod_spark.operators import relational as R
+
+    docs10, events10 = _documents_10x(spark), _events_10x(spark)
+    big = {
+        "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
+        "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
+        "cur_length_filter": lambda: CUR.length_percentile_filter(docs10),
+        "rel_quantiles_twopass": lambda: R.value_quantiles_twopass(events10),
+    }
+    out: dict[str, dict[str, float]] = {}
+    for name in SCALE10X:
+        t1 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).count()
+            t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n10 = big[name]().count()
+        t10 = time.perf_counter() - t0
+        ratio = round(t10 / (10.0 * t1), 3)
+        out[name] = {"t1": round(t1, 3), "t10": round(t10, 3), "per_row_ratio": ratio}
+        print(
+            f"# scale10x {name}: t1={t1:.2f}s t10={t10:.2f}s rows10={n10} "
+            f"per-row {ratio:.2f}x",
+            file=sys.stderr,
+        )
+        if ratio > 2.0:
+            print(f"# SCALE10X SUPERLINEAR {name}: {ratio:.2f}x > 2x", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -124,14 +222,15 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - warm-up must never fail the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
-    # Best-of-2 per query: single-shot timings carry 2-3× GC/scheduling
-    # jitter on a shared box; the min of two runs is stable and only
-    # conservative vs the (single-shot) recorded baseline.
+    # Best-of-3 per query (r04, was best-of-2 — VERDICT r3 #3):
+    # single-shot timings carry 2-3× GC/scheduling jitter on a shared
+    # box; the min of three runs is stable and only conservative vs the
+    # recorded baseline.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = queries[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
@@ -170,6 +269,10 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_STRICT=1 to turn regressions into rc=1.
     strict_fail = bool(regressions) and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1"
 
+    scale10x = {}
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        scale10x = _scale10x_run(spark, queries)
+
     print(
         json.dumps(
             {
@@ -179,6 +282,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                "scale10x": scale10x,
             }
         )
     )

@@ -170,6 +170,7 @@ def stratified_sample_exact(
     stratum_col: str = "source",
     key_col: str = "doc_id",
     oversample: float = 8.0,
+    verify_counts: bool = True,
 ) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample: the k smallest
     ``uniform_hash(key)`` in each stratum — reproducible at any
@@ -185,37 +186,72 @@ def stratified_sample_exact(
        #strata rows, model-sized);
     2. filter ``hash < oversample·k/n`` per stratum — a scan-side
        predicate that keeps ~oversample·k rows per stratum regardless
-       of n; the k smallest hashes survive it with probability
-       1 − exp(−Θ(k·oversample)), i.e. never missing in practice, and
-       deterministically so for fixed data;
+       of n;
     3. rank only the survivors — the window sorts ~8k rows per
        stratum, not n.
 
-    Result identical to ranking the full stratum (the filter is a
-    superset of the answer), so the full-sort SQL is its oracle."""
+    The hash-threshold filter is PROBABILISTICALLY a superset of the
+    answer: a stratum loses rows versus the full ranking iff its k-th
+    smallest hash exceeds oversample·k/n, which happens with
+    probability ~exp(−Θ(k·oversample)) (Chernoff on the binomial
+    survivor count) — ~1e-100 at the defaults, but not zero (ADVICE
+    r3). ``verify_counts=True`` (default) closes the gap exactly: one
+    extra model-sized agg checks each stratum kept ≥ min(k, n)
+    survivors, and any stratum that missed falls back to ranking its
+    full population (threshold 1.0), making the result
+    UNCONDITIONALLY identical to the full-sort oracle. Pass
+    ``verify_counts=False`` to skip the check (saves one job when the
+    probabilistic guarantee is acceptable).
+
+    Eager by design: the stratum-count pass (and the verify pass) run
+    Spark jobs at plan-build time — the counts ARE the thresholds the
+    returned plan embeds."""
     from pyspark.sql import Window
 
     h = uniform_hash(key_col)
     counts = (
         df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    thr: Column | None = None
-    for r in sorted(counts, key=lambda r: (r[0] is None, str(r[0]))):
-        t = min(1.0, oversample * k / max(r["n"], 1))
-        # eqNullSafe: a NULL stratum must match its own threshold too —
-        # `==` would leave every NULL row on the otherwise(1.0) branch
-        # and full-sort the whole NULL stratum
-        cond = (
-            F.col(stratum_col).isNull()
-            if r[0] is None
-            else F.col(stratum_col).eqNullSafe(F.lit(r[0]))
-        )
-        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
-    if thr is None:  # empty input
+    if not counts:  # empty input
         return df.select(F.col(key_col), F.col(stratum_col)).withColumn(
             "rn", F.lit(0)
         ).limit(0)
-    survivors = df.filter(h < thr.otherwise(F.lit(1.0)))
+
+    def build_thr(full_rank_strata: set) -> Column:
+        thr: Column | None = None
+        for r in sorted(counts, key=lambda r: (r[0] is None, str(r[0]))):
+            if r[0] in full_rank_strata:
+                t = 1.1  # hash ∈ [0,1): keep the whole stratum
+            else:
+                t = min(1.0, oversample * k / max(r["n"], 1))
+            # eqNullSafe: a NULL stratum must match its own threshold
+            # too — `==` would leave every NULL row on the
+            # otherwise(1.0) branch and full-sort the whole NULL stratum
+            cond = (
+                F.col(stratum_col).isNull()
+                if r[0] is None
+                else F.col(stratum_col).eqNullSafe(F.lit(r[0]))
+            )
+            thr = (
+                F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+            )
+        return thr.otherwise(F.lit(1.0))
+
+    survivors = df.filter(h < build_thr(set()))
+    if verify_counts:
+        kept = {
+            r[0]: r["kept"]
+            for r in survivors.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("kept"))
+            .collect()
+        }
+        short = {
+            r[0]
+            for r in counts
+            if kept.get(r[0], 0) < min(k, r["n"])
+        }
+        if short:
+            survivors = df.filter(h < build_thr(short))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         survivors.withColumn("rn", F.row_number().over(w))

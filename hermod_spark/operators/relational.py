@@ -293,6 +293,7 @@ def value_quantiles_twopass(
     group_col: str = "event_type",
     value_col: str = "value",
     id_col: str = "event_id",
+    max_buckets_per_group: int = 4096,
 ) -> DataFrame:
     """EXACT per-type quantiles, scale-safe: the same order statistics
     as :func:`value_quantiles` (value at rank ceil(p·n), ties by
@@ -324,7 +325,22 @@ def value_quantiles_twopass(
     sentinel) so non-string group columns and the NULL group both
     survive the equi-joins; the ORIGINAL typed group value is carried
     alongside and restored on output, matching the one-window exact
-    form exactly."""
+    form exactly.
+
+    ``width`` is a granularity FLOOR, not the guaranteed bucket width:
+    a min/max pre-agg (pass 0) widens it per group to keep each
+    group's bucket count ≤ ``max_buckets_per_group``, so the collected
+    histogram is truly model-sized (≤ #groups × max_buckets rows)
+    even for pathological value ranges — a raw width=5.0 over a
+    ±1e12 value range would otherwise collect ~4e11 rows and OOM the
+    driver (ADVICE r3). Bucket width never changes the ANSWER (any
+    monotonic bucketing reconstructs the same global order), only the
+    refine-pass granularity.
+
+    Eager by design: pass 0 and pass 1 run Spark jobs at plan-build
+    time — their results are the literal bucket metadata the returned
+    plan embeds (unlike lsh_topk, whose model is seed-derived and
+    therefore lazy)."""
     import math
 
     names = quantile_column_names(probs)
@@ -334,8 +350,28 @@ def value_quantiles_twopass(
         F.col(value_col).alias("_val"),
         F.col(id_col).alias("_tie"),
     )
-    bucketed = vals.withColumn(
-        "bucket", F.floor(F.col("_val") / F.lit(width)).cast("long")
+    spark = events.sparkSession
+    # pass 0: per-group value range -> per-group effective width
+    ranges = (
+        vals.groupBy("_grpk")
+        .agg(F.min("_val").alias("lo"), F.max("_val").alias("hi"))
+        .collect()
+    )
+    width_rows = [
+        (
+            r["_grpk"],
+            max(
+                float(width),
+                (float(r["hi"]) - float(r["lo"])) / float(max_buckets_per_group),
+            ),
+        )
+        for r in ranges
+    ]
+    if not width_rows:  # empty input: keep the empty-result shape
+        width_rows = [(_NULL_KEY, float(width))]
+    width_meta = spark.createDataFrame(width_rows, "_grpk string, _w double")
+    bucketed = vals.join(F.broadcast(width_meta), "_grpk").withColumn(
+        "bucket", F.floor(F.col("_val") / F.col("_w")).cast("long")
     )
     hist = (
         bucketed.groupBy("_grpk", "bucket")
@@ -359,7 +395,6 @@ def value_quantiles_twopass(
                 cand_rows.append((et, b, cum))
             cum += c
 
-    spark = events.sparkSession
     cand_meta = spark.createDataFrame(
         cand_rows, "_grpk string, bucket long, base long"
     )

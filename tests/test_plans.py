@@ -168,6 +168,20 @@ def test_lsh_topk_plan_build_is_lazy(spark):
     assert out.count() >= 0
 
 
+def test_salted_join_spreads_hot_key_across_shuffle(spark):
+    """Salting engaged (VERDICT r3 #7): the join must be a SHUFFLE
+    join whose partitioning includes the salt column — that is the
+    mechanism that spreads the one hot key over `salt` tasks — and the
+    dim side must NOT broadcast (broadcasting would bypass the salt
+    entirely)."""
+    plan = plan_of(spark, "rel_salted_join")
+    assert "ShuffledHashJoin" in plan
+    # both exchanges hash-partition on (k, _salt)
+    assert count(r"hashpartitioning\(k#\d+, _salt#\d+", plan) >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert count(r"EvalPython", plan) == 0
+
+
 def test_decontaminate_fuzzy_broadcasts_probes(spark):
     """The probe (benchmark) side must broadcast — the corpus never
     shuffles for the candidate join — and no cartesian appears."""

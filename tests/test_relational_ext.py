@@ -231,6 +231,30 @@ def test_value_quantiles_twopass_odd_width(spark):
             assert a[t][c] == b[t][c], (t, c)
 
 
+def test_quantiles_twopass_adaptive_width_bounds_histogram(spark):
+    """ADVICE r3: a wide value range must not blow up the collected
+    histogram. With max_buckets_per_group=4 the effective width widens
+    to range/4, and the answer must still equal the exact window form
+    (bucketing granularity never changes the order statistics)."""
+    rows = [(i, "a", float(i) * 1e9) for i in range(1, 201)] + [
+        (1000 + i, "b", float(i)) for i in range(1, 51)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id INT, event_type STRING, value DOUBLE"
+    )
+    got = {
+        r["event_type"]: r
+        for r in R.value_quantiles_twopass(
+            events, max_buckets_per_group=4
+        ).collect()
+    }
+    want = {r["event_type"]: r for r in R.value_quantiles(events).collect()}
+    assert set(got) == set(want)
+    for t in want:
+        for c in ("p50", "p90", "p99"):
+            assert got[t][c] == want[t][c], (t, c)
+
+
 def test_value_quantiles_approx_rank_error_bound(spark):
     """approx_percentile's GK sketch guarantees rank error ≤ n/accuracy:
     the returned element's true rank must sit within that bound of

@@ -172,8 +172,16 @@ def test_stream_stream_join_e2e_matches_batch(spark, tmp_path):
 
     readings, alerts = _join_fixture(spark)
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
-    readings.write.parquet(lsrc)
-    alerts.write.parquet(rsrc)
+    # ONE file per side: with maxFilesPerTrigger=1, multi-file sides
+    # make ingestion ORDER matter — if the 13:00 reading's part-file is
+    # consumed before dev2's 10:30 row, the 2h watermark passes 11:00
+    # and the 10:30/10:40 dev2 rows are dropped as late INPUT, which no
+    # amount of re-triggering can recover (ADVICE r3). One file per
+    # side means each side's whole history enters in one micro-batch
+    # and the global (min-across-inputs) watermark can't outrun unread
+    # data.
+    readings.coalesce(1).write.parquet(lsrc)
+    alerts.coalesce(1).write.parquet(rsrc)
 
     lstream = message_stream(spark, lsrc, schema=readings.schema)
     rstream = message_stream(spark, rsrc, schema=alerts.schema)
@@ -201,18 +209,6 @@ def test_stream_stream_join_e2e_matches_batch(spark, tmp_path):
             (r["device"], r["value"], r["level"])
             for r in spark.sql(f"SELECT * FROM {sink}").collect()
         }
-        if got != want:
-            # under heavy parallel load a trailing micro-batch can still
-            # be committing when processAllAvailable returns; one grace
-            # pass, then assert for real
-            import time
-
-            time.sleep(2)
-            q.processAllAvailable()
-            got = {
-                (r["device"], r["value"], r["level"])
-                for r in spark.sql(f"SELECT * FROM {sink}").collect()
-            }
     finally:
         q.stop()
     assert got == want
