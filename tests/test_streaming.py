@@ -250,3 +250,82 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     # each 10:xx event appears in the 09:00 and 10:00 windows
     assert (dt.datetime(2024, 1, 1, 9, 0), "a") in got_map
     assert (dt.datetime(2024, 1, 1, 10, 0), "a") in got_map
+
+
+def test_engine_stop_and_recover_exactly_once(spark, tmp_path):
+    """Graceful stop + checkpoint recovery with exactly-once sink
+    verification across the restart (VERDICT r3 #9; reference
+    main.go:154-159 graceful-shutdown semantics).
+
+    The restart is made adversarial: the last micro-batch's commit
+    marker is deleted from the CHECKPOINT (not the sink's commit dir),
+    which is exactly the crash window foreachBatch leaves open —
+    writes done, checkpoint commit missing. On recovery Spark replays
+    that batch with the same batch_id; the idempotent sink must skip
+    it, so the sink holds every input row exactly once."""
+    import os
+
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    commit_dir = str(tmp_path / "restart_sink_commits")
+    out = str(tmp_path / "restart_out")
+    t = lambda m: dt.datetime(2024, 1, 3, 10, m, tzinfo=UTC)  # noqa: E731
+    schema = "time TIMESTAMP, device STRING, value DOUBLE"
+
+    batch1 = spark.createDataFrame(
+        [(t(0), "dev1", 1.0), (t(1), "dev2", 2.0), (t(2), "dev1", 3.0)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    writer = MultiTableWriter(base_path=out)
+
+    def run_until_drained(session):
+        stream = message_stream(session, src, schema=batch1.schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                writer.idempotent_foreach_batch(
+                    lambda df: {"readings": df}, commit_dir
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # graceful stop: drains, then shuts down
+            q.awaitTermination(30)
+
+    run_until_drained(spark)
+    assert spark.read.parquet(f"{out}/readings").count() == 3
+
+    # crash-window simulation: checkpoint says the last batch never
+    # committed, so recovery MUST replay it
+    commits = [c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")]
+    last = max(commits, key=int)
+    os.remove(os.path.join(f"{ckpt}/commits", last))
+    crc = os.path.join(f"{ckpt}/commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks re-commit
+        os.remove(crc)
+
+    batch2 = spark.createDataFrame(
+        [(t(10), "dev3", 4.0), (t(11), "dev1", 5.0)], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    # recover in a FRESH session (the closest in-test analogue of a
+    # process restart): the first session's metadata-log cache would
+    # otherwise flag the deleted commit as concurrent modification
+    run_until_drained(spark.newSession())
+
+    rows = spark.read.parquet(f"{out}/readings").collect()
+    got = sorted((r["device"], r["value"]) for r in rows)
+    assert got == [
+        ("dev1", 1.0),
+        ("dev1", 3.0),
+        ("dev1", 5.0),
+        ("dev2", 2.0),
+        ("dev3", 4.0),
+    ]  # batch1 NOT duplicated despite the forced replay
