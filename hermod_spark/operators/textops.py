@@ -235,3 +235,57 @@ def quality_filter(
     return df.filter(
         (X.quality_score(text_col) >= min_quality) & (X.token_count(text_col) >= min_tokens)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash fingerprint family; guarantees any
+    shared substring of length ≥ k+window-1 yields a shared
+    fingerprint): normalize to an alphanumeric character stream, hash
+    every k-gram, take the minimum hash of each ``window`` consecutive
+    hashes, and keep the distinct selected hashes as the document's
+    fingerprint set.
+
+    Emits the per-document fingerprint-set summary — count, min, max,
+    sum — a stable O(1)-per-doc surface (the raw sets feed near-dup
+    candidate joins; the LSH path in operators/dedup.py is the scale
+    tool for that, this is the substring-robust complement).
+
+    Scale shape: pure scan-side array expressions, ZERO shuffles and
+    zero Python — per-doc cost O(len·window) inside whole-stage
+    codegen. The k-gram hash is the first 8 md5 hex digits as a
+    bigint, identical in any engine (rolling-hash evaluation is a
+    constant-factor trick, not a semantic one)."""
+    s = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    m = F.length(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(k - 1), F.lit(0))),
+        lambda i: F.substring(s, i, k),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    nh = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - F.lit(window - 1), F.lit(0))),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    fps = F.array_distinct(mins)
+    return df.select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_sum"
+        ),
+    )
