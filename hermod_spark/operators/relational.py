@@ -688,7 +688,8 @@ def user_event_deltas(events: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    delta_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    delta_us = ts_us - F.lag(ts_us).over(w)
     per_event = events.select("user_id", delta_us.alias("delta_us"))
     return (
         per_event.groupBy("user_id")
@@ -753,7 +754,8 @@ def sequence_funnel(
     evs = events.filter(F.col("event_type").isin(*steps)).select(
         "user_id",
         F.struct(
-            F.unix_micros("ts").alias("t"), idx.cast("int").alias("s")
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            idx.cast("int").alias("s"),
         ).alias("e"),
     )
     seqs = evs.groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("seq"))
