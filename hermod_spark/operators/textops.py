@@ -243,6 +243,7 @@ def winnow_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_sets: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the rolling-hash fingerprint family; guarantees any
@@ -253,39 +254,82 @@ def winnow_fingerprints(
     fingerprint set.
 
     Emits the per-document fingerprint-set summary — count, min, max,
-    sum — a stable O(1)-per-doc surface (the raw sets feed near-dup
-    candidate joins; the LSH path in operators/dedup.py is the scale
-    tool for that, this is the substring-robust complement).
+    sum — a stable O(1)-per-doc surface; with ``emit_sets=True`` the
+    raw distinct-fingerprint array instead (feeds near-dup candidate
+    joins; the LSH path in operators/dedup.py is the scale tool for
+    that, this is the substring-robust complement). Docs shorter than
+    ``k + window - 1`` normalized chars get an empty fingerprint set
+    (count 0, null min/max, sum 0), matching the DuckDB oracle.
 
     Scale shape: pure scan-side array expressions, ZERO shuffles and
     zero Python — per-doc cost O(len·window) inside whole-stage
     codegen. The k-gram hash is the first 8 md5 hex digits as a
     bigint, identical in any engine (rolling-hash evaluation is a
-    constant-factor trick, not a semantic one)."""
-    s = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
-    m = F.length(s)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - F.lit(k - 1), F.lit(0))),
-        lambda i: F.substring(s, i, k),
-    )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-    )
-    nh = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - F.lit(window - 1), F.lit(0))),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
-    )
-    fps = F.array_distinct(mins)
-    return df.select(
+    constant-factor trick, not a semantic one).
+
+    Every intermediate (``s``, ``hashes``, ``fps``) is let-bound
+    exactly once via the single-element-array lambda trick from
+    shingles() (operators/dedup.py): a free (non-lambda) variable
+    referenced inside ``transform`` is re-inlined by Catalyst per
+    element, which made the first version O(len²·window)×4 md5 chains
+    per document (~50 min for 500 sf0.001 docs). Lambda variables are
+    leaves — evaluated once per binding, never re-inlined."""
+
+    def _hashes_of(s: Column) -> Column:
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults
+        # to -1), not empty like DuckDB range — short docs need an
+        # explicit empty-array branch.
+        grams = F.when(
+            F.length(s) < F.lit(k), F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
+                lambda i: F.substring(s, i, k),
+            )
+        )
+        return F.transform(
+            grams,
+            lambda g: F.conv(
+                F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+
+    def _fps_of(hashes: Column) -> Column:
+        mins = F.when(
+            F.size(hashes) < F.lit(window), F.array().cast("array<long>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hashes) - F.lit(window - 1)),
+                lambda j: F.array_min(F.slice(hashes, j, window)),
+            )
+        )
+        return F.array_distinct(mins)
+
+    def _summary_of(fps: Column) -> Column:
+        return F.struct(
+            F.size(fps).alias("n_fingerprints"),
+            F.array_min(fps).alias("fp_min"),
+            F.array_max(fps).alias("fp_max"),
+            F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "fp_sum"
+            ),
+        )
+
+    s0 = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    fps_col = F.transform(
+        F.array(s0), lambda s: F.transform(F.array(_hashes_of(s)), _fps_of)[0]
+    )[0]
+    if emit_sets:
+        return df.select(F.col(id_col), fps_col.alias("fingerprints"))
+    summary = F.transform(F.array(fps_col), _summary_of)[0]
+    # Two selects on purpose: the struct is expensive and read four
+    # times; CollapseProject leaves multi-referenced non-cheap aliases
+    # alone, so the chain evaluates once per row.
+    bound = df.select(F.col(id_col), summary.alias("_w"))
+    return bound.select(
         F.col(id_col),
-        F.size(fps).alias("n_fingerprints"),
-        F.array_min(fps).alias("fp_min"),
-        F.array_max(fps).alias("fp_max"),
-        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
-            "fp_sum"
-        ),
+        F.col("_w.n_fingerprints").alias("n_fingerprints"),
+        F.col("_w.fp_min").alias("fp_min"),
+        F.col("_w.fp_max").alias("fp_max"),
+        F.col("_w.fp_sum").alias("fp_sum"),
     )
