@@ -5,6 +5,13 @@ Runs every ``queries()`` entry on Spark and, where present, the matching
 row count, sorted-by-name schema, and values (rows sorted, columns
 sorted by name, floats canonicalised through repr of float64).
 
+Each query (Spark run + oracle run + compare) gets a wall-clock budget
+(``CHECK_TIMEOUT_SEC``, default 120 s): on breach the Spark job group is
+cancelled, the DuckDB query interrupted, and the gate emits one
+``FAIL <name>: timeout`` row and moves on — a single pathological query
+can never blank the whole file again (VERDICT r4 #2: text_winnow hung
+the driver's gate at query #19 and produced an empty CORRECTNESS_r04).
+
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -13,6 +20,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,6 +32,7 @@ import __spark_entry__ as E
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
+BUDGET_SEC = float(os.environ.get("CHECK_TIMEOUT_SEC", "120"))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -112,26 +121,46 @@ def main() -> None:
         if ONLY and name not in ONLY:
             continue
         t0 = time.perf_counter()
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = sdf.collect()
-        except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+        out: dict[str, object] = {}
+
+        def work(name=name, fn=fn, out=out):
+            # Own job group so the watchdog can cancel mid-collect
+            # (pinned-thread mode: job group is per-Python-thread).
+            spark.sparkContext.setJobGroup(f"cc-{name}", name, True)
+            try:
+                sdf = fn(spark, SF_DIR)
+                out["scols"] = sdf.columns
+                out["srows"] = sdf.collect()
+                if name in oracles:
+                    rel = con.execute(oracles[name])
+                    out["ocols"] = [d[0] for d in rel.description]
+                    out["orows"] = rel.fetchall()
+            except Exception as ex:  # noqa: BLE001
+                out["err"] = ex
+            # no clearJobGroup: the group is thread-local and the
+            # worker thread ends here
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(BUDGET_SEC)
+        if t.is_alive():
+            spark.sparkContext.cancelJobGroup(f"cc-{name}")
+            con.interrupt()
+            t.join(10)
+            print(f"FAIL {name}: timeout (> {BUDGET_SEC:.0f}s budget)")
             n_fail += 1
             continue
+        if "err" in out:
+            ex = out["err"]
+            print(f"FAIL {name}: raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        scols, srows = out["scols"], out["srows"]
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.perf_counter()-t0:.1f}s)")
             n_rowsonly += 1
             continue
-        try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
-        except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb raised {type(ex).__name__}: {ex}")
-            n_fail += 1
-            continue
+        ocols, orows = out["ocols"], out["orows"]
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
