@@ -230,6 +230,33 @@ _COS_SQL = (
     " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+# key shared by the fn_hmac query and its pseudo-oracle
+_HMAC_KEY = "secret-key"
+# the driver's documented correctness-gate scale (TESTDATA.md)
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _hmac_pseudo_oracle_sql() -> str:
+    """Literal-VALUES pseudo-oracle for fn_hmac: expected digests
+    computed by Python's stdlib hmac (independent of the Spark plan,
+    same library the reference's Go lua.go:139-147 parity is golden-
+    tested against) over the sf0.01 documents table. See the comment
+    at the call site for why DuckDB can't compute HMAC itself."""
+    import hashlib
+    import hmac as H
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = _HMAC_KEY.encode()
+    rows = ", ".join(
+        f"({i}, '{H.new(key, str(s).encode(), hashlib.sha256).hexdigest()}')"
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    )
+    return f"SELECT doc_id, mac FROM (VALUES {rows}) t(doc_id, mac)"
+
 
 # ------------------------------------------------------------------- entry
 
@@ -282,7 +309,7 @@ def _q_scalar_fns(spark, sf):
             "doc_id", scalar.json_encode(F.struct("doc_id", "lang")).alias("js")
         ),
         "fn_hmac": d.select(
-            "doc_id", scalar.hmac_sha256(F.lit("secret-key"), F.col("text")).alias("mac")
+            "doc_id", scalar.hmac_sha256(F.lit(_HMAC_KEY), F.col("text")).alias("mac")
         ),
     }
 
@@ -954,6 +981,12 @@ def _rotate_for_driver_window(
     the queries whose hashed surface changed this round (rel_funnel's
     integer micro_rate, the bounds-boolean approx sketches) and this
     round's new queries; the long-green §2 operators rotate to the back.
+
+    Round 5: r4's driver file came back EMPTY (text_winnow hung the
+    gate), so the front block still has zero driver evidence — keep it
+    in front, and add the r5 changed-surface queries: fn_hmac (first
+    real oracle), rel_quantiles_twopass / cur_length_filter (new
+    bucketing), rel_user_deltas (window order now the casted ts).
     """
     never_checked_prefixes = (
         "text_",
@@ -969,6 +1002,12 @@ def _rotate_for_driver_window(
         "rel_funnel",
         "rel_quantiles_approx",
         "rel_salted_join",
+        # r5 changed surfaces
+        "fn_hmac",
+        "rel_quantiles_twopass",
+        "rel_user_deltas",
+        "rel_outliers",
+        "rel_histogram",
     }
     front = [
         k
@@ -1001,7 +1040,17 @@ def oracle_sql() -> dict[str, str]:
     o["fn_jenc"] = (
         "SELECT doc_id, to_json({'doc_id': doc_id, 'lang': lang}) AS js FROM documents"
     )
-    # fn_hmac: no SQL-expressible HMAC in DuckDB -> rows-only check
+    # fn_hmac pseudo-oracle (VERDICT r4 #5): DuckDB 1.0's sha256() is
+    # VARCHAR-only, so real in-SQL HMAC is impossible (the outer hash
+    # must digest the inner digest's RAW bytes). Instead the expected
+    # digests are precomputed with Python's stdlib hmac over the
+    # documents table at the driver's documented correctness-gate
+    # scale (sf0.01, TESTDATA.md) and emitted as a literal VALUES
+    # table — DuckDB evaluates it like any other oracle and the row
+    # gets the full rowcount+schema+value-hash check. If the gate ever
+    # ran at a different SF this row would go red (rowcount mismatch),
+    # not silently green.
+    o["fn_hmac"] = _hmac_pseudo_oracle_sql()
     o["fn_jdec"] = "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events"
 
     m_cols = ", ".join(
