@@ -881,6 +881,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_centroids"] = cur_centroids
 
+    # --- r5 curation/analysis additions -------------------------------
+    q["cur_boilerplate"] = lambda spark, sf: CUR.boilerplate_ngrams(
+        _t(spark, sf, "documents"), n=3, min_docs=3
+    )
+    q["cur_boilerplate_frac"] = lambda spark, sf: CUR.boilerplate_fraction(
+        _t(spark, sf, "documents"), n=3, min_docs=3
+    )
+    q["cur_gopher"] = lambda spark, sf: CUR.gopher_flags(
+        _t(spark, sf, "documents")
+    )
+    q["text_oov"] = lambda spark, sf: textops.oov_rate(
+        _t(spark, sf, "documents"), vocab_size=20
+    )
+
+    def text_pii(spark, sf):
+        # the corpus has no PII by construction; synthesize a
+        # deterministic PII-bearing suffix from doc_id so every rule
+        # (email, ssn, ipv4, long-number) fires and the redaction +
+        # counts are value-checked, not vacuously zero
+        d = _t(spark, sf, "documents")
+        synth = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 acct "),
+                (F.lit(1000000) + F.col("doc_id") * 7).cast("string"),
+                F.lit(" ssn 123-45-6789"),
+            ).alias("text"),
+        )
+        return textops.pii_redact(synth)
+
+    q["text_pii"] = text_pii
+    q["emb_class_stats"] = lambda spark, sf: S.class_stats(
+        _t(spark, sf, "embeddings")
+    )
+
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1876,6 +1916,115 @@ m AS (
   FROM x GROUP BY grp, pos)
 SELECT grp, list(mean_v ORDER BY pos) AS centroid
 FROM m GROUP BY grp ORDER BY grp"""
+
+    # r5: boilerplate / gopher / oov / pii / embedding class stats
+    toks3 = _toks_sql("text")
+    ngrams3 = (
+        f"CASE WHEN len({toks3}) < 3 THEN []::VARCHAR[]"
+        f" ELSE list_transform(range(1, len({toks3}) - 1),"
+        f" i -> array_to_string(({toks3})[i:i+2], ' ')) END"
+    )
+    o["cur_boilerplate"] = f"""
+WITH g AS (SELECT doc_id, {ngrams3} AS grams FROM documents),
+occ AS (SELECT doc_id, unnest(list_distinct(grams)) AS ngram FROM g)
+SELECT ngram, COUNT(*) AS n_docs
+FROM occ GROUP BY ngram HAVING COUNT(*) >= 3"""
+    o["cur_boilerplate_frac"] = f"""
+WITH g AS (SELECT doc_id, {ngrams3} AS grams FROM documents),
+dict AS (
+  SELECT ngram FROM (
+    SELECT doc_id, unnest(list_distinct(grams)) AS ngram FROM g)
+  GROUP BY ngram HAVING COUNT(*) >= 3),
+occ AS (SELECT doc_id, unnest(grams) AS ngram FROM g),
+hits AS (
+  SELECT o.doc_id, COUNT(*) AS n_bp
+  FROM occ o JOIN dict d USING (ngram) GROUP BY o.doc_id)
+SELECT g.doc_id, len(grams) AS n_ngrams,
+  COALESCE(h.n_bp, 0) AS n_boilerplate,
+  ROUND(COALESCE(h.n_bp, 0) / CAST(greatest(len(grams), 1) AS DOUBLE), 6)
+    AS boilerplate_frac
+FROM g LEFT JOIN hits h USING (doc_id)"""
+    sym_sql = (
+        "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))"
+    )
+    o["cur_gopher"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks3} AS tk, {sym_sql} AS nsym FROM documents),
+s AS (
+  SELECT doc_id, len(tk) AS n_words,
+    ROUND(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS mean_word_len,
+    len(list_filter(list_distinct(tk),
+        x -> list_contains({'[' + ', '.join(f"'{w}'" for w in _SW['en']) + ']'}, x)))
+      AS stopword_hits,
+    ROUND(nsym / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS symbol_ratio
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_ratio,
+  (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_len,
+  (stopword_hits >= 2) AS flag_stopwords,
+  (symbol_ratio <= 0.1) AS flag_symbols,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (stopword_hits >= 2) AND (symbol_ratio <= 0.1)) AS keep
+FROM s"""
+    o["text_oov"] = f"""
+WITH tk AS (SELECT doc_id, unnest({toks3}) AS tok FROM documents),
+v AS (
+  SELECT tok FROM tk GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok ASC LIMIT 20),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+    SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tk t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id)
+SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_oov, 0) AS n_oov,
+  ROUND(COALESCE(n_oov, 0) / CAST(greatest(COALESCE(n_tokens, 0), 1) AS DOUBLE), 6)
+    AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)"""
+    pii_src = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.1 acct ' || CAST(1000000 + doc_id * 7 AS VARCHAR)"
+        " || ' ssn 123-45-6789'"
+    )
+    pii_rules = [
+        ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+        ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ("number", r"\b\d{7,}\b", "<NUMBER>"),
+    ]
+    red_sql = "s"
+    for _, pat, tag in pii_rules:
+        red_sql = f"regexp_replace({red_sql}, '{pat}', '{tag}', 'g')"
+    cnt_sql = ", ".join(
+        f"len(regexp_extract_all(s, '{pat}')) AS n_{name}"
+        for name, pat, _ in pii_rules
+    )
+    o["text_pii"] = f"""
+WITH src AS (SELECT doc_id, {pii_src} AS s FROM documents)
+SELECT doc_id, {red_sql} AS redacted, {cnt_sql} FROM src"""
+    o["emb_class_stats"] = """
+WITH x AS (
+  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos
+  FROM embeddings),
+m AS (
+  SELECT label, pos, ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mean_v
+  FROM x GROUP BY label, pos),
+c AS (SELECT label, list(mean_v ORDER BY pos) AS centroid FROM m GROUP BY label),
+r AS (
+  SELECT e.label,
+    CAST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         AS DECIMAL(18,9)) AS nrm,
+    CAST(list_dot_product(e.embedding::DOUBLE[], c.centroid)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.centroid, c.centroid)))
+         AS DECIMAL(18,9)) AS cosd
+  FROM embeddings e JOIN c USING (label))
+SELECT label, COUNT(*) AS n_vectors,
+  ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+  ROUND(CAST(SUM(cosd) AS DOUBLE) / COUNT(*), 6) AS avg_cos_centroid
+FROM r GROUP BY label"""
 
     o["mm_resize_plan"] = """
 WITH meta AS (

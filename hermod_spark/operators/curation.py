@@ -357,3 +357,142 @@ def group_centroids(
             ),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detector (the C4/RefinedWeb
+    repeated-passage rule family): word n-grams appearing in
+    ``min_docs``-or-more DISTINCT documents, with their document
+    frequencies — headers, footers, license blurbs, templated spans.
+
+    Scale shape: `array_distinct` INSIDE each document before the
+    explode makes every emitted (ngram) row already doc-unique, so the
+    single shuffle is a plain count aggregation with map-side combine
+    — no `count_distinct`, no second shuffle. Hot boilerplate n-grams
+    are exactly the high-row-count keys, and partial aggregation
+    absorbs them before the exchange."""
+    from hermod_spark.functions.text import ngrams
+
+    pairs = df.select(
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("ngram")
+    )
+    return (
+        pairs.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Per-document boilerplate load: the fraction of the document's
+    n-gram occurrences (with multiplicity) that are corpus boilerplate
+    per :func:`boilerplate_ngrams`. The downstream gate drops or
+    de-prioritizes documents above a threshold.
+
+    The dictionary side is a corpus aggregate but typically tiny
+    relative to the corpus (only n-grams crossing the ``min_docs``
+    bar); ``broadcast_dict=True`` (default) broadcasts it so the
+    per-document pass stays shuffle-on-ngram-free. At 100 TB with a
+    low bar the dictionary can be large — set ``broadcast_dict=False``
+    to fall back to a shuffle join (AQE will still broadcast if it
+    turns out small)."""
+    from hermod_spark.functions.text import ngrams
+
+    bp = boilerplate_ngrams(df, n, min_docs, text_col, id_col).select(
+        "ngram", F.lit(1).alias("_bp")
+    )
+    if broadcast_dict:
+        bp = F.broadcast(bp)
+    occ = df.select(
+        F.col(id_col),
+        F.explode_outer(ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    agg = occ.join(bp, "ngram", "left").groupBy(id_col).agg(
+        F.count("ngram").alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).alias("n_boilerplate"),
+    )
+    return agg.select(
+        id_col,
+        "n_ngrams",
+        "n_boilerplate",
+        F.round(
+            F.col("n_boilerplate") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6
+        ).alias("boilerplate_frac"),
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021, the public
+    MassiveText filters, doc-level subset): word-count bounds, mean
+    word length bounds, symbol-to-word ratio, minimum stopword hits —
+    one boolean per rule plus the conjunction ``keep``. Pure
+    scan-side expressions, zero shuffles, zero Python.
+
+    The token array is materialized ONCE through a first projection
+    (multi-referenced non-cheap aliases are not collapsed), so the
+    tokenizer runs once per row, not once per flag."""
+    from hermod_spark.functions.text import STOPWORDS, tokens
+
+    sym = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", "")
+    )
+    bound = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_t"),
+        sym.alias("_nsym"),
+    )
+    n_words = F.size(F.col("_t"))
+    mean_len = F.aggregate(
+        "_t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_t")),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    sym_ratio = F.col("_nsym") / F.greatest(n_words, F.lit(1)).cast("double")
+    stats = bound.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+    )
+    f_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    f_ml = (F.col("mean_word_len") >= min_mean_len) & (
+        F.col("mean_word_len") <= max_mean_len
+    )
+    f_sw = F.col("stopword_hits") >= min_stopwords
+    f_sym = F.col("symbol_ratio") <= max_symbol_ratio
+    return stats.select(
+        "*",
+        f_wc.alias("flag_word_count"),
+        f_ml.alias("flag_mean_len"),
+        f_sw.alias("flag_stopwords"),
+        f_sym.alias("flag_symbols"),
+        (f_wc & f_ml & f_sw & f_sym).alias("keep"),
+    )

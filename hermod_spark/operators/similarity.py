@@ -467,3 +467,47 @@ def embedding_near_dups(
         )
     )  # unsorted: O(pairs) output — a trailing global sort is a full
     # range shuffle at 100 TB; the correctness canon sorts rows itself
+
+
+def class_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding diagnostics — the pre-training sanity pass
+    over a labeled embedding corpus: vector count, mean L2 norm, and
+    mean cosine of each vector to its label centroid (intra-class
+    cohesion; collapsing or mislabeled classes show up as low
+    cohesion / wild norms).
+
+    Scale shape: the centroid model comes from
+    :func:`curation.group_centroids` (posexplode → (label, pos)
+    partial-aggregated sums — hot labels spread over dim× keys) and is
+    #labels × dim — model-sized, broadcast back. The stats pass is one
+    broadcast join + one map-side-combinable aggregation over exact
+    DECIMAL(18,9) sums, so the result is independent of row order and
+    partitioning — the property that lets the DuckDB oracle hash-match
+    bit-for-bit."""
+    from hermod_spark.operators.curation import group_centroids
+
+    cents = group_centroids(embeddings, F.col(label_col).alias("grp"), vec_col)
+    joined = embeddings.join(
+        F.broadcast(cents), F.col(label_col) == F.col("grp")
+    )
+    cos_d = cosine(F.col(vec_col), F.col("centroid")).cast("decimal(18,9)")
+    norm_d = norm(F.col(vec_col)).cast("decimal(18,9)")
+    agg = joined.groupBy(F.col(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(norm_d).alias("_sn"),
+        F.sum(cos_d).alias("_sc"),
+    )
+    return agg.select(
+        label_col,
+        "n_vectors",
+        F.round(F.col("_sn").cast("double") / F.col("n_vectors"), 6).alias(
+            "avg_norm"
+        ),
+        F.round(F.col("_sc").cast("double") / F.col("n_vectors"), 6).alias(
+            "avg_cos_centroid"
+        ),
+    )

@@ -333,3 +333,92 @@ def winnow_fingerprints(
         F.col("_w.fp_max").alias("fp_max"),
         F.col("_w.fp_sum").alias("fp_sum"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage
+    question asked before committing a corpus to a fixed vocab.
+
+    Vocabulary = tokens ranked by corpus frequency, ties broken by
+    token ascending (deterministic across engines and partitionings).
+
+    Scale shape: the vocab subplan is explode → count agg (map-side
+    combined, one shuffle) → global top-V, which Catalyst compiles to
+    TakeOrderedAndProject — only V rows ever reach the driver side of
+    the plan, and the vocab is broadcast back (V is a model-sized
+    constant; 1000 tokens ≈ KBs). The per-document pass is then a
+    broadcast-hash join, shuffle-free on the corpus side, plus one
+    groupBy(doc) count agg."""
+    from hermod_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    vocab = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    agg = toks.join(F.broadcast(vocab), "tok", "left").groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isNotNull() & F.col("_in").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+# PII rules applied in order; counts are per-rule over the ORIGINAL
+# text (replacement is sequential, so a span consumed by an earlier
+# rule can't be re-redacted, but it IS still counted by later rules if
+# both match the original — documented, deterministic semantics).
+# Patterns stick to the regex subset with identical meaning in Java
+# regex (Spark) and RE2 (DuckDB): literal classes, \d, \b, {m,n}.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\b\d{7,}\b", "<NUMBER>"),
+]
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex PII scrub for training corpora: emails, SSNs, IPv4s, and
+    long digit runs replaced by typed tags, with per-rule match counts
+    (the audit surface — redaction rates per source feed curation
+    dashboards). Pure scan-side `regexp_replace`/`regexp_count`
+    chain: zero shuffles, zero Python, whole-stage codegen.
+
+    Each rule's count is measured on the ORIGINAL text; replacements
+    apply sequentially in ``PII_RULES`` order. The chain references
+    each intermediate exactly once, so the expression tree stays
+    linear (no Catalyst re-inlining blowup)."""
+    red = F.col(text_col)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    for _, pat, tag in PII_RULES:
+        red = F.regexp_replace(red, pat, tag)
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)

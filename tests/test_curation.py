@@ -305,3 +305,71 @@ def test_token_budget_by_split(spark):
     assert sum(r["n_docs"] for r in rows.values()) == 100
     assert sum(r["total_tokens"] for r in rows.values()) == 1000
     assert rows["train"]["n_docs"] > rows["val"]["n_docs"]  # 0.8 vs 0.1
+
+
+def test_boilerplate_ngrams_counts_distinct_docs(spark):
+    from hermod_spark.operators import curation as CUR
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved on this page"),
+            (2, "all rights reserved again here today"),
+            (3, "all rights reserved all rights reserved"),  # twice in ONE doc
+            (4, "completely different words entirely now"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["ngram"]: r["n_docs"]
+        for r in CUR.boilerplate_ngrams(df, n=3, min_docs=3).collect()
+    }
+    # doc 3's repeat counts once: document frequency, not occurrences
+    assert got == {"all rights reserved": 3}
+
+
+def test_boilerplate_fraction(spark):
+    from hermod_spark.operators import curation as CUR
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved on this page"),   # 4 3-grams, 1 bp
+            (2, "all rights reserved again here"),     # 3 3-grams, 1 bp
+            (3, "all rights reserved more text"),      # 3 3-grams, 1 bp
+            (4, "no shared phrases in here"),          # 3 3-grams, 0 bp
+            (5, "ab"),                                 # 0 3-grams
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CUR.boilerplate_fraction(df, n=3, min_docs=3).collect()
+    }
+    assert rows[1]["n_ngrams"] == 4 and rows[1]["n_boilerplate"] == 1
+    assert abs(rows[1]["boilerplate_frac"] - 0.25) < 1e-9
+    assert rows[4]["n_boilerplate"] == 0 and rows[4]["boilerplate_frac"] == 0.0
+    assert rows[5]["n_ngrams"] == 0 and rows[5]["boilerplate_frac"] == 0.0
+
+
+def test_gopher_flags(spark):
+    from hermod_spark.operators import curation as CUR
+
+    # stopword-rich AND mean word length in [3,10] (pure stopword runs
+    # average under 3 chars and would trip flag_mean_len)
+    long_good = "think about these words that with from have been good " * 6
+    df = spark.createDataFrame(
+        [
+            (1, long_good),                      # enough words + stopwords
+            (2, "tiny doc"),                     # too short
+            (3, "zz " * 60),                     # no stopwords
+            (4, ("supercalifragilistic " * 60)), # mean word len too high
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r for r in CUR.gopher_flags(df, min_words=50).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["flag_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["flag_stopwords"] is False and rows[3]["keep"] is False
+    assert rows[4]["flag_mean_len"] is False and rows[4]["keep"] is False
+    assert rows[2]["n_words"] == 2

@@ -198,3 +198,27 @@ def test_normalize_embeddings_unit_norm_and_zero_guard(spark):
     assert rows[1]["unit"] == [0.6, 0.8]
     assert rows[2]["l2_norm"] == 0.0
     assert rows[2]["unit"] == [0.0, 0.0]
+
+
+def test_class_stats(spark):
+    import math
+
+    from hermod_spark.operators.similarity import class_stats
+
+    # label 0: two identical unit-x vectors -> cohesion 1, norm 1
+    # label 1: orthogonal pair -> avg cosine to centroid = cos(45deg)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [2.0, 0.0], 1),
+            (4, [0.0, 2.0], 1),
+        ],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    rows = {r["label"]: r for r in class_stats(df).collect()}
+    assert rows[0]["n_vectors"] == 2
+    assert abs(rows[0]["avg_norm"] - 1.0) < 1e-6
+    assert abs(rows[0]["avg_cos_centroid"] - 1.0) < 1e-6
+    assert abs(rows[1]["avg_norm"] - 2.0) < 1e-6
+    assert abs(rows[1]["avg_cos_centroid"] - math.cos(math.pi / 4)) < 1e-6

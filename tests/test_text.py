@@ -329,3 +329,57 @@ def test_winnow_linear_cost_guard(spark):
     n = textops.winnow_fingerprints(df).count()
     assert n == 50
     assert time.perf_counter() - t0 < 60, "winnow cost is superlinear again"
+
+
+# ------------------------------------------------------------ oov / pii
+
+
+def test_oov_rate(spark):
+    from hermod_spark.operators import textops
+
+    # corpus freq: "common" x4, "word" x3, "rare" x1, "unique" x1
+    df = spark.createDataFrame(
+        [
+            (1, "common word common"),
+            (2, "common word rare"),
+            (3, "common word unique"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in textops.oov_rate(df, vocab_size=2).collect()}
+    # vocab = {common, word}; rare/unique are OOV
+    assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
+    assert rows[2]["n_oov"] == 1 and abs(rows[2]["oov_rate"] - 1 / 3) < 1e-6
+    assert rows[3]["n_oov"] == 1
+
+
+def test_oov_vocab_tie_break_deterministic(spark):
+    from hermod_spark.operators import textops
+
+    # "a" and "b" tie on frequency; vocab_size=1 must pick "a" (token asc)
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id INT, text STRING")
+    rows = {r["doc_id"]: r for r in textops.oov_rate(df, vocab_size=1).collect()}
+    assert rows[1]["n_oov"] == 1  # "b" is out
+
+
+def test_pii_redact_rules(spark):
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "ssn 123-45-6789 ip 192.168.0.1 acct 12345678"),
+            (3, "clean text with no pii at all"),
+            (4, "two mails a@b.io and c@d.co plus 10.0.0.1"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in textops.pii_redact(df).collect()}
+    assert rows[1]["redacted"] == "mail <EMAIL> now"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ssn"] == 0
+    assert rows[2]["redacted"] == "ssn <SSN> ip <IP> acct <NUMBER>"
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_ipv4"] == 1 and rows[2]["n_number"] == 1
+    assert rows[3]["redacted"] == "clean text with no pii at all"  # unchanged
+    assert sum([rows[3]["n_email"], rows[3]["n_ssn"], rows[3]["n_ipv4"], rows[3]["n_number"]]) == 0
+    assert rows[4]["redacted"] == "two mails <EMAIL> and <EMAIL> plus <IP>"
+    assert rows[4]["n_email"] == 2 and rows[4]["n_ipv4"] == 1
