@@ -240,22 +240,27 @@ def _hmac_pseudo_oracle_sql() -> str:
     """Literal-VALUES pseudo-oracle for fn_hmac: expected digests
     computed by Python's stdlib hmac (independent of the Spark plan,
     same library the reference's Go lua.go:139-147 parity is golden-
-    tested against) over the sf0.01 documents table. See the comment
-    at the call site for why DuckDB can't compute HMAC itself."""
+    tested against) over the nation table — which is BYTE-IDENTICAL at
+    every scale factor (verified md5 of the full sorted content at
+    sf0.001/0.01/0.1), so this oracle is valid at whatever sf the gate
+    runs. See the comment at the call site for why DuckDB can't
+    compute HMAC itself."""
     import hashlib
     import hmac as H
 
     import pyarrow.parquet as pq
 
     t = pq.read_table(
-        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        f"{_ORACLE_SF_DIR}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     key = _HMAC_KEY.encode()
     rows = ", ".join(
-        f"({i}, '{H.new(key, str(s).encode(), hashlib.sha256).hexdigest()}')"
-        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        f"({k}, '{H.new(key, str(s).encode(), hashlib.sha256).hexdigest()}')"
+        for k, s in zip(t["n_nationkey"].to_pylist(), t["n_name"].to_pylist())
     )
-    return f"SELECT doc_id, mac FROM (VALUES {rows}) t(doc_id, mac)"
+    return (
+        f"SELECT n_nationkey, mac FROM (VALUES {rows}) t(n_nationkey, mac)"
+    )
 
 
 # ------------------------------------------------------------------- entry
@@ -308,8 +313,12 @@ def _q_scalar_fns(spark, sf):
         "fn_jenc": d.select(
             "doc_id", scalar.json_encode(F.struct("doc_id", "lang")).alias("js")
         ),
-        "fn_hmac": d.select(
-            "doc_id", scalar.hmac_sha256(F.lit(_HMAC_KEY), F.col("text")).alias("mac")
+        # over nation (identical at every sf) so the precomputed
+        # pseudo-oracle holds at any gate scale; the UDF's long-string
+        # behavior is pinned by tests/test_scalar.py goldens
+        "fn_hmac": _t(spark, sf, "nation").select(
+            "n_nationkey",
+            scalar.hmac_sha256(F.lit(_HMAC_KEY), F.col("n_name")).alias("mac"),
         ),
     }
 
@@ -665,6 +674,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll"] = sketch_hll
 
+    def sketch_cm(spark, sf):
+        from hermod_spark.operators.sketches import cm_estimate
+
+        ev = _t(spark, sf, "events")
+        probes = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+        return cm_estimate(ev, probes, "user_id", depth=4, width=1024)
+
+    q["sketch_cm"] = sketch_cm
+
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1004,6 +1022,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sliding"] = stream_sliding
 
+    def stream_sessions(spark, sf):
+        """Session-window variant (30m inclusive gap): batch form of the
+        watermarked streaming session aggregation (the streaming e2e is
+        tests/test_streaming.py::test_session_agg_stream_matches_batch)."""
+        from hermod_spark.streaming.windows import session_agg
+
+        msgs = message_frame(_prep(spark), sf).withColumn(
+            "value", F.get_json_object(F.col("payload").cast("string"), "$.temperature").cast("double")
+        )
+        out = session_agg(msgs, time_col="time", key_col="topic", gap="30 minutes")
+        return out.select(
+            "session_start",
+            "session_end",
+            "topic",
+            "n_events",
+            F.round("avg_value", 6).alias("avg_value"),
+            "first_event",
+            "last_event",
+        )
+
+    q["stream_sessions"] = stream_sessions
+
     return _rotate_for_driver_window(q)
 
 
@@ -1084,12 +1124,10 @@ def oracle_sql() -> dict[str, str]:
     # VARCHAR-only, so real in-SQL HMAC is impossible (the outer hash
     # must digest the inner digest's RAW bytes). Instead the expected
     # digests are precomputed with Python's stdlib hmac over the
-    # documents table at the driver's documented correctness-gate
-    # scale (sf0.01, TESTDATA.md) and emitted as a literal VALUES
-    # table — DuckDB evaluates it like any other oracle and the row
-    # gets the full rowcount+schema+value-hash check. If the gate ever
-    # ran at a different SF this row would go red (rowcount mismatch),
-    # not silently green.
+    # nation table (byte-identical at every sf, so the literal VALUES
+    # oracle is valid at any gate scale) — DuckDB evaluates it like
+    # any other oracle and the row gets the full
+    # rowcount+schema+value-hash check.
     o["fn_hmac"] = _hmac_pseudo_oracle_sql()
     o["fn_jdec"] = "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events"
 
@@ -1464,6 +1502,36 @@ SELECT key AS event_type,
   ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
              ELSE 63 / MAX(CASE WHEN rn = 64 THEN hv END) END, 4) AS est_distinct
 FROM kept GROUP BY key"""
+    # count-min: the fixed affine hash family makes the whole sketch a
+    # pure function of the data — the oracle rebuilds cells and takes
+    # the same min over depth rows
+    from hermod_spark.operators.sketches import CM_A, CM_B, CM_P
+
+    cm_consts = ", ".join(
+        f"({i}, {CM_A[i]}, {CM_B[i]})" for i in range(4)
+    )
+    o["sketch_cm"] = f"""
+WITH c(i, a, b) AS (VALUES {cm_consts}),
+base AS (
+  SELECT user_id,
+    CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         AS BIGINT) AS bh
+  FROM events),
+cells AS (
+  SELECT c.i, ((c.a * base.bh + c.b) % {CM_P}) % 1024 AS cell
+  FROM base CROSS JOIN c),
+sketch AS (SELECT i, cell, COUNT(*) AS cnt FROM cells GROUP BY i, cell),
+probes AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         AS BIGINT) AS bh
+  FROM events WHERE user_id < 20),
+pcells AS (
+  SELECT p.user_id, c.i, ((c.a * p.bh + c.b) % {CM_P}) % 1024 AS cell
+  FROM probes p CROSS JOIN c)
+SELECT user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+FROM pcells LEFT JOIN sketch s USING (i, cell)
+GROUP BY user_id"""
     # HLL surface = exact distinct count + within-bounds claim (see
     # sketch_hll query comment); oracle computes the exact side
     o["sketch_hll"] = """
@@ -1475,7 +1543,7 @@ FROM events GROUP BY event_type"""
 WITH flagged AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), islands AS (
   SELECT user_id, ts,
@@ -2069,4 +2137,24 @@ SELECT bucket_start, bucket_start + INTERVAL 2 HOUR AS bucket_end, topic,
   ROUND(AVG(value), 6) AS avg_value,
   MIN(value) AS min_value, MAX(value) AS max_value, COUNT(value) AS value_count
 FROM e GROUP BY 1, 2, 3"""
+    # session_window boundary is INCLUSIVE: a new session needs a gap
+    # STRICTLY greater than 30 minutes (same semantics as Spark's
+    # session_window; mirrored by the strict > here)
+    o["stream_sessions"] = f"""
+WITH msg AS ({_MSG_SQL}),
+flagged AS (
+  SELECT topic, time, value,
+    CASE WHEN lag(time) OVER w IS NULL
+           OR time - lag(time) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM msg WINDOW w AS (PARTITION BY topic ORDER BY time)
+), islands AS (
+  SELECT topic, time, value,
+    SUM(new_s) OVER (PARTITION BY topic ORDER BY time
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT MIN(time) AS session_start,
+  MAX(time) + INTERVAL 30 MINUTE AS session_end,
+  topic, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
+  MIN(time) AS first_event, MAX(time) AS last_event
+FROM islands GROUP BY topic, sid"""
     return o

@@ -91,6 +91,10 @@ HEADLINE = [
     # added r04
     "rel_salted_join",
     "sim_ivf_trained",
+    # added r05 (no baseline row yet — judge re-pins next round)
+    "cur_boilerplate_frac",
+    "text_oov",
+    "emb_class_stats",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -118,3 +118,94 @@ def hll_distinct_checked(
             F.abs(F.col("_est") - F.col("exact_distinct")) <= slack
         ).alias("within_bounds"),
     )
+
+
+# Count-min sketch hash family: d independent affine transforms over
+# the 32-bit md5-prefix base hash (same universal-hash construction as
+# dedup.MINHASH_A/B: a < 2^31 and base < 2^32 keep products < 2^63).
+# Fixed-seed so every engine (and the DuckDB oracle) reproduces the
+# exact cell layout.
+CM_P = 4294967291  # largest prime < 2^32
+_cm_rng = __import__("random").Random(1337)
+CM_A = [_cm_rng.randrange(1, 1 << 31) for _ in range(8)]
+CM_B = [_cm_rng.randrange(0, 1 << 31) for _ in range(8)]
+
+
+def _cm_base(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def _cm_cell(base: Column, i: int, width: int) -> Column:
+    return ((F.lit(CM_A[i]) * base + F.lit(CM_B[i])) % F.lit(CM_P)) % F.lit(width)
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies as a (row, cell,
+    cnt) frame — the mergeable frequency summary whose size is d×w
+    CELLS regardless of key cardinality (Cormode & Muthukrishnan '05).
+
+    Scale shape: each input row emits ``depth`` (row, cell) pairs
+    map-side; the single shuffle is a count aggregation over at most
+    d×w distinct keys — partial aggregation collapses almost
+    everything before the exchange, so the exchange carries the MODEL,
+    not the data. This is the frequency structure that still fits on
+    one reducer when the key space is billions."""
+    base = _cm_base(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_cell(base, i, width).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.i", "s.cell")
+    return cells.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    df: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min frequency estimates for the keys in ``probes`` (one
+    column named ``key_col``): est = min over the d rows of the probed
+    cell — an OVERestimate (never under; collisions only add), within
+    ε·N with probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+
+    The sketch is model-sized and broadcast to the probe join; the
+    estimate is deterministic given the fixed hash family, so a DuckDB
+    oracle reproduces it bit-for-bit (the property HLL lacks)."""
+    sketch = cm_sketch(df, key_col, depth, width)
+    base = _cm_base(key_col)
+    pcells = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_cell(base, i, width).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(key_col, "s.i", "s.cell")
+    return (
+        pcells.join(F.broadcast(sketch), ["i", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

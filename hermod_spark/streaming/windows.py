@@ -107,3 +107,51 @@ def hourly_rollup_stream(messages: DataFrame, value_expr=None) -> DataFrame:
         window="1 hour",
         watermark="2 hours",
     )
+
+
+def session_agg(
+    df: DataFrame,
+    time_col: str = "time",
+    key_col: str = "topic",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation per key: rows of a key separated by
+    at most ``gap`` merge into one session (the boundary is INCLUSIVE —
+    an event exactly ``gap`` after the last one extends the session; a
+    new session needs a strictly larger quiet period). Works
+    identically on batch and streaming frames — the batch form is the
+    oracle for the streaming form (same `session_window` plan, same
+    output schema).
+
+    On streams the watermark is what makes sessions FINAL: a session
+    closes only when the watermark passes its end + gap, so state per
+    open session is O(aggregates), evicted on close, and late rows
+    within the horizon still extend the right session — semantics the
+    reference (which has no streaming state at all, SURVEY §2.6) can't
+    express. Scale: state keyed by (key, session) — high-cardinality,
+    hash-spread; per-session state is four scalars, never the row
+    history."""
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(time_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(value_col).alias("avg_value"),
+            F.min(time_col).alias("first_event"),
+            F.max(time_col).alias("last_event"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "avg_value",
+            "first_event",
+            "last_event",
+        )
+    )

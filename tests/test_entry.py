@@ -21,12 +21,12 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_has_a_query():
     q, o = set(E.queries()), set(E.oracle_sql())
     assert o <= q
-    # the single rows-only entry is the documented non-SQL-expressible
-    # one: DuckDB 1.0 sha256() is VARCHAR-only, so HMAC's raw-byte
-    # inner digest cannot be composed in the oracle.  (The approx
-    # sketches rel_quantiles_approx / sketch_hll became hash-checkable
-    # in r4 via exact-surface + bounds-boolean wrappers.)
-    assert q - o == {"fn_hmac"}
+    # r5: zero rows-only entries. fn_hmac (the last holdout — DuckDB
+    # 1.0 sha256() is VARCHAR-only, so HMAC's raw-byte inner digest
+    # cannot be composed in SQL) now runs over the nation table, which
+    # is byte-identical at every sf, against a literal-VALUES oracle
+    # precomputed with Python's stdlib hmac.
+    assert q - o == set()
 
 
 def test_driver_window_covers_unchecked_block():

@@ -575,3 +575,47 @@ def test_weekly_seasonality_dow_numbering(spark):
     rows = {(r["dow"], r["hod"]): r for r in R.weekly_seasonality(events).collect()}
     assert rows[(1, 9)]["n_events"] == 2 and rows[(1, 9)]["avg_value"] == 3.0
     assert rows[(0, 23)]["n_events"] == 1
+
+
+def test_cm_estimate_overestimates_never_under(spark):
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.sketches import cm_estimate
+
+    rows = [(i % 50,) for i in range(2000)] + [(999,)] * 100  # heavy key
+    df = spark.createDataFrame(rows, "user_id LONG")
+    probes = df.select("user_id").distinct()
+    est = {r["user_id"]: r["est_count"] for r in cm_estimate(df, probes, "user_id").collect()}
+    exact = {
+        r["user_id"]: r["n"]
+        for r in df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert est[k] >= e, (k, est[k], e)  # CM never underestimates
+    # wide sketch, 51 keys: collisions are rare enough that the heavy
+    # hitter's estimate is tight
+    assert est[999] <= exact[999] + 2000 // 10
+
+
+def test_cm_estimate_exact_when_wide(spark):
+    from hermod_spark.operators.sketches import cm_estimate
+
+    df = spark.createDataFrame([(i % 7,) for i in range(700)], "user_id LONG")
+    probes = df.select("user_id").distinct()
+    # 7 keys in a 4x65536 sketch: any cross-key collision in ALL 4 rows
+    # is (7/65536)^4-improbable -> min is exact
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cm_estimate(df, probes, "user_id", width=65536).collect()
+    }
+    assert est == {k: 100 for k in range(7)}
+
+
+def test_cm_absent_probe_key(spark):
+    from hermod_spark.operators.sketches import cm_estimate
+
+    df = spark.createDataFrame([(1,), (2,)], "user_id LONG")
+    probes = spark.createDataFrame([(42,)], "user_id LONG")
+    [r] = cm_estimate(df, probes, "user_id", width=65536).collect()
+    assert r["user_id"] == 42 and r["est_count"] == 0

@@ -329,3 +329,80 @@ def test_engine_stop_and_recover_exactly_once(spark, tmp_path):
         ("dev2", 2.0),
         ("dev3", 4.0),
     ]  # batch1 NOT duplicated despite the forced replay
+
+
+def _mk_session_batch(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, tzinfo=UTC)  # noqa: E731
+    rows = [
+        # topic a: 10:00, 10:10, 10:25 merge (gaps < 30m); 11:30 is new
+        (t(0), "a", 1.0),
+        (t(10), "a", 2.0),
+        (t(25), "a", 3.0),
+        (dt.datetime(2024, 1, 1, 11, 30, tzinfo=UTC), "a", 4.0),
+        # topic b: a single event is its own session
+        (t(5), "b", 10.0),
+        # exactly-at-gap boundary: 10:00 then 10:30 -> ONE session
+        # (session_window's end boundary is inclusive: a new session
+        # starts only when the gap is STRICTLY exceeded)
+        (t(0), "c", 1.0),
+        (t(30), "c", 2.0),
+    ]
+    return spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, value DOUBLE")
+
+
+def test_session_agg_batch_semantics(spark):
+    from hermod_spark.streaming.windows import session_agg
+
+    out = session_agg(_mk_session_batch(spark), gap="30 minutes")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["topic"], r["session_start"])
+    )
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append(r)
+    a = by_topic["a"]
+    assert len(a) == 2
+    assert a[0]["n_events"] == 3 and a[0]["avg_value"] == 2.0
+    # session end = last event + gap
+    assert a[0]["session_end"] == dt.datetime(2024, 1, 1, 10, 55)
+    assert a[0]["first_event"] == dt.datetime(2024, 1, 1, 10, 0)
+    assert a[0]["last_event"] == dt.datetime(2024, 1, 1, 10, 25)
+    assert a[1]["n_events"] == 1
+    assert len(by_topic["b"]) == 1 and by_topic["b"][0]["n_events"] == 1
+    # an event exactly gap after the previous MERGES (boundary is
+    # inclusive); its session end extends to 10:30 + 30m
+    assert len(by_topic["c"]) == 1
+    assert by_topic["c"][0]["n_events"] == 2
+    assert by_topic["c"][0]["session_end"] == dt.datetime(2024, 1, 1, 11, 0)
+
+
+def test_session_agg_stream_matches_batch(spark, tmp_path):
+    from hermod_spark.streaming.windows import session_agg
+
+    batch = _mk_session_batch(spark)
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    stream = message_stream(spark, src, schema=batch.schema)
+    out = session_agg(stream, gap="30 minutes", watermark="2 hours")
+
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {sink}").collect()
+    finally:
+        q.stop()
+
+    key = lambda r: (  # noqa: E731
+        r["topic"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    assert sorted(map(key, got)) == sorted(
+        map(key, session_agg(batch, gap="30 minutes").collect())
+    )
