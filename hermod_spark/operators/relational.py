@@ -358,13 +358,20 @@ def value_quantiles_twopass(
         F.col(id_col).alias("_tie"),
     )
     spark = events.sparkSession
-    # |asinh(x)| ≤ asinh(1.8e308) ≈ 710.48 for any finite double, so
-    # bucket indexes span ≤ 2·710.48·K + 1 ≤ max_buckets_per_group
+    # |asinh(x)| ≤ asinh(max double) ≈ 710.48 for any finite double, so
+    # bucket indexes span ≤ 2·710.48·K + 1 ≤ max_buckets_per_group.
+    # asinh is evaluated on |v| with the sign restored afterwards:
+    # Spark's ASINH is the naive log(x + sqrt(x²+1)), which cancels to
+    # -inf for NEGATIVE x in the wide band where sqrt(x²+1) == |x| in
+    # double (≈ -1.3e154 < x < -6.7e7) — that collapse is non-monotonic
+    # against the correctly-computed buckets of even more negative
+    # values. On non-negative input the formula never cancels.
     k_scale = max_buckets_per_group / 1421.0
-    bucket_expr = F.floor(
-        F.asinh(F.col("_val").cast("double") / F.lit(float(width)))
-        * F.lit(k_scale)
+    vd = F.col("_val").cast("double")
+    mag_bucket = F.floor(
+        F.asinh(F.abs(vd) / F.lit(float(width))) * F.lit(k_scale)
     ).cast("long")
+    bucket_expr = F.when(vd < 0, -mag_bucket).otherwise(mag_bucket)
     bucketed = vals.withColumn("bucket", bucket_expr)
     hist = (
         bucketed.groupBy("_grpk", "bucket")
