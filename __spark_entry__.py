@@ -938,6 +938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_class_stats"] = lambda spark, sf: S.class_stats(
         _t(spark, sf, "embeddings")
     )
+    q["cur_cdc"] = lambda spark, sf: textops.cdc_chunks(
+        _t(spark, sf, "documents")
+    )
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -2072,6 +2075,30 @@ FROM documents d LEFT JOIN per USING (doc_id)"""
     o["text_pii"] = f"""
 WITH src AS (SELECT doc_id, {pii_src} AS s FROM documents)
 SELECT doc_id, {red_sql} AS redacted, {cnt_sql} FROM src"""
+    # content-defined chunking: k=8 gram hash (md5-prefix long) == 0
+    # mod 64 cuts a chunk; chunk hash = first 16 md5 hex of the chunk
+    o["cur_cdc"] = """
+WITH h AS (
+  SELECT doc_id, text AS s,
+    CASE WHEN length(text) < 8 THEN []::BIGINT[]
+         ELSE list_transform(range(1, length(text) - 6),
+           i -> CAST(CAST(('0x' || substring(md5(s[i:i+7]), 1, 8)) AS UBIGINT)
+                     AS BIGINT))
+    END AS hs
+  FROM (SELECT doc_id, text, text AS s FROM documents)),
+c AS (
+  SELECT doc_id, s,
+    list_filter(range(1, len(hs) + 1), j -> hs[j] % 64 = 0) AS cuts
+  FROM h),
+b AS (
+  SELECT doc_id, s,
+    list_prepend(0, cuts) AS starts,
+    list_append(cuts, CAST(length(s) AS BIGINT)) AS ends
+  FROM c)
+SELECT doc_id, CAST(p AS INT) AS chunk_id,
+  CAST(ends[p + 1] - starts[p + 1] AS INT) AS chunk_len,
+  substring(md5(s[starts[p + 1] + 1 : ends[p + 1]]), 1, 16) AS chunk_hash
+FROM b, UNNEST(range(len(starts))) AS u(p)"""
     o["emb_class_stats"] = """
 WITH x AS (
   SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos

@@ -237,6 +237,31 @@ def quality_filter(
     )
 
 
+def kgram_hashes(s: Column, k: int) -> Column:
+    """Hash of every character k-gram of ``s`` (first 8 md5 hex digits
+    as a long — identical in any engine), as an array.
+
+    ``s`` must be a lambda-bound variable (or a cheap column ref): a
+    free expensive expression here would be re-inlined per gram by
+    Catalyst (see winnow_fingerprints). sequence(1, 0) is DESCENDING
+    [1, 0] in Spark (step defaults to -1), not empty like DuckDB
+    range — strings shorter than k need the explicit empty branch."""
+    grams = F.when(
+        F.length(s) < F.lit(k), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
+            lambda i: F.substring(s, i, k),
+        )
+    )
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 8,
@@ -276,23 +301,7 @@ def winnow_fingerprints(
     leaves — evaluated once per binding, never re-inlined."""
 
     def _hashes_of(s: Column) -> Column:
-        # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults
-        # to -1), not empty like DuckDB range — short docs need an
-        # explicit empty-array branch.
-        grams = F.when(
-            F.length(s) < F.lit(k), F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
-                lambda i: F.substring(s, i, k),
-            )
-        )
-        return F.transform(
-            grams,
-            lambda g: F.conv(
-                F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10
-            ).cast("long"),
-        )
+        return kgram_hashes(s, k)
 
     def _fps_of(hashes: Column) -> Column:
         mins = F.when(
@@ -422,3 +431,70 @@ def pii_redact(
     for _, pat, tag in PII_RULES:
         red = F.regexp_replace(red, pat, tag)
     return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 8,
+    modulus: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family): cut each
+    document at positions where the rolling k-gram hash ≡ 0 (mod
+    ``modulus``) — boundaries anchor to CONTENT, so an insertion early
+    in a document shifts only the chunk it lands in, and every later
+    chunk keeps its identity. Chunk hashes are the shift-robust dedup
+    unit (winnowing fingerprints are the containment complement;
+    MinHash LSH the whole-doc one). Expected chunk length ≈ modulus
+    characters.
+
+    Emits one row per chunk: (doc_id, chunk_id, chunk_len,
+    chunk_hash). Docs shorter than k chars are one whole-doc chunk.
+
+    Scale shape: zero shuffles, zero Python — the boundary scan, the
+    cut-pair zip, and the per-chunk md5 all run as let-bound array
+    expressions inside whole-stage codegen (every intermediate is
+    lambda-bound once; see winnow_fingerprints for the re-inlining
+    trap), then one posexplode emits the chunk rows map-side."""
+
+    def _chunks_of(s: Column) -> Column:
+        def _from_hashes(hashes: Column) -> Column:
+            cuts = F.filter(
+                F.when(
+                    F.size(hashes) < 1, F.array().cast("array<int>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(hashes)),
+                        lambda j: j.cast("int"),
+                    )
+                ),
+                lambda j: F.element_at(hashes, j) % modulus == 0,
+            )
+            starts = F.concat(F.array(F.lit(0)), cuts)
+            ends = F.concat(cuts, F.array(F.length(s).cast("int")))
+            return F.zip_with(
+                starts,
+                ends,
+                lambda a, b: F.struct(
+                    (b - a).alias("chunk_len"),
+                    F.substring(
+                        F.md5(F.encode(F.substring(s, a + 1, b - a), "utf-8")),
+                        1,
+                        16,
+                    ).alias("chunk_hash"),
+                ),
+            )
+
+        return F.transform(F.array(kgram_hashes(s, k)), _from_hashes)[0]
+
+    chunks = F.transform(F.array(F.col(text_col)), _chunks_of)[0]
+    bound = df.select(F.col(id_col), chunks.alias("_chunks"))
+    return bound.select(
+        id_col, F.posexplode("_chunks").alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_len").alias("chunk_len"),
+        F.col("_c.chunk_hash").alias("chunk_hash"),
+    )

@@ -383,3 +383,54 @@ def test_pii_redact_rules(spark):
     assert sum([rows[3]["n_email"], rows[3]["n_ssn"], rows[3]["n_ipv4"], rows[3]["n_number"]]) == 0
     assert rows[4]["redacted"] == "two mails <EMAIL> and <EMAIL> plus <IP>"
     assert rows[4]["n_email"] == 2 and rows[4]["n_ipv4"] == 1
+
+
+# --------------------------------------------------- content-defined chunking
+
+
+def test_cdc_chunks_reassemble(spark):
+    import hashlib
+
+    from hermod_spark.operators import textops
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    rows = sorted(textops.cdc_chunks(df).collect(), key=lambda r: r["chunk_id"])
+    assert sum(r["chunk_len"] for r in rows) == len(text)
+    # chunk hashes are the md5-prefix of the actual chunk text
+    pos = 0
+    for r in rows:
+        chunk = text[pos : pos + r["chunk_len"]]
+        assert r["chunk_hash"] == hashlib.md5(chunk.encode()).hexdigest()[:16]
+        pos += r["chunk_len"]
+
+
+def test_cdc_chunks_shift_robust(spark):
+    from hermod_spark.operators import textops
+
+    base = "many different words arranged into one long document body " * 10
+    shifted = "PREFIX INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id INT, text STRING"
+    )
+    out = textops.cdc_chunks(df).collect()
+    h1 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_id"])]
+    h2 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_id"])]
+    assert len(h1) > 2, "need multiple chunks for the property to bite"
+    # content-anchored boundaries: all chunks after the first boundary
+    # survive the prefix insertion (fixed-size chunking would share 0)
+    assert h1[1:] == h2[-(len(h1) - 1):]
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    import hashlib
+
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "")], "doc_id INT, text STRING")
+    rows = {r["doc_id"]: r for r in textops.cdc_chunks(df).collect()}
+    assert rows[1]["chunk_len"] == 4 and rows[1]["chunk_id"] == 0
+    assert rows[1]["chunk_hash"] == hashlib.md5(b"tiny").hexdigest()[:16]
+    assert rows[2]["chunk_len"] == 0
