@@ -1085,20 +1085,32 @@ def _rotate_for_driver_window(
         "rel_funnel",
         "rel_quantiles_approx",
         "rel_salted_join",
-        # r5 changed surfaces
+        # r5 changed surfaces and new non-prefix-matched queries
         "fn_hmac",
         "rel_quantiles_twopass",
         "rel_user_deltas",
         "rel_outliers",
         "rel_histogram",
+        "sketch_cm",
+        "rel_sessionize",  # oracle boundary >= -> > fix
     }
-    front = [
+    # r5: the front block (52) now exceeds the 50-entry window, so it
+    # is tiered — this round's new/changed surfaces MUST land inside
+    # the window; the spill comes from the tail of the older
+    # never-checked block and rotates in next round.
+    new_in_r5 = {
+        "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
+        "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
+        "stream_sessions", "sketch_cm",
+    }
+    tier0 = [k for k in q if k in new_in_r5 or k in changed_or_new]
+    tier1 = [
         k
         for k in q
-        if k.startswith(never_checked_prefixes) or k in changed_or_new
+        if k.startswith(never_checked_prefixes) and k not in set(tier0)
     ]
-    back = [k for k in q if k not in set(front)]
-    return {k: q[k] for k in [*front, *back]}
+    back = [k for k in q if k not in set(tier0) and k not in set(tier1)]
+    return {k: q[k] for k in [*tier0, *tier1, *back]}
 
 
 # -------------------------------------------------------------- oracle SQL
