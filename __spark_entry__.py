@@ -941,6 +941,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_cdc"] = lambda spark, sf: textops.cdc_chunks(
         _t(spark, sf, "documents")
     )
+    # PQ conformance pair: seeded data-independent codebooks (the
+    # hyperplanes pattern) so the oracle replays the exact model at
+    # any sf; the TRAINED codebook path is pinned by
+    # tests/test_similarity.py (trained must beat random on recon)
+    q["emb_pq_codes"] = lambda spark, sf: S.pq_codes(
+        _t(spark, sf, "embeddings"),
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
+    q["sim_pq_topk"] = lambda spark, sf: S.pq_topk(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -1101,7 +1115,7 @@ def _rotate_for_driver_window(
     new_in_r5 = {
         "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
         "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
-        "stream_sessions", "sketch_cm",
+        "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
     }
     tier0 = [k for k in q if k in new_in_r5 or k in changed_or_new]
     tier1 = [
@@ -2111,6 +2125,70 @@ SELECT doc_id, CAST(p AS INT) AS chunk_id,
   CAST(ends[p + 1] - starts[p + 1] AS INT) AS chunk_len,
   substring(md5(s[starts[p + 1] + 1 : ends[p + 1]]), 1, 16) AS chunk_hash
 FROM b, UNNEST(range(len(starts))) AS u(p)"""
+    # PQ: same seeded codebooks as the queries, inlined as a DOUBLE[][][]
+    # literal; encode = argmin-L2 per subspace (list_indexof of the min
+    # = first index = lowest-code tie-break, matching array_min over
+    # (d, i) structs); squared terms written as x*x (not pow) to match
+    # Spark's fold bit-for-bit
+    from hermod_spark.operators.similarity import pq_random_codebooks
+
+    _books = pq_random_codebooks(_EMB_DIM)
+    _m, _nc, _sd = len(_books), len(_books[0]), len(_books[0][0])
+    _b3 = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in cw) + "]" for cw in book
+            )
+            + "]"
+            for book in _books
+        )
+        + "]::DOUBLE[][][]"
+    )
+
+    def _pq_dists(vec: str) -> str:
+        term = f"({vec}[(b-1)*{_sd}+t] - B[b][j][t])"
+        return (
+            f"list_transform(range(1, {_nc + 1}), j -> "
+            f"list_sum(list_transform(range(1, {_sd + 1}), t -> {term} * {term})))"
+        )
+
+    _codes = (
+        f"list_transform(range(1, {_m + 1}), b -> "
+        f"list_indexof({_pq_dists('e')}, list_min({_pq_dists('e')})) - 1)"
+    )
+    _recon_term = f"(e[(b-1)*{_sd}+t] - B[b][codes[b]+1][t])"
+    o["emb_pq_codes"] = f"""
+WITH cb AS (SELECT {_b3} AS B),
+enc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_codes} AS codes
+  FROM embeddings, cb)
+SELECT vec_id, list_transform(codes, c -> CAST(c AS INT)) AS codes,
+  ROUND(sqrt(list_sum(list_transform(range(1, {_m + 1}), b ->
+    list_sum(list_transform(range(1, {_sd + 1}), t ->
+      {_recon_term} * {_recon_term}))))), 6) AS recon_error
+FROM enc, cb"""
+    _adc_term = f"(qe[(b-1)*{_sd}+t] - B[b][codes[b]+1][t])"
+    o["sim_pq_topk"] = f"""
+WITH cb AS (SELECT {_b3} AS B),
+enc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_codes} AS codes
+  FROM embeddings, cb),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_m + 1}), b ->
+      list_sum(list_transform(range(1, {_sd + 1}), t ->
+        {_adc_term} * {_adc_term})))), 6) AS est_dist
+  FROM enc CROSS JOIN q CROSS JOIN cb
+  WHERE q.query_id != enc.vec_id)
+SELECT query_id, neighbor_id, est_dist,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY est_dist ASC, neighbor_id ASC) AS INT) AS rnk
+FROM scored QUALIFY rnk <= {_TOPK}
+ORDER BY query_id, rnk"""
     o["emb_class_stats"] = """
 WITH x AS (
   SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos

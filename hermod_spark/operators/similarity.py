@@ -511,3 +511,225 @@ def class_stats(
             "avg_cos_centroid"
         ),
     )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    n_iter: int = 15,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` subspaces, k-means each with ``n_codes``
+    codewords. A vector then compresses to m small ints — at 100 TB
+    this is what makes the candidate set memory-resident (64 floats →
+    8 nibbles here), while IVF handles the candidate SELECTION.
+
+    Same deterministic training shape as the IVF coarse quantizer:
+    ONE hash-ordered TakeOrdered sample (sample_size × dim to the
+    driver), seeded k-means++ per subspace in numpy, fixed iteration
+    count, codewords rounded for stable literals. Returns
+    m × n_codes × (dim/m) floats."""
+    from hermod_spark.operators.sketches import uniform_hash
+
+    rows = (
+        embeddings.select(
+            uniform_hash(F.col(id_col).cast("string")).alias("_h"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if n == 0:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for b in range(m):
+        S = X[:, b * sub : (b + 1) * sub]
+        k = min(n_codes, n)
+        rng = np.random.RandomState(seed + b)
+        # k-means++ init (L2)
+        centers = [S[rng.randint(n)]]
+        for _ in range(1, k):
+            d2 = np.min(
+                [((S - c) ** 2).sum(axis=1) for c in centers], axis=0
+            )
+            total = d2.sum()
+            if total == 0:
+                centers.append(S[rng.randint(n)])
+                continue
+            centers.append(S[np.searchsorted(np.cumsum(d2), rng.rand() * total)])
+        C = np.asarray(centers)
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newC = np.array(
+                [
+                    S[assign == j].mean(axis=0)
+                    if (assign == j).any()
+                    else S[np.argmax(np.min(d2, axis=1))]
+                    for j in range(k)
+                ]
+            )
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books.append([[round(float(x), 6) for x in c] for c in C])
+    return books
+
+
+def _sub_dist2(sub_vec: Column, codeword: list[float]) -> Column:
+    cw = F.array(*[F.lit(x) for x in codeword])
+    diff = F.zip_with(
+        sub_vec, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diff, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def pq_encode(vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """Vector → array of m codes (argmin-L2 codeword per subspace,
+    ties → lowest code). Pure literal-array map-side math — the same
+    0-shuffle shape as ivf_assign, m × n_codes small dot folds per
+    row."""
+    v = _vec(vec)
+    codes = []
+    for b, book in enumerate(codebooks):
+        sub = len(book[0])
+        sv = F.slice(v, b * sub + 1, sub)
+        dists = F.array(*[_sub_dist2(sv, cw) for cw in book])
+        pairs = F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+        )
+        codes.append(F.array_min(pairs).getField("i").cast("int"))
+    return F.array(*codes)
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-encode the corpus: (id, codes array, reconstruction error).
+    The recon error (exact L2 between the vector and its codeword
+    concatenation) is the compression-quality audit column."""
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(embeddings, m, n_codes, id_col=id_col, vec_col=vec_col)
+    )
+    v = F.col(vec_col)
+    codes = pq_encode(v, books)
+    bound = embeddings.select(F.col(id_col), v.alias("_v"), codes.alias("codes"))
+    sub = len(books[0][0])
+    recon_terms = []
+    for b, book in enumerate(books):
+        sv = F.slice(F.col("_v"), b * sub + 1, sub)
+        cw = F.element_at(
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
+            F.element_at(F.col("codes"), b + 1) + 1,
+        )
+        diff = F.zip_with(
+            sv, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        recon_terms.append(
+            F.aggregate(diff, F.lit(0.0).cast("double"), lambda a, x: a + x)
+        )
+    recon = sum(recon_terms[1:], recon_terms[0])
+    return bound.select(
+        id_col, "codes", F.round(F.sqrt(recon), 6).alias("recon_error")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k (asymmetric distance): exact query vector vs PQ codes
+    of the corpus — est L2 = Σ_m dist²(q_sub, codeword[code_m]).
+    The corpus side carries only the codes (the compressed form);
+    queries are broadcast; ranking shuffles scored candidates only.
+    In production this runs inside each IVF probe list; here it's the
+    whole (small) corpus so the DuckDB oracle can replay it exactly."""
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(embeddings, m, n_codes, id_col=id_col, vec_col=vec_col)
+    )
+    sub = len(books[0][0])
+    coded = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(vec_col, books).alias("codes"),
+    )
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    terms = []
+    for b, book in enumerate(books):
+        sv = F.slice(F.col("q_vec"), b * sub + 1, sub)
+        cw = F.element_at(
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
+            F.element_at(F.col("codes"), b + 1) + 1,
+        )
+        diff = F.zip_with(
+            sv, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        terms.append(
+            F.aggregate(diff, F.lit(0.0).cast("double"), lambda a, x: a + x)
+        )
+    est = sum(terms[1:], terms[0])
+    # round BEFORE ranking (same convention as tfidf_top_terms): rank
+    # order must not flap on a final-ulp double difference
+    scored = (
+        coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("est_dist", F.round(est, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "est_dist", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def pq_random_codebooks(
+    dim: int, m: int = 8, n_codes: int = 16, seed: int = 5
+) -> list[list[list[float]]]:
+    """Seeded data-INDEPENDENT codebooks (same role as `hyperplanes`
+    for LSH): the cross-engine conformance model. Encoding and ADC are
+    exact given ANY codebooks, so the oracle-checked queries pin the
+    plumbing with these reproducible literals at every scale factor,
+    while training quality is pinned separately by pytest
+    (trained codebooks must beat these on reconstruction error)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+    sub = dim // m
+    return [
+        [
+            [round(float(x), 6) for x in rng.normal(0.0, 0.5, sub)]
+            for _ in range(n_codes)
+        ]
+        for _ in range(m)
+    ]

@@ -34,15 +34,15 @@ def test_driver_window_covers_unchecked_block():
     never-driver-checked block now exceeds 50, so the rotation is
     tiered: every query ADDED or CHANGED this round must land inside
     the window (tier 0); the remainder of the never-checked block
-    fills the rest and its tail spills — at most 2 entries — rotating
-    in next round."""
+    fills the rest and its tail spills — a handful of entries —
+    rotating in next round."""
     qs = list(E.queries())
     first50 = set(qs[:50])
     tier0 = {
         # r5 new
         "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
         "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
-        "stream_sessions", "sketch_cm",
+        "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
         # r5 changed surfaces
         "fn_hmac", "rel_quantiles_twopass", "cur_length_filter",
         "rel_user_deltas", "rel_outliers", "rel_histogram",
@@ -54,7 +54,7 @@ def test_driver_window_covers_unchecked_block():
         for k in qs[50:]
         if k.startswith(("text_", "cur_", "mm_", "emb_", "stream_", "sim_ivf_"))
     ]
-    assert len(spilled) <= 2, spilled
+    assert len(spilled) <= 4, spilled
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))

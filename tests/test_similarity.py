@@ -222,3 +222,80 @@ def test_class_stats(spark):
     assert abs(rows[0]["avg_cos_centroid"] - 1.0) < 1e-6
     assert abs(rows[1]["avg_norm"] - 2.0) < 1e-6
     assert abs(rows[1]["avg_cos_centroid"] - math.cos(math.pi / 4)) < 1e-6
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from hermod_spark.operators import similarity as S
+
+    books = S.pq_random_codebooks(8, m=2, n_codes=4, seed=3)
+    vecs = [
+        (0, [0.1, -0.2, 0.3, 0.0, 0.5, 0.5, -0.5, 0.1]),
+        (1, [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<FLOAT>")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in df.select(
+            "vec_id", S.pq_encode("embedding", books).alias("codes")
+        ).collect()
+    }
+    for vid, v in vecs:
+        want = []
+        for b, book in enumerate(books):
+            sub = np.asarray(v[b * 4 : (b + 1) * 4], dtype=np.float32).astype(
+                np.float64
+            )
+            d = ((np.asarray(book) - sub) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d)))
+        assert got[vid] == want, vid
+
+
+def test_pq_trained_beats_random_recon(spark):
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+    from hermod_spark.operators import similarity as S
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    trained = S.train_pq_codebooks(emb, m=8, n_codes=16)
+    random_b = S.pq_random_codebooks(dim, m=8, n_codes=16)
+    err = {}
+    for name, books in [("trained", trained), ("random", random_b)]:
+        err[name] = (
+            S.pq_codes(emb, codebooks=books)
+            .agg(F.avg("recon_error"))
+            .first()[0]
+        )
+    assert err["trained"] < err["random"], err
+
+
+def test_pq_training_deterministic(spark):
+    from hermod_spark.data import table
+    from hermod_spark.operators import similarity as S
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = S.train_pq_codebooks(emb, m=4, n_codes=8)
+    b = S.train_pq_codebooks(emb, m=4, n_codes=8)
+    assert a == b
+
+
+def test_pq_topk_self_excluded_and_ranked(spark):
+    from hermod_spark.data import table
+    from hermod_spark.operators import similarity as S
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    out = S.pq_topk(emb, k=3, n_queries=4, codebooks=S.pq_random_codebooks(dim)).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        dists = [r["est_dist"] for r in rows]
+        assert dists == sorted(dists)
