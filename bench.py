@@ -95,6 +95,9 @@ HEADLINE = [
     "cur_boilerplate_frac",
     "text_oov",
     "emb_class_stats",
+    "cur_cdc",
+    "text_winnow",
+    "emb_pq_codes",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

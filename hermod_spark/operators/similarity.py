@@ -588,30 +588,51 @@ def train_pq_codebooks(
     return books
 
 
-def _sub_dist2(sub_vec: Column, codeword: list[float]) -> Column:
-    cw = F.array(*[F.lit(x) for x in codeword])
-    diff = F.zip_with(
-        sub_vec, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+# The PQ expressions are built as SQL STRINGS parsed once via F.expr:
+# constructing m × n_codes literal-array folds through the Python
+# Column API costs thousands of py4j round-trips (~6 s of plan-build
+# per query at m=8, n_codes=16); one 30 KB SQL string parses JVM-side
+# in milliseconds and yields the IDENTICAL expression tree (same
+# zip_with/aggregate shapes, same left-to-right fold order, so results
+# stay bit-identical to the DuckDB oracle).
+
+
+def _sql_darr(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _pq_dist2_sql(vec_sql: str, b: int, sub: int, codeword: list[float]) -> str:
+    sv = f"slice({vec_sql}, {b * sub + 1}, {sub})"
+    return (
+        f"aggregate(zip_with({sv}, {_sql_darr(codeword)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
-    return F.aggregate(diff, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
-def pq_encode(vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
-    """Vector → array of m codes (argmin-L2 codeword per subspace,
-    ties → lowest code). Pure literal-array map-side math — the same
-    0-shuffle shape as ivf_assign, m × n_codes small dot folds per
-    row."""
-    v = _vec(vec)
+def _pq_codes_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     codes = []
     for b, book in enumerate(codebooks):
         sub = len(book[0])
-        sv = F.slice(v, b * sub + 1, sub)
-        dists = F.array(*[_sub_dist2(sv, cw) for cw in book])
-        pairs = F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+        dists = (
+            "array("
+            + ", ".join(_pq_dist2_sql(vec_sql, b, sub, cw) for cw in book)
+            + ")"
         )
-        codes.append(F.array_min(pairs).getField("i").cast("int"))
-    return F.array(*codes)
+        codes.append(
+            "CAST(array_min(transform("
+            + dists
+            + ", (d, i) -> named_struct('d', d, 'i', i))).i AS INT)"
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_encode(vec: str, codebooks: list[list[list[float]]]) -> Column:
+    """Vector column (by NAME) → array of m codes (argmin-L2 codeword
+    per subspace, ties → lowest code). Pure literal-array map-side
+    math — the same 0-shuffle shape as ivf_assign, m × n_codes small
+    dot folds per row."""
+    return F.expr(_pq_codes_sql(vec, codebooks))
 
 
 def pq_codes(
@@ -630,26 +651,25 @@ def pq_codes(
         if codebooks is not None
         else train_pq_codebooks(embeddings, m, n_codes, id_col=id_col, vec_col=vec_col)
     )
-    v = F.col(vec_col)
-    codes = pq_encode(v, books)
-    bound = embeddings.select(F.col(id_col), v.alias("_v"), codes.alias("codes"))
+    codes = pq_encode(vec_col, books)
+    # m*n_codes distance folds per row: spread a single-split input
+    # (no-op on real multi-split tables)
+    bound = ensure_min_partitions(embeddings).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), codes.alias("codes")
+    )
     sub = len(books[0][0])
-    recon_terms = []
+    terms = []
     for b, book in enumerate(books):
-        sv = F.slice(F.col("_v"), b * sub + 1, sub)
-        cw = F.element_at(
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
-            F.element_at(F.col("codes"), b + 1) + 1,
+        book_arr = "array(" + ", ".join(_sql_darr(c) for c in book) + ")"
+        cw = f"element_at({book_arr}, element_at(codes, {b + 1}) + 1)"
+        terms.append(
+            f"aggregate(zip_with(slice(_v, {b * sub + 1}, {sub}), {cw}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
-        diff = F.zip_with(
-            sv, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        recon_terms.append(
-            F.aggregate(diff, F.lit(0.0).cast("double"), lambda a, x: a + x)
-        )
-    recon = sum(recon_terms[1:], recon_terms[0])
+    recon = " + ".join(terms)
     return bound.select(
-        id_col, "codes", F.round(F.sqrt(recon), 6).alias("recon_error")
+        id_col, "codes", F.expr(f"round(sqrt({recon}), 6)").alias("recon_error")
     )
 
 
@@ -675,7 +695,7 @@ def pq_topk(
         else train_pq_codebooks(embeddings, m, n_codes, id_col=id_col, vec_col=vec_col)
     )
     sub = len(books[0][0])
-    coded = embeddings.select(
+    coded = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode(vec_col, books).alias("codes"),
     )
@@ -684,18 +704,14 @@ def pq_topk(
     )
     terms = []
     for b, book in enumerate(books):
-        sv = F.slice(F.col("q_vec"), b * sub + 1, sub)
-        cw = F.element_at(
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book]),
-            F.element_at(F.col("codes"), b + 1) + 1,
-        )
-        diff = F.zip_with(
-            sv, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
+        book_arr = "array(" + ", ".join(_sql_darr(c) for c in book) + ")"
+        cw = f"element_at({book_arr}, element_at(codes, {b + 1}) + 1)"
         terms.append(
-            F.aggregate(diff, F.lit(0.0).cast("double"), lambda a, x: a + x)
+            f"aggregate(zip_with(slice(q_vec, {b * sub + 1}, {sub}), {cw}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
-    est = sum(terms[1:], terms[0])
+    est = F.expr(" + ".join(terms))
     # round BEFORE ranking (same convention as tfidf_top_terms): rank
     # order must not flap on a final-ulp double difference
     scored = (

@@ -488,10 +488,22 @@ def cdc_chunks(
 
         return F.transform(F.array(kgram_hashes(s, k)), _from_hashes)[0]
 
+    from hermod_spark.data import ensure_min_partitions
+
     chunks = F.transform(F.array(F.col(text_col)), _chunks_of)[0]
-    bound = df.select(F.col(id_col), chunks.alias("_chunks"))
+    # per-row cost is len(text) md5s: a single-split small table would
+    # serialize the whole corpus in one task (no-op on real multi-split
+    # inputs)
+    bound = ensure_min_partitions(df).select(F.col(id_col), chunks.alias("_chunks"))
+    # posexplode_OUTER on purpose: plain posexplode adds an implicit
+    # `size(_chunks) > 0` filter that predicate-pushdown moves below
+    # the repartition exchange — re-evaluating the whole chunk
+    # expression in the (possibly single-task) scan stage. The array
+    # is never empty by construction (starts always holds [0]), so
+    # outer is semantically identical and keeps the heavy projection
+    # above the exchange.
     return bound.select(
-        id_col, F.posexplode("_chunks").alias("chunk_id", "_c")
+        id_col, F.posexplode_outer("_chunks").alias("chunk_id", "_c")
     ).select(
         id_col,
         "chunk_id",
