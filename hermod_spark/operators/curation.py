@@ -85,10 +85,15 @@ def chunk_documents(
             ),
         )
 
+    # explode_outer: plain explode's implicit size>0 filter would
+    # re-evaluate the whole chunk array per row (dedup.shingles note);
+    # the array is never empty (short/empty docs yield one chunk)
     chunked = df.select(
         F.col(id_col),
-        F.explode(F.flatten(F.transform(F.array(toks), _chunks))).alias("c"),
-    )
+        F.explode_outer(
+            F.flatten(F.transform(F.array(toks), _chunks))
+        ).alias("c"),
+    ).filter(F.col("c").isNotNull())
     return chunked.select(
         id_col,
         F.col("c.chunk_id").alias("chunk_id"),
@@ -380,8 +385,10 @@ def boilerplate_ngrams(
     from hermod_spark.functions.text import ngrams
 
     pairs = df.select(
-        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("ngram")
-    )
+        F.explode_outer(
+            F.array_distinct(ngrams(F.col(text_col), n))
+        ).alias("ngram")
+    ).filter(F.col("ngram").isNotNull())
     return (
         pairs.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))

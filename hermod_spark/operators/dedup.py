@@ -160,9 +160,15 @@ def minhash_bands(
     alternative re-inlines the tokenizer 16× under projection collapse
     and takes minutes to codegen on even small inputs)."""
     rows = num_hashes // bands
+    # explode_outer + null filter, NOT plain explode: explode adds an
+    # implicit size(arr)>0 filter whose predicate re-evaluates the whole
+    # shingle expression a second time per row (and can sink below
+    # exchanges) — see cdc_chunks. The null filter only sees the output
+    # column, so the array is computed once.
     exploded = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, w)).alias("_s")
-    )
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingles(text_col, w)).alias("_s"),
+    ).filter(F.col("_s").isNotNull())
     mins = exploded.select("_id", _base_hash(F.col("_s")).alias("_h")).groupBy("_id").agg(
         *[F.min(_affine(F.col("_h"), i)).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -427,10 +433,12 @@ def simhash_frame(
     aggregation spine as MinHash, zero Python, and exactly
     reproducible in the DuckDB oracle (which the former Arrow-UDF
     token loop was not). Tokenless docs keep fingerprint 0."""
+    # explode_outer + null filter: avoids the implicit size>0 filter
+    # re-evaluating the tokenizer (see the shingle explode above)
     exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
-    )
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).filter(F.col("_t").isNotNull())
     h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("bigint")
     staged = exploded.select("_id", h.alias("_h"))
     sums = staged.groupBy("_id").agg(

@@ -76,7 +76,8 @@ def top_ngrams(
     from pyspark.sql import Window
 
     counts = (
-        df.select(F.explode(X.ngrams(text_col, n)).alias("ngram"))
+        df.select(F.explode_outer(X.ngrams(text_col, n)).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -92,8 +93,9 @@ def vocab_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> Da
     (group, token) map-side, so the shuffle carries the vocabulary,
     not the corpus."""
     toks = df.select(
-        F.col(by), F.explode(X.tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
+        F.col(by),
+        F.explode_outer(X.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
     return (
         toks.groupBy(by)
         .agg(
@@ -152,8 +154,8 @@ def tfidf_top_terms(
 
     tok = df.select(
         F.col(by), F.col(id_col),
-        F.explode(X.tokens(F.lower(F.col(text_col)))).alias("tok"),
-    )
+        F.explode_outer(X.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
     tf = tok.groupBy(by, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("tok").agg(F.count_distinct(id_col).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
