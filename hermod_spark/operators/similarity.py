@@ -156,6 +156,7 @@ def ivf_recall_check(
     min_recall: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Recall@k of the TRAINED IVF path against exact brute-force
     truth, as a hash-checkable claim: per query, ``n_truth`` (the
@@ -168,7 +169,8 @@ def ivf_recall_check(
     fixed data. Both inputs are n_queries×k rows — the verification
     join is driver-trivial regardless of corpus size."""
     ivf = ivf_topk(
-        embeddings, k, n_queries, n_centroids, n_probe, id_col, vec_col
+        embeddings, k, n_queries, n_centroids, n_probe, id_col, vec_col,
+        centroids=centroids,
     )
     bf = brute_force_topk(embeddings, k, n_queries, id_col, vec_col)
     hits = bf.select("query_id", "neighbor_id").join(
@@ -352,12 +354,31 @@ def ivf_assign(vec: Column | str, centroids: list[list[float]]) -> Column:
     Inner product (the IVF-IP coarse quantizer) rather than cosine:
     normalizing by ||v|| cannot change a row's argmax, and dropping
     the norms cuts 2×n_centroids aggregate folds per row to zero —
-    only the raw dots remain, identical in any engine."""
-    sims = F.array(
-        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
-    )
+    only the raw dots remain, identical in any engine.
+
+    Built as one SQL string (see the PQ note above `_sql_darr`): the
+    Python Column API pays a py4j round-trip per literal — ~2 s of
+    plan-build for 8×64 centroid floats; F.expr parses in ms with the
+    identical tree (same zip_with/aggregate fold, same values)."""
+    vec_sql = vec if isinstance(vec, str) else None
+    if vec_sql is None:
+        raise TypeError("ivf_assign requires a column NAME for SQL building")
+    sims = _ivf_sims_sql(vec_sql, centroids)
     # array_position is 1-based and returns the FIRST max → lowest id
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return F.expr(
+        f"CAST(array_position({sims}, array_max({sims})) - 1 AS INT)"
+    )
+
+
+def _ivf_dot_sql(vec_sql: str, c: list[float]) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_darr(c)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_sims_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    return "array(" + ", ".join(_ivf_dot_sql(vec_sql, c) for c in centroids) + ")"
 
 
 def ivf_probe_lists(
@@ -365,17 +386,17 @@ def ivf_probe_lists(
 ) -> Column:
     """Top-``n_probe`` centroid ids by inner product (ties → lowest
     id), as an array — the lists a query probes. Same literal-array
-    map-side shape as ivf_assign."""
-    sims = F.array(
-        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
-    )
+    map-side shape (and same SQL-string construction) as ivf_assign."""
+    if not isinstance(vec, str):
+        raise TypeError("ivf_probe_lists requires a column NAME")
+    sims = _ivf_sims_sql(vec, centroids)
     # rank (sim desc, index asc) without a shuffle: pair each sim with
     # its index, sort pairs descending by (sim, -index) via struct sort
-    pairs = F.transform(
-        sims, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+    return F.expr(
+        f"transform(slice(reverse(array_sort(transform({sims}, "
+        f"(s, i) -> named_struct('s', s, 'ni', -i)))), 1, {n_probe}), "
+        f"p -> CAST(-p.ni AS INT))"
     )
-    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
-    return F.transform(top, lambda p: (-p.getField("ni")).cast("int"))
 
 
 def ivf_topk(
