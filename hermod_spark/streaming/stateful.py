@@ -71,3 +71,86 @@ def running_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ewma_anomalies(
+    messages: DataFrame,
+    key_col: str = "topic",
+    value_col: str = "value",
+    time_col: str = "time",
+    alpha: float = 0.2,
+    threshold: float = 3.0,
+    warmup: int = 5,
+    watermark: str = "1 hour",
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key EWMA anomaly detector — the full custom-state template
+    (beyond ``running_counts``'s counter): state is the exponentially
+    weighted mean/variance per key; a row deviating more than
+    ``threshold``·σ after ``warmup`` observations is emitted as an
+    anomaly. Rows inside a batch are processed in (time, value) order
+    so the result is deterministic for a given batch decomposition.
+
+    State lifecycle at scale: three scalars per ACTIVE key, updated
+    Arrow-batched per group; keys idle (in EVENT time) longer than
+    ``idle_timeout_ms`` past the watermark are EVICTED via
+    EventTimeTimeout, so state volume is O(active keys), never
+    O(stream history) — the piece the reference's per-worker mutable
+    Lua state cannot do fault-tolerantly. Event-time (not
+    processing-time) timeout on purpose: eviction is then a
+    deterministic function of the data and replays identically from a
+    checkpoint — and a wall-clock timeout keeps scheduling micro-
+    batches forever, which livelocks drain-style consumers
+    (`processAllAvailable`)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([time_col, value_col], ignore_index=True)
+        out: list[tuple] = []
+        for i in range(len(rows)):
+            x = rows[value_col].iloc[i]
+            if x is None or pd.isna(x):
+                continue
+            x = float(x)
+            if n >= warmup:
+                sigma = max(var, 0.0) ** 0.5
+                if sigma > 0 and abs(x - mean) > threshold * sigma:
+                    out.append(
+                        (key[0], rows[time_col].iloc[i], x,
+                         round(mean, 6), round(sigma, 6))
+                    )
+            if n == 0:
+                mean, var = x, 0.0
+            else:
+                d = x - mean
+                mean += alpha * d
+                var = (1.0 - alpha) * (var + alpha * d * d)
+            n += 1
+        state.update((float(mean), float(var), int(n)))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm + idle_timeout_ms, wm + 1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "event_time", "value", "ewma", "sigma"]
+            )
+
+    return (
+        messages.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key STRING, event_time TIMESTAMP, value DOUBLE,"
+                " ewma DOUBLE, sigma DOUBLE"
+            ),
+            stateStructType="mean DOUBLE, var DOUBLE, n BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -63,3 +63,61 @@ def test_running_counts_state(spark, tmp_path):
     for r in got:
         final[r["key"]] = max(final.get(r["key"], 0), r["n"])
     assert final == {"a": 4, "b": 1}
+
+
+def _py_ewma_anomalies(rows, alpha=0.2, threshold=3.0, warmup=5):
+    """Reference implementation mirroring ewma_anomalies' update loop."""
+    mean, var, n = 0.0, 0.0, 0
+    out = []
+    for t, x in rows:
+        if n >= warmup:
+            sigma = max(var, 0.0) ** 0.5
+            if sigma > 0 and abs(x - mean) > threshold * sigma:
+                out.append((t, x))
+        if n == 0:
+            mean, var = x, 0.0
+        else:
+            d = x - mean
+            mean += alpha * d
+            var = (1.0 - alpha) * (var + alpha * d * d)
+        n += 1
+    return out
+
+
+def test_ewma_anomalies_flags_spike(spark, tmp_path):
+    import random
+
+    from hermod_spark.streaming.stateful import ewma_anomalies
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    rows = []
+    vals = []
+    for i in range(40):
+        x = 10.0 + rng.uniform(-0.5, 0.5)
+        if i == 25:
+            x = 50.0  # the spike
+        vals.append((t0 + dt.timedelta(minutes=i), x))
+        rows.append((t0 + dt.timedelta(minutes=i), "a", x))
+    # a steady second key: no anomalies, independent state
+    for i in range(10):
+        rows.append((t0 + dt.timedelta(minutes=i), "b", 5.0 + 0.01 * i))
+    batch = spark.createDataFrame(
+        rows, "time TIMESTAMP, topic STRING, value DOUBLE"
+    )
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = message_stream(spark, src, schema=batch.schema)
+    got = _run_stream(
+        spark, tmp_path, ewma_anomalies(stream), mode="append"
+    )
+    want = _py_ewma_anomalies([(t, x) for t, x in vals])
+    got_a = sorted(
+        (r["event_time"], r["value"]) for r in got if r["key"] == "a"
+    )
+    assert [x for _, x in got_a] == [x for _, x in sorted(want)]
+    assert all(r["key"] != "b" for r in got) or not [
+        r for r in got if r["key"] == "b"
+    ]
+    # the spike is flagged
+    assert 50.0 in [x for _, x in got_a]
