@@ -975,6 +975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_queries=_N_QUERIES,
         codebooks=S.pq_random_codebooks(_EMB_DIM),
     )
+    # threshold matches sim_embedding_neardups (random-ish synthetic
+    # embeddings have no 0.95-cosine twins; 0.3 yields a real graph)
+    q["emb_semantic_dedup"] = lambda spark, sf: S.semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.3, dim=_EMB_DIM
+    )
 
     # --- multimodal plumbing ------------------------------------------
     def mm_resize_plan(spark, sf):
@@ -1136,6 +1141,7 @@ def _rotate_for_driver_window(
         "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
         "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
         "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
+        "emb_semantic_dedup",
     }
     tier0 = [k for k in q if k in new_in_r5 or k in changed_or_new]
     tier1 = [
@@ -1776,6 +1782,23 @@ WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS v,
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cosab}, 6) AS sim
 FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cosab} >= 0.3"""
+    # SemDeDup: same near-dup graph -> recursive connected components
+    o["emb_semantic_dedup"] = f"""
+WITH RECURSIVE h AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    {_bucket_sql("embedding::DOUBLE[]", _PLANES_DUP)} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cosab} >= 0.3),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS vec_id, MIN(b) AS cluster_id, a = MIN(b) AS keep
+FROM reach GROUP BY a"""
 
     o["text_doc_metrics"] = f"""
 SELECT doc_id,

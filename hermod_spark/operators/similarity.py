@@ -770,3 +770,43 @@ def pq_random_codebooks(
         ]
         for _ in range(m)
     ]
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    embedding-cosine near-duplicate pairs (sign-LSH bucketed, never
+    all-pairs) → connected components → every vector labeled with its
+    cluster id (min reachable id) and a ``keep`` flag for the one
+    survivor per cluster. ``filter(keep)`` is the dedup; the cluster
+    sizes are the redundancy audit.
+
+    Reuses the text pipeline's :func:`dedup.min_label_propagation`
+    (O(diameter) rounds, one node-id shuffle join per round, no driver
+    graph) on the embedding near-dup edge list — the same scale story,
+    swapping the shingle-LSH candidate generator for the sign-LSH one."""
+    from hermod_spark.operators.dedup import min_label_propagation
+
+    pairs = embedding_near_dups(
+        embeddings, threshold, n_planes, seed, id_col, vec_col, dim
+    ).select("id_a", "id_b")
+    labels, _rounds = min_label_propagation(pairs, max_iterations)
+    connected = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    return (
+        embeddings.select(id_col)
+        .join(connected, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

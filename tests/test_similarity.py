@@ -299,3 +299,25 @@ def test_pq_topk_self_excluded_and_ranked(spark):
         rows.sort(key=lambda r: r["rnk"])
         dists = [r["est_dist"] for r in rows]
         assert dists == sorted(dists)
+
+
+def test_semantic_dedup_clusters_and_survivors(spark):
+    from hermod_spark.operators.similarity import semantic_dedup
+
+    # two duplicate pairs (cosine 1.0) + one singleton
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),   # same direction as 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.0, 0.5, 0.0, 0.0]),   # same direction as 2
+            (7, [0.0, 0.0, 1.0, 1.0]),   # alone
+        ],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99, dim=4).collect()}
+    assert rows[0]["cluster_id"] == 0 and rows[0]["keep"] is True
+    assert rows[1]["cluster_id"] == 0 and rows[1]["keep"] is False
+    assert rows[2]["cluster_id"] == 2 and rows[2]["keep"] is True
+    assert rows[5]["cluster_id"] == 2 and rows[5]["keep"] is False
+    assert rows[7]["cluster_id"] == 7 and rows[7]["keep"] is True
