@@ -106,7 +106,11 @@ def test_ewma_anomalies_flags_spike(spark, tmp_path):
         rows, "time TIMESTAMP, topic STRING, value DOUBLE"
     )
     src = str(tmp_path / "src")
-    batch.write.parquet(src)
+    # ONE part file in time order: message_stream triggers per file, and
+    # EWMA results depend on the batch decomposition (state updates are
+    # sorted within a batch only) — multiple part files would arrive in
+    # nondeterministic file order and make the expectation flaky
+    batch.repartition(1).sortWithinPartitions("time").write.parquet(src)
     stream = message_stream(spark, src, schema=batch.schema)
     got = _run_stream(
         spark, tmp_path, ewma_anomalies(stream), mode="append"
