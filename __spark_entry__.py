@@ -824,6 +824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_top"] = lambda spark, sf: textops.tfidf_top_terms(
         _t(spark, sf, "documents"), k=10, min_tf=5
     )
+    # min_shared=8: the synthetic small-vocab corpus makes 2-fingerprint
+    # overlaps near-universal (68k pairs); 8 keeps a sharp non-trivial set
+    q["text_winnow_pairs"] = lambda spark, sf: textops.winnow_containment(
+        _t(spark, sf, "documents"), min_shared=8
+    )
     # rolling-hash (winnowing) fingerprints — substring-robust
     # complement to the set-hash fingerprint in text_dup_rate
     q["text_winnow"] = lambda spark, sf: textops.winnow_fingerprints(
@@ -1141,7 +1146,7 @@ def _rotate_for_driver_window(
         "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
         "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
         "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
-        "emb_semantic_dedup",
+        "emb_semantic_dedup", "text_winnow_pairs",
     }
     tier0 = [k for k in q if k in new_in_r5 or k in changed_or_new]
     tier1 = [
@@ -1847,8 +1852,7 @@ SELECT split, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
 FROM s GROUP BY split"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)
-    o["text_winnow"] = """
-WITH nrm AS (
+    _winnow_cte = """nrm AS (
   SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
   FROM documents),
 h AS (
@@ -1861,12 +1865,26 @@ w AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, greatest(len(hs) - 3, 0) + 1),
       j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
-  FROM h)
+  FROM h)"""
+    o["text_winnow"] = f"""
+WITH {_winnow_cte}
 SELECT doc_id, len(fps) AS n_fingerprints,
   list_aggregate(fps, 'min') AS fp_min,
   list_aggregate(fps, 'max') AS fp_max,
   COALESCE(CAST(list_aggregate(fps, 'sum') AS BIGINT), 0) AS fp_sum
 FROM w"""
+    # containment candidates: shared selected fingerprints ≥ min_shared,
+    # hot fingerprints (posting list > 200) dropped like LSH max_bucket
+    o["text_winnow_pairs"] = f"""
+WITH {_winnow_cte},
+posting AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+cold AS (
+  SELECT p.doc_id, p.fp FROM posting p
+  JOIN (SELECT fp FROM posting GROUP BY fp HAVING COUNT(*) <= 200) c
+    USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 8"""
     o["text_dup_rate"] = f"""
 WITH f AS (SELECT source, {_fingerprint_sql('text')} AS fp FROM documents)
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,

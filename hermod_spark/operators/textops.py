@@ -512,3 +512,55 @@ def cdc_chunks(
         F.col("_c.chunk_len").alias("chunk_len"),
         F.col("_c.chunk_hash").alias("chunk_hash"),
     )
+
+
+def winnow_containment(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment-candidate pairs from winnowing fingerprints — the
+    use the SIGMOD'03 scheme exists for: documents sharing
+    ``min_shared``-or-more selected fingerprints share substrings of
+    length ≥ k+window-1 (plagiarism/quotation/containment detection,
+    which whole-document MinHash misses when the overlap is a small
+    fraction of either doc).
+
+    Scale shape: the inverted fingerprint index (fp → doc posting
+    list) is built by one explode + count; fingerprints whose posting
+    list exceeds ``max_posting`` are DROPPED before the self-join —
+    they are boilerplate substrings whose pair expansion is quadratic
+    and whose evidence is weakest (the same hot-bucket cap as MinHash
+    LSH's max_bucket). The pair join then shuffles on the fingerprint
+    key and aggregates shared counts map-side."""
+    posting = (
+        winnow_fingerprints(
+            df, k, window, text_col=text_col, id_col=id_col, emit_sets=True
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer("fingerprints").alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+    )
+    fp_counts = posting.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    cold = posting.join(
+        fp_counts.filter(F.col("_n") <= max_posting).select("fp"), "fp"
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

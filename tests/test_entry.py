@@ -43,7 +43,7 @@ def test_driver_window_covers_unchecked_block():
         "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
         "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
         "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
-        "emb_semantic_dedup",
+        "emb_semantic_dedup", "text_winnow_pairs",
         # r5 changed surfaces
         "fn_hmac", "rel_quantiles_twopass", "cur_length_filter",
         "rel_user_deltas", "rel_outliers", "rel_histogram",

@@ -434,3 +434,40 @@ def test_cdc_short_doc_single_chunk(spark):
     assert rows[1]["chunk_len"] == 4 and rows[1]["chunk_id"] == 0
     assert rows[1]["chunk_hash"] == hashlib.md5(b"tiny").hexdigest()[:16]
     assert rows[2]["chunk_len"] == 0
+
+
+def test_winnow_containment_detects_shared_passage(spark):
+    from hermod_spark.operators import textops
+
+    passage = "the incriminating shared passage that was copied verbatim between documents"
+    df = spark.createDataFrame(
+        [
+            (1, "unique opening for one " + passage + " and a closing"),
+            (2, "other intro words here " + passage + " different end"),
+            (3, "nothing in common with either of those two documents"),
+            (4, "yet another completely unrelated piece of writing"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in textops.winnow_containment(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_winnow_containment_hot_fp_cap(spark):
+    from hermod_spark.operators import textops
+
+    # a fingerprint present in EVERY doc is boilerplate: with
+    # max_posting below the corpus size it must not produce pairs
+    boiler = "this identical boilerplate footer appears in every document here"
+    df = spark.createDataFrame(
+        [(i, f"doc {i} unique words {i * 7} " + boiler) for i in range(6)],
+        "doc_id INT, text STRING",
+    )
+    all_pairs = textops.winnow_containment(df, min_shared=1, max_posting=200).count()
+    capped = textops.winnow_containment(df, min_shared=1, max_posting=5).count()
+    assert all_pairs > 0
+    assert capped < all_pairs
