@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hermod_spark import data
@@ -44,6 +44,24 @@ def _prep(spark: SparkSession) -> SparkSession:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return data.table(_prep(spark), sf_dir, name)
+
+
+# Driver-canon surface rule: no array/map/struct columns — the driver
+# pandas-sorts every column and dies on ndarray cells (CORRECTNESS_r05
+# `err` rows). Gated queries serialize array results to one scalar
+# string; the library API keeps the real array form.
+def _join_ints(col: Column) -> Column:
+    """array<int> -> 'a,b,c' (int-to-string render is engine-identical)."""
+    return F.array_join(col.cast("array<string>"), ",")
+
+
+def _join_f6(col: Column) -> Column:
+    """array<double> (already rounded to 6dp) -> fixed '%.6f' CSV.
+    Fixed-width formatting sidesteps engine float-repr differences
+    (trailing zeros, scientific notation); `+ 0.0` collapses -0.0."""
+    return F.array_join(
+        F.transform(col, lambda x: F.format_string("%.6f", x + F.lit(0.0))), ","
+    )
 
 
 # Route table used by flt_route / entry (first-match order matters:
@@ -247,12 +265,25 @@ def _hmac_pseudo_oracle_sql() -> str:
     compute HMAC itself."""
     import hashlib
     import hmac as H
+    import os
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{_ORACLE_SF_DIR}/nation.parquet", columns=["n_nationkey", "n_name"]
+    # prefer the documented gate scale, but fall back to any sf dir
+    # that exists (nation is byte-identical across sf, so all are
+    # equivalent) — a missing fixed path must not take down the whole
+    # oracle map (ADVICE r5)
+    candidates = [_ORACLE_SF_DIR] + [
+        f"/root/testdata/sf{s}" for s in ("0.001", "0.1")
+    ]
+    path = next(
+        (f"{d}/nation.parquet" for d in candidates
+         if os.path.exists(f"{d}/nation.parquet")),
+        None,
     )
+    if path is None:
+        return None
+    t = pq.read_table(path, columns=["n_nationkey", "n_name"])
     key = _HMAC_KEY.encode()
     rows = ", ".join(
         f"({k}, '{H.new(key, str(s).encode(), hashlib.sha256).hexdigest()}')"
@@ -574,7 +605,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_semi_anti"] = lambda spark, sf: R.customers_with_without_orders(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
     )
-    q["rel_cube"] = lambda spark, sf: R.order_status_cube(_t(spark, sf, "orders"))
+    def rel_cube(spark, sf):
+        # Gated surface: grouping columns as strings with an 'ALL'
+        # sentinel (keyed off gid, not NULL) — pandas coerces an
+        # int column with CUBE NULLs to float64, which hash-mismatches
+        # DuckDB's rendering. Library API keeps the native types.
+        out = R.order_status_cube(_t(spark, sf, "orders"))
+        return out.select(
+            F.when(F.col("gid") >= 2, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("gid") % 2 == 1, F.lit("ALL"))
+            .otherwise(F.col("order_year").cast("string"))
+            .alias("order_year"),
+            "n_orders",
+            "total_price",
+            "gid",
+        )
+
+    q["rel_cube"] = rel_cube
 
     def rel_asof(spark, sf):
         """Backward as-of join: each purchase matched to the user's
@@ -764,10 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["emb_quantize"] = lambda spark, sf: S.quantize_embeddings(
         _t(spark, sf, "embeddings")
-    )
+    ).withColumn("codes", _join_ints(F.col("codes")))
     q["emb_normalize"] = lambda spark, sf: S.normalize_embeddings(
         _t(spark, sf, "embeddings")
-    )
+    ).withColumn("unit", _join_f6(F.col("unit")))
     q["sim_ivf_probe2"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"),
         k=_TOPK,
@@ -920,7 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
-        return CUR.group_centroids(e, F.col("label").alias("grp")).orderBy("grp")
+        out = CUR.group_centroids(e, F.col("label").alias("grp")).orderBy("grp")
+        return out.withColumn("centroid", _join_f6(F.col("centroid")))
 
     q["cur_centroids"] = cur_centroids
 
@@ -973,7 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_pq_codes"] = lambda spark, sf: S.pq_codes(
         _t(spark, sf, "embeddings"),
         codebooks=S.pq_random_codebooks(_EMB_DIM),
-    )
+    ).withColumn("codes", _join_ints(F.col("codes")))
     q["sim_pq_topk"] = lambda spark, sf: S.pq_topk(
         _t(spark, sf, "embeddings"),
         k=_TOPK,
@@ -1109,52 +1159,47 @@ def _rotate_for_driver_window(
     integer micro_rate, the bounds-boolean approx sketches) and this
     round's new queries; the long-green §2 operators rotate to the back.
 
-    Round 5: r4's driver file came back EMPTY (text_winnow hung the
-    gate), so the front block still has zero driver evidence — keep it
-    in front, and add the r5 changed-surface queries: fn_hmac (first
-    real oracle), rel_quantiles_twopass / cur_length_filter (new
-    bucketing), rel_user_deltas (window order now the casted ts).
+    Round 6 (VERDICT r5 #4): tier0 is (a) the six queries that have
+    NEVER been in any driver window (cur_centroids was array-surface —
+    fixed this round — plus the mm_*/stream_windowed/stream_sliding
+    block) and (b) the six r5 driver-red queries, every one re-fixed
+    this round (three uncast-SUM oracles cast to BIGINT, three array
+    surfaces serialized), plus rel_cube whose grouping surface changed
+    (string + 'ALL' sentinel). Union of driver-green across rounds
+    should reach 110/110 once this window lands.
     """
-    never_checked_prefixes = (
-        "text_",
-        "cur_",
-        "mm_",
-        "emb_",
-        "stream_",
-        "sim_ivf_",
-    )
-    changed_or_new = {
-        "sketch_hll",
-        "rel_histogram_equidepth",
+    never_windowed = [
+        "cur_centroids",
+        "mm_resize_plan",
+        "mm_frame_sample",
+        "mm_audio_chunks",
+        "stream_windowed",
+        "stream_sliding",
+    ]
+    refixed_reds = [
         "rel_funnel",
-        "rel_quantiles_approx",
-        "rel_salted_join",
-        # r5 changed surfaces and new non-prefix-matched queries
-        "fn_hmac",
-        "rel_quantiles_twopass",
-        "rel_user_deltas",
-        "rel_outliers",
-        "rel_histogram",
-        "sketch_cm",
-        "rel_sessionize",  # oracle boundary >= -> > fix
-    }
-    # r5: the front block (52) now exceeds the 50-entry window, so it
-    # is tiered — this round's new/changed surfaces MUST land inside
-    # the window; the spill comes from the tail of the older
-    # never-checked block and rotates in next round.
-    new_in_r5 = {
-        "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
-        "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
-        "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
-        "emb_semantic_dedup", "text_winnow_pairs",
-    }
-    tier0 = [k for k in q if k in new_in_r5 or k in changed_or_new]
+        "text_oov",
+        "cur_token_budget",
+        "emb_pq_codes",
+        "emb_quantize",
+        "emb_normalize",
+    ]
+    changed_surface = ["rel_cube"]
+    tier0 = [
+        k
+        for k in [*never_windowed, *refixed_reds, *changed_surface]
+        if k in q
+    ]
+    # tier1: keep recent-green rotation fresh — r5's window tail that
+    # was green stays next in line, then everything else in build order
+    tier0_set = set(tier0)
     tier1 = [
         k
         for k in q
-        if k.startswith(never_checked_prefixes) and k not in set(tier0)
+        if k not in tier0_set
+        and k.startswith(("text_", "cur_", "emb_", "mm_", "stream_", "sim_"))
     ]
-    back = [k for k in q if k not in set(tier0) and k not in set(tier1)]
+    back = [k for k in q if k not in tier0_set and k not in set(tier1)]
     return {k: q[k] for k in [*tier0, *tier1, *back]}
 
 
@@ -1188,7 +1233,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle is valid at any gate scale) — DuckDB evaluates it like
     # any other oracle and the row gets the full
     # rowcount+schema+value-hash check.
-    o["fn_hmac"] = _hmac_pseudo_oracle_sql()
+    _hmac_sql = _hmac_pseudo_oracle_sql()
+    if _hmac_sql is not None:  # else: drop just this entry (rows-only)
+        o["fn_hmac"] = _hmac_sql
     o["fn_jdec"] = "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events"
 
     m_cols = ", ".join(
@@ -1362,7 +1409,12 @@ UNION ALL
 SELECT c_custkey, 'no_orders' AS which FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
     o["rel_cube"] = """
-SELECT o_orderstatus, year(o_orderdate) AS order_year, COUNT(*) AS n_orders,
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+    AS o_orderstatus,
+  CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 'ALL'
+       ELSE CAST(year(o_orderdate) AS VARCHAR) END AS order_year,
+  COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price,
   GROUPING(o_orderstatus) * 2 + GROUPING(year(o_orderdate)) AS gid
 FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))"""
@@ -1390,7 +1442,7 @@ per_user AS (
   GROUP BY s.user_id, s.signup_ts)
 SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS cohort_day,
   COUNT(*) AS n_signups,
-  SUM(CAST(converted AS INT)) AS n_converted,
+  CAST(SUM(CAST(converted AS INT)) AS BIGINT) AS n_converted,
   CAST((SUM(CAST(converted AS INT)) * 1000000) // COUNT(*) AS BIGINT)
     AS micro_rate
 FROM per_user GROUP BY 1"""
@@ -1750,16 +1802,19 @@ s AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS sc
       FROM e)
 SELECT vec_id, ROUND(lo, 6) AS zero_point, ROUND(sc, 6) AS scale,
-  CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
-       ELSE list_transform(v, x -> CAST(floor((x - lo) / sc + 0.5) AS INTEGER))
-  END AS codes
+  array_to_string(
+    CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(floor((x - lo) / sc + 0.5) AS INTEGER))
+    END, ',') AS codes
 FROM s"""
     o["emb_normalize"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
-  CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
-       ELSE list_transform(v, x -> ROUND(x / nrm, 6)) END AS unit
+  array_to_string(list_transform(
+    CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x -> ROUND(x / nrm, 6)) END,
+    x -> printf('%.6f', x + 0)), ',') AS unit
 FROM n"""
     o["sim_ivf_probe2"] = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1848,7 +1903,7 @@ WITH s AS (
        ELSE 'test' END AS split,
     len({toksc}) AS nt
   FROM documents)
-SELECT split, COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
 FROM s GROUP BY split"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)
@@ -2072,7 +2127,9 @@ m AS (
   SELECT grp, pos,
     ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mean_v
   FROM x GROUP BY grp, pos)
-SELECT grp, list(mean_v ORDER BY pos) AS centroid
+SELECT grp,
+  array_to_string(list_transform(list(mean_v ORDER BY pos),
+    x -> printf('%.6f', x + 0)), ',') AS centroid
 FROM m GROUP BY grp ORDER BY grp"""
 
     # r5: boilerplate / gopher / oov / pii / embedding class stats
@@ -2135,8 +2192,8 @@ per AS (
   SELECT t.doc_id, COUNT(*) AS n_tokens,
     SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
   FROM tk t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id)
-SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
-  COALESCE(n_oov, 0) AS n_oov,
+SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
   ROUND(COALESCE(n_oov, 0) / CAST(greatest(COALESCE(n_tokens, 0), 1) AS DOUBLE), 6)
     AS oov_rate
 FROM documents d LEFT JOIN per USING (doc_id)"""
@@ -2225,7 +2282,7 @@ WITH cb AS (SELECT {_b3} AS B),
 enc AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {_codes} AS codes
   FROM embeddings, cb)
-SELECT vec_id, list_transform(codes, c -> CAST(c AS INT)) AS codes,
+SELECT vec_id, array_to_string(list_transform(codes, c -> CAST(c AS INT)), ',') AS codes,
   ROUND(sqrt(list_sum(list_transform(range(1, {_m + 1}), b ->
     list_sum(list_transform(range(1, {_sd + 1}), t ->
       {_recon_term} * {_recon_term}))))), 6) AS recon_error

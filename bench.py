@@ -176,6 +176,13 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     from hermod_spark.operators import relational as R
 
     docs10, events10 = _documents_10x(spark), _events_10x(spark)
+    # Warm the synthesized inputs once so the first timed query does
+    # not also pay the scan+translate+union build cost (the 1× side is
+    # best-of-2, i.e. warm — VERDICT r5 #7: dedup_exact's 1.27× per-row
+    # "ratio" was exactly this cold-input artifact; a 32→256 shuffle-
+    # partition sweep moved it only 0.81→0.63 s, i.e. fixed cost).
+    docs10.count()
+    events10.count()
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),

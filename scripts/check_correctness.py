@@ -2,8 +2,21 @@
 
 Runs every ``queries()`` entry on Spark and, where present, the matching
 ``oracle_sql()`` on DuckDB over the same parquet tables, then compares
-row count, sorted-by-name schema, and values (rows sorted, columns
-sorted by name, floats canonicalised through repr of float64).
+row count, sorted-by-name schema, and values. BOTH sides are fetched
+through pandas (``sdf.toPandas()`` / ``cur.df()``) and canonicalised
+from pandas dtypes, because that is what the driver's canon does
+(VERDICT r5 "What's wrong" #3): the old ``fetchall()`` path returned
+Python ints for DuckDB HUGEINT and serialized lists itself, so it was
+structurally blind to the two classes that produced every r5 driver-red
+row — uncast SUM() rendering float64 ``3.0`` vs bigint ``3``, and raw
+array columns that make pandas' multi-column sort throw
+``TypeError: unhashable type: 'numpy.ndarray'``.
+
+A static SURFACE lint runs before the value compare and fails any query
+whose Spark schema contains array/map/struct columns or whose
+oracle-through-pandas dtype disagrees with the Spark-through-pandas
+dtype (the judge's version of this scan found all 6 r5 reds + 2 latents
+with zero false positives).
 
 Each query (Spark run + oracle run + compare) gets a wall-clock budget
 (``CHECK_TIMEOUT_SEC``, default 120 s): on breach the Spark job group is
@@ -26,6 +39,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
@@ -40,29 +55,65 @@ TABLES = [
 ]
 
 
-def canon(v):
-    if v is None:
+def cell_canon(v):
+    """Pandas cell -> canonical string. Deliberately dtype-sensitive:
+    np.float64(3.0) -> '3.0' but np.int64(3) -> '3', so an oracle-side
+    HUGEINT->float64 coercion mismatches exactly as it does in the
+    driver's canon."""
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return "0x" + v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        # mirror the driver: container cells are not a legal surface
+        raise TypeError(f"unhashable type: '{type(v).__name__}'")
     return str(v)
 
 
-def rows_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def pdf_canon(pdf: pd.DataFrame) -> list[str]:
+    """Driver-style canon: columns sorted by name, rows sorted by ALL
+    columns (pandas multi-column sort — throws on ndarray cells, same
+    as the driver), cells rendered dtype-sensitively."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [
+        "|".join(cell_canon(c) for c in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+
+
+_CONTAINER_TYPES = ("array<", "map<", "struct<")
+
+
+def surface_lint(sdf_schema, spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
+    """Static canon-contract lint (VERDICT r5 fix #3): no container
+    columns on the Spark surface; pandas dtypes must agree between the
+    Spark result and the oracle result column-by-column."""
+    problems = []
+    for f in sdf_schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith(_CONTAINER_TYPES):
+            problems.append(f"SURFACE spark column {f.name!r} is {t}")
+    for c in sorted(set(spdf.columns) & set(opdf.columns)):
+        sd, od = spdf[c].dtype, opdf[c].dtype
+        # Compare dtype KIND, not width: int32 vs int64 both render '3'
+        # (no driver hash risk), but float-vs-int is exactly the
+        # HUGEINT / CUBE-null class, and object-vs-datetime is the
+        # date-surface class.
+        if sd.kind != od.kind:
+            problems.append(f"SURFACE dtype mismatch {c!r}: spark={sd} oracle={od}")
+    return problems
 
 
 def duckdb_connection(sf_dir: str):
@@ -73,31 +124,6 @@ def duckdb_connection(sf_dir: str):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
-
-
-def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
-    """Run one Spark query + its oracle SQL; return problem strings
-    (empty = parity)."""
-    sdf = fn(spark, sf_dir)
-    scols, srows = sdf.columns, sdf.collect()
-    rel = con.execute(sql)
-    ocols = [d[0] for d in rel.description]
-    orows = rel.fetchall()
-    problems: list[str] = []
-    if len(srows) != len(orows):
-        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-    if sorted(scols) != sorted(ocols):
-        problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
-    if not problems:
-        sc = rows_canon(scols, [tuple(r) for r in srows])
-        oc = rows_canon(ocols, orows)
-        if sc != oc:
-            diff = next((i for i, (a, b) in enumerate(zip(sc, oc)) if a != b), None)
-            msg = "values differ"
-            if diff is not None:
-                msg += f" @row {diff}: spark={sc[diff][:200]} oracle={oc[diff][:200]}"
-            problems.append(msg)
-    return problems
 
 
 def main() -> None:
@@ -127,16 +153,20 @@ def main() -> None:
             # Own job group so the watchdog can cancel mid-collect
             # (pinned-thread mode: job group is per-Python-thread).
             spark.sparkContext.setJobGroup(f"cc-{name}", name, True)
+            # Own DuckDB cursor so a zombie worker surviving its grace
+            # join cannot interleave with the next query's oracle run
+            # (ADVICE r5): cursors share the catalog, not the lock.
+            cur = con.cursor()
             try:
                 sdf = fn(spark, SF_DIR)
-                out["scols"] = sdf.columns
-                out["srows"] = sdf.collect()
+                out["schema"] = sdf.schema
+                out["spdf"] = sdf.toPandas()
                 if name in oracles:
-                    rel = con.execute(oracles[name])
-                    out["ocols"] = [d[0] for d in rel.description]
-                    out["orows"] = rel.fetchall()
+                    out["opdf"] = cur.execute(oracles[name]).df()
             except Exception as ex:  # noqa: BLE001
                 out["err"] = ex
+            finally:
+                cur.close()
             # no clearJobGroup: the group is thread-local and the
             # worker thread ends here
 
@@ -147,6 +177,10 @@ def main() -> None:
             spark.sparkContext.cancelJobGroup(f"cc-{name}")
             con.interrupt()
             t.join(10)
+            if t.is_alive():
+                # zombie worker still holds the old connection's lock:
+                # abandon that connection entirely (ADVICE r5)
+                con = duckdb_connection(SF_DIR)
             print(f"FAIL {name}: timeout (> {BUDGET_SEC:.0f}s budget)")
             n_fail += 1
             continue
@@ -155,34 +189,44 @@ def main() -> None:
             print(f"FAIL {name}: raised {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
-        scols, srows = out["scols"], out["srows"]
+        spdf = out["spdf"]
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.perf_counter()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.perf_counter()-t0:.1f}s)")
             n_rowsonly += 1
             continue
-        ocols, orows = out["ocols"], out["orows"]
+        opdf = out["opdf"]
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"schema spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
         if not problems:
-            sc = rows_canon(scols, [tuple(r) for r in srows])
-            oc = rows_canon(ocols, orows)
-            if sc != oc:
-                diff = next(
-                    (i for i, (a, b) in enumerate(zip(sc, oc)) if a != b), None
-                )
-                msg = "values differ"
-                if diff is not None:
-                    msg += f" @sorted-row {diff}:\n  spark : {sc[diff][:300]}\n  oracle: {oc[diff][:300]}"
-                problems.append(msg)
+            problems.extend(surface_lint(out["schema"], spdf, opdf))
+        if not problems:
+            try:
+                sc = pdf_canon(spdf)
+                oc = pdf_canon(opdf)
+            except TypeError as ex:
+                # same failure the driver's canon produces on container
+                # cells — belt to the surface lint's suspenders
+                problems.append(f"canon raised {type(ex).__name__}: {ex}")
+            else:
+                if sc != oc:
+                    diff = next(
+                        (i for i, (a, b) in enumerate(zip(sc, oc)) if a != b), None
+                    )
+                    msg = "values differ"
+                    if diff is not None:
+                        msg += f" @sorted-row {diff}:\n  spark : {sc[diff][:300]}\n  oracle: {oc[diff][:300]}"
+                    problems.append(msg)
         dt = time.perf_counter() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+            print(f"PASS {name}: {len(spdf)} rows ({dt:.1f}s)")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")

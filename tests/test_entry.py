@@ -39,26 +39,18 @@ def test_driver_window_covers_unchecked_block():
     qs = list(E.queries())
     first50 = set(qs[:50])
     tier0 = {
-        # r5 new
-        "cur_boilerplate", "cur_boilerplate_frac", "cur_gopher",
-        "text_oov", "text_pii", "emb_class_stats", "cur_cdc",
-        "stream_sessions", "sketch_cm", "sim_pq_topk", "emb_pq_codes",
-        "emb_semantic_dedup", "text_winnow_pairs",
-        # r5 changed surfaces
-        "fn_hmac", "rel_quantiles_twopass", "cur_length_filter",
-        "rel_user_deltas", "rel_outliers", "rel_histogram",
-        "rel_sessionize",
+        # r6: the six never-driver-windowed queries (VERDICT r5 #4)
+        "cur_centroids", "mm_resize_plan", "mm_frame_sample",
+        "mm_audio_chunks", "stream_windowed", "stream_sliding",
+        # r6: the six r5 driver-red queries, re-fixed this round
+        "rel_funnel", "text_oov", "cur_token_budget",
+        "emb_pq_codes", "emb_quantize", "emb_normalize",
+        # r6 changed surface (string + 'ALL' sentinel)
+        "rel_cube",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
-    spilled = [
-        k
-        for k in qs[50:]
-        if k.startswith(("text_", "cur_", "mm_", "emb_", "stream_", "sim_ivf_"))
-    ]
-    # the spill grows with each round's additions; what matters is that
-    # it contains ONLY old never-checked-block entries (tier0 coverage
-    # is asserted above) and stays a small rotating tail
-    assert len(spilled) <= 8, spilled
+    # tier0 must lead the dict so no later growth can push it out
+    assert set(qs[: len(tier0)]) == tier0
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))

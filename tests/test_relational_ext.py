@@ -306,6 +306,30 @@ def test_user_event_deltas(spark):
     assert abs(r["avg_gap_s"] - (60 + 1800) / 2) < 1e-9
 
 
+def test_user_event_deltas_string_ts_orders_temporally(spark):
+    """ADVICE r4 / VERDICT r5 #6: the window must order by the SAME
+    casted-µs expression the gap math differences. Single-digit hours
+    make lexicographic string order disagree with temporal order
+    ('10:00:00' < '9:00:00' as strings) — ordering by the raw column
+    would lag against the wrong neighbor and produce a negative gap.
+    Loader-typed (TimestampType) input is the contract; string ts is
+    the defensive path this pins."""
+    rows_str = spark.createDataFrame(
+        [
+            (2, 10, "2024-01-01 10:00:00"),
+            (1, 10, "2024-01-01 9:00:00"),
+            (3, 10, "2024-01-01 10:30:00"),
+        ],
+        "event_id INT, user_id INT, ts STRING",
+    )
+    got = {r["user_id"]: r for r in R.user_event_deltas(rows_str).collect()}
+    r = got[10]
+    assert r["n_events"] == 3
+    # temporal gaps: 9:00→10:00 (3600 s), 10:00→10:30 (1800 s)
+    assert r["max_gap_s"] == 3600.0
+    assert abs(r["avg_gap_s"] - (3600 + 1800) / 2) < 1e-9
+
+
 def test_retention_cohorts(spark):
     def D(day, h=12):
         return dt.datetime(2024, 1, day, h, tzinfo=UTC)
