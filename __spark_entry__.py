@@ -1141,6 +1141,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessions"] = stream_sessions
 
+    # --- r6 additions: outlier scan, quality model, bloom, shuffle ----
+    q["emb_outliers"] = lambda spark, sf: S.class_outliers(
+        _t(spark, sf, "embeddings")
+    )
+    q["cur_quality_logistic"] = lambda spark, sf: CUR.quality_logistic(
+        _t(spark, sf, "documents")
+    )
+
+    def sketch_bloom(spark, sf):
+        """Bloom decontamination of documents against the 'benchmark'
+        slice doc_id < 50 (keys = md5 of raw text): bloom_hit has no
+        false negatives; false_positive audits the collision rate."""
+        from hermod_spark.operators.sketches import bloom_decontaminate
+
+        d = _t(spark, sf, "documents")
+        return bloom_decontaminate(
+            d,
+            d.filter(F.col("doc_id") < 50),
+            key=F.md5("text"),
+            probe_key=F.md5("text"),
+        )
+
+    q["sketch_bloom"] = sketch_bloom
+    q["cur_shard_shuffle"] = lambda spark, sf: CUR.shard_shuffle(
+        _t(spark, sf, "documents")
+    )
+
     return _rotate_for_driver_window(q)
 
 
@@ -1185,9 +1212,15 @@ def _rotate_for_driver_window(
         "emb_normalize",
     ]
     changed_surface = ["rel_cube"]
+    new_in_r6 = [
+        "emb_outliers",
+        "cur_quality_logistic",
+        "sketch_bloom",
+        "cur_shard_shuffle",
+    ]
     tier0 = [
         k
-        for k in [*never_windowed, *refixed_reds, *changed_surface]
+        for k in [*never_windowed, *refixed_reds, *changed_surface, *new_in_r6]
         if k in q
     ]
     # tier1: keep recent-green rotation fresh — r5's window tail that
@@ -2392,4 +2425,101 @@ SELECT MIN(time) AS session_start,
   topic, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
   MIN(time) AS first_event, MAX(time) AS last_event
 FROM islands GROUP BY topic, sid"""
+
+    # --- r6: outlier scan / quality model / bloom / shuffle -----------
+    # class_outliers: same centroid CTE as cur_centroids, then exact
+    # decimal moments and a final double z — every float op mirrored in
+    # evaluation order
+    o["emb_outliers"] = """
+WITH x AS (
+  SELECT label AS grp, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos
+  FROM embeddings),
+m AS (
+  SELECT grp, pos, ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mean_v
+  FROM x GROUP BY grp, pos),
+c AS (SELECT grp, list(mean_v ORDER BY pos) AS centroid FROM m GROUP BY grp),
+d AS (
+  SELECT vec_id, e.label,
+    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      i -> (CAST(embedding[i] AS DOUBLE) - centroid[i])
+           * (CAST(embedding[i] AS DOUBLE) - centroid[i])))) AS dist
+  FROM embeddings e JOIN c ON e.label = c.grp),
+mo AS (
+  SELECT label, COUNT(*) AS n,
+    SUM(CAST(dist AS DECIMAL(18,9))) AS s1,
+    SUM(CAST(dist * dist AS DECIMAL(18,9))) AS s2
+  FROM d GROUP BY label),
+st AS (
+  SELECT label, CAST(s1 AS DOUBLE) / n AS mu,
+    sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                  0)) AS sigma
+  FROM mo)
+SELECT vec_id, d.label, ROUND(dist, 6) AS dist,
+  ROUND(CASE WHEN sigma = 0 THEN 0.0 ELSE (dist - mu) / sigma END, 6) AS z,
+  (CASE WHEN sigma = 0 THEN 0.0 ELSE (dist - mu) / sigma END) > 2.0 AS is_outlier
+FROM d JOIN st USING (label)"""
+
+    # quality_logistic: gopher's feature CTE + digit ratio; the logit
+    # is a fixed left-associated double chain over 6dp-rounded features
+    dig_sql = "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+    sw_arr = "[" + ", ".join(f"'{w}'" for w in _SW["en"]) + "]"
+    o["cur_quality_logistic"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks3} AS tk, {sym_sql} AS nsym, {dig_sql} AS ndig,
+    length(text) AS nchr
+  FROM documents),
+s AS (
+  SELECT doc_id, len(tk) AS n_words,
+    CAST(least(len(tk), 256) AS DOUBLE) / 256.0 AS wsat,
+    ROUND(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS ml,
+    ROUND(len(list_filter(list_distinct(tk), x -> list_contains({sw_arr}, x)))
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sf,
+    ROUND(nsym / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sr,
+    ROUND(ndig / CAST(greatest(nchr, 1) AS DOUBLE), 6) AS dr
+  FROM t)
+SELECT doc_id, n_words,
+  ROUND(-1.0 + 2.5 * wsat + 0.2 * ml + 3.0 * sf + (-8.0) * sr + (-2.0) * dr, 6)
+    AS quality_logit,
+  (-1.0 + 2.5 * wsat + 0.2 * ml + 3.0 * sf + (-8.0) * sr + (-2.0) * dr) > 0
+    AS keep
+FROM s"""
+
+    # bloom: same affine family as count-min (first 3 rows), m=4096;
+    # key = md5(text), base = md5(key) re-hash exactly as _cm_base does
+    bloom_consts = ", ".join(f"({i}, {CM_A[i]}, {CM_B[i]})" for i in range(3))
+    _bb = (
+        "CAST(CAST(('0x' || substring(md5(k), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+    o["sketch_bloom"] = f"""
+WITH c(i, a, b) AS (VALUES {bloom_consts}),
+keys AS (SELECT doc_id, md5(text) AS k FROM documents),
+pk AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id < 50),
+bits AS (
+  SELECT DISTINCT ((c.a * {_bb} + c.b) % {CM_P}) % 4096 AS pos
+  FROM pk CROSS JOIN c),
+kc AS (
+  SELECT doc_id, k, ((c.a * {_bb} + c.b) % {CM_P}) % 4096 AS pos
+  FROM keys CROSS JOIN c),
+hit AS (
+  SELECT doc_id, k, BOOL_AND(pos IN (SELECT pos FROM bits)) AS bloom_hit
+  FROM kc GROUP BY doc_id, k)
+SELECT doc_id, bloom_hit,
+  (k IN (SELECT k FROM pk)) AS exact_hit,
+  (bloom_hit AND k NOT IN (SELECT k FROM pk)) AS false_positive
+FROM hit"""
+
+    o["cur_shard_shuffle"] = """
+WITH h AS (
+  SELECT doc_id, md5('s0:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+s AS (
+  SELECT doc_id, hh,
+    CAST(CAST(CAST(('0x' || substring(hh, 1, 8)) AS UBIGINT) AS BIGINT) % 8
+         AS INTEGER) AS shard
+  FROM h)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC)
+       AS INTEGER) AS pos
+FROM s"""
     return o

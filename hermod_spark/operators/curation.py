@@ -503,3 +503,120 @@ def gopher_flags(
         f_sym.alias("flag_symbols"),
         (f_wc & f_ml & f_sw & f_sym).alias("keep"),
     )
+
+
+# Fixed linear quality-model weights (fasttext-style shape: at 100 TB
+# the weights come from a trained classifier; the engine contract is
+# the feature build + dot product, which is what the oracle checks).
+# Ordered: intercept, saturated-length, mean word len, stopword frac,
+# symbol ratio, digit ratio.
+QUALITY_WEIGHTS = (-1.0, 2.5, 0.2, 3.0, -8.0, -2.0)
+
+
+def quality_logistic(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_score: bool = False,
+) -> DataFrame:
+    """Linear quality classifier over cheap scan-side text features —
+    the fasttext-classifier stage of a pretraining filter (CCNet /
+    LLaMA-style), expressed as pure native expressions: one projection
+    builds the token array once, the logit is a fixed dot product, and
+    ``keep`` is the logit sign. Zero shuffles, zero Python, one text
+    scan — the cheapest possible per-doc pass at corpus scale.
+
+    The gated surface exposes the LOGIT (rounded), not the sigmoid
+    score: every feature is rounded to 6dp first and the combination is
+    a fixed left-to-right double chain, so DuckDB reproduces it
+    bit-for-bit; exp() is NOT correctly-rounded-identical across
+    engines, so the probability (``with_score=True``) stays a
+    library-only column."""
+    from hermod_spark.functions.text import STOPWORDS, tokens
+
+    w0, w_len, w_ml, w_sf, w_sym, w_dig = QUALITY_WEIGHTS
+    txt = F.col(text_col)
+    sym = F.length(txt) - F.length(
+        F.regexp_replace(txt, r"[^a-zA-Z0-9\s]", "")
+    )
+    dig = F.length(txt) - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    bound = df.select(
+        F.col(id_col),
+        tokens(F.lower(txt)).alias("_t"),
+        sym.alias("_nsym"),
+        dig.alias("_ndig"),
+        F.length(txt).alias("_nchr"),
+    )
+    n_words = F.size(F.col("_t"))
+    denom = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate("_t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / denom,
+        6,
+    )
+    stop_frac = F.round(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("_t")),
+                F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+            )
+        )
+        / denom,
+        6,
+    )
+    sym_ratio = F.round(F.col("_nsym") / denom, 6)
+    dig_ratio = F.round(
+        F.col("_ndig") / F.greatest(F.col("_nchr"), F.lit(1)).cast("double"), 6
+    )
+    w_sat = F.least(n_words, F.lit(256)).cast("double") / F.lit(256.0)
+    logit = (
+        F.lit(w0)
+        + F.lit(w_len) * w_sat
+        + F.lit(w_ml) * mean_len
+        + F.lit(w_sf) * stop_frac
+        + F.lit(w_sym) * sym_ratio
+        + F.lit(w_dig) * dig_ratio
+    )
+    cols = [
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    ]
+    if with_score:
+        cols.append(
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score")
+        )
+    return bound.select(*cols)
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) address from a seeded content hash — the "shuffle the
+    corpus before tokenizing" step of a pretraining data build, made
+    reproducible (same seed ⇒ same order on any cluster, any partition
+    layout).
+
+    Scale shape: NO global sort. The md5 hash both assigns the shard
+    (uniform by construction) and orders rows WITHIN the shard via a
+    shard-partitioned window — n_shards independent sorts over n/shards
+    rows each, which is exactly how a 100 TB corpus gets written out as
+    shuffled shards in parallel. A global ORDER BY rank would be a
+    range-exchange over everything for no additional randomness."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

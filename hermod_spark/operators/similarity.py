@@ -810,3 +810,64 @@ def semantic_dedup(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def class_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-class embedding outlier detection — the mislabel/noise scan
+    a curation pipeline runs before training on a labeled embedding
+    corpus: each vector's L2 distance to its class centroid, z-scored
+    within the class, flagged when z exceeds ``z_threshold``.
+
+    Scale shape (the same three-stage pattern as :func:`class_stats`):
+    (1) the centroid model via :func:`curation.group_centroids` —
+    (label, pos) shuffle keys, #labels×dim model rows; (2) the per-class
+    distance moments via one map-side-combinable groupBy over exact
+    DECIMAL(18,9) sums (partition-order independent, the property the
+    DuckDB oracle hash-match rides on); (3) a scan-side z pass with both
+    small models broadcast. No all-pairs anything; the corpus is read
+    twice, shuffled (as aggregates) never."""
+    from hermod_spark.operators.curation import group_centroids
+
+    cents = group_centroids(embeddings, F.col(label_col).alias("grp"), vec_col)
+    diff2 = F.zip_with(
+        F.col(vec_col),
+        F.col("centroid"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.sqrt(
+        F.aggregate(diff2, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    )
+    with_d = embeddings.join(
+        F.broadcast(cents), F.col(label_col) == F.col("grp")
+    ).select(F.col(id_col), F.col(label_col), dist.alias("_d"))
+    moments = with_d.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_d").cast("decimal(18,9)")).alias("_s1"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(18,9)")).alias("_s2"),
+    )
+    mu = F.col("_s1").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - mu * mu
+    stats = moments.select(
+        F.col(label_col).alias("_lbl"),
+        mu.alias("_mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sigma"),
+    )
+    z = F.when(F.col("_sigma") == 0, F.lit(0.0)).otherwise(
+        (F.col("_d") - F.col("_mu")) / F.col("_sigma")
+    )
+    return (
+        with_d.join(F.broadcast(stats), F.col(label_col) == F.col("_lbl"))
+        .select(
+            id_col,
+            label_col,
+            F.round("_d", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+            (z > F.lit(z_threshold)).alias("is_outlier"),
+        )
+    )

@@ -209,3 +209,64 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def bloom_positions(col: Column | str, k: int = 3, m: int = 4096) -> Column:
+    """Key → array of its k Bloom bit positions, using the same
+    md5-seeded pairwise-independent family as the count-min cells
+    (deterministic, so any engine replays the filter exactly)."""
+    base = _cm_base(col)
+    return F.array(*[_cm_cell(base, i, m) for i in range(k)])
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 3, m: int = 4096) -> DataFrame:
+    """Mergeable Bloom filter of ``key_col``: the DISTINCT set-bit
+    positions, one row per bit. Size ≤ m rows no matter how many keys —
+    partial aggregation collapses the explode map-side, so the exchange
+    carries at most m cells (the model), never the data."""
+    return (
+        df.select(F.explode(bloom_positions(key_col, k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    key: Column,
+    probe_key: Column,
+    id_col: str = "doc_id",
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: mark every corpus row
+    whose key MIGHT be in the probe set (``bloom_hit`` — no false
+    negatives, bounded false positives), alongside the exact answer
+    (``exact_hit``) so the false-positive rate is auditable.
+
+    This is the 100 TB decontamination shape: the probe set is hashed
+    ONCE into ≤m bits that ship to every executor as one broadcast row,
+    and the corpus pass is scan-side (`forall` over k array lookups) —
+    no shuffle of corpus data at all. The exact join here is the audit
+    leg; at a scale where the probe set itself is huge, the Bloom leg
+    alone prefilters candidates for a narrow exact verify (same
+    candidates-then-verify pattern as the MinHash pipeline)."""
+    bits = bloom_build(
+        probes.select(probe_key.alias("_k")), "_k", k, m
+    ).agg(F.array_sort(F.collect_list("pos")).alias("_bits"))
+    exact = probes.select(probe_key.alias("_pk")).distinct()
+    scored = (
+        corpus.select(F.col(id_col), key.alias("_key"))
+        .crossJoin(F.broadcast(bits))
+        .join(F.broadcast(exact), F.col("_key") == F.col("_pk"), "left")
+    )
+    hit = F.forall(
+        bloom_positions("_key", k, m),
+        lambda p: F.array_contains(F.col("_bits"), p),
+    )
+    return scored.select(
+        id_col,
+        hit.alias("bloom_hit"),
+        F.col("_pk").isNotNull().alias("exact_hit"),
+        (hit & F.col("_pk").isNull()).alias("false_positive"),
+    )

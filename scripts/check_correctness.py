@@ -126,6 +126,39 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
+    """Run one Spark query + its oracle SQL through the driver-faithful
+    pandas canon; return problem strings (empty = parity). Used by
+    tests/test_oracle_parity.py as the in-suite gate."""
+    sdf = fn(spark, sf_dir)
+    spdf = sdf.toPandas()
+    opdf = con.execute(sql).df()
+    problems: list[str] = []
+    if len(spdf) != len(opdf):
+        problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        problems.append(
+            f"schema spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+        )
+    if not problems:
+        problems.extend(surface_lint(sdf.schema, spdf, opdf))
+    if not problems:
+        try:
+            sc, oc = pdf_canon(spdf), pdf_canon(opdf)
+        except TypeError as ex:
+            problems.append(f"canon raised {type(ex).__name__}: {ex}")
+        else:
+            if sc != oc:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(sc, oc)) if a != b), None
+                )
+                msg = "values differ"
+                if diff is not None:
+                    msg += f" @row {diff}: spark={sc[diff][:200]} oracle={oc[diff][:200]}"
+                problems.append(msg)
+    return problems
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")

@@ -373,3 +373,38 @@ def test_gopher_flags(spark):
     assert rows[3]["flag_stopwords"] is False and rows[3]["keep"] is False
     assert rows[4]["flag_mean_len"] is False and rows[4]["keep"] is False
     assert rows[2]["n_words"] == 2
+
+
+def test_quality_logistic_orders_docs_sensibly(spark):
+    # stopword-rich prose scores above symbol soup; logit sign drives keep
+    good = "think about these words that with from have been good " * 6
+    bad = "@#$% ^&*( )!~` " * 40
+    digits = "12345 67890 " * 40
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, digits)], "doc_id INT, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in CUR.quality_logistic(df).collect()}
+    assert rows[1]["quality_logit"] > rows[2]["quality_logit"]
+    assert rows[1]["quality_logit"] > rows[3]["quality_logit"]
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False
+    # with_score adds a sigmoid column, monotone in the logit
+    scored = {r["doc_id"]: r for r in CUR.quality_logistic(df, with_score=True).collect()}
+    assert 0.0 <= scored[2]["score"] < scored[1]["score"] <= 1.0
+
+
+def test_shard_shuffle_is_deterministic_partition_of_corpus(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id INT")
+    a = CUR.shard_shuffle(df, n_shards=4).collect()
+    b = CUR.shard_shuffle(df.repartition(7), n_shards=4).collect()
+    # same (shard, pos) addresses regardless of input partitioning
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    assert set(shards) <= set(range(4))
+    # positions within each shard are exactly 1..n_shard (a permutation)
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed produces a different order
+    c = CUR.shard_shuffle(df, n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

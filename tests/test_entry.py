@@ -47,6 +47,9 @@ def test_driver_window_covers_unchecked_block():
         "emb_pq_codes", "emb_quantize", "emb_normalize",
         # r6 changed surface (string + 'ALL' sentinel)
         "rel_cube",
+        # r6 new operators
+        "emb_outliers", "cur_quality_logistic", "sketch_bloom",
+        "cur_shard_shuffle",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out

@@ -643,3 +643,38 @@ def test_cm_absent_probe_key(spark):
     probes = spark.createDataFrame([(42,)], "user_id LONG")
     [r] = cm_estimate(df, probes, "user_id", width=65536).collect()
     assert r["user_id"] == 42 and r["est_count"] == 0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from hermod_spark.operators.sketches import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(200)], "doc_id INT, text STRING"
+    )
+    probes = corpus.filter(F.col("doc_id") < 20)
+    rows = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            corpus, probes, key=F.md5("text"), probe_key=F.md5("text")
+        ).collect()
+    }
+    # Bloom guarantee: every exact hit is a bloom hit (no false negatives)
+    for i in range(200):
+        if rows[i]["exact_hit"]:
+            assert rows[i]["bloom_hit"], i
+        assert rows[i]["false_positive"] == (
+            rows[i]["bloom_hit"] and not rows[i]["exact_hit"]
+        )
+    assert all(rows[i]["exact_hit"] for i in range(20))
+    assert not any(rows[i]["exact_hit"] for i in range(20, 200))
+    # m=4096, k=3, 20 keys -> collision odds tiny; the audit column
+    # should be (nearly) empty — allow a couple to keep the test honest
+    assert sum(1 for r in rows.values() if r["false_positive"]) <= 3
+
+
+def test_bloom_build_is_bounded_by_m(spark):
+    from hermod_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([(str(i),) for i in range(5000)], "k STRING")
+    n_bits = bloom_build(df, "k", k=3, m=256).count()
+    assert n_bits <= 256

@@ -321,3 +321,19 @@ def test_semantic_dedup_clusters_and_survivors(spark):
     assert rows[2]["cluster_id"] == 2 and rows[2]["keep"] is True
     assert rows[5]["cluster_id"] == 2 and rows[5]["keep"] is False
     assert rows[7]["cluster_id"] == 7 and rows[7]["keep"] is True
+
+
+def test_class_outliers_flags_planted_outlier(spark):
+    # 9 vectors tight around (1,0) plus one far point in the same class
+    rows = [(i, "a", [1.0 + 0.01 * i, 0.0]) for i in range(9)]
+    rows.append((9, "a", [50.0, 50.0]))
+    rows.append((10, "b", [0.0, 1.0]))  # singleton class: sigma 0 -> z 0
+    df = spark.createDataFrame(
+        rows, "vec_id INT, label STRING, embedding ARRAY<DOUBLE>"
+    )
+    got = {r["vec_id"]: r for r in S.class_outliers(df).collect()}
+    assert got[9]["is_outlier"] is True
+    assert all(not got[i]["is_outlier"] for i in range(9))
+    assert got[10]["z"] == 0.0 and got[10]["is_outlier"] is False
+    # z is standardized: the planted outlier dominates
+    assert got[9]["z"] > 2.0 > max(got[i]["z"] for i in range(9))
