@@ -60,6 +60,11 @@ BASELINE = {
     "cur_boilerplate_frac": 0.668, "text_oov": 0.307,
     "emb_class_stats": 0.354, "cur_cdc": 0.501,
     "text_winnow": 0.209, "emb_pq_codes": 0.378,
+    # added r06, pinned from an isolated-run median (4 runs, first
+    # discarded, sf0.1 local[32]) recorded before the round's final
+    # snapshot (ADVICE r5: don't pin from the gated snapshot itself)
+    "emb_outliers": 1.063, "cur_quality_logistic": 1.028,
+    "sketch_bloom": 0.668, "cur_shard_shuffle": 0.4,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -106,6 +111,11 @@ HEADLINE = [
     "cur_cdc",
     "text_winnow",
     "emb_pq_codes",
+    # added r06 (isolated-run median baselines)
+    "emb_outliers",
+    "cur_quality_logistic",
+    "sketch_bloom",
+    "cur_shard_shuffle",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -834,7 +834,14 @@ def class_outliers(
     twice, shuffled (as aggregates) never."""
     from hermod_spark.operators.curation import group_centroids
 
-    cents = group_centroids(embeddings, F.col(label_col).alias("grp"), vec_col)
+    # The centroid model feeds BOTH downstream passes (moments + z);
+    # without a checkpoint the whole (label,pos) aggregation subtree is
+    # duplicated under each consumer. The model is #labels×dim rows —
+    # materializing it once is free, re-aggregating the corpus twice
+    # is not.
+    cents = group_centroids(
+        embeddings, F.col(label_col).alias("grp"), vec_col
+    ).localCheckpoint()
     diff2 = F.zip_with(
         F.col(vec_col),
         F.col("centroid"),
