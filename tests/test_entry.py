@@ -61,3 +61,18 @@ def test_each_query_builds_a_plan(spark, name):
     """Every entry must at least analyze at sf0.001 (no execution)."""
     df = E.queries()[name](spark, SF_SMOKE)
     assert df.schema is not None and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_each_query_surface_is_canon_safe(spark, name):
+    """Driver-canon contract (VERDICT r5): no array/map/struct column
+    may reach the gated surface — the driver's pandas canon dies on
+    container cells (the literal r5 `err` rows). Library APIs keep the
+    real array forms; the queries() wrapper must serialize them."""
+    df = E.queries()[name](spark, SF_SMOKE)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(("array<", "map<", "struct<"))
+    ]
+    assert not bad, bad
