@@ -155,3 +155,40 @@ def session_agg(
             "last_event",
         )
     )
+
+
+def decontaminate_stream(
+    messages: DataFrame,
+    probes: DataFrame,
+    key,
+    probe_key,
+    k: int = 3,
+    m: int = 4096,
+    drop: bool = True,
+):
+    """Streaming Bloom decontamination: filter (or flag, ``drop=False``)
+    stream rows whose ``key`` might belong to the static benchmark set
+    ``probes`` — the ingest-time face of the batch
+    :func:`sketches.bloom_decontaminate`.
+
+    The static side is collapsed to its ≤m Bloom bit positions ONCE at
+    plan build and shipped as a literal array (the same
+    model-as-literals pattern as the IVF centroids), so the streaming
+    plan is a pure stateless projection: no stream-static join, no
+    state store, nothing to re-plan per micro-batch. Bloom semantics
+    mean ``drop=True`` can only over-drop (bounded false positives,
+    never false negatives) — the safe direction for decontamination.
+    At 100 TB-of-probes scale the bit set saturates at m rows before
+    leaving the probe aggregation, so the driver collect is bounded by
+    m regardless of benchmark size."""
+    from hermod_spark.operators.sketches import bloom_build, bloom_positions
+
+    probed = probes.select(probe_key.alias("_k"))
+    bits = sorted(r["pos"] for r in bloom_build(probed, "_k", k, m).collect())
+    bit_arr = F.array(*[F.lit(int(p)) for p in bits])
+    hit = F.forall(
+        bloom_positions(key, k, m), lambda p: F.array_contains(bit_arr, p)
+    )
+    if drop:
+        return messages.filter(~hit)
+    return messages.withColumn("bloom_hit", hit)

@@ -406,3 +406,55 @@ def test_session_agg_stream_matches_batch(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(
         map(key, session_agg(batch, gap="30 minutes").collect())
     )
+
+
+def test_decontaminate_stream_matches_batch_and_never_misses(spark, tmp_path):
+    """Stream-side Bloom decontamination: the stream plan (literal bit
+    set, stateless projection) must agree with the batch operator and
+    can never pass a contaminated key through (no false negatives)."""
+    import uuid as _uuid
+
+    from hermod_spark.streaming.windows import decontaminate_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(100)], "msg_id INT, payload STRING"
+    )
+    probes = corpus.filter(F.col("msg_id") < 10)
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+
+    stream = message_stream(spark, src, schema=corpus.schema)
+    out = decontaminate_stream(
+        stream, probes, key=F.md5("payload"), probe_key=F.md5("payload")
+    )
+    assert out.isStreaming
+    sink = f"deco_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["msg_id"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    finally:
+        q.stop()
+
+    # no false negatives: every probe row is dropped
+    assert kept.isdisjoint(set(range(10)))
+    # matches the batch form exactly (same literal bits, same hashes)
+    batch_kept = {
+        r["msg_id"]
+        for r in decontaminate_stream(
+            corpus, probes, key=F.md5("payload"), probe_key=F.md5("payload")
+        ).collect()
+    }
+    assert kept == batch_kept
+    # flag mode surfaces the audit column instead of dropping
+    flagged = decontaminate_stream(
+        corpus, probes, key=F.md5("payload"), probe_key=F.md5("payload"), drop=False
+    )
+    n_hit = flagged.filter(F.col("bloom_hit")).count()
+    assert n_hit >= 10  # all probes + any false positives
