@@ -189,3 +189,34 @@ def test_decontaminate_fuzzy_broadcasts_probes(spark):
     assert "CartesianProduct" not in plan
     assert count(r"BroadcastExchange", plan) >= 2  # band join + verify join
     assert count(r"EvalPython", plan) == 0
+
+
+def test_quality_logistic_is_pure_projection(spark):
+    plan = plan_of(spark, "cur_quality_logistic")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_bloom_exchange_carries_model_not_data(spark):
+    plan = plan_of(spark, "sketch_bloom")
+    # the only hash exchanges belong to the ≤m bit-set distinct (partial
+    # agg collapses map-side); the corpus membership pass is scan-side
+    # against broadcast rows
+    assert count(r"Exchange hashpartitioning", plan) <= 2
+    assert count(r"BroadcastExchange|BroadcastNestedLoopJoin", plan) >= 2
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_shard_shuffle_has_no_global_sort(spark):
+    plan = plan_of(spark, "cur_shard_shuffle")
+    # shard-partitioned window sort, never a rangepartitioning exchange
+    assert count(r"Exchange rangepartitioning", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_class_outliers_stays_jvm_side_with_broadcast_models(spark):
+    plan = plan_of(spark, "emb_outliers")
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"BroadcastExchange|BroadcastHashJoin", plan) >= 2
+    assert count(r"SortMergeJoin", plan) == 0
