@@ -1167,6 +1167,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_shard_shuffle"] = lambda spark, sf: CUR.shard_shuffle(
         _t(spark, sf, "documents")
     )
+    # novelty vs the first-100-docs reference slice; chunk-level dedup
+    q["text_novelty"] = lambda spark, sf: textops.ngram_novelty(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 100),
+        n=3,
+    )
+    q["cur_chunk_dedup"] = lambda spark, sf: textops.chunk_dedup_stats(
+        _t(spark, sf, "documents")
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1217,6 +1226,8 @@ def _rotate_for_driver_window(
         "cur_quality_logistic",
         "sketch_bloom",
         "cur_shard_shuffle",
+        "text_novelty",
+        "cur_chunk_dedup",
     ]
     tier0 = [
         k
@@ -2522,4 +2533,60 @@ SELECT doc_id, shard,
   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh ASC, doc_id ASC)
        AS INTEGER) AS pos
 FROM s"""
+
+    # novelty: the boilerplate 3-gram builder, reference = docs < 100
+    o["text_novelty"] = f"""
+WITH g AS (SELECT doc_id, list_distinct({ngrams3}) AS grams FROM documents),
+ref AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id < 100),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM g),
+per AS (
+  SELECT e.doc_id, COUNT(e.g) AS n_grams,
+    COUNT(CASE WHEN r.g IS NULL THEN 1 END) AS n_novel
+  FROM ex e LEFT JOIN ref r ON e.g = r.g GROUP BY e.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+  ROUND(COALESCE(n_novel, 0)
+        / CAST(greatest(COALESCE(n_grams, 0), 1) AS DOUBLE), 6) AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)"""
+
+    # chunk dedup: the cur_cdc chunk CTEs + first-copy rank per hash
+    o["cur_chunk_dedup"] = """
+WITH h AS (
+  SELECT doc_id, text AS s,
+    CASE WHEN length(text) < 8 THEN []::BIGINT[]
+         ELSE list_transform(range(1, length(text) - 6),
+           i -> CAST(CAST(('0x' || substring(md5(s[i:i+7]), 1, 8)) AS UBIGINT)
+                     AS BIGINT))
+    END AS hs
+  FROM (SELECT doc_id, text, text AS s FROM documents)),
+c AS (
+  SELECT doc_id, s,
+    list_filter(range(1, len(hs) + 1), j -> hs[j] % 64 = 0) AS cuts
+  FROM h),
+b AS (
+  SELECT doc_id, s,
+    list_prepend(0, cuts) AS starts,
+    list_append(cuts, CAST(length(s) AS BIGINT)) AS ends
+  FROM c),
+ch AS (
+  SELECT doc_id, CAST(p AS INT) AS chunk_id,
+    CAST(ends[p + 1] - starts[p + 1] AS INT) AS chunk_len,
+    substring(md5(s[starts[p + 1] + 1 : ends[p + 1]]), 1, 16) AS chunk_hash
+  FROM b, UNNEST(range(len(starts))) AS u(p)),
+r AS (
+  SELECT doc_id, chunk_len,
+    ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                       ORDER BY doc_id ASC, chunk_id ASC) AS rn
+  FROM ch),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+    CAST(SUM(CAST(chunk_len AS BIGINT)) AS BIGINT) AS total_chars,
+    CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup_chunks,
+    CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN CAST(chunk_len AS BIGINT) END), 0)
+         AS BIGINT) AS dup_chars
+  FROM r GROUP BY doc_id)
+SELECT doc_id, n_chunks, total_chars, n_dup_chunks, dup_chars,
+  ROUND(dup_chars / CAST(greatest(total_chars, 1) AS DOUBLE), 6) AS dup_frac
+FROM agg"""
     return o

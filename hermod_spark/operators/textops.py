@@ -564,3 +564,103 @@ def winnow_containment(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of the doc's DISTINCT n-grams never seen in ``reference``
+    — the freshness score a continual-pretraining pipeline uses to
+    decide whether a new crawl adds anything (complement of the
+    contamination direction: high novelty = keep, low = redundant).
+
+    Scale shape: the reference collapses to its distinct n-gram set
+    once (explode → distinct, one shuffle on gram — high-cardinality,
+    hash-spread) and is broadcast back; the corpus side is scan-side
+    gram build + one broadcast join + one per-doc count agg — the
+    `text_oov` shape with a corpus-derived dictionary. For a reference
+    too big to broadcast, prefilter with `bloom_decontaminate`'s bit
+    set and exact-join only the survivors (same candidates-then-verify
+    split as MinHash)."""
+    from hermod_spark.functions.text import ngrams
+
+    grams = lambda c: F.array_distinct(  # noqa: E731
+        ngrams(F.lower(F.col(c)), n)
+    )
+    ref = (
+        reference.select(F.explode(grams(text_col)).alias("g")).distinct()
+    )
+    per = (
+        df.select(F.col(id_col), F.explode_outer(grams(text_col)).alias("g"))
+        .join(F.broadcast(ref.withColumn("_seen", F.lit(1))), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.count(F.when(F.col("g").isNotNull() & F.col("_seen").isNull(), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    modulus: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document CDC dedup accounting: run content-defined
+    chunking over the corpus, keep the FIRST occurrence of every chunk
+    hash (ordered by (doc, chunk position) — deterministic), and report
+    per-doc how many chunks / characters a content-addressed store
+    would deduplicate away. This is the storage-dedup estimate behind
+    CDC (the reason the chunker anchors to content): shifted or
+    partially-edited near-copies share most chunk hashes.
+
+    Scale shape: cdc_chunks is scan-side (0 shuffles); the first-copy
+    rank is ONE shuffle on chunk_hash (≈uniform md5 keys), and the
+    rollup is a per-doc agg. No pairwise comparison anywhere."""
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(df, k, modulus, text_col, id_col)
+    w = Window.partitionBy("chunk_hash").orderBy(
+        F.col(id_col).asc(), F.col("chunk_id").asc()
+    )
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    per = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("chunk_len").cast("bigint")).alias("total_chars"),
+        F.count(F.when(F.col("_rn") > 1, 1)).alias("n_dup_chunks"),
+        F.coalesce(
+            F.sum(F.when(F.col("_rn") > 1, F.col("chunk_len").cast("bigint"))),
+            F.lit(0),
+        ).alias("dup_chars"),
+    )
+    return per.select(
+        id_col,
+        "n_chunks",
+        "total_chars",
+        "n_dup_chunks",
+        "dup_chars",
+        F.round(
+            F.col("dup_chars")
+            / F.greatest(F.col("total_chars"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -471,3 +471,45 @@ def test_winnow_containment_hot_fp_cap(spark):
     capped = textops.winnow_containment(df, min_shared=1, max_posting=5).count()
     assert all_pairs > 0
     assert capped < all_pairs
+
+
+def test_ngram_novelty_scores_fresh_content(spark):
+    from hermod_spark.operators import textops
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id INT, text STRING",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 100% seen
+            (2, "completely different words appear in this one"),  # 100% novel
+            (3, "the quick brown fox eats entirely novel grams"),  # mixed
+            (4, "ab"),  # < n words: no grams
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in textops.ngram_novelty(df, ref, n=3).collect()}
+    assert rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 1.0
+    assert 0.0 < rows[3]["novelty"] < 1.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] == 0.0
+
+
+def test_chunk_dedup_stats_finds_shared_chunks(spark):
+    from hermod_spark.operators import textops
+
+    base = "abcdefgh" * 40  # long enough to produce several chunks
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "zyxwvuts" * 40)],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in textops.chunk_dedup_stats(df).collect()}
+    # doc 1 holds every first copy of its hashes; doc 2 is all dups
+    assert rows[1]["n_dup_chunks"] < rows[1]["n_chunks"]
+    assert rows[2]["n_dup_chunks"] == rows[2]["n_chunks"]
+    assert rows[2]["dup_frac"] == 1.0
+    assert rows[1]["total_chars"] == len(base)
+    # repeated-period text shares chunks internally but doc 3 shares
+    # nothing with docs 1/2 beyond its own internal repeats
+    assert rows[3]["total_chars"] == len(base)
