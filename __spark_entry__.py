@@ -1176,6 +1176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_chunk_dedup"] = lambda spark, sf: textops.chunk_dedup_stats(
         _t(spark, sf, "documents")
     )
+    # dimensionality reduction: seeded JL random projection (the
+    # conformance model — projection is exact given ANY matrix; the
+    # TRAINED PCA path is pinned by tests/test_similarity.py, which
+    # requires it to beat this matrix on reconstruction error)
+    q["emb_project"] = lambda spark, sf: S.project_embeddings(
+        _t(spark, sf, "embeddings"),
+        components=S.random_projection(_EMB_DIM, k=8),
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1228,6 +1236,7 @@ def _rotate_for_driver_window(
         "cur_shard_shuffle",
         "text_novelty",
         "cur_chunk_dedup",
+        "emb_project",
     ]
     tier0 = [
         k
@@ -2589,4 +2598,19 @@ agg AS (
 SELECT doc_id, n_chunks, total_chars, n_dup_chunks, dup_chars,
   ROUND(dup_chars / CAST(greatest(total_chars, 1) AS DOUBLE), 6) AS dup_frac
 FROM agg"""
+
+    # random projection: the exact seeded matrix as literals; same
+    # (x - 0.0) * c_i per-element product and left-to-right sum as the
+    # Spark zip_with/aggregate fold
+    from hermod_spark.operators.similarity import random_projection
+
+    _rp = random_projection(_EMB_DIM, 8)
+    _pcols = ", ".join(
+        "(ROUND(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (CAST(embedding[i] AS DOUBLE) - 0.0) * ([{arr}])[i])), 6) + 0.0) AS p{j}".format(
+            d=_EMB_DIM, arr=", ".join(repr(c) for c in comp), j=j
+        )
+        for j, comp in enumerate(_rp)
+    )
+    o["emb_project"] = f"SELECT vec_id, {_pcols} FROM embeddings"
     return o

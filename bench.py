@@ -65,6 +65,7 @@ BASELINE = {
     # snapshot (ADVICE r5: don't pin from the gated snapshot itself)
     "emb_outliers": 1.063, "cur_quality_logistic": 1.028,
     "sketch_bloom": 0.668, "cur_shard_shuffle": 0.4,
+    "text_novelty": 1.21, "cur_chunk_dedup": 0.94, "emb_project": 1.273,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -116,6 +117,9 @@ HEADLINE = [
     "cur_quality_logistic",
     "sketch_bloom",
     "cur_shard_shuffle",
+    "text_novelty",
+    "cur_chunk_dedup",
+    "emb_project",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

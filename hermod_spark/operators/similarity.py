@@ -878,3 +878,141 @@ def class_outliers(
             (z > F.lit(z_threshold)).alias("is_outlier"),
         )
     )
+
+
+def random_projection(dim: int, k: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seeded data-INDEPENDENT projection matrix (Johnson-Lindenstrauss
+    shape): k orthonormalized Gaussian rows over ``dim`` — the
+    cross-engine conformance model for dimensionality reduction, same
+    role `pq_random_codebooks` plays for PQ. Projection is exact given
+    ANY matrix, so the oracle-checked query pins the plumbing with
+    reproducible literals at every scale factor; projection QUALITY is
+    pinned separately by pytest (trained PCA must beat this on
+    reconstruction error)."""
+    rng = np.random.RandomState(seed)
+    rows = rng.normal(0.0, 1.0, (k, dim))
+    # Gram-Schmidt for stable conditioning; rounding keeps the literals
+    # identical in both engines
+    basis: list[np.ndarray] = []
+    for r in rows:
+        for b in basis:
+            r = r - np.dot(r, b) * b
+        r = r / np.linalg.norm(r)
+        basis.append(r)
+    return [[round(float(x), 6) for x in b] for b in basis]
+
+
+def train_pca(
+    embeddings: DataFrame,
+    k: int = 8,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """PCA components from a bounded deterministic sample — the same
+    train-small/serve-everywhere shape as the IVF coarse quantizer and
+    the PQ codebooks: ONE hash-ordered TakeOrdered sample
+    (sample_size × dim to the driver), numpy SVD, sign-normalized
+    components (largest-|x| element made positive) so the model is
+    bit-stable across runs. Returns (mean, components) as rounded
+    literal lists ready for :func:`project_embeddings`."""
+    from hermod_spark.operators.sketches import uniform_hash
+
+    rows = (
+        embeddings.select(
+            uniform_hash(F.col(id_col).cast("string")).alias("_h"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(map(float, r["_v"])) for r in rows])
+    mean = x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    comps = []
+    for row in vt[:k]:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row = -row
+        comps.append([round(float(v), 6) for v in row])
+    return [round(float(m), 6) for m in mean], comps
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each vector onto ``components`` (optionally centering by
+    ``mean`` first): one scalar column p0..p{k-1} per component, rounded
+    to 6dp. The matrix is literals, so the whole projection is
+    shuffle-free scan-side math (the serving half of PCA / random
+    projection); an intermediate projection materializes the centered
+    vector ONCE so k dot folds don't re-subtract the mean k times."""
+    dim = len(components[0])
+    mu = mean if mean is not None else [0.0] * dim
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x.cast("double") - m,
+    )
+    bound = ensure_min_partitions(embeddings).select(
+        F.col(id_col), centered.alias("_c")
+    )
+    cols = [F.col(id_col)]
+    for j, comp in enumerate(components):
+        prod = F.zip_with(
+            F.col("_c"),
+            F.array(*[F.lit(float(c)) for c in comp]),
+            lambda x, c: x * c,
+        )
+        fold = F.aggregate(prod, F.lit(0.0).cast("double"), lambda a, v: a + v)
+        # + 0.0 collapses IEEE -0.0 (engines disagree on the sign of a
+        # rounded tiny negative)
+        cols.append((F.round(fold, 6) + F.lit(0.0)).alias(f"p{j}"))
+    return bound.select(*cols)
+
+
+def pca_reconstruction_error(
+    embeddings: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of projecting onto
+    ``components`` and mapping back — the audit number the train-vs-
+    random pytest pins (orthonormal basis ⇒ error = E||c||² − E||p||²,
+    computed distributed in one agg)."""
+    dim = len(components[0])
+    mu = mean if mean is not None else [0.0] * dim
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x.cast("double") - m,
+    )
+    bound = embeddings.select(centered.alias("_c"))
+    norm2 = F.aggregate(
+        F.transform(F.col("_c"), lambda x: x * x),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + v,
+    )
+    parts = []
+    for comp in components:
+        prod = F.zip_with(
+            F.col("_c"),
+            F.array(*[F.lit(float(c)) for c in comp]),
+            lambda x, c: x * c,
+        )
+        fold = F.aggregate(prod, F.lit(0.0).cast("double"), lambda a, v: a + v)
+        parts.append(fold * fold)
+    proj2 = parts[0]
+    for p in parts[1:]:
+        proj2 = proj2 + p
+    row = bound.select(
+        F.avg(norm2 - proj2).alias("mse")
+    ).first()
+    return float(row["mse"])

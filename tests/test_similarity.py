@@ -337,3 +337,35 @@ def test_class_outliers_flags_planted_outlier(spark):
     assert got[10]["z"] == 0.0 and got[10]["is_outlier"] is False
     # z is standardized: the planted outlier dominates
     assert got[9]["z"] > 2.0 > max(got[i]["z"] for i in range(9))
+
+
+def test_trained_pca_beats_random_projection(spark):
+    """The quality pin for the dimensionality-reduction family (same
+    contract as trained-PQ-beats-random): top-k PCA components from the
+    bounded deterministic sample must reconstruct the corpus strictly
+    better than the seeded random orthonormal matrix."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    mean, comps = S.train_pca(emb, k=8)
+    rand = S.random_projection(dim, k=8)
+    err_pca = S.pca_reconstruction_error(emb, comps, mean)
+    err_rand = S.pca_reconstruction_error(emb, rand)
+    assert err_pca < err_rand
+    # training is deterministic: same sample, same SVD, same literals
+    mean2, comps2 = S.train_pca(emb, k=8)
+    assert mean2 == mean and comps2 == comps
+
+
+def test_project_embeddings_shapes_and_orthonormal_matrix(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rp = S.random_projection(dim, k=4)
+    # orthonormal rows (to rounding): unit norm, pairwise ~0 dot
+    import math
+    for i, a in enumerate(rp):
+        assert abs(math.fsum(x * x for x in a) - 1.0) < 1e-4
+        for b in rp[i + 1:]:
+            assert abs(math.fsum(x * y for x, y in zip(a, b))) < 1e-4
+    out = S.project_embeddings(emb, rp)
+    assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
+    assert out.count() == emb.count()
