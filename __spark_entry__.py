@@ -1185,6 +1185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         components=S.random_projection(_EMB_DIM, k=8),
     )
 
+    def stream_trending(spark, sf):
+        """Batch form of the streaming trending-top-k split (counts =
+        incremental agg; rank = foreachBatch leg, here applied
+        directly; streaming e2e in tests/test_streaming.py)."""
+        from hermod_spark.streaming.windows import topk_per_window, trending_topics
+
+        msgs = message_frame(_prep(spark), sf)
+        return topk_per_window(trending_topics(msgs), k=3)
+
+    q["stream_trending"] = stream_trending
+
     return _rotate_for_driver_window(q)
 
 
@@ -1237,6 +1248,7 @@ def _rotate_for_driver_window(
         "text_novelty",
         "cur_chunk_dedup",
         "emb_project",
+        "stream_trending",
     ]
     tier0 = [
         k
@@ -2613,4 +2625,17 @@ FROM agg"""
         for j, comp in enumerate(_rp)
     )
     o["emb_project"] = f"SELECT vec_id, {_pcols} FROM embeddings"
+
+    o["stream_trending"] = f"""
+WITH msg AS ({_MSG_SQL}),
+c AS (
+  SELECT date_trunc('hour', time) AS bucket_start, topic,
+    COUNT(*) AS n_events
+  FROM msg GROUP BY 1, 2),
+r AS (
+  SELECT bucket_start, topic, n_events,
+    CAST(ROW_NUMBER() OVER (PARTITION BY bucket_start
+                            ORDER BY n_events DESC, topic ASC) AS INT) AS rnk
+  FROM c)
+SELECT bucket_start, topic, n_events, rnk FROM r WHERE rnk <= 3"""
     return o

@@ -192,3 +192,48 @@ def decontaminate_stream(
     if drop:
         return messages.filter(~hit)
     return messages.withColumn("bloom_hit", hit)
+
+
+def trending_topics(
+    messages: DataFrame,
+    time_col: str = "time",
+    key_col: str = "topic",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-key counts — the streaming half of a trending
+    top-k. Ranking inside a streaming aggregation is not expressible in
+    append mode (a window's rank can change until the watermark closes
+    it), so the contract splits: this incremental count aggregation
+    runs as the stream, and :func:`topk_per_window` ranks each closed
+    micro-batch output in ``foreachBatch`` — the standard Spark idiom
+    for streaming top-k."""
+    df = messages
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.window(time_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank a (bucket_start, key, n_events) counts frame to its top-k
+    keys per bucket — the foreachBatch leg of the streaming trending
+    pipeline (also works on the batch form for the oracle). The window
+    partitions by bucket, so each sort sees only that bucket's keys —
+    #keys rows, never raw events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("n_events").desc(), F.col(counts.columns[1]).asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -458,3 +458,52 @@ def test_decontaminate_stream_matches_batch_and_never_misses(spark, tmp_path):
     )
     n_hit = flagged.filter(F.col("bloom_hit")).count()
     assert n_hit >= 10  # all probes + any false positives
+
+
+def test_trending_topics_stream_foreachbatch_rank_matches_batch(spark, tmp_path):
+    """Streaming trending top-k: the counts aggregation streams, the
+    rank runs per micro-batch in foreachBatch (the standard streaming
+    top-k idiom) — the final ranked output must equal the batch form."""
+    from hermod_spark.streaming.windows import topk_per_window, trending_topics
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    for m in range(30):
+        rows.append((t0 + dt.timedelta(minutes=2 * m), f"t{m % 5}", 1.0))
+    for m in range(10):  # t0 dominates hour 10
+        rows.append((t0 + dt.timedelta(minutes=m), "t0", 1.0))
+    batch = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, value DOUBLE")
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    out_dir = str(tmp_path / "ranked")
+
+    def rank_and_overwrite(b, _bid):
+        # complete-mode batch = full counts; rank and replace
+        topk_per_window(b, k=3).write.mode("overwrite").parquet(out_dir)
+
+    stream = message_stream(spark, src, schema=batch.schema)
+    counts = trending_topics(stream, window="1 hour")
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_and_overwrite)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["bucket_start"], r["rnk"]): (r["topic"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["bucket_start"], r["rnk"]): (r["topic"], r["n_events"])
+        for r in topk_per_window(trending_topics(batch, window="1 hour"), k=3).collect()
+    }
+    assert got == want
+    # the planted hot topic leads its hour
+    lead = [v for (b, rk), v in want.items() if rk == 1 and b.hour == 10]
+    assert lead and lead[0][0] == "t0"
