@@ -358,24 +358,21 @@ def min_label_propagation(
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        new_lab = F.least(F.col("label"), F.coalesce("nb_label", F.col("label")))
         new_labels = (
             labels.join(nb_min, labels.node == nb_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
-                    "label"
-                ),
+                new_lab.alias("label"),
+                # carry the convergence flag INSIDE the update so the
+                # change probe is a filter on the checkpointed frame,
+                # not a second node-id shuffle join per round
+                (new_lab != F.col("label")).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels, rounds
