@@ -1221,7 +1221,9 @@ def _rotate_for_driver_window(
     this round (three uncast-SUM oracles cast to BIGINT, three array
     surfaces serialized), plus rel_cube whose grouping surface changed
     (string + 'ALL' sentinel). Union of driver-green across rounds
-    should reach 110/110 once this window lands.
+    should reach the full set once this window lands (110 pre-r6
+    entries + the 8 new r6 queries = 118; the r6 additions and every
+    re-fixed red sit in tier0, inside the 50-entry window).
     """
     never_windowed = [
         "cur_centroids",

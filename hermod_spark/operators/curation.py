@@ -518,6 +518,7 @@ def quality_logistic(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_score: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Linear quality classifier over cheap scan-side text features —
     the fasttext-classifier stage of a pretraining filter (CCNet /
@@ -531,7 +532,12 @@ def quality_logistic(
     a fixed left-to-right double chain, so DuckDB reproduces it
     bit-for-bit; exp() is NOT correctly-rounded-identical across
     engines, so the probability (``with_score=True``) stays a
-    library-only column."""
+    library-only column.
+
+    ``passthrough`` carries original columns into the result, so a
+    pipeline (batch OR stream) filters on ``keep`` with no self-join —
+    the property that lets this stage chain statelessly inside a
+    streaming ingest plan."""
     from hermod_spark.functions.text import STOPWORDS, tokens
 
     w0, w_len, w_ml, w_sf, w_sym, w_dig = QUALITY_WEIGHTS
@@ -542,6 +548,7 @@ def quality_logistic(
     dig = F.length(txt) - F.length(F.regexp_replace(txt, r"[0-9]", ""))
     bound = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         tokens(F.lower(txt)).alias("_t"),
         sym.alias("_nsym"),
         dig.alias("_ndig"),
@@ -579,6 +586,7 @@ def quality_logistic(
     )
     cols = [
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         F.round(logit, 6).alias("quality_logit"),
         (logit > 0).alias("keep"),

@@ -507,3 +507,68 @@ def test_trending_topics_stream_foreachbatch_rank_matches_batch(spark, tmp_path)
     # the planted hot topic leads its hour
     lead = [v for (b, rk), v in want.items() if rk == 1 and b.hour == 10]
     assert lead and lead[0][0] == "t0"
+
+
+
+def test_curation_ingest_pipeline_composes_on_stream(spark, tmp_path):
+    """Composition e2e: quality filter (projection with passthrough) →
+    Bloom decontamination (literal bit set) → windowed counts, chained
+    on ONE stream. Every stage is stateless except the final windowed
+    aggregation, so the whole curation chain streams with exactly one
+    state store; result must equal the identical batch composition."""
+    import uuid as _uuid
+
+    from hermod_spark.operators.curation import quality_logistic
+    from hermod_spark.streaming.windows import decontaminate_stream, windowed_agg
+
+    good = "think about these words that with from have been good " * 6
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    rows = [
+        (i, good + f" tail{i}", t0 + dt.timedelta(minutes=i)) for i in range(40)
+    ] + [
+        (100 + i, "@#$% junk " * 30, t0 + dt.timedelta(minutes=i))
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id INT, text STRING, time TIMESTAMP")
+    benchmark = corpus.filter(F.col("doc_id") < 5)
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+
+    def chain(df, watermark=None):
+        kept = quality_logistic(df, passthrough=("text", "time")).filter("keep")
+        clean = decontaminate_stream(
+            kept, benchmark, key=F.md5("text"), probe_key=F.md5("text")
+        )
+        counted = clean.withColumn("topic", F.lit("docs")).withColumn(
+            "value", F.col("doc_id").cast("double")
+        )
+        kw = {"watermark": watermark} if watermark else {}
+        return windowed_agg(counted, window="1 hour", **kw)
+
+    want = {
+        (r["bucket_start"], r["value_count"]) for r in chain(corpus).collect()
+    }
+    # sanity: the junk docs and the 5 benchmark docs are actually gone
+    n_kept = quality_logistic(corpus).filter("keep").count()
+    assert n_kept == 40  # junk filtered
+    assert sum(c for _, c in want) == 35  # 40 good − 5 decontaminated
+
+    stream = message_stream(spark, src, schema=corpus.schema)
+    out = chain(stream, watermark="2 hours")
+    sink = f"cur_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["bucket_start"], r["value_count"])
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
