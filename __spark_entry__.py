@@ -1053,6 +1053,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_resize_plan"] = mm_resize_plan
 
+    def mm_batch_plan(spark, sf):
+        d = _t(spark, sf, "documents")
+        meta = d.withColumn(
+            "content_meta",
+            F.struct(
+                ((F.col("n_chars") % 640) + 1).cast("int").alias("width"),
+                (((F.col("n_chars") * 7) % 480) + 1).cast("int").alias("height"),
+            ),
+        )
+        return MM.batch_plan(meta, batch_size=32, max_side=512)
+
+    q["mm_batch_plan"] = mm_batch_plan
+
     def mm_frame_sample(spark, sf):
         d = _t(spark, sf, "documents")
         meta = d.withColumn(
@@ -1251,6 +1264,7 @@ def _rotate_for_driver_window(
         "cur_chunk_dedup",
         "emb_project",
         "stream_trending",
+        "mm_batch_plan",
     ]
     tier0 = [
         k
@@ -2640,4 +2654,26 @@ r AS (
                             ORDER BY n_events DESC, topic ASC) AS INT) AS rnk
   FROM c)
 SELECT bucket_start, topic, n_events, rnk FROM r WHERE rnk <= 3"""
+
+    o["mm_batch_plan"] = """
+WITH meta AS (
+  SELECT doc_id, CAST((n_chars % 640) + 1 AS INTEGER) AS width,
+         CAST(((n_chars * 7) % 480) + 1 AS INTEGER) AS height
+  FROM documents),
+t AS (
+  SELECT doc_id,
+    CAST(ceil(width * least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+      AS target_width,
+    CAST(ceil(height * least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+      AS target_height
+  FROM meta),
+r AS (
+  SELECT doc_id, target_width, target_height,
+    ROW_NUMBER() OVER (PARTITION BY target_width, target_height
+                       ORDER BY doc_id ASC) AS rn
+  FROM t)
+SELECT doc_id, target_width, target_height,
+  CAST((rn - 1) // 32 AS INTEGER) AS batch_id,
+  CAST((rn - 1) % 32 AS INTEGER) AS batch_pos
+FROM r"""
     return o

@@ -210,3 +210,35 @@ def extract_audio_features(
         .select(id_col, content_col)
         .mapInPandas(batches, out_schema)
     )
+
+
+def batch_plan(
+    df: DataFrame,
+    batch_size: int = 32,
+    max_side: int = 512,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aspect-bucket batch packing — the image-training batching trick:
+    images resized to the same target dims are grouped, and each group
+    is cut into fixed-size training batches with a stable in-batch
+    position. Same-shape batches are what lets the training collator
+    stack tensors without padding.
+
+    Scale shape: :func:`resize_plan` stays scan-side; the only shuffle
+    is the per-(target_w, target_h) rank window — partitions are
+    resolution buckets (bounded by the dims grid, each hash-spread),
+    and the window carries metadata rows, never pixel blobs."""
+    from pyspark.sql import Window
+
+    plan = resize_plan(df, max_side, id_col)
+    w = Window.partitionBy("target_width", "target_height").orderBy(
+        F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w)
+    return plan.select(
+        id_col,
+        "target_width",
+        "target_height",
+        F.floor((rn - 1) / batch_size).cast("int").alias("batch_id"),
+        ((rn - 1) % batch_size).cast("int").alias("batch_pos"),
+    )

@@ -85,3 +85,31 @@ def test_frame_sample_plan(spark):
     )
     rows = MM.frame_sample_plan(df, every_ms=1000).collect()
     assert [(r["doc_id"], r["frame_ts_ms"]) for r in rows] == [(1, 0), (1, 1000), (1, 2000)]
+
+
+def test_batch_plan_packs_same_shape_batches(spark):
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators import multimodal as MM
+
+    # 70 images in one bucket (square 100x100) + 5 in another
+    rows = [(i, 100, 100) for i in range(70)] + [(100 + i, 640, 480) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id INT, w INT, h INT").withColumn(
+        "content_meta",
+        F.struct(F.col("w").alias("width"), F.col("h").alias("height")),
+    )
+    out = MM.batch_plan(df, batch_size=32, max_side=512).collect()
+    by_bucket = {}
+    for r in out:
+        key = (r["target_width"], r["target_height"])
+        by_bucket.setdefault(key, []).append((r["batch_id"], r["batch_pos"], r["doc_id"]))
+    assert set(by_bucket) == {(100, 100), (512, 384)}
+    big = sorted(by_bucket[(100, 100)])
+    # 70 rows -> batches of 32, 32, 6; positions 0..31 within each
+    sizes = {}
+    for bid, pos, _ in big:
+        sizes[bid] = sizes.get(bid, 0) + 1
+        assert 0 <= pos < 32
+    assert sizes == {0: 32, 1: 32, 2: 6}
+    # deterministic assignment: ordered by doc_id within the bucket
+    assert [d for _, _, d in big] == sorted(d for _, _, d in big)
