@@ -1208,6 +1208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return topk_per_window(trending_topics(msgs), k=3)
 
     q["stream_trending"] = stream_trending
+    q["cur_source_report"] = lambda spark, sf: CUR.source_report(
+        _t(spark, sf, "documents")
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1265,6 +1268,7 @@ def _rotate_for_driver_window(
         "emb_project",
         "stream_trending",
         "mm_batch_plan",
+        "cur_source_report",
     ]
     tier0 = [
         k
@@ -2676,4 +2680,37 @@ SELECT doc_id, target_width, target_height,
   CAST((rn - 1) // 32 AS INTEGER) AS batch_id,
   CAST((rn - 1) % 32 AS INTEGER) AS batch_pos
 FROM r"""
+
+    # per-source health rollup: quality_logistic's feature CTE + a
+    # corpus-wide duplicate window + groupBy(source)
+    o["cur_source_report"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {toks3} AS tk, {sym_sql} AS nsym, {dig_sql} AS ndig,
+    length(text) AS nchr, md5(text) AS k
+  FROM documents),
+s AS (
+  SELECT doc_id, source, k, len(tk) AS nt,
+    CAST(least(len(tk), 256) AS DOUBLE) / 256.0 AS wsat,
+    ROUND(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS ml,
+    ROUND(len(list_filter(list_distinct(tk), x -> list_contains({sw_arr}, x)))
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sf,
+    ROUND(nsym / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sr,
+    ROUND(ndig / CAST(greatest(nchr, 1) AS DOUBLE), 6) AS dr
+  FROM t),
+f AS (
+  SELECT doc_id, source, k, nt,
+    (-1.0 + 2.5 * wsat + 0.2 * ml + 3.0 * sf + (-8.0) * sr + (-2.0) * dr) > 0
+      AS keep
+  FROM s),
+d AS (SELECT *, COUNT(*) OVER (PARTITION BY k) > 1 AS dup FROM f)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(nt) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS avg_doc_tokens,
+  ROUND(COUNT(CASE WHEN keep THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS quality_keep_frac,
+  ROUND(COUNT(CASE WHEN dup THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS exact_dup_frac
+FROM d GROUP BY source ORDER BY source"""
     return o

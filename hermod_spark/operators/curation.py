@@ -628,3 +628,60 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def source_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a curation run
+    publishes per ingest source: volume, token mass, quality-filter
+    pass rate, and exact-duplicate rate. Composes the scan-side
+    operators (token count, quality logit) with one corpus-wide
+    duplicate count; the final rollup groups by source.
+
+    Scale shape: per-doc metrics are pure projection; the duplicate
+    flag is ONE shuffle on the content hash (≈uniform md5 keys, the
+    exact-dedup shape); the rollup is a map-side-combinable agg over
+    #sources groups."""
+    from pyspark.sql import Window
+
+    from hermod_spark.functions.text import token_count
+
+    keyed = quality_logistic(
+        df, text_col=text_col, id_col=id_col, passthrough=(source_col,)
+    ).join(
+        df.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("_nt"),
+            F.md5(F.col(text_col)).alias("_k"),
+        ),
+        id_col,
+    )
+    dup = F.count(F.lit(1)).over(Window.partitionBy("_k")) > 1
+    flagged = keyed.withColumn("_dup", dup)
+    return (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_nt").cast("bigint")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("_nt").cast("bigint"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_doc_tokens"),
+            F.round(
+                F.count(F.when(F.col("keep"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("quality_keep_frac"),
+            F.round(
+                F.count(F.when(F.col("_dup"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("exact_dup_frac"),
+        )
+        .orderBy(source_col)
+    )

@@ -408,3 +408,24 @@ def test_shard_shuffle_is_deterministic_partition_of_corpus(spark):
     # a different seed produces a different order
     c = CUR.shard_shuffle(df, n_shards=4, seed="s1").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_source_report_rolls_up_health_metrics(spark):
+    good = "think about these words that with from have been good " * 6
+    df = spark.createDataFrame(
+        [
+            (1, "a", good),
+            (2, "a", good),            # exact dup of 1
+            (3, "a", "@#$ junk " * 30),  # fails quality
+            (4, "b", good + " unique tail"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    rows = {r["source"]: r for r in CUR.source_report(df).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 1
+    assert a["exact_dup_frac"] == round(2 / 3, 6)  # docs 1+2 share text
+    assert b["exact_dup_frac"] == 0.0
+    assert a["quality_keep_frac"] == round(2 / 3, 6)  # doc 3 fails
+    assert b["quality_keep_frac"] == 1.0
+    assert a["total_tokens"] > 0 and a["avg_doc_tokens"] > 0
