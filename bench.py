@@ -125,7 +125,14 @@ HEADLINE = [
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
 # story depends on model-sized collects and bounded buckets, re-run on a
 # 10× synthesized corpus. Per-row cost must stay ≤2× the sf0.1 cost.
-SCALE10X = ["dedup_exact", "dedup_minhash_cand", "cur_length_filter", "rel_quantiles_twopass", "cur_boilerplate_frac"]
+SCALE10X = [
+    "dedup_exact", "dedup_minhash_cand", "cur_length_filter",
+    "rel_quantiles_twopass", "cur_boilerplate_frac",
+    # r6: the new scan-side families — linearity here is the claim
+    # that the quality pass and the bloom membership stay projection-
+    # shaped as the corpus grows
+    "cur_quality_logistic", "sketch_bloom",
+]
 
 
 def _documents_10x(spark):
@@ -185,9 +192,20 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     """Time each SCALE10X query on sf0.1 (best-of-2) and on the 10×
     synthesized frame (single run — long enough to be noise-stable),
     reporting per-row cost ratio t10/(10·t1)."""
+    from pyspark.sql import functions as F
+
     from hermod_spark.operators import curation as CUR
     from hermod_spark.operators import dedup
     from hermod_spark.operators import relational as R
+    from hermod_spark.operators.sketches import bloom_decontaminate
+
+    def _bloom10(docs):
+        return bloom_decontaminate(
+            docs,
+            docs.filter(F.col("doc_id") < 50),
+            key=F.md5("text"),
+            probe_key=F.md5("text"),
+        )
 
     docs10, events10 = _documents_10x(spark), _events_10x(spark)
     # Warm the synthesized inputs once so the first timed query does
@@ -205,6 +223,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "cur_boilerplate_frac": lambda: CUR.boilerplate_fraction(
             docs10, n=3, min_docs=3
         ),
+        "cur_quality_logistic": lambda: CUR.quality_logistic(docs10),
+        "sketch_bloom": lambda: _bloom10(docs10),
     }
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
