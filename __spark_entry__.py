@@ -1238,7 +1238,7 @@ def _rotate_for_driver_window(
     surfaces serialized), plus rel_cube whose grouping surface changed
     (string + 'ALL' sentinel). Union of driver-green across rounds
     should reach the full set once this window lands (110 pre-r6
-    entries + the 8 new r6 queries = 118; the r6 additions and every
+    entries + the 10 new r6 queries = 120; the r6 additions and every
     re-fixed red sit in tier0, inside the 50-entry window).
     """
     never_windowed = [
