@@ -23,6 +23,7 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -153,4 +154,64 @@ def ewma_anomalies(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def kmv_distinct_stream(
+    messages: DataFrame,
+    key_col: str = "topic",
+    value_col: str = "payload",
+    k: int = 64,
+    time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key streaming distinct-count via a KMV sketch as custom
+    state — the streaming face of ``sketches.kmv_distinct`` (same
+    md5-fraction hash, same (k−1)/x_k estimator), and the operator the
+    batch module's docstring promises ("a production incremental
+    variant keeps the k-set as partial-aggregation state").
+
+    The hash is computed JVM-side BEFORE the stateful op (one
+    `uniform_hash` projection), so Python only merges sorted floats:
+    state per key is the k smallest distinct hash fractions — O(k)
+    doubles regardless of stream length, the mergeable-summary
+    property that makes the sketch exact-once-replayable from a
+    checkpoint. Emits one updated (key, n_distinct_est, exact) row per
+    key per batch; ``exact`` is true while the key has seen < k
+    distinct values (the estimate is exact there)."""
+    from hermod_spark.operators.sketches import uniform_hash
+
+    hashed = messages.withWatermark(time_col, watermark).select(
+        F.col(key_col).alias("key"), uniform_hash(F.col(value_col)).alias("h")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mins = list(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                hf = float(h)
+                if hf not in seen:
+                    seen.add(hf)
+                    mins.append(hf)
+        mins.sort()
+        del mins[k:]
+        state.update((mins,))
+        if len(mins) < k:
+            est, exact = float(len(mins)), True
+        else:
+            # 4dp to match the batch sketch exactly
+            est, exact = round((k - 1) / mins[k - 1], 4), False
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_distinct_est": [est], "exact": [exact]}
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key STRING, n_distinct_est DOUBLE, exact BOOLEAN",
+        stateStructType="mins ARRAY<DOUBLE>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

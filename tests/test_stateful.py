@@ -125,3 +125,42 @@ def test_ewma_anomalies_flags_spike(spark, tmp_path):
     ]
     # the spike is flagged
     assert 50.0 in [x for _, x in got_a]
+
+
+def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV distinct-count: the final per-key estimates must
+    equal the batch kmv_distinct on the same data (same hash, same
+    estimator), exact below k and approximate above it."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.sketches import kmv_distinct
+    from hermod_spark.streaming.stateful import kmv_distinct_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    rows = []
+    # key 'small': 5 distinct values (< k -> exact); key 'big': 300
+    for i in range(20):
+        rows.append((t0 + dt.timedelta(seconds=i), "small", f"v{i % 5}"))
+    for i in range(300):
+        rows.append((t0 + dt.timedelta(seconds=i), "big", f"w{i}"))
+    batch = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, payload STRING")
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    stream = message_stream(spark, src, schema=batch.schema)
+    out = kmv_distinct_stream(stream, k=64)
+    got_rows = _run_stream(spark, tmp_path, out, mode="update")
+    # update mode: keep the LAST emission per key
+    got = {}
+    for r in got_rows:
+        got[r["key"]] = (r["n_distinct_est"], r["exact"])
+    want = {
+        r["topic"]: r["est_distinct"]
+        for r in kmv_distinct(batch, "topic", "payload", k=64).collect()
+    }
+    assert got["small"] == (5.0, True)
+    assert got["small"][0] == want["small"]
+    assert got["big"][1] is False
+    assert abs(got["big"][0] - want["big"]) < 1e-6
+    # sketch accuracy: within 4-sigma of truth for the big key
+    assert abs(got["big"][0] - 300) / 300 < 0.5
