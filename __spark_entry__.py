@@ -1212,6 +1212,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
 
+    def rel_zorder(spark, sf):
+        """Z-order layout key over (user_id, value-bucket) — the
+        clustering key a compaction job sorts by so two-column range
+        predicates prune file min/max stats (sinks/compaction.py)."""
+        from hermod_spark.sinks.compaction import zorder_key
+
+        e = _t(spark, sf, "events")
+        xb = F.col("user_id").cast("bigint").bitwiseAND(F.lit(65535))
+        yb = (
+            F.greatest(F.floor(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(0))
+            .cast("bigint")
+            .bitwiseAND(F.lit(65535))
+        )
+        keyed = e.select(
+            "event_id", xb.alias("x_bucket"), yb.alias("y_bucket")
+        )
+        return keyed.withColumn("zkey", zorder_key("x_bucket", "y_bucket"))
+
+    q["rel_zorder"] = rel_zorder
+
     return _rotate_for_driver_window(q)
 
 
@@ -1269,6 +1289,7 @@ def _rotate_for_driver_window(
         "stream_trending",
         "mm_batch_plan",
         "cur_source_report",
+        "rel_zorder",
     ]
     tier0 = [
         k
@@ -2713,4 +2734,19 @@ SELECT source, COUNT(*) AS n_docs,
   ROUND(COUNT(CASE WHEN dup THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
     AS exact_dup_frac
 FROM d GROUP BY source ORDER BY source"""
+
+    # Z-order key: identical interleave arithmetic, 16 bits per dim
+    _z_terms = " | ".join(
+        f"((((xb >> {b}) & 1) << {2 * b}) | (((yb >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(16)
+    )
+    o["rel_zorder"] = f"""
+WITH k AS (
+  SELECT event_id,
+    CAST(user_id AS BIGINT) & 65535 AS xb,
+    CAST(greatest(floor(COALESCE(value, 0.0)), 0) AS BIGINT) & 65535 AS yb
+  FROM events)
+SELECT event_id, xb AS x_bucket, yb AS y_bucket,
+  CAST({_z_terms} AS BIGINT) AS zkey
+FROM k"""
     return o

@@ -72,3 +72,29 @@ def compact_table(
         if parquet_file_count(d) > min_files:
             results.append(compact_directory(spark, d, target_files))
     return results
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two bucketed ints — the layout
+    clustering key behind lakehouse OPTIMIZE ZORDER: sorting (and then
+    range-partitioning files) by the interleaved key co-locates rows
+    that are close in BOTH dimensions, so two-column range predicates
+    prune file-level min/max stats instead of scanning everything.
+
+    Pure native bit math (2·bits shift/mask/or terms in one codegen
+    projection, zero Python, zero shuffle) — the key computation adds
+    nothing to the write path; the clustering sort the caller does with
+    it is the same exchange a plain sorted write already pays."""
+    from pyspark.sql import functions as F
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(xc, b).bitwiseAND(F.lit(1)), 2 * b))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(yc, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            )
+        )
+    return z

@@ -678,3 +678,27 @@ def test_bloom_build_is_bounded_by_m(spark):
     df = spark.createDataFrame([(str(i),) for i in range(5000)], "k STRING")
     n_bits = bloom_build(df, "k", k=3, m=256).count()
     assert n_bits <= 256
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from hermod_spark.sinks.compaction import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x INT, y INT"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key("x", "y")).collect()
+    }
+    # bit-interleave truth: x bits land at even positions, y at odd
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1          # x bit 0 -> z bit 0
+    assert got[(0, 1)] == 2          # y bit 0 -> z bit 1
+    assert got[(3, 5)] == 0b100111   # x=11, y=101 -> z=100111
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    # locality: points close in both dims have closer z than far pairs
+    rows = spark.createDataFrame(
+        [(10, 10), (10, 11), (1000, 1000)], "x INT, y INT"
+    ).withColumn("z", zorder_key("x", "y")).collect()
+    z = {(r["x"], r["y"]): r["z"] for r in rows}
+    assert abs(z[(10, 10)] - z[(10, 11)]) < abs(z[(10, 10)] - z[(1000, 1000)])
