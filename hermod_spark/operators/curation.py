@@ -685,3 +685,34 @@ def source_report(
         )
         .orderBy(source_col)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+) -> dict:
+    """End of the curation pipeline: materialize the deterministically
+    shuffled corpus as training shards — one parquet directory
+    partition per shard, rows stored in shard-shuffle order (the order
+    a sequential reader should consume them in).
+
+    Scale shape: :func:`shard_shuffle` assigns (shard, pos); the write
+    repartitions BY SHARD (n_shards exchanges-worth of data moves once)
+    and sorts within each partition by pos — n_shards independent
+    sorts, no global ORDER BY, one file per shard. Returns a manifest
+    {shard: n_rows} read back from the written data (the audit a
+    training job checks before consuming)."""
+    addressed = df.join(shard_shuffle(df, id_col, n_shards, seed), id_col)
+    (
+        addressed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.parquet(path).groupBy("shard").count().collect()
+    return {int(r["shard"]): r["count"] for r in back}
