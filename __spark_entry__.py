@@ -1231,6 +1231,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return keyed.withColumn("zkey", zorder_key("x_bucket", "y_bucket"))
 
     q["rel_zorder"] = rel_zorder
+    # PQ recall MEASUREMENT (vs exact L2 truth) with the seeded
+    # conformance codebooks — both sides SQL-replayable, so the oracle
+    # value-checks the recall numbers themselves (contrast the
+    # trained-IVF boolean claim, where training isn't SQL-expressible)
+    q["sim_pq_recall"] = lambda spark, sf: S.pq_recall_check(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1290,6 +1300,7 @@ def _rotate_for_driver_window(
         "mm_batch_plan",
         "cur_source_report",
         "rel_zorder",
+        "sim_pq_recall",
     ]
     tier0 = [
         k
@@ -2749,4 +2760,45 @@ WITH k AS (
 SELECT event_id, xb AS x_bucket, yb AS y_bucket,
   CAST({_z_terms} AS BIGINT) AS zkey
 FROM k"""
+
+    # PQ recall measurement: replay the ADC ranking (same cb/enc CTEs
+    # as sim_pq_topk) AND the exact-L2 truth ranking, then count hits
+    o["sim_pq_recall"] = f"""
+WITH cb AS (SELECT {_b3} AS B),
+enc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_codes} AS codes
+  FROM embeddings, cb),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_m + 1}), b ->
+      list_sum(list_transform(range(1, {_sd + 1}), t ->
+        {_adc_term} * {_adc_term})))), 6) AS est_dist
+  FROM enc CROSS JOIN q CROSS JOIN cb
+  WHERE q.query_id != enc.vec_id),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY est_dist ASC, neighbor_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {_TOPK}),
+ts AS (
+  SELECT q.query_id, e2.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_EMB_DIM} + 1), i ->
+      (CAST(e2.embedding[i] AS DOUBLE) - qe[i])
+      * (CAST(e2.embedding[i] AS DOUBLE) - qe[i]))), 6) AS dist2
+  FROM embeddings e2 CROSS JOIN q WHERE q.query_id != e2.vec_id),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+    FROM ts) WHERE rnk <= {_TOPK})
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN pq p USING (query_id, neighbor_id)
+GROUP BY t.query_id"""
     return o

@@ -1016,3 +1016,80 @@ def pca_reconstruction_error(
         F.avg(norm2 - proj2).alias("mse")
     ).first()
     return float(row["mse"])
+
+
+def l2_brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k (ascending distance) — the ground truth the PQ
+    recall audit compares against; same broadcast-queries/scan-corpus
+    shape as the cosine brute force."""
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("dist2", F.round(d2, 6))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rnk")
+    )
+
+
+def pq_recall_check(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Measured recall@k of the PQ/ADC path against exact L2 truth —
+    unlike :func:`ivf_recall_check`'s boolean CLAIM, this emits the
+    MEASUREMENT (per query: n_truth, n_hits, recall), because with
+    seeded data-independent codebooks both sides are SQL-replayable
+    and the oracle value-checks the recall itself, not an assertion
+    about it. Both inputs are n_queries×k rows, so the verification
+    join is trivial at any corpus size."""
+    pq = pq_topk(
+        embeddings, k, n_queries, id_col=id_col, vec_col=vec_col,
+        codebooks=codebooks,
+    )
+    truth = l2_brute_force_topk(embeddings, k, n_queries, id_col, vec_col)
+    hits = truth.select("query_id", "neighbor_id").join(
+        pq.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )

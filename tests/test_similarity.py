@@ -369,3 +369,19 @@ def test_project_embeddings_shapes_and_orthonormal_matrix(spark):
     out = S.project_embeddings(emb, rp)
     assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
     assert out.count() == emb.count()
+
+
+def test_pq_recall_measurement_shape_and_truth(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.pq_recall_check(
+        emb, k=5, n_queries=4, codebooks=S.pq_random_codebooks(64)
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_truth"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall"] == round(r["n_hits"] / 5, 6)
+    # the truth side really is exact L2: self-exclusion + full ranking
+    truth = S.l2_brute_force_topk(emb, k=3, n_queries=2).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in truth)
+    assert {r["query_id"] for r in truth} == {0, 1}
