@@ -1668,7 +1668,8 @@ WITH d AS (
                 ORDER BY epoch_ns(ts) // 1000, event_id) AS delta_us
   FROM events)
 SELECT user_id, COUNT(*) AS n_events,
-  ROUND(AVG(delta_us) / 1e6, 6) AS avg_gap_s,
+  ((2 * CAST(SUM(delta_us) AS BIGINT) + COUNT(delta_us))
+    // (2 * COUNT(delta_us))) / 1e6 AS avg_gap_s,
   MAX(delta_us) / 1e6 AS max_gap_s
 FROM d GROUP BY user_id HAVING COUNT(*) >= 2"""
     o["rel_retention"] = """

@@ -702,10 +702,27 @@ def user_event_deltas(events: DataFrame) -> DataFrame:
         per_event.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("delta_us") / 1e6, 6).alias("avg_gap_s"),
-            (F.max("delta_us") / 1e6).alias("max_gap_s"),
+            F.sum("delta_us").alias("_s"),
+            F.count("delta_us").alias("_n"),
+            F.max("delta_us").alias("_mx"),
         )
         .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            # The mean gap is rounded HALF-UP to whole µs in PURE
+            # INTEGER math — (2s+n) div 2n — then divided once.
+            # Float round() is unusable here: µs sums over small
+            # counts land near exact decimal midpoints (sf0.1 users
+            # 1124/113), where Spark rounds the shortest decimal repr
+            # of the double while DuckDB rounds its binary value, so
+            # HALF_UP and HALF_EVEN BOTH mismatch on some row (r6
+            # sf0.1 gate). Integer div has no such ambiguity.
+            (
+                F.expr("(2 * _s + _n) div (2 * _n)") / F.lit(1e6)
+            ).alias("avg_gap_s"),
+            (F.col("_mx") / 1e6).alias("max_gap_s"),
+        )
     )
 
 
