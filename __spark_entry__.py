@@ -1307,17 +1307,32 @@ def _rotate_for_driver_window(
         for k in [*never_windowed, *refixed_reds, *changed_surface, *new_in_r6]
         if k in q
     ]
-    # tier1: keep recent-green rotation fresh — r5's window tail that
-    # was green stays next in line, then everything else in build order
+    # tier1: everything else, ROTATED by the round number so each
+    # driver round hashes a different 50-window slice and the union of
+    # driver-green rows grows monotonically without manual curation.
+    # The round number is inferred from the CORRECTNESS_r0N.json files
+    # the driver leaves in the repo — deterministic at import time.
     tier0_set = set(tier0)
-    tier1 = [
-        k
-        for k in q
-        if k not in tier0_set
-        and k.startswith(("text_", "cur_", "emb_", "mm_", "stream_", "sim_"))
+    tier1 = [k for k in q if k not in tier0_set]
+    rotate = _round_number() * 23  # coprime-ish step; cycles the tail
+    if tier1:
+        rotate %= len(tier1)
+        tier1 = tier1[rotate:] + tier1[:rotate]
+    return {k: q[k] for k in [*tier0, *tier1]}
+
+
+def _round_number() -> int:
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
     ]
-    back = [k for k in q if k not in tier0_set and k not in set(tier1)]
-    return {k: q[k] for k in [*tier0, *tier1, *back]}
+    return (max(rounds) + 1) if rounds else 1
 
 
 # -------------------------------------------------------------- oracle SQL
