@@ -1241,6 +1241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_queries=_N_QUERIES,
         codebooks=S.pq_random_codebooks(_EMB_DIM),
     )
+    # MinHash estimate-vs-exact audit (adjacent pairs as the candidate
+    # stand-in) — the measurement that justifies the banding params
+    q["dedup_minhash_audit"] = lambda spark, sf: dedup.minhash_estimate_audit(
+        _t(spark, sf, "documents")
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1301,6 +1306,7 @@ def _rotate_for_driver_window(
         "cur_source_report",
         "rel_zorder",
         "sim_pq_recall",
+        "dedup_minhash_audit",
     ]
     tier0 = [
         k
@@ -2817,4 +2823,28 @@ SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
         / CAST(COUNT(*) AS DOUBLE), 6) AS recall
 FROM truth t LEFT JOIN pq p USING (query_id, neighbor_id)
 GROUP BY t.query_id"""
+
+    # MinHash estimate audit: same signature family as the banding
+    # oracle, compared component-wise against exact shingle Jaccard
+    from hermod_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    _mh_base = "CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)"
+    _mh_sig = "[" + ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]})"
+        f" % {MINHASH_P}), 'min')"
+        for i in range(16)
+    ) + "]"
+    o["dedup_minhash_audit"] = f"""
+WITH sh AS (SELECT doc_id, {_shingles_sql('text', 3)} AS s FROM documents),
+hb AS (SELECT doc_id, s, list_transform(s, x -> {_mh_base}) AS hs FROM sh),
+sg AS (SELECT doc_id, s, {_mh_sig} AS sig FROM hb),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 AS est,
+    {_jaccard_sql('a.s', 'b.s')} AS exact
+  FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1)
+SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard,
+  ROUND(exact, 6) AS exact_jaccard,
+  ROUND(abs(est - exact), 6) AS abs_err
+FROM pairs"""
     return o

@@ -489,3 +489,48 @@ def simhash_near_dups(
     )
     # unsorted: O(pairs) output, same rationale as near_dup_candidates
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    num_hashes: int = 16,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash accuracy audit over adjacent doc pairs: the signature's
+    Jaccard ESTIMATE (matching components / num_hashes — the statistic
+    the LSH banding thresholds on) next to the exact shingle-set
+    Jaccard, with the absolute error. This is the measurement that
+    justifies the banding parameters: E[est] = J, so |est − J| tracks
+    the 1/√num_hashes sketch noise.
+
+    Scale shape: signatures are scan-side; the audit join is the
+    adjacent-id equi-join (a stand-in for the LSH candidate set —
+    auditing ALL pairs would be quadratic and is exactly what MinHash
+    exists to avoid)."""
+    sig = minhash_signature(text_col, num_hashes, w)
+    sh = shingles(text_col, w)
+    a = df.select(
+        F.col(id_col).alias("id_a"), sig.alias("sig_a"), sh.alias("sh_a")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), sig.alias("sig_b"), sh.alias("sh_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    exact = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
