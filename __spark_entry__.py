@@ -1246,6 +1246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_audit"] = lambda spark, sf: dedup.minhash_estimate_audit(
         _t(spark, sf, "documents")
     )
+    # redundancy profile: near-dup degree histogram (degree 0 = unique
+    # mass) — the pre-dedup diagnostic
+    q["dedup_redundancy"] = lambda spark, sf: dedup.redundancy_profile(
+        _t(spark, sf, "documents")
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1307,6 +1312,7 @@ def _rotate_for_driver_window(
         "rel_zorder",
         "sim_pq_recall",
         "dedup_minhash_audit",
+        "dedup_redundancy",
     ]
     tier0 = [
         k
@@ -2847,4 +2853,22 @@ SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard,
   ROUND(exact, 6) AS exact_jaccard,
   ROUND(abs(est - exact), 6) AS abs_err
 FROM pairs"""
+
+    o["dedup_redundancy"] = (
+        _minhash_banded_sql()
+        + """,
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+ends AS (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand),
+deg AS (SELECT id, COUNT(*) AS degree FROM ends GROUP BY id)
+SELECT CAST(degree AS INTEGER) AS degree,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+UNION ALL
+SELECT 0 AS degree,
+  CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg)
+       AS BIGINT) AS n_docs"""
+    )
     return o

@@ -534,3 +534,43 @@ def minhash_estimate_audit(
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+def redundancy_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Corpus redundancy profile: the histogram of near-dup DEGREES —
+    for each document, how many LSH candidate partners it has; rolled
+    up to (degree, n_docs). Degree 0 is the unique mass; a heavy tail
+    is the redundancy a dedup pass will reclaim. This is the one-line
+    diagnostic a curation run reads before deciding dedup thresholds.
+
+    Scale shape: reuses the single-pass banded candidate generator
+    (never all-pairs); degrees are one groupBy over pair endpoints and
+    the histogram is a second count agg over ≤ max-degree rows. The
+    degree-0 row comes from an exact total-count minus join — no
+    full-corpus anti-join."""
+    pairs = near_dup_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
+    ends = pairs.select(F.col("id_a").alias("_id")).unionAll(
+        pairs.select(F.col("id_b").alias("_id"))
+    )
+    degrees = ends.groupBy("_id").agg(F.count(F.lit(1)).alias("degree"))
+    hist = degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
+    n_with_edges = degrees.count()
+    zero = df.sparkSession.createDataFrame(
+        [(0, n_total - n_with_edges)], "degree INT, n_docs BIGINT"
+    )
+    return hist.select(
+        F.col("degree").cast("int").alias("degree"), "n_docs"
+    ).unionByName(zero)

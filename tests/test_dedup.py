@@ -193,3 +193,20 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     # unbiasedness smoke: with 16 hashes the estimate is within 0.35
     # of truth on every pair of this fixture
     assert all(r["abs_err"] <= 0.35 for r in rows.values())
+
+
+def test_redundancy_profile_partitions_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again today friends"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # near-dup pair with 1 (identical shingles)
+            (3, "entirely unrelated content with no shared shingles at all"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["degree"]: r["n_docs"] for r in dedup.redundancy_profile(df).collect()}
+    # degrees partition the corpus: sum of n_docs == |corpus|
+    assert sum(rows.values()) == 3
+    assert rows[0] == 1   # doc 3 unique
+    assert rows[1] == 2   # docs 1 and 2 each have one partner
