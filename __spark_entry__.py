@@ -1251,6 +1251,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_redundancy"] = lambda spark, sf: dedup.redundancy_profile(
         _t(spark, sf, "documents")
     )
+    q["cur_mixture_plan"] = lambda spark, sf: CUR.mixture_plan(
+        _t(spark, sf, "documents"), budget_tokens=100000
+    )
+
+    def sketch_kmv_merge(spark, sf):
+        """KMV mergeability proof: per-day sketches merged vs the
+        direct whole-data sketch — equal by construction, value-checked."""
+        from hermod_spark.operators.sketches import kmv_merge_check
+
+        ev = _t(spark, sf, "events")
+        return kmv_merge_check(
+            ev, "event_type", "user_id", F.date_trunc("day", "ts"), k=64
+        )
+
+    q["sketch_kmv_merge"] = sketch_kmv_merge
 
     return _rotate_for_driver_window(q)
 
@@ -1313,6 +1328,8 @@ def _rotate_for_driver_window(
         "sim_pq_recall",
         "dedup_minhash_audit",
         "dedup_redundancy",
+        "cur_mixture_plan",
+        "sketch_kmv_merge",
     ]
     tier0 = [
         k
@@ -2871,4 +2888,46 @@ SELECT 0 AS degree,
   CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg)
        AS BIGINT) AS n_docs"""
     )
+
+    o["cur_mixture_plan"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(len({_toks_sql('text')})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source),
+ns AS (SELECT COUNT(*) AS c FROM per)
+SELECT source, n_docs, available_tokens,
+  ROUND(100000.0 / c, 6) AS budget_tokens,
+  ROUND(least(1.0, (100000.0 / c)
+              / CAST(greatest(available_tokens, 1) AS DOUBLE)), 6)
+    AS sample_rate
+FROM per, ns"""
+
+    o["sketch_kmv_merge"] = """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS key,
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS slice,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0 AS h
+  FROM events),
+ps AS (SELECT key, slice, h FROM (
+    SELECT key, slice, h,
+      ROW_NUMBER() OVER (PARTITION BY key, slice ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= 64),
+m AS (SELECT key, h FROM (
+    SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn
+    FROM (SELECT DISTINCT key, h FROM ps)) WHERE rn <= 64),
+d AS (SELECT key, h FROM (
+    SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn
+    FROM (SELECT DISTINCT key, h FROM hashed)) WHERE rn <= 64),
+me AS (SELECT key,
+        CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE ROUND(63 / MAX(h), 4) END AS merged_est
+       FROM m GROUP BY key),
+de AS (SELECT key,
+        CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE ROUND(63 / MAX(h), 4) END AS direct_est
+       FROM d GROUP BY key)
+SELECT me.key, merged_est, direct_est,
+  merged_est = direct_est AS merge_exact
+FROM me JOIN de USING (key)"""
     return o

@@ -716,3 +716,59 @@ def write_training_shards(
     spark = df.sparkSession
     back = spark.read.parquet(path).groupBy("shard").count().collect()
     return {int(r["shard"]): r["count"] for r in back}
+
+
+def mixture_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget-driven mixture planning: given a total training
+    token budget and target source weights, compute per source the
+    available token mass, the budgeted share, and the deterministic
+    sampling rate (min(1, share/available)) that
+    :func:`sample_mixture` then applies. This is the planning half of
+    domain reweighting — the numbers a pipeline pins BEFORE sampling,
+    so the sampled corpus hits the budget by construction.
+
+    Uniform weights by default. One map-side-combinable agg (#sources
+    groups); token counts are exact long sums, the rate a single
+    double division — partitioning-independent, oracle-replayable."""
+    from hermod_spark.functions.text import token_count
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias(
+            "available_tokens"
+        ),
+    )
+    if weights is None:
+        from pyspark.sql import Window
+
+        # uniform split over however many sources exist — the window
+        # runs over the #sources-row AGGREGATE, not the corpus
+        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+        share = (F.lit(float(budget_tokens)) / n_sources).cast("double")
+    else:
+        w: Column | None = None
+        for s, r in sorted(weights.items()):
+            cond = F.col(source_col) == s
+            w = F.when(cond, F.lit(r)) if w is None else w.when(cond, F.lit(r))
+        share = F.lit(float(budget_tokens)) * (
+            F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
+        )
+    return per.select(
+        source_col,
+        "n_docs",
+        "available_tokens",
+        F.round(share, 6).alias("budget_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                share / F.greatest(F.col("available_tokens"), F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )

@@ -270,3 +270,71 @@ def bloom_decontaminate(
         F.col("_pk").isNotNull().alias("exact_hit"),
         (hit & F.col("_pk").isNull()).alias("false_positive"),
     )
+
+
+def kmv_merge_check(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    part_expr: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeability proof for the KMV sketch, as a checkable query: per
+    key, build one k-minimum-values set per PARTITION SLICE (e.g. per
+    day), merge them (union → k smallest — the sketch's merge
+    operator), and put the merged estimate next to the direct
+    whole-data estimate. Because min-sets compose exactly —
+    kmv(A ∪ B) = merge(kmv(A), kmv(B)) — the two estimates are EQUAL,
+    and the oracle value-checks that equality. This is the property
+    that lets 1000 executors sketch independently and combine results
+    without re-reading data.
+
+    Shape: distinct (key, slice, hash) → per-slice rank-k filter →
+    merged rank-k — shuffles carry ≤ k·slices rows per key after the
+    first distinct."""
+    hashed = df.select(
+        F.col(key_col).alias("key"),
+        part_expr.alias("slice"),
+        uniform_hash(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    w_slice = Window.partitionBy("key", "slice").orderBy(F.asc("h"))
+    per_slice = (
+        hashed.withColumn("_rn", F.row_number().over(w_slice))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    # merge = k smallest DISTINCT hashes of the union of slice sets
+    w_key = Window.partitionBy("key").orderBy(F.asc("h"))
+    merged = (
+        per_slice.select("key", "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") <= k)
+    )
+
+    def estimate(grouped: DataFrame) -> DataFrame:
+        return grouped.groupBy("key").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_xk")
+        ).select(
+            "key",
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.round((k - 1) / F.col("_xk"), 4))
+            .alias("est"),
+        )
+    merged_est = estimate(merged).withColumnRenamed("est", "merged_est")
+    direct = (
+        hashed.select("key", "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") <= k)
+    )
+    direct_est = estimate(direct).withColumnRenamed("est", "direct_est")
+    return (
+        merged_est.join(direct_est, "key")
+        .select(
+            "key",
+            "merged_est",
+            "direct_est",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_exact"),
+        )
+    )

@@ -448,3 +448,24 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     # determinism: rewriting yields the same shard sizes
     manifest2 = CUR.write_training_shards(df, str(tmp_path / "s2"), n_shards=4)
     assert manifest2 == manifest
+
+
+def test_mixture_plan_budget_and_rates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),        # 4 tokens
+            (2, "a", "five six"),                  # 2 tokens
+            (3, "b", "seven eight nine ten"),      # 4 tokens
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    rows = {r["source"]: r for r in CUR.mixture_plan(df, budget_tokens=4).collect()}
+    # uniform split: 2 tokens budget per source
+    assert rows["a"]["available_tokens"] == 6
+    assert rows["a"]["budget_tokens"] == 2.0
+    assert rows["a"]["sample_rate"] == round(2 / 6, 6)
+    assert rows["b"]["sample_rate"] == 0.5
+    # explicit weights: all budget to b -> rate capped at 1.0
+    w = {r["source"]: r for r in CUR.mixture_plan(df, 8, weights={"b": 1.0}).collect()}
+    assert w["b"]["sample_rate"] == 1.0
+    assert w["a"]["sample_rate"] == 0.0

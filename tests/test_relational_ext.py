@@ -702,3 +702,26 @@ def test_zorder_key_interleaves_and_clusters(spark):
     ).withColumn("z", zorder_key("x", "y")).collect()
     z = {(r["x"], r["y"]): r["z"] for r in rows}
     assert abs(z[(10, 10)] - z[(10, 11)]) < abs(z[(10, 10)] - z[(1000, 1000)])
+
+
+def test_kmv_merge_is_exact_composition(spark):
+    import datetime as _dt
+
+    from hermod_spark.operators.sketches import kmv_merge_check
+
+    rows = []
+    for d in range(3):
+        for u in range(200):
+            rows.append(
+                ("a", 1000 * d + u, _dt.datetime(2024, 1, 1 + d, 12))
+            )
+    df = spark.createDataFrame(rows, "event_type STRING, user_id INT, ts TIMESTAMP")
+    out = kmv_merge_check(
+        df, "event_type", "user_id", F.date_trunc("day", "ts"), k=64
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["merge_exact"] is True
+    assert r["merged_est"] == r["direct_est"]
+    # 600 distinct values > k -> estimator branch, sanity range
+    assert 300 < r["direct_est"] < 1200
