@@ -13,11 +13,21 @@ Layout:
     data       — test-table loaders + partitioning guard
     functions/ — topic-filter compiler, scalar fn library, text columns
     plans/     — route planner, schema registry/validation/DDL
-    operators/ — relational surface, dedup, ANN, text ops, multimodal,
-                 curation (split/chunk/clean/contamination), sketches (KMV)
+    operators/ — relational surface; dedup (exact/MinHash-LSH/SimHash/
+                 semantic + audits); ANN (brute/LSH/IVF/PQ) + PCA/JL
+                 projection + class outliers; text ops (metrics, winnow,
+                 CDC, novelty, PII, quality); curation (split/chunk/pack/
+                 mixture planning/shard shuffle + writer/source report);
+                 sketches
+                 (KMV incl. merge proof, HLL check, count-min, Bloom);
+                 multimodal (decode plumbing, resize/frame/audio plans,
+                 aspect-bucket batching)
     sources/   — message frames, file streams, MQTT DataSources (replay+live)
-    sinks/     — multi-table writer (dry-run, exactly-once), retention
-    streaming/ — watermarked windows, stateful dedup/counters
+    sinks/     — multi-table writer (dry-run, exactly-once), retention,
+                 compaction + Z-order clustering keys
+    streaming/ — watermarked windows (tumbling/sliding/session/trending),
+                 stream joins + Bloom decontamination, stateful dedup/
+                 counters/EWMA/KMV
     __main__   — CLI (--config / --sql / batch / stream)
 """
 
