@@ -1266,6 +1266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sketch_kmv_merge"] = sketch_kmv_merge
+    # eval-hygiene: near-dup pairs straddling the train/val/test split
+    q["cur_split_leakage"] = lambda spark, sf: CUR.split_leakage(
+        _t(spark, sf, "documents")
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1330,6 +1334,7 @@ def _rotate_for_driver_window(
         "dedup_redundancy",
         "cur_mixture_plan",
         "sketch_kmv_merge",
+        "cur_split_leakage",
     ]
     tier0 = [
         k
@@ -2930,4 +2935,29 @@ de AS (SELECT key,
 SELECT me.key, merged_est, direct_est,
   merged_est = direct_est AS merge_exact
 FROM me JOIN de USING (key)"""
+
+    # split leakage: banded candidates × the same hash-split boundaries
+    # the cur_split oracle uses
+    o["cur_split_leakage"] = (
+        _minhash_banded_sql()
+        + f""",
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 < {b_train} THEN 'train'
+         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 < {b_val} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT least(sa.split, sb.split) AS split_a,
+  greatest(sa.split, sb.split) AS split_b,
+  COUNT(*) AS n_pairs,
+  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
+FROM cand JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
+GROUP BY 1, 2, 4"""
+    )
     return o

@@ -772,3 +772,45 @@ def mixture_plan(
             6,
         ).alias("sample_rate"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Eval-hygiene audit: near-duplicate pairs that STRADDLE the
+    train/val/test boundary — the leakage a hash split cannot prevent
+    (near-dups hash independently) and the reason serious pipelines
+    dedup BEFORE splitting. Output is one row per (split_a, split_b)
+    combination with the candidate-pair count, same-split pairs
+    included as the baseline.
+
+    Scale shape: reuses the single-pass banded candidate generator
+    (never all-pairs); the split labels are scan-side hash functions of
+    the id, so the join only carries the candidate pair list; the
+    rollup is ≤ |splits|² rows."""
+    from hermod_spark.operators.dedup import near_dup_candidates
+
+    pairs = near_dup_candidates(df, text_col, id_col)
+    labeled = split_assign(df.select(id_col), id_col, weights).select(
+        F.col(id_col), F.col("split")
+    )
+    a = labeled.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("_sa")
+    )
+    b = labeled.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )

@@ -469,3 +469,19 @@ def test_mixture_plan_budget_and_rates(spark):
     w = {r["source"]: r for r in CUR.mixture_plan(df, 8, weights={"b": 1.0}).collect()}
     assert w["b"]["sample_rate"] == 1.0
     assert w["a"]["sample_rate"] == 0.0
+
+
+def test_split_leakage_detects_cross_split_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again today friends"
+    # enough ids that the default hash split puts near-dups in
+    # different splits with near-certainty
+    rows = [(i, base + f" tail{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = CUR.split_leakage(df).collect()
+    total_pairs = sum(r["n_pairs"] for r in out)
+    assert total_pairs > 0
+    for r in out:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+        assert r["split_a"] <= r["split_b"]  # canonical pair order
+    # with 60 near-dup docs split 80/10/10, SOME pair must straddle
+    assert any(r["is_leak"] for r in out)
