@@ -1270,6 +1270,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_split_leakage"] = lambda spark, sf: CUR.split_leakage(
         _t(spark, sf, "documents")
     )
+    q["cur_pack_efficiency"] = lambda spark, sf: CUR.pack_efficiency(
+        CUR.pack_chunks(
+            CUR.chunk_documents(
+                _t(spark, sf, "documents"), chunk_tokens=50, overlap=10
+            ).select("doc_id", "chunk_id", "chunk_len"),
+            budget=200,
+            n_shards=8,
+        ),
+        budget=200,
+    )
 
     return _rotate_for_driver_window(q)
 
@@ -1335,6 +1345,7 @@ def _rotate_for_driver_window(
         "cur_mixture_plan",
         "sketch_kmv_merge",
         "cur_split_leakage",
+        "cur_pack_efficiency",
     ]
     tier0 = [
         k
@@ -2960,4 +2971,18 @@ SELECT least(sa.split, sb.split) AS split_a,
 FROM cand JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
 GROUP BY 1, 2, 4"""
     )
+
+    # pack efficiency: the cur_pack plan as a subquery, then bin fill
+    # and per-shard rollup
+    o["cur_pack_efficiency"] = f"""
+WITH b AS (
+  SELECT shard, bin_id,
+    CAST(SUM(CAST(chunk_len AS BIGINT)) AS BIGINT) AS fill
+  FROM ({o["cur_pack"]}) p GROUP BY shard, bin_id)
+SELECT shard, COUNT(*) AS n_bins,
+  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(fill) AS BIGINT) / (COUNT(*) * 200.0), 6) AS avg_fill,
+  ROUND(COUNT(CASE WHEN fill > 200 THEN 1 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS overrun_frac
+FROM b GROUP BY shard"""
     return o

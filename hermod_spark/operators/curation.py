@@ -814,3 +814,41 @@ def split_leakage(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )
+
+
+def pack_efficiency(
+    packed: DataFrame,
+    budget: int = 512,
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_chunks` output — the
+    number a training job actually pays for: per (shard, bin) token
+    fill, rolled up per shard to bin count, mean fill rate, and the
+    fraction of bins that overran the budget (bounded by design at one
+    straddling chunk each). Low fill = wasted accelerator steps; high
+    overrun = truncation loss.
+
+    One (shard, bin) agg + one per-shard rollup, both
+    map-side-combinable; exact long sums and single divisions keep the
+    doubles oracle-replayable."""
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum(F.col("chunk_len").cast("bigint")).alias("_fill")
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("_fill").alias("_tokens"),
+            F.count(F.when(F.col("_fill") > budget, 1)).alias("_over"),
+        )
+        .select(
+            "shard",
+            "n_bins",
+            F.col("_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.col("_tokens") / (F.col("n_bins") * F.lit(float(budget))), 6
+            ).alias("avg_fill"),
+            F.round(F.col("_over") / F.col("n_bins").cast("double"), 6).alias(
+                "overrun_frac"
+            ),
+        )
+    )

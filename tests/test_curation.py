@@ -485,3 +485,27 @@ def test_split_leakage_detects_cross_split_near_dups(spark):
         assert r["split_a"] <= r["split_b"]  # canonical pair order
     # with 60 near-dup docs split 80/10/10, SOME pair must straddle
     assert any(r["is_leak"] for r in out)
+
+
+def test_pack_efficiency_accounts_fill_and_overrun(spark):
+    chunks = spark.createDataFrame(
+        # shard 0 (doc 0): three chunks 90+90+90 -> bins: [90+90=180][90]
+        # bin 0 holds 180 + the straddler? exclusive-prefix packing:
+        # cum_excl 0,90,180 -> bins 0,0,1 -> bin0=180, bin1=90
+        [(0, 0, 90), (0, 1, 90), (0, 2, 90)],
+        "doc_id INT, chunk_id INT, chunk_len INT",
+    )
+    packed = CUR.pack_chunks(chunks, budget=200, n_shards=1)
+    rows = CUR.pack_efficiency(packed, budget=200).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bins"] == 2 and r["total_tokens"] == 270
+    assert r["avg_fill"] == round(270 / (2 * 200.0), 6)
+    assert r["overrun_frac"] == 0.0  # no bin exceeded 200
+    # force an overrun: one chunk longer than the budget
+    big = spark.createDataFrame(
+        [(0, 0, 150), (0, 1, 150)], "doc_id INT, chunk_id INT, chunk_len INT"
+    )
+    r2 = CUR.pack_efficiency(CUR.pack_chunks(big, budget=200, n_shards=1), 200).first()
+    # chunk 1 straddles into bin 0 (cum_excl 150 < 200): bin0 = 300 > 200
+    assert r2["overrun_frac"] > 0.0
