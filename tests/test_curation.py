@@ -489,19 +489,19 @@ def test_split_leakage_detects_cross_split_near_dups(spark):
 
 def test_pack_efficiency_accounts_fill_and_overrun(spark):
     chunks = spark.createDataFrame(
-        # shard 0 (doc 0): three chunks 90+90+90 -> bins: [90+90=180][90]
-        # bin 0 holds 180 + the straddler? exclusive-prefix packing:
-        # cum_excl 0,90,180 -> bins 0,0,1 -> bin0=180, bin1=90
-        [(0, 0, 90), (0, 1, 90), (0, 2, 90)],
+        # exclusive-prefix packing: cum_excl 0,90,180,270 -> bins
+        # 0,0,0,1 -> bin0 = 270 (overran by the straddling chunk),
+        # bin1 = 90
+        [(0, 0, 90), (0, 1, 90), (0, 2, 90), (0, 3, 90)],
         "doc_id INT, chunk_id INT, chunk_len INT",
     )
     packed = CUR.pack_chunks(chunks, budget=200, n_shards=1)
     rows = CUR.pack_efficiency(packed, budget=200).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r["n_bins"] == 2 and r["total_tokens"] == 270
-    assert r["avg_fill"] == round(270 / (2 * 200.0), 6)
-    assert r["overrun_frac"] == 0.0  # no bin exceeded 200
+    assert r["n_bins"] == 2 and r["total_tokens"] == 360
+    assert r["avg_fill"] == round(360 / (2 * 200.0), 6)
+    assert r["overrun_frac"] == 0.5  # bin 0 exceeded 200, bin 1 did not
     # force an overrun: one chunk longer than the budget
     big = spark.createDataFrame(
         [(0, 0, 150), (0, 1, 150)], "doc_id INT, chunk_id INT, chunk_len INT"
