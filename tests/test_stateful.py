@@ -164,3 +164,73 @@ def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
     assert abs(got["big"][0] - want["big"]) < 1e-6
     # sketch accuracy: within 4-sigma of truth for the big key
     assert abs(got["big"][0] - 300) / 300 < 0.5
+
+
+def test_kmv_stream_state_survives_restart(spark, tmp_path):
+    """Custom-state fault tolerance: the KMV min-set must restore from
+    the checkpoint across a stop/restart, so estimates after recovery
+    equal the batch sketch over ALL data — the state-store guarantee
+    the reference's per-worker mutable Lua state lacks entirely."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.sketches import kmv_distinct
+    from hermod_spark.streaming.stateful import kmv_distinct_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    schema = "time TIMESTAMP, topic STRING, payload STRING"
+
+    part1 = spark.createDataFrame(
+        [(t0 + dt.timedelta(seconds=i), "k", f"v{i}") for i in range(150)], schema
+    )
+    part1.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "est")
+
+    def run_once(_tag):
+        # memory sinks cannot recover from a checkpoint; foreachBatch
+        # with a parquet append can — keep every emission, read the
+        # last one per key at the end
+        from pyspark.sql import functions as FF
+
+        def sink(b, bid):
+            b.withColumn("_bid", FF.lit(bid)).write.mode("append").parquet(out_dir)
+
+        stream = message_stream(spark, src, schema=part1.schema)
+        out = kmv_distinct_stream(stream, k=64)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        df = spark.read.parquet(out_dir)
+        last = df.orderBy(F.col("_bid").desc()).dropDuplicates(["key"])
+        return {r["key"]: r["n_distinct_est"] for r in last.collect()}
+
+    run_once(f"kmv_a_{uuid.uuid4().hex[:6]}")
+
+    # second half arrives AFTER the restart; values 100..149 overlap
+    # part 1, so correctness requires the RESTORED min-set, not a
+    # fresh one
+    part2 = spark.createDataFrame(
+        [(t0 + dt.timedelta(seconds=200 + i), "k", f"v{100 + i}") for i in range(150)],
+        schema,
+    )
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    got = run_once(f"kmv_b_{uuid.uuid4().hex[:6]}")
+
+    both = part1.unionByName(part2)
+    want = {
+        r["topic"]: r["est_distinct"]
+        for r in kmv_distinct(both, "topic", "payload", k=64).collect()
+    }
+    # distinct values v0..v249 = 250 total; estimates must agree exactly
+    assert abs(got["k"] - want["k"]) < 1e-6
