@@ -63,6 +63,15 @@ class MultiTableWriter:
         df = df.select(*sorted(df.columns))
         if self.dry_run:
             return {"table": table, "columns": df.columns, "plan": df._jdf.queryExecution().simpleString()}
+        # observe() rides the write job itself — per-table written-row
+        # counts with ZERO extra actions (a separate count() would
+        # re-execute the branch plan)
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"write_{table}_{_uuid.uuid4().hex[:8]}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if self.jdbc_url:
             (
                 df.write.format("jdbc")
@@ -80,7 +89,7 @@ class MultiTableWriter:
             writer.parquet(os.path.join(self.base_path, table))
         else:
             raise ValueError("MultiTableWriter needs base_path or jdbc_url")
-        return {"table": table, "columns": df.columns}
+        return {"table": table, "columns": df.columns, "n_rows": obs.get["rows"]}
 
     def write(self, branches: dict[str, DataFrame]) -> list[dict]:
         """Batch-mode multi-table write: {table: df} → N appends."""

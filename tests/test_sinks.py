@@ -122,7 +122,7 @@ def test_jdbc_write_roundtrip_embedded_derby(spark, tmp_path):
     )
     w = MultiTableWriter(jdbc_url=url, jdbc_options=opts)
     out = w.write({"sensor_readings": df})
-    assert out == [{"table": "sensor_readings", "columns": ["id", "name", "value"]}]
+    assert out == [{"table": "sensor_readings", "columns": ["id", "name", "value"], "n_rows": 2}]
 
     back = (
         spark.read.format("jdbc")
@@ -142,3 +142,17 @@ def test_jdbc_write_roundtrip_embedded_derby(spark, tmp_path):
         spark.read.format("jdbc").option("url", url)
         .option("dbtable", "sensor_readings").options(**opts).load().count()
     ) == 4
+
+
+def test_write_reports_observed_row_counts(spark, tmp_path):
+    """n_rows in the write result comes from df.observe riding the
+    write job — no extra count() action re-executing the branch."""
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "x INT")
+    b = spark.createDataFrame([(9,)], "x INT")
+    w = MultiTableWriter(base_path=str(tmp_path))
+    res = {r["table"]: r for r in w.write({"ta": a, "tb": b})}
+    assert res["ta"]["n_rows"] == 3
+    assert res["tb"]["n_rows"] == 1
+    assert spark.read.parquet(str(tmp_path / "ta")).count() == 3
