@@ -60,6 +60,37 @@ def test_driver_window_covers_unchecked_block():
     assert set(qs[: len(tier0)]) == tier0
 
 
+def test_driver_window_prioritizes_unevidenced_queries():
+    """Self-maintaining rotation invariant: every queries() entry that
+    has NEVER appeared in any driver CORRECTNESS file must sit inside
+    the 50-entry window the driver will hash this round — otherwise
+    union coverage can never reach the full set."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: set[str] = set()
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            d = json.load(open(f))
+        except Exception:  # noqa: BLE001 - unreadable file = no evidence
+            continue
+        if isinstance(d, dict):
+            greens |= set(d.keys())
+    qs = list(E.queries())
+    never = [k for k in qs if k not in greens]
+    window = set(qs[:50])
+    missing = [k for k in never if k not in window]
+    # if there are more unevidenced entries than window slots, the
+    # rotation can only fix it over multiple rounds — require best
+    # effort: no slack slots while unevidenced entries wait outside
+    if missing:
+        assert len(never) > 50, (
+            f"unevidenced queries left outside the driver window: {missing}"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_each_query_builds_a_plan(spark, name):
     """Every entry must at least analyze at sf0.001 (no execution)."""
