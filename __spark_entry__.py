@@ -1270,6 +1270,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_split_leakage"] = lambda spark, sf: CUR.split_leakage(
         _t(spark, sf, "documents")
     )
+    def cur_snapshot_diff(spark, sf):
+        """Content-level diff between the first-half slice (the 'old'
+        crawl) and the full corpus (the 'new' one)."""
+        d = _t(spark, sf, "documents")
+        # integer div, not /2-and-cast: double->long truncates in Spark
+        # but rounds in DuckDB when max is odd
+        half = d.agg(F.expr("max(doc_id) div 2").alias("h")).first()["h"]
+        return CUR.snapshot_diff(d.filter(F.col("doc_id") <= half), d)
+
+    q["cur_snapshot_diff"] = cur_snapshot_diff
     q["cur_pack_efficiency"] = lambda spark, sf: CUR.pack_efficiency(
         CUR.pack_chunks(
             CUR.chunk_documents(
@@ -1346,6 +1356,7 @@ def _rotate_for_driver_window(
         "sketch_kmv_merge",
         "cur_split_leakage",
         "cur_pack_efficiency",
+        "cur_snapshot_diff",
     ]
     tier0 = [
         k
@@ -2985,4 +2996,17 @@ SELECT shard, COUNT(*) AS n_bins,
   ROUND(COUNT(CASE WHEN fill > 200 THEN 1 END)
         / CAST(COUNT(*) AS DOUBLE), 6) AS overrun_frac
 FROM b GROUP BY shard"""
+
+    o["cur_snapshot_diff"] = """
+WITH h AS (SELECT MAX(doc_id) // 2 AS half FROM documents),
+o2 AS (SELECT DISTINCT source AS src, md5(text) AS k
+       FROM documents, h WHERE doc_id <= half),
+n2 AS (SELECT DISTINCT source AS src, md5(text) AS k FROM documents)
+SELECT COALESCE(o2.src, n2.src) AS source,
+  CAST(COUNT(CASE WHEN o2.k IS NULL THEN 1 END) AS BIGINT) AS added,
+  CAST(COUNT(CASE WHEN n2.k IS NULL THEN 1 END) AS BIGINT) AS removed,
+  CAST(COUNT(CASE WHEN o2.k IS NOT NULL AND n2.k IS NOT NULL THEN 1 END)
+       AS BIGINT) AS carried
+FROM o2 FULL OUTER JOIN n2 ON o2.src = n2.src AND o2.k = n2.k
+GROUP BY 1 ORDER BY 1"""
     return o

@@ -852,3 +852,48 @@ def pack_efficiency(
             ),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Incremental-crawl bookkeeping: per source, how the new corpus
+    snapshot differs from the previous one BY CONTENT — docs whose
+    content hash appears only in the new snapshot (added), only in the
+    old (removed), and in both (carried). Content identity, not id
+    identity: a re-crawled page with a new id but identical text is
+    `carried`, which is exactly what incremental dedup-aware ingestion
+    needs to know.
+
+    Scale shape: one distinct per side on (source, md5) — ~uniform
+    hash keys — then a full outer join on those keys and a per-source
+    rollup; the exchange carries one row per distinct content, never
+    the texts."""
+    o = old.select(
+        F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("k")
+    ).distinct()
+    n = new.select(
+        F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("k")
+    ).distinct()
+    joined = o.withColumn("_o", F.lit(1)).join(
+        n.withColumn("_n", F.lit(1)), ["src", "k"], "full_outer"
+    )
+    return (
+        joined.groupBy(F.col("src").alias(source_col))
+        .agg(
+            F.count(F.when(F.col("_n").isNotNull() & F.col("_o").isNull(), 1)).alias(
+                "added"
+            ),
+            F.count(F.when(F.col("_o").isNotNull() & F.col("_n").isNull(), 1)).alias(
+                "removed"
+            ),
+            F.count(
+                F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1)
+            ).alias("carried"),
+        )
+        .orderBy(source_col)
+    )

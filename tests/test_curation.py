@@ -509,3 +509,23 @@ def test_pack_efficiency_accounts_fill_and_overrun(spark):
     r2 = CUR.pack_efficiency(CUR.pack_chunks(big, budget=200, n_shards=1), 200).first()
     # chunk 1 straddles into bin 0 (cum_excl 150 < 200): bin0 = 300 > 200
     assert r2["overrun_frac"] > 0.0
+
+
+def test_snapshot_diff_by_content_not_id(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "same text"), (2, "a", "gone text"), (3, "b", "kept")],
+        "doc_id INT, source STRING, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a", "same text"),   # new id, same content -> carried
+            (11, "a", "brand new"),   # added
+            (3, "b", "kept"),          # carried
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    rows = {r["source"]: r for r in CUR.snapshot_diff(old, new).collect()}
+    assert rows["a"]["carried"] == 1   # content identity, not id
+    assert rows["a"]["added"] == 1
+    assert rows["a"]["removed"] == 1   # "gone text"
+    assert rows["b"]["carried"] == 1 and rows["b"]["added"] == 0

@@ -53,7 +53,7 @@ def test_driver_window_covers_unchecked_block():
         "emb_project", "stream_trending", "mm_batch_plan", "cur_source_report",
         "rel_zorder", "sim_pq_recall", "dedup_minhash_audit", "dedup_redundancy",
         "cur_mixture_plan", "sketch_kmv_merge", "cur_split_leakage",
-        "cur_pack_efficiency",
+        "cur_pack_efficiency", "cur_snapshot_diff",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
