@@ -66,7 +66,7 @@ BASELINE = {
     "emb_outliers": 1.063, "cur_quality_logistic": 1.028,
     "sketch_bloom": 0.668, "cur_shard_shuffle": 0.4,
     "text_novelty": 1.21, "cur_chunk_dedup": 0.94, "emb_project": 1.273,
-    "cur_source_report": 0.782, "dedup_redundancy": 2.485,
+    "cur_source_report": 0.782, "dedup_redundancy": 1.401,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.

@@ -558,7 +558,9 @@ def redundancy_profile(
     full-corpus anti-join."""
     pairs = near_dup_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
-    )
+    ).localCheckpoint(eager=False)  # computed once though referenced
+    # by both the histogram and the degree-0 subtree; lazy so building
+    # the query stays action-free
     ends = pairs.select(F.col("id_a").alias("_id")).unionAll(
         pairs.select(F.col("id_b").alias("_id"))
     )
@@ -566,10 +568,16 @@ def redundancy_profile(
     hist = degrees.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    n_total = df.select(F.count(F.lit(1)).alias("n")).first()["n"]
-    n_with_edges = degrees.count()
-    zero = df.sparkSession.createDataFrame(
-        [(0, n_total - n_with_edges)], "degree INT, n_docs BIGINT"
+    # degree-0 row as a LAZY plan: two scalar aggs cross-joined — no
+    # eager driver counts at build time, and the whole profile stays
+    # one job
+    zero = (
+        df.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(degrees.agg(F.count(F.lit(1)).alias("_m")))
+        .select(
+            F.lit(0).alias("degree"),
+            (F.col("_n") - F.col("_m")).alias("n_docs"),
+        )
     )
     return hist.select(
         F.col("degree").cast("int").alias("degree"), "n_docs"
