@@ -1275,9 +1275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         crawl) and the full corpus (the 'new' one)."""
         d = _t(spark, sf, "documents")
         # integer div, not /2-and-cast: double->long truncates in Spark
-        # but rounds in DuckDB when max is odd
-        half = d.agg(F.expr("max(doc_id) div 2").alias("h")).first()["h"]
-        return CUR.snapshot_diff(d.filter(F.col("doc_id") <= half), d)
+        # but rounds in DuckDB when max is odd. The threshold joins in
+        # as a broadcast scalar so query build stays action-free.
+        h = d.agg(F.expr("max(doc_id) div 2").alias("_half"))
+        old = d.crossJoin(F.broadcast(h)).filter(
+            F.col("doc_id") <= F.col("_half")
+        )
+        return CUR.snapshot_diff(old, d)
 
     q["cur_snapshot_diff"] = cur_snapshot_diff
     q["cur_pack_efficiency"] = lambda spark, sf: CUR.pack_efficiency(
