@@ -1189,6 +1189,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_chunk_dedup"] = lambda spark, sf: textops.chunk_dedup_stats(
         _t(spark, sf, "documents")
     )
+    # zero-shuffle char-entropy gibberish detector (scan-side HOFs)
+    q["text_entropy"] = lambda spark, sf: textops.doc_char_entropy(
+        _t(spark, sf, "documents")
+    )
+    # quality-aware exact dedup: best-of-group survivor, not min-id
+    q["cur_dedup_keep_best"] = lambda spark, sf: CUR.dedup_keep_best(
+        _t(spark, sf, "documents")
+    )
     # dimensionality reduction: seeded JL random projection (the
     # conformance model — projection is exact given ANY matrix; the
     # TRAINED PCA path is pinned by tests/test_similarity.py, which
@@ -1361,6 +1369,8 @@ def _rotate_for_driver_window(
         "cur_split_leakage",
         "cur_pack_efficiency",
         "cur_snapshot_diff",
+        "text_entropy",
+        "cur_dedup_keep_best",
     ]
     tier0 = [
         k
@@ -2738,6 +2748,38 @@ agg AS (
 SELECT doc_id, n_chunks, total_chars, n_dup_chunks, dup_chars,
   ROUND(dup_chars / CAST(greatest(total_chars, 1) AS DOUBLE), 6) AS dup_frac
 FROM agg"""
+
+    # char entropy: mirror the Spark fold exactly — sorted distinct
+    # chars, left-to-right list_reduce from the first term (Spark's
+    # aggregate starts at 0.0; 0.0 + x == x bit-for-bit)
+    o["text_entropy"] = """
+WITH b AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ''), x -> x <> '') AS cs
+  FROM documents),
+d AS (
+  SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n,
+    list_sort(list_distinct(cs)) AS dch
+  FROM b)
+SELECT doc_id,
+  ROUND(CASE WHEN len(cs) > 0 THEN -list_reduce(
+    list_transform(dch, c ->
+      (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+      * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)),
+    (a, t) -> a + t)
+  ELSE 0.0 END, 6) AS char_entropy
+FROM d"""
+
+    o["cur_dedup_keep_best"] = f"""
+SELECT doc_id, ROUND(_q, 6) AS quality, n_dups FROM (
+  SELECT doc_id, _q,
+    COUNT(*) OVER (PARTITION BY _fp) AS n_dups,
+    ROW_NUMBER() OVER (PARTITION BY _fp
+                       ORDER BY _q DESC, doc_id ASC) AS rn
+  FROM (SELECT doc_id, {_fingerprint_sql('text')} AS _fp,
+               {_quality_sql('text')} AS _q
+        FROM documents))
+WHERE rn = 1"""
 
     # random projection: the exact seeded matrix as literals; same
     # (x - 0.0) * c_i per-element product and left-to-right sum as the

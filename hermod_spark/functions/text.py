@@ -159,3 +159,38 @@ def fingerprint(col: Column | str) -> Column:
     content-set sensitive. A content-defined key usable as a shuffle/
     dedup key at any scale."""
     return F.md5(F.concat_ws(" ", word_set(col)))
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Character-level Shannon entropy (bits/char) of the lowercased
+    text — a zero-shuffle gibberish detector: repeated-char spam scores
+    near 0, English prose ~4.0–4.5, base64/compressed blobs ~6.
+
+    Entirely scan-side via nested higher-order functions: per row
+    O(distinct_chars × len) with distinct_chars bounded by the
+    alphabet, vs the explode→groupBy(doc,char) shape that shuffles
+    O(total_chars) rows. The char array is let-bound ONCE through the
+    single-element-array transform (the winnow lesson: inlining it
+    into every per-char count re-evaluates the split per term).
+
+    Float determinism: terms fold left-to-right over the SORTED
+    distinct-char array from an init of 0.0 (0.0 + x == x in IEEE 754
+    for finite x), so a DuckDB ``list_reduce((a,b) -> a+b)`` over the
+    same sorted list reproduces the sum bit-for-bit.
+    """
+    chars = F.filter(F.split(F.lower(_c(col)), ""), lambda x: x != F.lit(""))
+
+    def _entropy(cs: Column) -> Column:
+        n = F.size(cs).cast("double")
+
+        def term(ch: Column) -> Column:
+            p = F.size(F.filter(cs, lambda x: x == ch)).cast("double") / n
+            return p * F.log2(p)
+
+        terms = F.transform(F.array_sort(F.array_distinct(cs)), term)
+        return F.when(
+            F.size(cs) > 0,
+            -F.aggregate(terms, F.lit(0.0), lambda a, x: a + x),
+        ).otherwise(F.lit(0.0))
+
+    return F.get(F.transform(F.array(chars), _entropy), 0)

@@ -897,3 +897,38 @@ def snapshot_diff(
         )
         .orderBy(source_col)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-aware exact dedup: within each canonical-fingerprint
+    duplicate group (functions.text.fingerprint — word-set key), keep
+    the HIGHEST-quality member (heuristic quality_score; doc_id breaks
+    ties deterministically) instead of exact_dedup's min-id survivor.
+    This is the curation-pipeline form: duplicate clusters usually
+    differ in boilerplate/truncation, and the kept copy should be the
+    best one, not the first-crawled one.
+
+    One hash shuffle on the fingerprint; both windows share the same
+    partitioning so Spark plans a single exchange + sort. Key space is
+    ~|docs| (uniform md5), so partitions stay balanced at any scale.
+    Output: survivor doc_id, its quality (rounded for a stable gated
+    surface), and the group size n_dups.
+    """
+    from pyspark.sql import Window
+
+    from hermod_spark.functions.text import fingerprint, quality_score
+
+    w = Window.partitionBy("_fp").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("_fp")
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .withColumn("_q", quality_score(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.round("_q", 6).alias("quality"), "n_dups")
+    )

@@ -664,3 +664,18 @@ def chunk_dedup_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def doc_char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-entropy quality signal (bits/char).
+
+    Zero shuffles: the whole computation is one scan projection (see
+    functions.text.char_entropy for the fold-determinism and
+    let-binding notes) — at 100 TB this costs exactly one pass over
+    the text bytes, no exchange, no Python.
+    """
+    return df.select(
+        id_col, F.round(X.char_entropy(text_col), 6).alias("char_entropy")
+    )

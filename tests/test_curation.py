@@ -529,3 +529,32 @@ def test_snapshot_diff_by_content_not_id(spark):
     assert rows["a"]["added"] == 1
     assert rows["a"]["removed"] == 1   # "gone text"
     assert rows["b"]["carried"] == 1 and rows["b"]["added"] == 0
+
+
+def test_dedup_keep_best_picks_highest_quality_survivor(spark):
+    from hermod_spark.operators import curation
+
+    # docs 1-3 share the same distinct word SET (the fingerprint key);
+    # doc 2 repeats it, so its token-count quality term is highest.
+    # doc 4 is unique.
+    base = "the cat sat on a mat with one hat"
+    df = spark.createDataFrame(
+        [(1, base), (2, " ".join([base] * 4)), (3, base + " cat mat"),
+         (4, "totally unrelated text here")],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in curation.dedup_keep_best(df).collect()}
+    assert set(rows) == {2, 4}
+    assert rows[2]["n_dups"] == 3
+    assert rows[4]["n_dups"] == 1
+
+
+def test_dedup_keep_best_tiebreaks_on_min_id(spark):
+    from hermod_spark.operators import curation
+
+    same = "identical content every time"
+    df = spark.createDataFrame(
+        [(7, same), (5, same), (9, same)], "doc_id INT, text STRING"
+    )
+    rows = curation.dedup_keep_best(df).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 5 and rows[0]["n_dups"] == 3

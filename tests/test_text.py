@@ -513,3 +513,41 @@ def test_chunk_dedup_stats_finds_shared_chunks(spark):
     # repeated-period text shares chunks internally but doc 3 shares
     # nothing with docs 1/2 beyond its own internal repeats
     assert rows[3]["total_chars"] == len(base)
+
+
+def test_char_entropy_goldens(spark):
+    import math
+
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol -> 0 bits
+            (2, "abab"),          # two equiprobable symbols -> 1 bit
+            (3, ""),              # empty -> 0 by contract
+            (4, "AaBb"),          # lowercased first: {a,b} -> 1 bit
+            (5, "abcd"),          # four equiprobable -> 2 bits
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r["char_entropy"] for r in textops.doc_char_entropy(df).collect()}
+    assert rows[1] == 0.0
+    assert math.isclose(rows[2], 1.0)
+    assert rows[3] == 0.0
+    assert math.isclose(rows[4], 1.0)
+    assert math.isclose(rows[5], 2.0)
+
+
+def test_char_entropy_orders_gibberish_above_spam(spark):
+    from hermod_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "q8Zk3vWx1pT0mYr7dLs9bNc2fJh6gA4e"),  # base64-ish
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r["char_entropy"] for r in textops.doc_char_entropy(df).collect()}
+    assert rows[1] < rows[2] < rows[3]
