@@ -772,6 +772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    # near-dup dedup with a quality-aware survivor per cluster
+    q["dedup_cluster_keep_best"] = lambda spark, sf: dedup.cluster_keep_best(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1371,6 +1376,7 @@ def _rotate_for_driver_window(
         "cur_snapshot_diff",
         "text_entropy",
         "cur_dedup_keep_best",
+        "dedup_cluster_keep_best",
     ]
     tier0 = [
         k
@@ -1906,6 +1912,25 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
 SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"""
+    )
+    # same recursive-CC prefix, then the quality-argmax survivor window
+    o["dedup_cluster_keep_best"] = (
+        o["dedup_clusters"].replace(
+            "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a",
+            ", clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id"
+            " FROM reach GROUP BY a),",
+        )
+        + f"""
+scored AS (
+  SELECT d.doc_id, clus.cluster_id, {_quality_sql('d.text')} AS _q
+  FROM documents d JOIN clus ON clus.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, ROUND(_q, 6) AS quality, cluster_size FROM (
+  SELECT doc_id, cluster_id, _q,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY _q DESC, doc_id ASC) AS rn
+  FROM scored)
+WHERE rn = 1"""
     )
 
     from hermod_spark.operators.dedup import SIMHASH_BITS

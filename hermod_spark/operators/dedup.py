@@ -582,3 +582,55 @@ def redundancy_profile(
     return hist.select(
         F.col("degree").cast("int").alias("degree"), "n_docs"
     ).unionByName(zero)
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Near-dup dedup with a quality-aware survivor: label clusters via
+    `near_dup_clusters` (LSH candidates → exact-Jaccard verify →
+    min-label CC), then keep the HIGHEST `quality_score` member of each
+    cluster (doc_id breaks ties) instead of the min-id convention.
+    Complements `curation.dedup_keep_best` (exact-dup groups) at the
+    near-dup level — the form a curation pipeline actually wants, since
+    near-dup cluster members genuinely differ in quality.
+
+    Cost over plain clustering: one id-keyed join of (doc, quality)
+    against labels plus one window shuffle on cluster_id. Cluster ids
+    are min-doc-ids (high cardinality, hash-spread) and cluster sizes
+    are small by construction (near-dup chains are short), so the
+    window state stays O(cluster) at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from hermod_spark.functions.text import quality_score
+
+    clusters = near_dup_clusters(
+        df, text_col, id_col,
+        threshold=threshold, num_hashes=num_hashes, bands=bands, w=w,
+    )
+    scored = df.select(id_col, quality_score(text_col).alias("_q")).join(
+        clusters, id_col
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "cluster_id",
+            F.round("_q", 6).alias("quality"),
+            "cluster_size",
+        )
+    )

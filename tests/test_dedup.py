@@ -210,3 +210,36 @@ def test_redundancy_profile_partitions_corpus(spark):
     assert sum(rows.values()) == 3
     assert rows[0] == 1   # doc 3 unique
     assert rows[1] == 2   # docs 1 and 2 each have one partner
+
+
+def test_cluster_keep_best_survivor_is_highest_quality(spark):
+    from hermod_spark.operators import dedup
+
+    # docs 1/2/3 are near-identical word-overlap neighbours (one
+    # cluster); doc 2 is longest so its quality length term wins.
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " " + base),
+            (3, base + " again"),
+            (9, "completely disjoint vocabulary paragraph about engines and parquet files"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.cluster_keep_best(df, threshold=0.5).collect()}
+    # expected survivor = quality argmax over the near-dup cluster
+    from pyspark.sql import functions as F
+
+    from hermod_spark.functions.text import quality_score
+
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    best = max((1, 2, 3), key=lambda i: (scores[i], -i))
+    assert set(rows) == {best, 9}
+    assert rows[best]["cluster_id"] == 1 and rows[best]["cluster_size"] == 3
+    assert rows[9]["cluster_size"] == 1
+    assert abs(rows[best]["quality"] - scores[best]) < 1e-6
