@@ -67,6 +67,9 @@ BASELINE = {
     "sketch_bloom": 0.668, "cur_shard_shuffle": 0.4,
     "text_novelty": 1.21, "cur_chunk_dedup": 0.94, "emb_project": 1.273,
     "cur_source_report": 0.782, "dedup_redundancy": 1.401,
+    # added late-r06, isolated-run medians (4 runs, first discarded)
+    "text_entropy": 0.311, "cur_dedup_keep_best": 0.701,
+    "dedup_cluster_keep_best": 2.635,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -123,6 +126,10 @@ HEADLINE = [
     "emb_project",
     "cur_source_report",
     "dedup_redundancy",
+    # added late-r06
+    "text_entropy",
+    "cur_dedup_keep_best",
+    "dedup_cluster_keep_best",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
