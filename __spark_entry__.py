@@ -1913,10 +1913,18 @@ reach(a, b) AS (
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
 SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"""
     )
-    # same recursive-CC prefix, then the quality-argmax survivor window
+    # same recursive-CC prefix, then the quality-argmax survivor window.
+    # The prefix is spliced by replacing the dedup_clusters final SELECT;
+    # guard the splice so a reworded tail fails HERE, not at harness
+    # runtime with malformed SQL (ADVICE r6).
+    _clus_tail = "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"
+    assert _clus_tail in o["dedup_clusters"], (
+        "dedup_clusters oracle tail reworded; update the"
+        " dedup_cluster_keep_best splice"
+    )
     o["dedup_cluster_keep_best"] = (
         o["dedup_clusters"].replace(
-            "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a",
+            _clus_tail,
             ", clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id"
             " FROM reach GROUP BY a),",
         )

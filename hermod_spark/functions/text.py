@@ -177,6 +177,13 @@ def char_entropy(col: Column | str) -> Column:
     distinct-char array from an init of 0.0 (0.0 + x == x in IEEE 754
     for finite x), so a DuckDB ``list_reduce((a,b) -> a+b)`` over the
     same sorted list reproduces the sum bit-for-bit.
+
+    Case-mapping caveat (ASCII-ish assumption): lowercasing runs in the
+    engine's own collation (JVM `lower` here, DuckDB `lower` in the
+    oracle). On locale-sensitive code points (ß→ss, dotted/dotless İ/ı)
+    the two can produce different char multisets. The test corpus is
+    ASCII; callers feeding non-ASCII text should pre-normalize with an
+    explicit ASCII-safe mapping mirrored on both sides.
     """
     chars = F.filter(F.split(F.lower(_c(col)), ""), lambda x: x != F.lit(""))
 
@@ -184,8 +191,11 @@ def char_entropy(col: Column | str) -> Column:
         n = F.size(cs).cast("double")
 
         def term(ch: Column) -> Column:
-            p = F.size(F.filter(cs, lambda x: x == ch)).cast("double") / n
-            return p * F.log2(p)
+            # let-bind p through the same single-element-array trick as
+            # cs, so the O(len) per-char count runs ONCE per term, not
+            # twice (once for p, once inside log2(p))
+            p0 = F.size(F.filter(cs, lambda x: x == ch)).cast("double") / n
+            return F.get(F.transform(F.array(p0), lambda p: p * F.log2(p)), 0)
 
         terms = F.transform(F.array_sort(F.array_distinct(cs)), term)
         return F.when(

@@ -230,8 +230,6 @@ def test_cluster_keep_best_survivor_is_highest_quality(spark):
     rows = {r["doc_id"]: r for r in
             dedup.cluster_keep_best(df, threshold=0.5).collect()}
     # expected survivor = quality argmax over the near-dup cluster
-    from pyspark.sql import functions as F
-
     from hermod_spark.functions.text import quality_score
 
     scores = {
