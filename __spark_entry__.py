@@ -777,6 +777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), threshold=0.5
     )
 
+    # --- r7: exact duplicated-span dedup (suffix-array modality) ------
+    q["dedup_exact_spans"] = lambda spark, sf: dedup.duplicated_spans(
+        _t(spark, sf, "documents"), n=8
+    )
+    q["text_dup_span_frac"] = lambda spark, sf: dedup.dup_span_stats(
+        _t(spark, sf, "documents"), n=8
+    )
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1158,6 +1166,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_sessions"] = stream_sessions
+
+    # --- r7: batch replays of the stateful streaming operators --------
+    def sketch_kmv_stream_replay(spark, sf):
+        """Final per-key state of kmv_distinct_stream, replayed in batch
+        through the SAME _kmv_fold (5 sequential chunks per key) — the
+        oracle checks the mergeable-summary identity: fold-in-chunks ==
+        one-shot distinct-rank KMV."""
+        from hermod_spark.streaming.stateful import kmv_state_replay
+
+        msgs = message_frame(_prep(spark), sf)
+        return kmv_state_replay(msgs, key_col="topic", value_col="payload", k=16)
+
+    q["sketch_kmv_stream_replay"] = sketch_kmv_stream_replay
+
+    def stream_ewma_replay(spark, sf):
+        """Anomaly rows of ewma_anomalies, replayed in batch through the
+        SAME _ewma_fold (5 sequential chunks per key, state carried) —
+        the oracle is a DuckDB recursive CTE running the identical
+        double recurrence, so the match is bit-exact, not approximate."""
+        from hermod_spark.streaming.stateful import ewma_replay
+
+        msgs = message_frame(_prep(spark), sf, keep=["value"])
+        return ewma_replay(msgs, key_col="topic", value_col="value")
+
+    q["stream_ewma_replay"] = stream_ewma_replay
 
     # --- r6 additions: outlier scan, quality model, bloom, shuffle ----
     q["emb_outliers"] = lambda spark, sf: S.class_outliers(
@@ -1941,6 +1974,59 @@ SELECT doc_id, cluster_id, ROUND(_q, 6) AS quality, cluster_size FROM (
 WHERE rn = 1"""
     )
 
+    # exact duplicated-span dedup: n-gram (p, md5) frame -> corpus-wide
+    # count>=2 -> merge sorted starts into maximal runs (merge iff
+    # p <= prev + n, equal-length intervals). Mirrors dedup.duplicated_
+    # spans step-for-step; positions 1-based on both sides.
+    _SPAN_N = 8
+    _spans_prefix = f"""
+WITH toks AS (
+  SELECT doc_id, {_toks_sql('text')} AS w FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(w) - {_SPAN_N} + 2)) AS p, w
+  FROM toks WHERE len(w) >= {_SPAN_N}),
+grams AS (
+  SELECT doc_id, p,
+         md5(array_to_string(w[p:p+{_SPAN_N}-1], ' ')) AS h FROM pos),
+cnts AS (
+  SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS cnt FROM grams),
+starts AS (SELECT doc_id, p FROM cnts WHERE cnt >= 2),
+runs AS (
+  SELECT doc_id, p,
+    CASE WHEN lag(p) OVER w IS NULL
+           OR p - lag(p) OVER w > {_SPAN_N} THEN 1 ELSE 0 END AS new_run
+  FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p,
+    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS rid
+  FROM runs),
+spans AS (
+  SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + {_SPAN_N} - 1 AS BIGINT) AS span_end,
+         CAST(MAX(p) + {_SPAN_N} - MIN(p) AS BIGINT) AS span_len
+  FROM grp GROUP BY doc_id, rid)"""
+    o["dedup_exact_spans"] = (
+        _spans_prefix
+        + """
+SELECT doc_id, span_start, span_end, span_len FROM spans"""
+    )
+    o["text_dup_span_frac"] = (
+        _spans_prefix
+        + """,
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+  COALESCE(p.n_spans, 0) AS n_spans,
+  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+  ROUND(CASE WHEN len(t.w) > 0
+             THEN COALESCE(p.dup_tokens, 0) / CAST(len(t.w) AS BIGINT)
+             ELSE 0.0 END, 6) AS dup_frac
+FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id"""
+    )
+
     from hermod_spark.operators.dedup import SIMHASH_BITS
 
     _sh_sums = ", ".join(
@@ -2628,6 +2714,58 @@ SELECT MIN(time) AS session_start,
   topic, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
   MIN(time) AS first_event, MAX(time) AS last_event
 FROM islands GROUP BY topic, sid"""
+
+    # r7 stateful replays. KMV: fold-in-chunks == one-shot distinct-rank
+    # (mergeable-summary identity). EWMA: recursive CTE running the
+    # IDENTICAL double recurrence in the identical order — every
+    # literal CAST to DOUBLE because DuckDB parses 0.2/1.0-0.2 as exact
+    # DECIMALs ((1.0-0.2) would be exactly 0.8; Python's 1.0-alpha is
+    # 0.79999999999999998..., a bit-level mismatch).
+    o["sketch_kmv_stream_replay"] = f"""
+WITH msg AS ({_MSG_SQL}),
+h AS (
+  SELECT DISTINCT topic AS key,
+    CAST(('0x' || substring(md5(payload), 1, 8)) AS UBIGINT)
+      / 4294967296.0 AS hv
+  FROM msg),
+r AS (SELECT key, hv, ROW_NUMBER() OVER (PARTITION BY key ORDER BY hv) AS rn
+      FROM h),
+kept AS (SELECT key, hv, rn FROM r WHERE rn <= 16)
+SELECT key AS topic,
+  ROUND(CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE 15 / MAX(CASE WHEN rn = 16 THEN hv END) END, 4)
+    AS n_distinct_est,
+  (COUNT(*) < 16) AS exact
+FROM kept GROUP BY key"""
+    _D = "CAST(0.2 AS DOUBLE)"
+    _SIG = (
+        "sqrt(CASE WHEN r.var > CAST(0.0 AS DOUBLE) THEN r.var"
+        " ELSE CAST(0.0 AS DOUBLE) END)"
+    )
+    o["stream_ewma_replay"] = f"""
+WITH RECURSIVE msg AS ({_MSG_SQL}),
+seq AS (
+  SELECT topic, time, value,
+         row_number() OVER (PARTITION BY topic ORDER BY time, value) AS i
+  FROM msg WHERE value IS NOT NULL),
+rec AS (
+  SELECT topic, 0 AS i, CAST(0.0 AS DOUBLE) AS mean,
+         CAST(0.0 AS DOUBLE) AS var, 0 AS n
+  FROM (SELECT DISTINCT topic FROM seq)
+  UNION ALL
+  SELECT s.topic, s.i,
+    CASE WHEN r.n = 0 THEN s.value
+         ELSE r.mean + {_D} * (s.value - r.mean) END,
+    CASE WHEN r.n = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (CAST(1.0 AS DOUBLE) - {_D})
+              * (r.var + {_D} * (s.value - r.mean) * (s.value - r.mean)) END,
+    r.n + 1
+  FROM rec r JOIN seq s ON s.topic = r.topic AND s.i = r.i + 1)
+SELECT s.topic AS key, s.time AS event_time, s.value,
+       ROUND(r.mean, 6) AS ewma, ROUND({_SIG}, 6) AS sigma
+FROM seq s JOIN rec r ON r.topic = s.topic AND r.i = s.i - 1
+WHERE r.n >= 5 AND {_SIG} > 0
+  AND abs(s.value - r.mean) > CAST(3.0 AS DOUBLE) * {_SIG}"""
 
     # --- r6: outlier scan / quality model / bloom / shuffle -----------
     # class_outliers: same centroid CTE as cur_centroids, then exact

@@ -634,3 +634,139 @@ def cluster_keep_best(
             "cluster_size",
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the suffix-array dedup modality
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022) re-expressed as its shuffle-native equivalent: instead of
+    one corpus-wide suffix array, shuffle token ``n``-grams by content
+    hash, mark every n-gram occurring ≥ ``min_count`` times CORPUS-WIDE
+    (within-doc repeats count, same as a suffix array's), and merge each
+    doc's duplicated n-gram start positions into maximal token spans.
+
+    Returns one row per maximal duplicated span:
+    ``(doc_id, span_start, span_end, span_len)`` with 1-based inclusive
+    token positions. Two overlapping or adjacent duplicated n-grams
+    merge into one span (equal-length intervals sorted by start merge
+    iff ``p ≤ prev_p + n``), so spans per doc are disjoint and
+    non-adjacent — span_len sums are exact covered-token counts.
+
+    Scale shape (100 TB): the one inherent cost is a shuffle of O(total
+    tokens) (p, hash) rows keyed by n-gram hash — the distributed
+    analogue of the suffix-array sort, and strictly cheaper than
+    building one (no global order, partial-aggregable counts). No
+    all-pairs join anywhere; the only other exchanges are per-doc
+    windows keyed by doc_id. Hash-key skew = a single n-gram repeated
+    millions of times (site boilerplate) — bounded by AQE skew
+    handling, and those rows are exactly the ones the operator exists
+    to find. The token array is let-bound through the
+    single-element-array transform (the `shingles` lesson) so the
+    regex tokenizer runs once per doc, not once per n-gram; Spark's
+    ``sequence(1, 0)`` counts DOWN, so the empty case is gated with an
+    explicit ``when(size ≥ n)``.
+    """
+    from hermod_spark.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _grams(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice(w, i, F.lit(n)))).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+
+    grams = df.select(
+        id_col,
+        F.explode(F.flatten(F.transform(F.array(toks), _grams))).alias("g"),
+    ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+
+    # corpus-wide occurrence count per n-gram: one exchange keyed by h
+    # (count-over-partition, no self-join)
+    wh = Window.partitionBy("h")
+    starts = (
+        grams.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_cnt") >= min_count)
+        .select(id_col, "p")
+    )
+
+    # merge sorted equal-length intervals into maximal runs per doc
+    wd = Window.partitionBy(id_col).orderBy("p")
+    runs = starts.withColumn(
+        "_new",
+        F.when(
+            F.col("p") - F.lag("p").over(wd) > n, 1
+        ).otherwise(F.when(F.lag("p").over(wd).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "_rid",
+        F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(id_col, "_rid").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + n - 1).cast("long").alias("span_end"),
+        (F.max("p") + n - F.min("p")).cast("long").alias("span_len"),
+    ).drop("_rid")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplicated-span profile over ALL docs (zero rows for
+    clean docs): ``(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)``.
+    ``dup_frac`` is the fraction of the doc's tokens inside some exact
+    duplicated span — the removal budget an exact-span dedup pass would
+    reclaim, and the per-doc signal a curation pipeline thresholds on.
+
+    ``spans=`` injects a precomputed `duplicated_spans` frame so a
+    pipeline computing both the span list and the profile pays the
+    n-gram shuffle once.
+
+    Scale: the span list aggregates to ≤ one row per doc before the
+    id-keyed left join back to the corpus — the join's right side is
+    doc-count-sized, never token-sized."""
+    from hermod_spark.functions.text import tokens
+
+    if spans is None:
+        spans = duplicated_spans(
+            df, text_col, id_col, n=n, min_count=min_count
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    base = df.select(
+        id_col, F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

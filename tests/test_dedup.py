@@ -241,3 +241,84 @@ def test_cluster_keep_best_survivor_is_highest_quality(spark):
     assert rows[best]["cluster_id"] == 1 and rows[best]["cluster_size"] == 3
     assert rows[9]["cluster_size"] == 1
     assert abs(rows[best]["quality"] - scores[best]) < 1e-6
+
+
+# ---------------------------------------------------------------- spans
+
+
+@pytest.fixture
+def span_docs(spark):
+    # shared 4-gram "one two three four" sits mid-doc in 1 and 2 at
+    # different offsets; doc 3 repeats a 4-gram WITHIN itself (counts,
+    # like a suffix array would); doc 4 is clean; doc 5 is too short
+    # for any 4-gram; doc 6 is blank.
+    rows = [
+        (1, "alpha beta one two three four gamma delta epsilon zeta"),
+        (2, "x one two three four y z w q r"),
+        (3, "p q r s a b c d junk1 junk2 a b c d tail1 tail2"),
+        (4, "nothing here is repeated anywhere in this corpus at all"),
+        (5, "one two three"),
+        (6, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_duplicated_spans_cross_and_within_doc(span_docs):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicated_spans(span_docs, n=4).collect()
+    }
+    # docs 1/2 share exactly the one 4-gram -> span of 4 tokens each
+    assert (1, 3, 6) in spans and (2, 2, 5) in spans
+    # doc 3's "a b c d" occurs twice WITHIN the doc: both occurrences
+    # are duplicated spans (positions 5-8 and 11-14, 1-based)
+    assert (3, 5, 8) in spans and (3, 11, 14) in spans
+    assert not any(d == 4 or d == 5 or d == 6 for d, *_ in spans)
+
+
+def test_duplicated_spans_merges_overlapping_runs(spark):
+    # two docs share a 6-token prefix -> 4-grams at starts 1,2,3 merge
+    # into ONE maximal span [1, 6] (adjacent/overlapping intervals)
+    rows = [
+        (1, "a b c d e f tail one"),
+        (2, "a b c d e f other two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicated_spans(df, n=4).collect()
+    )
+    assert spans == [(1, 1, 6, 6), (2, 1, 6, 6)]
+
+
+def test_duplicated_spans_gap_splits_runs(spark):
+    # shared 4-grams separated by a gap LARGER than n stay two spans
+    rows = [
+        (1, "a b c d x1 x2 x3 x4 x5 p q r s end1"),
+        (2, "a b c d y1 y2 y3 y4 y5 p q r s end2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicated_spans(df, n=4).collect()
+    )
+    assert spans == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (2, 10, 13)]
+
+
+def test_dup_span_stats_covers_all_docs(span_docs):
+    rows = {r["doc_id"]: r for r in dedup.dup_span_stats(span_docs, n=4).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_frac"] == 0.0
+    assert rows[6]["n_tokens"] == 0 and rows[6]["dup_frac"] == 0.0
+    assert rows[1]["dup_tokens"] == 4 and rows[1]["n_tokens"] == 10
+    assert rows[1]["dup_frac"] == 0.4
+    # doc 3: two 4-token spans over 16 tokens
+    assert rows[3]["n_spans"] == 2 and rows[3]["dup_tokens"] == 8
+    assert rows[3]["dup_frac"] == 0.5
+
+
+def test_dup_span_stats_accepts_precomputed_spans(span_docs):
+    spans = dedup.duplicated_spans(span_docs, n=4)
+    via = dedup.dup_span_stats(span_docs, n=4, spans=spans)
+    direct = dedup.dup_span_stats(span_docs, n=4)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))

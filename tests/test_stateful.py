@@ -234,3 +234,84 @@ def test_kmv_stream_state_survives_restart(spark, tmp_path):
     }
     # distinct values v0..v249 = 250 total; estimates must agree exactly
     assert abs(got["k"] - want["k"]) < 1e-6
+
+
+def test_ewma_replay_matches_stream(spark, tmp_path):
+    """Batch replay (shared _ewma_fold, chunked with carried state) must
+    emit exactly the stream's anomaly rows — replay-equals-stream is the
+    point of the operator."""
+    import random
+
+    from hermod_spark.streaming.stateful import ewma_anomalies, ewma_replay
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    rows = []
+    for i in range(60):
+        x = 20.0 + rng.uniform(-1.0, 1.0)
+        if i in (30, 45):
+            x = 80.0
+        rows.append((t0 + dt.timedelta(minutes=i), "a", x))
+    for i in range(30):
+        x = 5.0 + rng.uniform(-0.1, 0.1)
+        if i == 20:
+            x = -40.0
+        rows.append((t0 + dt.timedelta(minutes=i), "b", x))
+    batch = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, value DOUBLE")
+    src = str(tmp_path / "src")
+    batch.repartition(1).sortWithinPartitions("time").write.parquet(src)
+    stream = message_stream(spark, src, schema=batch.schema)
+    got_stream = sorted(
+        (r["key"], r["event_time"], r["value"], r["ewma"], r["sigma"])
+        for r in _run_stream(spark, tmp_path, ewma_anomalies(stream))
+    )
+    got_replay = sorted(
+        (r["key"], r["event_time"], r["value"], r["ewma"], r["sigma"])
+        for r in ewma_replay(batch, key_col="topic", value_col="value").collect()
+    )
+    assert got_stream == got_replay
+    assert any(v == 80.0 for _, _, v, _, _ in got_replay)  # spikes flagged
+
+
+def test_kmv_replay_matches_stream_final_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hermod_spark.streaming.stateful import kmv_distinct_stream, kmv_state_replay
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    rows = [
+        (t0 + dt.timedelta(minutes=i), "a" if i % 3 else "b", f"v{i % 17}")
+        for i in range(120)
+    ]
+    batch = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, payload STRING")
+    src = str(tmp_path / "src")
+    batch.repartition(1).sortWithinPartitions("time").write.parquet(src)
+    stream = message_stream(spark, src, schema=batch.schema)
+    got = _run_stream(
+        spark, tmp_path,
+        kmv_distinct_stream(stream, k=8), mode="update",
+    )
+    # update-mode memory sink: last emitted row per key is the final state
+    final = {}
+    for r in got:
+        final[r["key"]] = (r["n_distinct_est"], r["exact"])
+    replay = {
+        r["topic"]: (r["n_distinct_est"], r["exact"])
+        for r in kmv_state_replay(batch, k=8).collect()
+    }
+    assert final == replay
+
+
+def test_kmv_replay_chunking_invariant(spark):
+    """KMV state is a mergeable summary: any sequential chunking of the
+    same series folds to the same final state."""
+    from hermod_spark.streaming.stateful import kmv_state_replay
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (t0 + dt.timedelta(seconds=i), "k", f"p{i % 37}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, payload STRING")
+    one = kmv_state_replay(df, k=16, n_batches=1).collect()
+    many = kmv_state_replay(df, k=16, n_batches=9).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
