@@ -777,6 +777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), threshold=0.5
     )
 
+    # composed one-LSH-pass dedup report (candidates/pairs/clusters
+    # computed once and injected downstream — the pipeline form)
+    q["dedup_report"] = lambda spark, sf: dedup.dedup_report(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+
     # --- r7: exact duplicated-span dedup (suffix-array modality) ------
     q["dedup_exact_spans"] = lambda spark, sf: dedup.duplicated_spans(
         _t(spark, sf, "documents"), n=8
@@ -1359,63 +1365,43 @@ def _rotate_for_driver_window(
     integer micro_rate, the bounds-boolean approx sketches) and this
     round's new queries; the long-green §2 operators rotate to the back.
 
-    Round 6 (VERDICT r5 #4): tier0 is (a) the six queries that have
-    NEVER been in any driver window (cur_centroids was array-surface —
-    fixed this round — plus the mm_*/stream_windowed/stream_sliding
-    block) and (b) the six r5 driver-red queries, every one re-fixed
-    this round (three uncast-SUM oracles cast to BIGINT, three array
-    surfaces serialized), plus rel_cube whose grouping surface changed
-    (string + 'ALL' sentinel). Union of driver-green across rounds
-    should reach the full set once this window lands (110 pre-r6
-    entries + the 10 new r6 queries = 120; the r6 additions and every
-    re-fixed red sit in tier0, inside the 50-entry window).
+    Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
+    query's latest driver row is green, but 7 date from r2 and 37 from
+    r3): tier0 is the 5 new r7 queries followed by exactly that stale
+    block, oldest evidence first — 5 + 7 + 37 = 49 of the 50-entry
+    window. After this window lands, no query's latest driver evidence
+    predates r5, and the r5 block (38 queries) becomes the natural r8
+    tier0.
     """
-    never_windowed = [
-        "cur_centroids",
-        "mm_resize_plan",
-        "mm_frame_sample",
-        "mm_audio_chunks",
-        "stream_windowed",
-        "stream_sliding",
+    new_in_r7 = [
+        "dedup_report",
+        "dedup_exact_spans",
+        "text_dup_span_frac",
+        "sketch_kmv_stream_replay",
+        "stream_ewma_replay",
     ]
-    refixed_reds = [
-        "rel_funnel",
-        "text_oov",
-        "cur_token_budget",
-        "emb_pq_codes",
-        "emb_quantize",
-        "emb_normalize",
+    stale_r2 = [
+        "dedup_minhash_cand",
+        "dedup_jaccard_adjacent",
+        "dedup_simhash",
+        "dedup_clusters",
+        "sim_bruteforce_topk",
+        "sim_lsh_topk",
+        "sim_embedding_neardups",
     ]
-    changed_surface = ["rel_cube"]
-    new_in_r6 = [
-        "emb_outliers",
-        "cur_quality_logistic",
-        "sketch_bloom",
-        "cur_shard_shuffle",
-        "text_novelty",
-        "cur_chunk_dedup",
-        "emb_project",
-        "stream_trending",
-        "mm_batch_plan",
-        "cur_source_report",
-        "rel_zorder",
-        "sim_pq_recall",
-        "dedup_minhash_audit",
-        "dedup_redundancy",
-        "cur_mixture_plan",
-        "sketch_kmv_merge",
-        "cur_split_leakage",
-        "cur_pack_efficiency",
-        "cur_snapshot_diff",
-        "text_entropy",
-        "cur_dedup_keep_best",
-        "dedup_cluster_keep_best",
+    stale_r3 = [
+        "fn_rot13", "fn_b64e", "fn_b64d", "fn_hexe", "fn_hexd",
+        "fn_jenc", "fn_jdec", "flt_topic", "flt_route", "prj_pass",
+        "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
+        "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
+        "ddl_gen", "ddl_merge", "snk_dryrun", "rel_pricing_summary",
+        "rel_revenue_nation", "rel_top_customers", "rel_rollup",
+        "rel_running_total", "rel_setops", "rel_hourly_rollup",
+        "rel_recent_events", "rel_semi_anti", "rel_asof",
+        "rel_quantiles", "rel_seq_funnel", "rel_grouping_sets",
+        "snk_retention_plan",
     ]
-    tier0 = [
-        k
-        for k in [*never_windowed, *refixed_reds, *changed_surface, *new_in_r6]
-        if k in q
-    ]
+    tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
     # driver round hashes a different 50-window slice and the union of
     # driver-green rows grows monotonically without manual curation.
@@ -1972,6 +1958,28 @@ SELECT doc_id, cluster_id, ROUND(_q, 6) AS quality, cluster_size FROM (
                        ORDER BY _q DESC, doc_id ASC) AS rn
   FROM scored)
 WHERE rn = 1"""
+    )
+
+    # composed dedup report: same recursive-CC prefix (guarded splice as
+    # keep-best), then one (metric, value) row per pipeline stat
+    o["dedup_report"] = (
+        o["dedup_clusters"].replace(
+            _clus_tail,
+            ", clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id"
+            " FROM reach GROUP BY a),",
+        )
+        + """
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand) GROUP BY id)
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL SELECT 'n_candidate_pairs', CAST(COUNT(*) AS BIGINT) FROM cand
+UNION ALL SELECT 'n_verified_pairs', CAST(COUNT(*) AS BIGINT) FROM ver
+UNION ALL SELECT 'n_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+  FROM clus
+UNION ALL SELECT 'n_removable',
+  CAST((SELECT COUNT(*) FROM documents)
+       - COUNT(DISTINCT cluster_id) AS BIGINT) FROM clus
+UNION ALL SELECT 'max_degree', CAST(COALESCE(MAX(d), 0) AS BIGINT) FROM deg"""
     )
 
     # exact duplicated-span dedup: n-gram (p, md5) frame -> corpus-wide

@@ -70,6 +70,12 @@ BASELINE = {
     # added late-r06, isolated-run medians (4 runs, first discarded)
     "text_entropy": 0.311, "cur_dedup_keep_best": 0.701,
     "dedup_cluster_keep_best": 2.635,
+    # added r07, isolated-run medians (4 runs, first discarded),
+    # recorded before the round's final snapshot. dedup_report runs
+    # the WHOLE candidates→verify→CC→metrics chain off one LSH pass —
+    # under half the standalone trio's summed baselines (5.9s)
+    "dedup_exact_spans": 1.322, "dedup_report": 2.84,
+    "stream_ewma_replay": 2.409,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -130,6 +136,10 @@ HEADLINE = [
     "text_entropy",
     "cur_dedup_keep_best",
     "dedup_cluster_keep_best",
+    # added r07 (isolated-run median baselines)
+    "dedup_exact_spans",
+    "dedup_report",
+    "stream_ewma_replay",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -142,6 +152,13 @@ SCALE10X = [
     # that the quality pass and the bloom membership stay projection-
     # shaped as the corpus grows
     "cur_quality_logistic", "sketch_bloom",
+    # r7 (VERDICT r6 #3): the iterative/join-heavy queries whose
+    # sublinearity was argued, not measured — CC label propagation,
+    # the quality-survivor window on top of it, broadcast
+    # decontamination, the degree profile, and the new exact-span
+    # ngram shuffle
+    "dedup_clusters", "dedup_cluster_keep_best",
+    "cur_decontaminate_fuzzy", "dedup_redundancy", "dedup_exact_spans",
 ]
 
 
@@ -235,6 +252,19 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         ),
         "cur_quality_logistic": lambda: CUR.quality_logistic(docs10),
         "sketch_bloom": lambda: _bloom10(docs10),
+        "dedup_clusters": lambda: dedup.near_dup_clusters(docs10, threshold=0.5),
+        "dedup_cluster_keep_best": lambda: dedup.cluster_keep_best(
+            docs10, threshold=0.5
+        ),
+        # probe set stays benchmark-sized (fixed) while the corpus
+        # grows 10x — the realistic decontamination scaling shape
+        "cur_decontaminate_fuzzy": lambda: dedup.cross_contamination(
+            docs10.filter(F.col("doc_id") >= 100),
+            docs10.filter(F.col("doc_id") < 100),
+            threshold=0.3,
+        ),
+        "dedup_redundancy": lambda: dedup.redundancy_profile(docs10),
+        "dedup_exact_spans": lambda: dedup.duplicated_spans(docs10, n=8),
     }
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:

@@ -299,15 +299,19 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
 
     The expensive exact scorer touches only LSH survivors — the
     bucket join did the pruning, so verification cost is O(candidates),
-    not O(n²)."""
-    cands = near_dup_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
-    )
+    not O(n²). ``candidates=`` injects a precomputed candidate frame
+    so a composed pipeline runs the LSH pass once."""
+    cands = candidates
+    if cands is None:
+        cands = near_dup_candidates(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+        )
     sh = df.select(F.col(id_col).alias("_sid"), shingles(text_col, w).alias("_sh"))
     return (
         cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -388,6 +392,7 @@ def near_dup_clusters(
     bands: int = 4,
     w: int = 3,
     max_iterations: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup graph: every
     document labeled with the min doc id reachable through near-dup
@@ -401,11 +406,18 @@ def near_dup_clusters(
     stops early when a round changes nothing. This is the standard
     large-graph CC shape (no driver-side graph, no recursion depth
     bound by data size).
+
+    ``pairs=`` injects a precomputed verified-edge frame (id_a, id_b)
+    so a pipeline deriving clusters, keep-best survivors, AND the
+    redundancy profile from one corpus pays the MinHash/LSH signature
+    computation once (see `dedup_report`).
     """
-    pairs = near_dup_pairs(
-        df, text_col, id_col, threshold=threshold,
-        num_hashes=num_hashes, bands=bands, w=w,
-    ).select("id_a", "id_b")
+    if pairs is None:
+        pairs = near_dup_pairs(
+            df, text_col, id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, w=w,
+        )
+    pairs = pairs.select("id_a", "id_b")
     labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
     connected = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     return (
@@ -544,6 +556,7 @@ def redundancy_profile(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus redundancy profile: the histogram of near-dup DEGREES —
     for each document, how many LSH candidate partners it has; rolled
@@ -555,10 +568,13 @@ def redundancy_profile(
     (never all-pairs); degrees are one groupBy over pair endpoints and
     the histogram is a second count agg over ≤ max-degree rows. The
     degree-0 row comes from an exact total-count minus join — no
-    full-corpus anti-join."""
-    pairs = near_dup_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
-    ).localCheckpoint(eager=False)  # computed once though referenced
+    full-corpus anti-join. ``pairs=`` injects a precomputed candidate
+    frame so a composed report shares one LSH pass."""
+    if pairs is None:
+        pairs = near_dup_candidates(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+        )
+    pairs = pairs.localCheckpoint(eager=False)  # computed once though referenced
     # by both the histogram and the degree-0 subtree; lazy so building
     # the query stays action-free
     ends = pairs.select(F.col("id_a").alias("_id")).unionAll(
@@ -593,6 +609,7 @@ def cluster_keep_best(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup with a quality-aware survivor: label clusters via
     `near_dup_clusters` (LSH candidates → exact-Jaccard verify →
@@ -607,15 +624,19 @@ def cluster_keep_best(
     are min-doc-ids (high cardinality, hash-spread) and cluster sizes
     are small by construction (near-dup chains are short), so the
     window state stays O(cluster) at any corpus size.
+
+    ``clusters=`` injects a precomputed `near_dup_clusters` frame
+    (doc_id, cluster_id) so a composed pipeline labels clusters once.
     """
     from pyspark.sql import Window
 
     from hermod_spark.functions.text import quality_score
 
-    clusters = near_dup_clusters(
-        df, text_col, id_col,
-        threshold=threshold, num_hashes=num_hashes, bands=bands, w=w,
-    )
+    if clusters is None:
+        clusters = near_dup_clusters(
+            df, text_col, id_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands, w=w,
+        )
     scored = df.select(id_col, quality_score(text_col).alias("_q")).join(
         clusters, id_col
     )
@@ -770,3 +791,71 @@ def dup_span_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def dedup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """One-pass dedup REPORT: candidates, verified pairs, clusters, and
+    survivor counts derived from a SINGLE MinHash/LSH computation — the
+    composed form a real curation run uses, vs. running
+    `near_dup_candidates`, `near_dup_clusters`, `cluster_keep_best`,
+    and `redundancy_profile` as four standalone jobs that each rebuild
+    signatures from scratch.
+
+    The candidate frame is localCheckpointed (lazily) and injected into
+    every downstream stage via the ``candidates=``/``pairs=``/
+    ``clusters=`` parameters, so the plan contains exactly ONE
+    signature/banding subtree. Returns a (metric, value) frame:
+    n_docs, n_candidate_pairs, n_verified_pairs, n_clusters,
+    n_removable, max_degree.
+
+    Scale: every metric is a count over frames the pipeline already
+    materializes; the only additions over `near_dup_clusters` alone
+    are O(pairs) aggregations."""
+    cand = near_dup_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    ).localCheckpoint(eager=False)
+    ver = near_dup_pairs(
+        df, text_col, id_col, threshold=threshold, candidates=cand
+    ).localCheckpoint(eager=False)
+    clusters = near_dup_clusters(df, text_col, id_col, pairs=ver)
+
+    def _m(name: str, frame: DataFrame, expr) -> DataFrame:
+        return frame.agg(expr.cast("long").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    degrees = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionAll(cand.select(F.col("id_b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_docs = _m("n_docs", df, F.count(F.lit(1)))
+    parts = [
+        n_docs,
+        _m("n_candidate_pairs", cand, F.count(F.lit(1))),
+        _m("n_verified_pairs", ver, F.count(F.lit(1))),
+        _m("n_clusters", clusters, F.countDistinct("cluster_id")),
+        # removable = docs minus clusters: lazy scalar cross-join, no
+        # eager counts at build time
+        df.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(clusters.agg(F.countDistinct("cluster_id").alias("_c")))
+        .select(
+            F.lit("n_removable").alias("metric"),
+            (F.col("_n") - F.col("_c")).cast("long").alias("value"),
+        ),
+        _m("max_degree", degrees, F.coalesce(F.max("d"), F.lit(0))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -162,8 +162,12 @@ def _ewma_fold(
     oracle's recursive CTE mirrors these exact double ops):
     d = x − mean; mean += α·d; var = (1−α)·(var + α·d·d)."""
     out: list[tuple] = []
-    for i in range(len(rows)):
-        x = rows[value_col].iloc[i]
+    # one column extraction, not per-row .iloc (measured ~10µs/access —
+    # the fold is the hot loop of a 7500-group replay)
+    vals = rows[value_col].to_numpy()
+    times = rows[time_col].to_numpy()
+    for i in range(len(vals)):
+        x = vals[i]
         if x is None or pd.isna(x):
             continue
         x = float(x)
@@ -171,8 +175,7 @@ def _ewma_fold(
             sigma = max(var, 0.0) ** 0.5
             if sigma > 0 and abs(x - mean) > threshold * sigma:
                 out.append(
-                    (key, rows[time_col].iloc[i], x,
-                     round(mean, 6), round(sigma, 6))
+                    (key, times[i], x, round(mean, 6), round(sigma, 6))
                 )
         if n == 0:
             mean, var = x, 0.0
@@ -193,6 +196,7 @@ def ewma_replay(
     threshold: float = 3.0,
     warmup: int = 5,
     n_batches: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Batch REPLAY of ``ewma_anomalies``'s per-key state machine —
     the oracle surface for the stateful EWMA detector (VERDICT r6 #5).
@@ -205,7 +209,15 @@ def ewma_replay(
     recurrence) proves the arithmetic. Emits the anomaly rows.
 
     Scale: one shuffle on the key; the per-key fold is O(rows) with
-    three scalars of state, Arrow-batched."""
+    three scalars of state, Arrow-batched. The shuffle is an EXPLICIT
+    hash repartition (``num_partitions``, default the cluster's
+    defaultParallelism): with many tiny groups the dominant cost is
+    per-group Python call overhead, and AQE would coalesce the
+    small-volume exchange down to 1-2 partitions, serializing
+    thousands of group calls through two workers (measured 16× slower
+    at sf0.1); a user-specified partition count is exempt from AQE
+    coalescing and satisfies the grouping distribution, so no second
+    exchange is added."""
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([time_col, value_col], ignore_index=True)
@@ -226,12 +238,14 @@ def ewma_replay(
             out, columns=["key", "event_time", "value", "ewma", "sigma"]
         )
 
+    nparts = num_partitions or messages.sparkSession.sparkContext.defaultParallelism
     return (
         messages.select(
             F.col(key_col).alias(key_col),
             F.col(time_col).alias(time_col),
             F.col(value_col).alias(value_col),
         )
+        .repartition(nparts, key_col)
         .groupBy(key_col)
         .applyInPandas(
             replay,
@@ -320,6 +334,7 @@ def kmv_state_replay(
     k: int = 64,
     time_col: str = "time",
     n_batches: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Batch REPLAY of ``kmv_distinct_stream``'s state machine — the
     oracle surface for the stateful streaming operator (VERDICT r6 #5).
@@ -335,7 +350,9 @@ def kmv_state_replay(
 
     Scale: the arrival sort is per key inside applyInPandas (Arrow
     batches, one shuffle on the key); state stays O(k) doubles however
-    long the series."""
+    long the series. The shuffle is an explicit hash repartition
+    (AQE-coalesce-exempt) for the same many-tiny-groups reason as
+    `ewma_replay`."""
     from hermod_spark.operators.sketches import uniform_hash
 
     hashed = messages.select(
@@ -346,18 +363,21 @@ def kmv_state_replay(
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_t", "h"], ignore_index=True)
+        hs = pdf["h"].to_numpy()
         mins: list = []
-        n = len(pdf)
+        n = len(hs)
         step = max(1, -(-n // n_batches))
         for lo in range(0, n, step):
-            mins = _kmv_fold(mins, pdf["h"].iloc[lo : lo + step], k)
+            mins = _kmv_fold(mins, hs[lo : lo + step], k)
         est, exact = _kmv_estimate(mins, k)
         return pd.DataFrame(
             {"key": [pdf["key"].iloc[0]], "n_distinct_est": [est], "exact": [exact]}
         )
 
+    nparts = num_partitions or messages.sparkSession.sparkContext.defaultParallelism
     return (
-        hashed.groupBy("key")
+        hashed.repartition(nparts, "key")
+        .groupBy("key")
         .applyInPandas(replay, "key STRING, n_distinct_est DOUBLE, exact BOOLEAN")
         .withColumnRenamed("key", key_col)
     )

@@ -322,3 +322,66 @@ def test_dup_span_stats_accepts_precomputed_spans(span_docs):
     via = dedup.dup_span_stats(span_docs, n=4, spans=spans)
     direct = dedup.dup_span_stats(span_docs, n=4)
     assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# --------------------------------------------------------- composed report
+
+
+@pytest.fixture
+def report_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base + " extra more"),
+        (7, "some other duplicated content block for testing purposes here"),
+        (8, "some other duplicated content block for testing purposes here"),
+        (9, "completely different content about database engines and plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_dedup_report_runs_one_lsh_pass(spark, report_docs, monkeypatch):
+    """The composed report must compute MinHash/LSH candidates exactly
+    once and inject them downstream (the point of the pairs=/clusters=
+    parameters)."""
+    calls = {"n": 0}
+    orig = dedup.near_dup_candidates
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dedup, "near_dup_candidates", counting)
+    rows = dedup.dedup_report(report_docs, threshold=0.5).collect()
+    assert calls["n"] == 1
+    assert len(rows) == 6
+
+
+def test_dedup_report_values_match_standalone_ops(report_docs):
+    rep = {r["metric"]: r["value"] for r in
+           dedup.dedup_report(report_docs, threshold=0.5).collect()}
+    assert rep["n_docs"] == 6
+    clusters = dedup.near_dup_clusters(report_docs, threshold=0.5)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert rep["n_clusters"] == n_clusters
+    assert rep["n_removable"] == 6 - n_clusters
+    assert rep["n_verified_pairs"] == dedup.near_dup_pairs(
+        report_docs, threshold=0.5
+    ).count()
+    assert rep["n_candidate_pairs"] == dedup.near_dup_candidates(report_docs).count()
+    assert rep["max_degree"] >= 1
+
+
+def test_injected_clusters_match_recomputed(report_docs):
+    clusters = dedup.near_dup_clusters(report_docs, threshold=0.5)
+    via = dedup.cluster_keep_best(report_docs, threshold=0.5, clusters=clusters)
+    direct = dedup.cluster_keep_best(report_docs, threshold=0.5)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_injected_pairs_match_recomputed_profile(report_docs):
+    cand = dedup.near_dup_candidates(report_docs)
+    via = dedup.redundancy_profile(report_docs, pairs=cand)
+    direct = dedup.redundancy_profile(report_docs)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))

@@ -39,25 +39,24 @@ def test_driver_window_covers_unchecked_block():
     qs = list(E.queries())
     first50 = set(qs[:50])
     tier0 = {
-        # r6: the six never-driver-windowed queries (VERDICT r5 #4)
-        "cur_centroids", "mm_resize_plan", "mm_frame_sample",
-        "mm_audio_chunks", "stream_windowed", "stream_sliding",
-        # r6: the six r5 driver-red queries, re-fixed this round
-        "rel_funnel", "text_oov", "cur_token_budget",
-        "emb_pq_codes", "emb_quantize", "emb_normalize",
-        # r6 changed surface (string + 'ALL' sentinel)
-        "rel_cube",
-        # r6 new operators
-        "emb_outliers", "cur_quality_logistic", "sketch_bloom",
-        "cur_shard_shuffle", "text_novelty", "cur_chunk_dedup",
-        "emb_project", "stream_trending", "mm_batch_plan", "cur_source_report",
-        "rel_zorder", "sim_pq_recall", "dedup_minhash_audit", "dedup_redundancy",
-        "cur_mixture_plan", "sketch_kmv_merge", "cur_split_leakage",
-        "cur_pack_efficiency", "cur_snapshot_diff",
+        # r7 new operators (never driver-checked)
+        "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
+        "sketch_kmv_stream_replay", "stream_ewma_replay",
+        # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
+        "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
+        "dedup_clusters", "sim_bruteforce_topk", "sim_lsh_topk",
+        "sim_embedding_neardups",
+        # then the r3-vintage block — spot-check its corners; the full
+        # list lives in _rotate_for_driver_window
+        "fn_rot13", "flt_topic", "xf_new", "val_rec", "ddl_gen",
+        "rel_pricing_summary", "rel_asof", "snk_retention_plan",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[: len(tier0)]) == tier0
+    assert set(qs[:5]) == {
+        "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
+        "sketch_kmv_stream_replay", "stream_ewma_replay",
+    }
 
 
 def test_driver_window_prioritizes_unevidenced_queries():
