@@ -790,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_dup_span_frac"] = lambda spark, sf: dedup.dup_span_stats(
         _t(spark, sf, "documents"), n=8
     )
+    q["dedup_span_removal"] = lambda spark, sf: dedup.remove_duplicated_spans(
+        _t(spark, sf, "documents"), n=8
+    )
 
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
@@ -1377,6 +1380,7 @@ def _rotate_for_driver_window(
         "dedup_report",
         "dedup_exact_spans",
         "text_dup_span_frac",
+        "dedup_span_removal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
     ]
@@ -2033,6 +2037,34 @@ SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
              THEN COALESCE(p.dup_tokens, 0) / CAST(len(t.w) AS BIGINT)
              ELSE 0.0 END, 6) AS dup_frac
 FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id"""
+    )
+    # span REMOVAL: original-case tokens outside every duplicated span,
+    # rejoined in position order; blank/fully-clean docs keep '' /
+    # their full text (concat_ws of empty array == COALESCE '')
+    o["dedup_span_removal"] = (
+        _spans_prefix
+        + """,
+otoks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS wo
+  FROM documents),
+pos2 AS (
+  SELECT doc_id, unnest(wo) AS tok, unnest(range(1, len(wo) + 1)) AS p
+  FROM otoks WHERE len(wo) > 0),
+kept AS (
+  SELECT p2.doc_id, p2.tok, p2.p FROM pos2 p2
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p2.doc_id
+                      AND p2.p BETWEEN s.span_start AND s.span_end)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT o.doc_id, CAST(len(o.wo) AS BIGINT) AS n_tokens,
+  CAST(len(o.wo) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(a.clean_text, '') AS clean_text
+FROM otoks o LEFT JOIN agg a ON a.doc_id = o.doc_id"""
     )
 
     from hermod_spark.operators.dedup import SIMHASH_BITS

@@ -859,3 +859,62 @@ def dedup_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The actionable output of exact-span dedup: per-doc CLEANED text
+    with every token covered by a corpus-duplicated span removed
+    (plus removal accounting). Tokens are the original-case whitespace
+    tokens — span positions detected on the lowercased stream apply
+    1:1 because whitespace tokenization is case-stable.
+
+    Policy: aggressive removal (every covered occurrence goes).
+    Keep-one-copy is a SURVIVOR policy layered on top — pick a keeper
+    per duplicate content like `cluster_keep_best` does — not part of
+    the mechanical cut; a pipeline wanting it filters the span list
+    before injecting it via ``spans=``.
+
+    Scale: the span list aggregates to one array per AFFECTED doc
+    (spans per doc are few and merged-disjoint) before an id-keyed
+    left join back to the corpus; the token filter is a scan-side
+    higher-order function, O(tokens × spans_per_doc) per row, no
+    extra shuffle beyond `duplicated_spans` itself + the id join."""
+    from hermod_spark.functions.text import tokens
+
+    if spans is None:
+        spans = duplicated_spans(df, text_col, id_col, n=n, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens(F.col(text_col))
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+    )
+
+    def _covered(i: Column) -> Column:
+        # i is the 0-based lambda index; span positions are 1-based
+        return F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s.getField("span_start"))
+            & (i + 1 <= s.getField("span_end")),
+        )
+
+    kept = F.filter(toks, lambda t, i: ~_covered(i))
+    return joined.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

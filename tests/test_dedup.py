@@ -385,3 +385,36 @@ def test_injected_pairs_match_recomputed_profile(report_docs):
     via = dedup.redundancy_profile(report_docs, pairs=cand)
     direct = dedup.redundancy_profile(report_docs)
     assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_remove_duplicated_spans_cuts_covered_tokens(span_docs):
+    rows = {r["doc_id"]: r for r in
+            dedup.remove_duplicated_spans(span_docs, n=4).collect()}
+    # doc 1: tokens 3-6 removed, original case and order preserved
+    assert rows[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert rows[1]["n_removed"] == 4 and rows[1]["n_tokens"] == 10
+    # doc 3: both within-doc occurrences removed (aggressive policy)
+    assert rows[3]["clean_text"] == "p q r s junk1 junk2 tail1 tail2"
+    # clean docs untouched; blank doc -> empty string
+    assert rows[4]["n_removed"] == 0
+    assert rows[4]["clean_text"] == span_docs.collect()[3]["text"]
+    assert rows[6]["clean_text"] == "" and rows[6]["n_tokens"] == 0
+
+
+def test_remove_duplicated_spans_accepts_injected_spans(span_docs):
+    spans = dedup.duplicated_spans(span_docs, n=4)
+    via = dedup.remove_duplicated_spans(span_docs, n=4, spans=spans)
+    direct = dedup.remove_duplicated_spans(span_docs, n=4)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_remove_duplicated_spans_preserves_case(spark):
+    rows = [
+        (1, "Foo BAR one two three four Tail"),
+        (2, "x one two three four y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r["clean_text"] for r in
+           dedup.remove_duplicated_spans(df, n=4).collect()}
+    assert got[1] == "Foo BAR Tail"
+    assert got[2] == "x y"

@@ -41,7 +41,7 @@ def test_driver_window_covers_unchecked_block():
     tier0 = {
         # r7 new operators (never driver-checked)
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
-        "sketch_kmv_stream_replay", "stream_ewma_replay",
+        "dedup_span_removal", "sketch_kmv_stream_replay", "stream_ewma_replay",
         # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
         "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
         "dedup_clusters", "sim_bruteforce_topk", "sim_lsh_topk",
@@ -53,9 +53,9 @@ def test_driver_window_covers_unchecked_block():
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[:5]) == {
+    assert set(qs[:6]) == {
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
-        "sketch_kmv_stream_replay", "stream_ewma_replay",
+        "dedup_span_removal", "sketch_kmv_stream_replay", "stream_ewma_replay",
     }
 
 
