@@ -793,6 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_span_removal"] = lambda spark, sf: dedup.remove_duplicated_spans(
         _t(spark, sf, "documents"), n=8
     )
+    # keep-one-copy policy: each duplicated n-gram's corpus-first
+    # occurrence survives the cut
+    q["dedup_span_keep_one"] = lambda spark, sf: dedup.remove_duplicated_spans(
+        _t(spark, sf, "documents"), n=8, keep_first=True
+    )
 
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
@@ -1381,6 +1386,7 @@ def _rotate_for_driver_window(
         "dedup_exact_spans",
         "text_dup_span_frac",
         "dedup_span_removal",
+        "dedup_span_keep_one",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
     ]
@@ -1403,7 +1409,6 @@ def _rotate_for_driver_window(
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
         "rel_recent_events", "rel_semi_anti", "rel_asof",
         "rel_quantiles", "rel_seq_funnel", "rel_grouping_sets",
-        "snk_retention_plan",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -2001,8 +2006,8 @@ grams AS (
   SELECT doc_id, p,
          md5(array_to_string(w[p:p+{_SPAN_N}-1], ' ')) AS h FROM pos),
 cnts AS (
-  SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS cnt FROM grams),
-starts AS (SELECT doc_id, p FROM cnts WHERE cnt >= 2),
+  SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS cnt{{RANK}} FROM grams),
+starts AS (SELECT doc_id, p FROM cnts WHERE cnt >= 2{{FIRST}}),
 runs AS (
   SELECT doc_id, p,
     CASE WHEN lag(p) OVER w IS NULL
@@ -2018,6 +2023,15 @@ spans AS (
          CAST(MAX(p) + {_SPAN_N} - 1 AS BIGINT) AS span_end,
          CAST(MAX(p) + {_SPAN_N} - MIN(p) AS BIGINT) AS span_len
   FROM grp GROUP BY doc_id, rid)"""
+    # keep-all vs keep-one-copy prefixes: keep-one ranks occurrences by
+    # (doc_id, p) within each hash and exempts rank 1 (the corpus-first
+    # copy) from span-building — mirrors duplicated_spans(keep_first=)
+    _spans_keep_all = _spans_prefix.replace("{RANK}", "").replace("{FIRST}", "")
+    _spans_keep_one = _spans_prefix.replace(
+        "{RANK}",
+        ",\n         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn",
+    ).replace("{FIRST}", " AND rn > 1")
+    _spans_prefix = _spans_keep_all
     o["dedup_exact_spans"] = (
         _spans_prefix
         + """
@@ -2041,9 +2055,7 @@ FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id"""
     # span REMOVAL: original-case tokens outside every duplicated span,
     # rejoined in position order; blank/fully-clean docs keep '' /
     # their full text (concat_ws of empty array == COALESCE '')
-    o["dedup_span_removal"] = (
-        _spans_prefix
-        + """,
+    _removal_tail = """,
 otoks AS (
   SELECT doc_id,
     CASE WHEN length(trim(text)) = 0 THEN []
@@ -2065,7 +2077,8 @@ SELECT o.doc_id, CAST(len(o.wo) AS BIGINT) AS n_tokens,
   CAST(len(o.wo) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
   COALESCE(a.clean_text, '') AS clean_text
 FROM otoks o LEFT JOIN agg a ON a.doc_id = o.doc_id"""
-    )
+    o["dedup_span_removal"] = _spans_keep_all + _removal_tail
+    o["dedup_span_keep_one"] = _spans_keep_one + _removal_tail
 
     from hermod_spark.operators.dedup import SIMHASH_BITS
 

@@ -664,6 +664,7 @@ def duplicated_spans(
     *,
     n: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact duplicated-SPAN detection — the suffix-array dedup modality
     ("Deduplicating Training Data Makes Language Models Better", Lee et
@@ -716,13 +717,20 @@ def duplicated_spans(
     ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
 
     # corpus-wide occurrence count per n-gram: one exchange keyed by h
-    # (count-over-partition, no self-join)
+    # (count-over-partition, no self-join). keep_first additionally
+    # ranks occurrences by (doc_id, p) — same exchange, one extra
+    # in-partition sort — and drops each hash's corpus-FIRST occurrence
+    # from the duplicated-start set, so the spans built from what
+    # remains are exactly the REMOVABLE copies (keep-one-copy policy:
+    # the survivor is the lowest (doc_id, position) occurrence,
+    # deterministic in any engine).
     wh = Window.partitionBy("h")
-    starts = (
-        grams.withColumn("_cnt", F.count(F.lit(1)).over(wh))
-        .filter(F.col("_cnt") >= min_count)
-        .select(id_col, "p")
-    )
+    marked = grams.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+    if keep_first:
+        marked = marked.withColumn(
+            "_rn", F.row_number().over(wh.orderBy(id_col, "p"))
+        ).filter(F.col("_rn") > 1)
+    starts = marked.filter(F.col("_cnt") >= min_count).select(id_col, "p")
 
     # merge sorted equal-length intervals into maximal runs per doc
     wd = Window.partitionBy(id_col).orderBy("p")
@@ -868,6 +876,7 @@ def remove_duplicated_spans(
     *,
     n: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
     spans: DataFrame | None = None,
 ) -> DataFrame:
     """The actionable output of exact-span dedup: per-doc CLEANED text
@@ -876,11 +885,14 @@ def remove_duplicated_spans(
     tokens — span positions detected on the lowercased stream apply
     1:1 because whitespace tokenization is case-stable.
 
-    Policy: aggressive removal (every covered occurrence goes).
-    Keep-one-copy is a SURVIVOR policy layered on top — pick a keeper
-    per duplicate content like `cluster_keep_best` does — not part of
-    the mechanical cut; a pipeline wanting it filters the span list
-    before injecting it via ``spans=``.
+    Policy: ``keep_first=False`` is aggressive removal (every covered
+    occurrence goes); ``keep_first=True`` is keep-one-copy — each
+    duplicated n-gram's corpus-FIRST occurrence (lowest (doc_id,
+    position)) is exempt from span-building, so one copy survives the
+    cut. Keep-one is the "Deduplicating Training Data" production
+    policy; note a surviving first occurrence can still lose NEIGHBOR
+    tokens to some other hash's removable span — inherent to any
+    span-level cut, not to this implementation.
 
     Scale: the span list aggregates to one array per AFFECTED doc
     (spans per doc are few and merged-disjoint) before an id-keyed
@@ -890,7 +902,10 @@ def remove_duplicated_spans(
     from hermod_spark.functions.text import tokens
 
     if spans is None:
-        spans = duplicated_spans(df, text_col, id_col, n=n, min_count=min_count)
+        spans = duplicated_spans(
+            df, text_col, id_col, n=n, min_count=min_count,
+            keep_first=keep_first,
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

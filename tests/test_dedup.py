@@ -418,3 +418,33 @@ def test_remove_duplicated_spans_preserves_case(spark):
            dedup.remove_duplicated_spans(df, n=4).collect()}
     assert got[1] == "Foo BAR Tail"
     assert got[2] == "x y"
+
+
+def test_keep_one_policy_first_occurrence_survives(spark):
+    """keep_first=True: the corpus-first copy (lowest doc_id, position)
+    of a duplicated span is exempt; later copies are cut."""
+    rows = [
+        (1, "a b c d e f tail one"),
+        (2, "a b c d e f other two"),
+        (3, "prefix a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in
+           dedup.remove_duplicated_spans(df, n=4, keep_first=True).collect()}
+    # doc 1 holds every first occurrence -> untouched
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == "a b c d e f tail one"
+    # later copies lose the whole shared prefix
+    assert got[2]["clean_text"] == "other two"
+    assert got[3]["clean_text"] == "prefix"
+
+
+def test_keep_one_within_doc_repeat_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d x1 x2 x3 x4 x5 a b c d")], "doc_id INT, text STRING"
+    )
+    got = dedup.remove_duplicated_spans(df, n=4, keep_first=True).collect()[0]
+    assert got["clean_text"] == "a b c d x1 x2 x3 x4 x5"
+    # aggressive mode removes both copies
+    agg = dedup.remove_duplicated_spans(df, n=4).collect()[0]
+    assert agg["clean_text"] == "x1 x2 x3 x4 x5"
