@@ -799,6 +799,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), n=8, keep_first=True
     )
 
+    def cur_decontaminate_ngram(spark, sf):
+        """GPT-3-style exact 13-gram decontamination of the corpus
+        (doc_id >= 100) against the probe set (first 100 docs) — the
+        substring-granularity complement of cur_decontaminate_fuzzy
+        (LSH doc-level) and sketch_bloom (exact whole-doc)."""
+        d = _t(spark, sf, "documents")
+        return dedup.contamination_profile(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            n=13,
+        )
+
+    q["cur_decontaminate_ngram"] = cur_decontaminate_ngram
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1387,6 +1401,7 @@ def _rotate_for_driver_window(
         "text_dup_span_frac",
         "dedup_span_removal",
         "dedup_span_keep_one",
+        "cur_decontaminate_ngram",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
     ]
@@ -1408,7 +1423,7 @@ def _rotate_for_driver_window(
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
         "rel_recent_events", "rel_semi_anti", "rel_asof",
-        "rel_quantiles", "rel_seq_funnel", "rel_grouping_sets",
+        "rel_quantiles", "rel_seq_funnel",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -2079,6 +2094,44 @@ SELECT o.doc_id, CAST(len(o.wo) AS BIGINT) AS n_tokens,
 FROM otoks o LEFT JOIN agg a ON a.doc_id = o.doc_id"""
     o["dedup_span_removal"] = _spans_keep_all + _removal_tail
     o["dedup_span_keep_one"] = _spans_keep_one + _removal_tail
+
+    # 13-gram decontamination: probe (doc_id<100) n-gram hash set,
+    # corpus (>=100) hits, same run-merge, per-doc profile
+    _DECON_N = 13
+    o["cur_decontaminate_ngram"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_toks_sql('text')} AS w FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(w) - {_DECON_N} + 2)) AS p, w
+  FROM toks WHERE len(w) >= {_DECON_N}),
+grams AS (
+  SELECT doc_id, p,
+         md5(array_to_string(w[p:p+{_DECON_N}-1], ' ')) AS h FROM pos),
+hits AS (
+  SELECT doc_id, p FROM grams
+  WHERE doc_id >= 100
+    AND h IN (SELECT DISTINCT h FROM grams WHERE doc_id < 100)),
+runs AS (
+  SELECT doc_id, p,
+    CASE WHEN lag(p) OVER w IS NULL
+           OR p - lag(p) OVER w > {_DECON_N} THEN 1 ELSE 0 END AS new_run
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p,
+    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS rid
+  FROM runs),
+spans AS (
+  SELECT doc_id, CAST(MAX(p) + {_DECON_N} - MIN(p) AS BIGINT) AS span_len
+  FROM grp GROUP BY doc_id, rid),
+prof AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS overlap_tokens
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, p.n_spans,
+  p.overlap_tokens,
+  ROUND(p.overlap_tokens / CAST(len(t.w) AS BIGINT), 6) AS overlap_frac
+FROM prof p JOIN toks t ON t.doc_id = p.doc_id"""
 
     from hermod_spark.operators.dedup import SIMHASH_BITS
 

@@ -697,24 +697,7 @@ def duplicated_spans(
     """
     from hermod_spark.functions.text import tokens
 
-    toks = tokens(F.lower(F.col(text_col)))
-
-    def _grams(w: Column) -> Column:
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - n + 1),
-                lambda i: F.struct(
-                    i.alias("p"),
-                    F.md5(F.concat_ws(" ", F.slice(w, i, F.lit(n)))).alias("h"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
-
-    grams = df.select(
-        id_col,
-        F.explode(F.flatten(F.transform(F.array(toks), _grams))).alias("g"),
-    ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    grams = _ngram_positions(df, text_col, id_col, n)
 
     # corpus-wide occurrence count per n-gram: one exchange keyed by h
     # (count-over-partition, no self-join). keep_first additionally
@@ -731,8 +714,40 @@ def duplicated_spans(
             "_rn", F.row_number().over(wh.orderBy(id_col, "p"))
         ).filter(F.col("_rn") > 1)
     starts = marked.filter(F.col("_cnt") >= min_count).select(id_col, "p")
+    return _merge_start_runs(starts, id_col, n)
 
-    # merge sorted equal-length intervals into maximal runs per doc
+
+def _ngram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, p, h) frame of 1-based token n-gram start positions and
+    md5 hashes — the scan-side front end shared by exact-span dedup and
+    n-gram decontamination. Token array let-bound once; `sequence(1,0)`
+    counts DOWN in Spark, so the short-doc case is when-gated."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _grams(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice(w, i, F.lit(n)))).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+
+    return df.select(
+        id_col,
+        F.explode(F.flatten(F.transform(F.array(toks), _grams))).alias("g"),
+    ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+
+
+def _merge_start_runs(starts: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge sorted equal-length-n interval starts into maximal per-doc
+    spans (merge iff p ≤ prev + n): two windows keyed by id, one
+    exchange; output (id, span_start, span_end, span_len)."""
     wd = Window.partitionBy(id_col).orderBy("p")
     runs = starts.withColumn(
         "_new",
@@ -748,6 +763,73 @@ def duplicated_spans(
         (F.max("p") + n - 1).cast("long").alias("span_end"),
         (F.max("p") + n - F.min("p")).cast("long").alias("span_len"),
     ).drop("_rid")
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram decontamination, the GPT-3/PaLM "13-gram overlap"
+    modality: every maximal corpus span whose n-grams ALL appear in the
+    probe (benchmark) set, as (doc_id, span_start, span_end, span_len).
+    Complements `cross_contamination` (fuzzy LSH doc-level) and
+    `sketches.bloom_decontaminate` (exact whole-doc): this is substring
+    granularity with exact semantics — the form eval-suite hygiene
+    actually specifies. Feed the output into
+    `remove_duplicated_spans(spans=...)` to surgically cut benchmark
+    text out of training documents instead of dropping whole docs.
+
+    Scale: the probe side is benchmark-sized — its DISTINCT n-gram hash
+    set is broadcast into a semi-join against the scan-side corpus
+    n-gram stream, so the corpus is never shuffled for the match; the
+    only exchange is the per-doc run merge over matched STARTS (≪
+    tokens)."""
+    probe_hashes = (
+        _ngram_positions(probes, text_col, id_col, n).select("h").distinct()
+    )
+    hits = (
+        _ngram_positions(corpus, text_col, id_col, n)
+        .join(F.broadcast(probe_hashes), "h", "leftsemi")
+        .select(id_col, "p")
+    )
+    return _merge_start_runs(hits, id_col, n)
+
+
+def contamination_profile(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Per contaminated doc: span count, overlapping tokens, and the
+    contaminated-token fraction — the report a decontamination pass
+    acts on (drop above a threshold, surgically cut below it)."""
+    from hermod_spark.functions.text import tokens as _tokens
+
+    spans = contamination_spans(corpus, probes, text_col, id_col, n=n)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("overlap_tokens"),
+    )
+    base = corpus.select(
+        id_col,
+        F.size(_tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col).select(
+        id_col,
+        "n_tokens",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("overlap_tokens").cast("long").alias("overlap_tokens"),
+        F.round(F.col("overlap_tokens") / F.col("n_tokens"), 6).alias(
+            "overlap_frac"
+        ),
+    )
 
 
 def dup_span_stats(

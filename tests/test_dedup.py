@@ -448,3 +448,58 @@ def test_keep_one_within_doc_repeat_keeps_first(spark):
     # aggressive mode removes both copies
     agg = dedup.remove_duplicated_spans(df, n=4).collect()[0]
     assert agg["clean_text"] == "x1 x2 x3 x4 x5"
+
+
+# ----------------------------------------------------- ngram decontamination
+
+
+def test_contamination_spans_find_probe_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "intro words then the exact benchmark question text here and tail"),
+            (101, "totally unrelated corpus document with no overlap at all present"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    probes = spark.createDataFrame(
+        [(1, "the exact benchmark question text here and")],
+        "doc_id INT, text STRING",
+    )
+    spans = {(r["doc_id"], r["span_start"], r["span_end"]) for r in
+             dedup.contamination_spans(corpus, probes, n=7).collect()}
+    # probe is exactly one 7-gram; it sits at positions 4-10 of doc 100
+    assert spans == {(100, 4, 10)}
+
+
+def test_contamination_profile_and_surgical_removal(spark):
+    corpus = spark.createDataFrame(
+        [(100, "intro words then the exact benchmark question text here and tail")],
+        "doc_id INT, text STRING",
+    )
+    probes = spark.createDataFrame(
+        [(1, "the exact benchmark question text here and")],
+        "doc_id INT, text STRING",
+    )
+    prof = dedup.contamination_profile(corpus, probes, n=7).collect()
+    assert len(prof) == 1
+    r = prof[0]
+    assert r["n_tokens"] == 11 and r["overlap_tokens"] == 7 and r["n_spans"] == 1
+    # compose: cut the benchmark text out instead of dropping the doc
+    spans = dedup.contamination_spans(corpus, probes, n=7)
+    cleaned = dedup.remove_duplicated_spans(corpus, spans=spans).collect()[0]
+    assert cleaned["clean_text"] == "intro words then tail"
+    assert cleaned["n_removed"] == 7
+
+
+def test_contamination_probe_side_never_reported(spark):
+    """Only corpus docs appear; a probe doc identical to a corpus doc
+    contaminates it but is not itself a row."""
+    corpus = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l m n")], "doc_id INT, text STRING"
+    )
+    probes = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id INT, text STRING"
+    )
+    rows = dedup.contamination_profile(corpus, probes, n=13).collect()
+    assert [r["doc_id"] for r in rows] == [100]
+    assert rows[0]["overlap_frac"] == 1.0
