@@ -1071,6 +1071,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_queries=_N_QUERIES,
         codebooks=S.pq_random_codebooks(_EMB_DIM),
     )
+    # IVF+PQ composed (FAISS-IVFPQ shape): pinned first-8 centroids +
+    # seeded codebooks so the DuckDB oracle replays both models exactly
+    q["sim_ivfpq_topk"] = lambda spark, sf: S.ivfpq_topk(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_pinned_centroids(spark, sf),
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
     # threshold matches sim_embedding_neardups (random-ish synthetic
     # embeddings have no 0.95-cosine twins; 0.3 yields a real graph)
     q["emb_semantic_dedup"] = lambda spark, sf: S.semantic_dedup(
@@ -1402,6 +1413,7 @@ def _rotate_for_driver_window(
         "dedup_span_removal",
         "dedup_span_keep_one",
         "cur_decontaminate_ngram",
+        "sim_ivfpq_topk",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
     ]
@@ -1423,7 +1435,7 @@ def _rotate_for_driver_window(
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
         "rel_recent_events", "rel_semi_anti", "rel_asof",
-        "rel_quantiles", "rel_seq_funnel",
+        "rel_quantiles",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -2730,6 +2742,34 @@ scored AS (
         {_adc_term} * {_adc_term})))), 6) AS est_dist
   FROM enc CROSS JOIN q CROSS JOIN cb
   WHERE q.query_id != enc.vec_id)
+SELECT query_id, neighbor_id, est_dist,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY est_dist ASC, neighbor_id ASC) AS INT) AS rnk
+FROM scored QUALIFY rnk <= {_TOPK}
+ORDER BY query_id, rnk"""
+    # IVF+PQ composed: pinned first-8 coarse centroids (dot-product
+    # argmax, ties -> lowest id), seeded codebooks, queries ADC-score
+    # only their 2 nearest lists' codes
+    o["sim_ivfpq_topk"] = f"""
+WITH cb AS (SELECT {_b3} AS B),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+asg AS (SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY list_dot_product(v, cv) DESC, cent_id ASC) AS rn
+        FROM emb CROSS JOIN cent),
+enc AS (
+  SELECT a.vec_id, a.cent_id AS list_id, a.v AS e, {_codes} AS codes
+  FROM asg a, cb WHERE a.rn = 1),
+qp AS (SELECT vec_id AS query_id, v AS qe, cent_id AS list_id
+       FROM asg WHERE vec_id < {_N_QUERIES} AND rn <= 2),
+scored AS (
+  SELECT qp.query_id, enc.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_m + 1}), b ->
+      list_sum(list_transform(range(1, {_sd + 1}), t ->
+        {_adc_term} * {_adc_term})))), 6) AS est_dist
+  FROM enc JOIN qp USING (list_id) CROSS JOIN cb
+  WHERE qp.query_id != enc.vec_id)
 SELECT query_id, neighbor_id, est_dist,
   CAST(ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY est_dist ASC, neighbor_id ASC) AS INT) AS rnk

@@ -648,6 +648,24 @@ def _pq_codes_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     return "array(" + ", ".join(codes) + ")"
 
 
+def _adc_sql(
+    codebooks: list[list[list[float]]], q_sql: str, codes_sql: str
+) -> str:
+    """Asymmetric-distance SQL: Σ_b L2²(q subvector b, codeword of
+    code b) — shared by `pq_topk` and `ivfpq_topk`."""
+    sub = len(codebooks[0][0])
+    terms = []
+    for b, book in enumerate(codebooks):
+        book_arr = "array(" + ", ".join(_sql_darr(c) for c in book) + ")"
+        cw = f"element_at({book_arr}, element_at({codes_sql}, {b + 1}) + 1)"
+        terms.append(
+            f"aggregate(zip_with(slice({q_sql}, {b * sub + 1}, {sub}), {cw}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+    return " + ".join(terms)
+
+
 def pq_encode(vec: str, codebooks: list[list[list[float]]]) -> Column:
     """Vector column (by NAME) → array of m codes (argmin-L2 codeword
     per subspace, ties → lowest code). Pure literal-array map-side
@@ -723,20 +741,81 @@ def pq_topk(
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    terms = []
-    for b, book in enumerate(books):
-        book_arr = "array(" + ", ".join(_sql_darr(c) for c in book) + ")"
-        cw = f"element_at({book_arr}, element_at(codes, {b + 1}) + 1)"
-        terms.append(
-            f"aggregate(zip_with(slice(q_vec, {b * sub + 1}, {sub}), {cw}, "
-            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            f"0.0D, (acc, v) -> acc + v)"
-        )
-    est = F.expr(" + ".join(terms))
+    est = F.expr(_adc_sql(books, "q_vec", "codes"))
     # round BEFORE ranking (same convention as tfidf_top_terms): rank
     # order must not flap on a final-ulp double difference
     scored = (
         coded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("est_dist", F.round(est, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "est_dist", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the PRODUCTION ANN index shape (FAISS
+    IVFPQ): coarse-quantize the corpus into inverted lists, PQ-encode
+    each vector, then answer queries by ADC-scoring only the codes in
+    the query's ``n_probe`` nearest lists. This is the composition the
+    `pq_topk` docstring promises ("in production ADC runs inside each
+    IVF probe list").
+
+    Scale shape: both models (centroids: n_centroids×dim; codebooks:
+    m×n_codes×dim/m) are literals in the scan projection — assignment
+    and encoding are 0-shuffle map-side math; the probe join broadcasts
+    the exploded query side (n_queries × n_probe rows) against the
+    coded corpus partitioned by list; candidates per query =
+    corpus/n_centroids × n_probe — the 100 TB memory story, since only
+    CODES (m bytes/vector, not dim floats) flow through the join and
+    rank."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids_kmeans(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            embeddings, m, n_codes, id_col=id_col, vec_col=vec_col
+        )
+    )
+    base = ensure_min_partitions(embeddings)
+    coded = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign(vec_col, cents).alias("list_id"),
+        pq_encode(vec_col, books).alias("codes"),
+    )
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_lists(vec_col, cents, n_probe)).alias("list_id"),
+    )
+    est = F.expr(_adc_sql(books, "q_vec", "codes"))
+    scored = (
+        coded.join(F.broadcast(q), on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("est_dist", F.round(est, 6))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -385,3 +385,44 @@ def test_pq_recall_measurement_shape_and_truth(spark):
     truth = S.l2_brute_force_topk(emb, k=3, n_queries=2).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in truth)
     assert {r["query_id"] for r in truth} == {0, 1}
+
+
+def test_ivfpq_topk_matches_full_pq_on_probed_lists(spark):
+    """IVFPQ = PQ ADC restricted to the query's probed lists: every
+    (query, neighbor) pair IVFPQ returns must carry the exact same
+    est_dist plain pq_topk computes, and k rows per query."""
+    from hermod_spark.operators.similarity import (
+        centroids_of, ivfpq_topk, pq_random_codebooks, pq_topk,
+    )
+
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(4)])
+        for i in range(10)
+    ]
+    embeddings = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    books = pq_random_codebooks(4, m=4, n_codes=8)
+    cents = centroids_of(embeddings, 4)
+    got = ivfpq_topk(
+        embeddings, k=3, n_queries=4, n_centroids=4, n_probe=4,
+        m=4, n_codes=8, centroids=cents, codebooks=books,
+    ).collect()
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["est_dist"]
+        for r in pq_topk(
+            embeddings, k=10**6, n_queries=4, m=4, n_codes=8, codebooks=books
+        ).collect()
+    }
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert full[(r["query_id"], r["neighbor_id"])] == r["est_dist"]
+    assert all(len(v) == 3 for v in per_q.values())
+    # n_probe = n_centroids probes EVERY list -> identical to full PQ rank
+    full_rank = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in pq_topk(
+            embeddings, k=3, n_queries=4, m=4, n_codes=8, codebooks=books
+        ).collect()
+    }
+    for r in got:
+        assert full_rank[(r["query_id"], r["rnk"])] == r["neighbor_id"]
