@@ -1025,6 +1025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_gopher"] = lambda spark, sf: CUR.gopher_flags(
         _t(spark, sf, "documents")
     )
+    q["text_surprisal"] = lambda spark, sf: textops.unigram_surprisal(
+        _t(spark, sf, "documents"), vocab_size=100
+    )
     q["text_oov"] = lambda spark, sf: textops.oov_rate(
         _t(spark, sf, "documents"), vocab_size=20
     )
@@ -1414,6 +1417,7 @@ def _rotate_for_driver_window(
         "dedup_span_keep_one",
         "cur_decontaminate_ngram",
         "sim_ivfpq_topk",
+        "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
     ]
@@ -1435,7 +1439,6 @@ def _rotate_for_driver_window(
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
         "rel_recent_events", "rel_semi_anti", "rel_asof",
-        "rel_quantiles",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -2636,6 +2639,24 @@ SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
   CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
   ROUND(COALESCE(n_oov, 0) / CAST(greatest(COALESCE(n_tokens, 0), 1) AS DOUBLE), 6)
     AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)"""
+    # unigram surprisal (CCNet-style): MLE model from the corpus's own
+    # counts, OOV floor 1/total; per-token -ln(p) decimal-cast before
+    # the per-doc sum so the aggregate is order-independent
+    o["text_surprisal"] = f"""
+WITH tk AS (SELECT doc_id, unnest({toks3}) AS tok FROM documents),
+cnts AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM cnts),
+voc AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok ASC LIMIT 100),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(CAST(-ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE)
+                      / CAST(total AS DOUBLE))
+             AS DECIMAL(18,9))) AS DOUBLE) AS s
+  FROM tk t LEFT JOIN voc v USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  ROUND(COALESCE(s / n_tokens, 0.0), 6) AS mean_surprisal
 FROM documents d LEFT JOIN per USING (doc_id)"""
     pii_src = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR)"

@@ -772,6 +772,7 @@ def contamination_spans(
     id_col: str = "doc_id",
     *,
     n: int = 13,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Exact n-gram decontamination, the GPT-3/PaLM "13-gram overlap"
     modality: every maximal corpus span whose n-grams ALL appear in the
@@ -783,17 +784,24 @@ def contamination_spans(
     `remove_duplicated_spans(spans=...)` to surgically cut benchmark
     text out of training documents instead of dropping whole docs.
 
-    Scale: the probe side is benchmark-sized — its DISTINCT n-gram hash
-    set is broadcast into a semi-join against the scan-side corpus
-    n-gram stream, so the corpus is never shuffled for the match; the
-    only exchange is the per-doc run merge over matched STARTS (≪
-    tokens)."""
+    Scale: with ``broadcast_probes=True`` (benchmark-sized probe sets,
+    the decontamination case) the probes' DISTINCT n-gram hash set is
+    broadcast into a semi-join against the scan-side corpus n-gram
+    stream, so the corpus is never shuffled for the match; the only
+    exchange is the per-doc run merge over matched STARTS (≪ tokens).
+    ``broadcast_probes=False`` is the INCREMENTAL-CRAWL case — "which
+    spans of the NEW crawl already exist in the stored corpus" — where
+    the probe side is itself corpus-sized: the semi-join becomes a
+    hash-shuffle on the n-gram key (the same inherent exchange as
+    `duplicated_spans`), never a broadcast OOM."""
     probe_hashes = (
         _ngram_positions(probes, text_col, id_col, n).select("h").distinct()
     )
+    if broadcast_probes:
+        probe_hashes = F.broadcast(probe_hashes)
     hits = (
         _ngram_positions(corpus, text_col, id_col, n)
-        .join(F.broadcast(probe_hashes), "h", "leftsemi")
+        .join(probe_hashes, "h", "leftsemi")
         .select(id_col, "p")
     )
     return _merge_start_runs(hits, id_col, n)
@@ -806,13 +814,17 @@ def contamination_profile(
     id_col: str = "doc_id",
     *,
     n: int = 13,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Per contaminated doc: span count, overlapping tokens, and the
     contaminated-token fraction — the report a decontamination pass
     acts on (drop above a threshold, surgically cut below it)."""
     from hermod_spark.functions.text import tokens as _tokens
 
-    spans = contamination_spans(corpus, probes, text_col, id_col, n=n)
+    spans = contamination_spans(
+        corpus, probes, text_col, id_col, n=n,
+        broadcast_probes=broadcast_probes,
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("overlap_tokens"),

@@ -679,3 +679,69 @@ def doc_char_entropy(
     return df.select(
         id_col, F.round(X.char_entropy(text_col), 6).alias("char_entropy")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    unigram SURPRISAL (nats/token) under the corpus's own MLE unigram
+    model — the cheap stand-in for the KenLM-perplexity filter every
+    large text-curation pipeline runs (low surprisal = formulaic/
+    boilerplate, high = rare-token noise; the useful mass sits in the
+    middle). Vocabulary = top-``vocab_size`` tokens (ties → token asc,
+    the `oov_rate` convention); OOV tokens get the 1/total floor.
+
+    Float determinism: each token's surprisal −ln(cnt/total) is cast
+    to DECIMAL(18,9) BEFORE the per-doc sum (the `emb_class_stats`
+    pattern), so the aggregate is exact and independent of row order /
+    partitioning; only then divided and rounded.
+
+    Scale shape: count agg (map-side combined, one shuffle on tokens)
+    → top-V as TakeOrderedAndProject → broadcast back; the total is a
+    lazy 1-row agg cross-joined in. The per-doc pass is broadcast-join
+    + one groupBy(doc) — the corpus never shuffles for the model."""
+    from hermod_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    surp = (
+        -F.log(
+            F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+            / F.col("_total").cast("double")
+        )
+    ).cast("decimal(18,9)")
+    agg = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum(F.when(F.col("tok").isNotNull(), surp)).alias("_s"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.coalesce(
+                F.col("_s").cast("double") / F.col("n_tokens"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_surprisal"),
+    )

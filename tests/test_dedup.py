@@ -503,3 +503,30 @@ def test_contamination_probe_side_never_reported(spark):
     rows = dedup.contamination_profile(corpus, probes, n=13).collect()
     assert [r["doc_id"] for r in rows] == [100]
     assert rows[0]["overlap_frac"] == 1.0
+
+
+def test_contamination_shuffle_path_matches_broadcast(spark):
+    """broadcast_probes=False (the incremental-crawl shape) must return
+    byte-identical results via the hash-shuffle semi-join."""
+    corpus = spark.createDataFrame(
+        [
+            (100, "intro words then the exact benchmark question text here and tail"),
+            (101, "clean document with nothing shared at all in any way present"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    probes = spark.createDataFrame(
+        [(1, "the exact benchmark question text here and")],
+        "doc_id INT, text STRING",
+    )
+    b = dedup.contamination_spans(corpus, probes, n=7)
+    s = dedup.contamination_spans(corpus, probes, n=7, broadcast_probes=False)
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
+    # the INITIAL plan (what a 100 TB probe side would execute) carries
+    # no broadcast for the match; AQE may still downgrade to broadcast
+    # at runtime when the actual probe side is tiny — that's the point
+    # of leaving the choice to AQE instead of forcing the hint
+    plan = s._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    bplan = b._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in bplan

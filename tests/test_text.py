@@ -551,3 +551,38 @@ def test_char_entropy_orders_gibberish_above_spam(spark):
     )
     rows = {r["doc_id"]: r["char_entropy"] for r in textops.doc_char_entropy(df).collect()}
     assert rows[1] < rows[2] < rows[3]
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    """Docs made of rare tokens must score higher surprisal than docs
+    of corpus-dominant tokens; OOV floor applies to singletons beyond
+    the vocab; blank docs -> 0.0."""
+    from hermod_spark.operators.textops import unigram_surprisal
+
+    rows = (
+        [(i, "common common common common") for i in range(10)]
+        + [(100, "zzyzx qwfp vexing glyphs"), (101, "   ")]
+    )
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in unigram_surprisal(df, vocab_size=2).collect()}
+    assert got[101]["n_tokens"] == 0 and got[101]["mean_surprisal"] == 0.0
+    assert got[0]["mean_surprisal"] < got[100]["mean_surprisal"]
+    # common doc: p = 40/44 -> -ln(40/44) per token
+    import math
+    exp = round(-math.log(40.0 / 44.0), 6)
+    assert abs(got[0]["mean_surprisal"] - exp) < 2e-6
+    # rare doc: every token OOV (vocab=2 holds only 'common' + 1 more)
+    # -> at least one token at the 1/total floor
+    assert got[100]["mean_surprisal"] >= round(-math.log(2.0 / 44.0), 6) - 2e-6
+
+
+def test_unigram_surprisal_partition_invariant(spark):
+    """Decimal-cast per-token sums: the result must be identical under
+    any repartitioning (the order-independence claim)."""
+    from hermod_spark.operators.textops import unigram_surprisal
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared word here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    a = sorted(map(tuple, unigram_surprisal(df, 5).collect()))
+    b = sorted(map(tuple, unigram_surprisal(df.repartition(13), 5).collect()))
+    assert a == b
