@@ -76,6 +76,9 @@ BASELINE = {
     # under half the standalone trio's summed baselines (5.9s)
     "dedup_exact_spans": 1.322, "dedup_report": 2.84,
     "stream_ewma_replay": 2.409,
+    "cur_decontaminate_ngram": 1.365, "sim_ivfpq_topk": 1.742,
+    "text_surprisal": 0.555, "dedup_span_removal": 0.361,
+    "dedup_span_keep_one": 0.351,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -140,6 +143,11 @@ HEADLINE = [
     "dedup_exact_spans",
     "dedup_report",
     "stream_ewma_replay",
+    "cur_decontaminate_ngram",
+    "sim_ivfpq_topk",
+    "text_surprisal",
+    "dedup_span_removal",
+    "dedup_span_keep_one",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

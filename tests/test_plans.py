@@ -220,3 +220,52 @@ def test_class_outliers_stays_jvm_side_with_broadcast_models(spark):
     assert count(r"EvalPython", plan) == 0
     assert count(r"BroadcastExchange|BroadcastHashJoin", plan) >= 2
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_exact_spans_single_scan_no_join(spark):
+    """Exact-span dedup: ONE corpus scan, the ngram-hash window + the
+    doc-keyed merge (2 hash exchanges), no join node, no Python, no
+    global sort."""
+    plan = plan_of(spark, "dedup_exact_spans")
+    assert count(r"FileScan", plan) == 1
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"Exchange rangepartitioning", plan) == 0
+    assert count(r"Join", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_ngram_decontamination_broadcasts_probe_hashes(spark):
+    """13-gram decontamination: the probe hash set broadcasts (the
+    corpus is never shuffled for the match); no cartesian, no Python."""
+    plan = plan_of(spark, "cur_decontaminate_ngram")
+    assert "CartesianProduct" not in plan
+    assert count(r"BroadcastExchange", plan) >= 1
+    assert count(r"BroadcastHashJoin.*LeftSemi|LeftSemi.*BroadcastHashJoin", plan) >= 1
+    assert count(r"EvalPython", plan) == 0
+
+
+def test_ivfpq_broadcasts_queries_and_stays_jvm_side(spark):
+    """IVF+PQ: probe side broadcast, assignment+encoding in the scan
+    projection (no extra exchange before the probe join), no Python."""
+    plan = plan_of(spark, "sim_ivfpq_topk")
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert "CartesianProduct" not in plan
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_stateful_replays_single_explicit_exchange(spark):
+    """Replays: exactly the one key-hash exchange feeding
+    FlatMapGroupsInPandas — the explicit repartition satisfies the
+    grouping distribution, so no second exchange appears."""
+    for name in ("sketch_kmv_stream_replay", "stream_ewma_replay"):
+        plan = plan_of(spark, name)
+        assert count(r"FlatMapGroupsInPandas", plan) == 1, name
+        assert count(r"Exchange hashpartitioning", plan) == 1, name
+
+
+def test_surprisal_model_broadcasts_corpus_never_shuffles_for_join(spark):
+    plan = plan_of(spark, "text_surprisal")
+    assert count(r"BroadcastExchange", plan) >= 2  # vocab + total
+    assert count(r"TakeOrderedAndProject", plan) >= 1  # top-V vocab
+    assert count(r"EvalPython", plan) == 0
