@@ -813,6 +813,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_decontaminate_ngram"] = cur_decontaminate_ngram
 
+    def cur_funnel(spark, sf):
+        """End-to-end per-source curation funnel: quality -> 13-gram
+        decontamination -> exact dedup, survivor counts per stage;
+        corpus = doc_id >= 100, probes = first 100 docs."""
+        d = _t(spark, sf, "documents")
+        return CUR.curation_funnel(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            n=13,
+        )
+
+    q["cur_funnel"] = cur_funnel
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1416,6 +1429,7 @@ def _rotate_for_driver_window(
         "dedup_span_removal",
         "dedup_span_keep_one",
         "cur_decontaminate_ngram",
+        "cur_funnel",
         "sim_ivfpq_topk",
         "text_surprisal",
         "sketch_kmv_stream_replay",
@@ -1438,7 +1452,7 @@ def _rotate_for_driver_window(
         "ddl_gen", "ddl_merge", "snk_dryrun", "rel_pricing_summary",
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
-        "rel_recent_events", "rel_semi_anti", "rel_asof",
+        "rel_recent_events", "rel_semi_anti",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -2993,6 +3007,58 @@ SELECT doc_id, n_words,
   (-1.0 + 2.5 * wsat + 0.2 * ml + 3.0 * sf + (-8.0) * sr + (-2.0) * dr) > 0
     AS keep
 FROM s"""
+
+    # end-to-end funnel: the SAME quality keep expression, corpus-side
+    # only (doc_id >= 100), then 13-gram contamination drop (any probe
+    # overlap), then md5 exact-dedup survivor; per-source stage counts
+    o["cur_funnel"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {toks3} AS tk, {sym_sql} AS nsym,
+    {dig_sql} AS ndig, length(text) AS nchr
+  FROM documents WHERE doc_id >= 100),
+s AS (
+  SELECT doc_id, source, text,
+    CAST(least(len(tk), 256) AS DOUBLE) / 256.0 AS wsat,
+    ROUND(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS ml,
+    ROUND(len(list_filter(list_distinct(tk), x -> list_contains({sw_arr}, x)))
+          / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sf,
+    ROUND(nsym / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS sr,
+    ROUND(ndig / CAST(greatest(nchr, 1) AS DOUBLE), 6) AS dr
+  FROM t),
+kq AS (
+  SELECT doc_id, source, text FROM s
+  WHERE (-1.0 + 2.5 * wsat + 0.2 * ml + 3.0 * sf + (-8.0) * sr
+         + (-2.0) * dr) > 0),
+gt AS (
+  SELECT doc_id, {toks3} AS w FROM documents),
+grams AS (
+  SELECT doc_id, md5(array_to_string(w[p:p+12], ' ')) AS h
+  FROM (SELECT doc_id, unnest(range(1, len(w) - 13 + 2)) AS p, w
+        FROM gt WHERE len(w) >= 13)),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id >= 100
+    AND h IN (SELECT DISTINCT h FROM grams WHERE doc_id < 100)),
+kd AS (SELECT * FROM kq WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+uniq AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kd) WHERE rn = 1)
+SELECT r.source,
+  CAST(COUNT(*) AS BIGINT) AS n_raw,
+  CAST(COALESCE(MAX(q.n), 0) AS BIGINT) AS n_quality,
+  CAST(COALESCE(MAX(d.n), 0) AS BIGINT) AS n_decontaminated,
+  CAST(COALESCE(MAX(u.n), 0) AS BIGINT) AS n_unique
+FROM (SELECT source FROM documents WHERE doc_id >= 100) r
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM kq GROUP BY source) q
+  ON q.source = r.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM kd GROUP BY source) d
+  ON d.source = r.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM uniq GROUP BY source) u
+  ON u.source = r.source
+GROUP BY r.source"""
 
     # bloom: same affine family as count-min (first 3 rows), m=4096;
     # key = md5(text), base = md5(key) re-hash exactly as _cm_base does

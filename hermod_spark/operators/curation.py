@@ -932,3 +932,73 @@ def dedup_keep_best(
         .filter(F.col("_rn") == 1)
         .select(id_col, F.round("_q", 6).alias("quality"), "n_dups")
     )
+
+
+def curation_funnel(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """End-to-end curation FUNNEL: per-source survivor counts through
+    the three gates every pretraining-data run chains — quality
+    classifier → exact n-gram benchmark decontamination → exact dedup —
+    as ONE composed lazy plan. This is the report a curation run is
+    judged by ("how much did each stage cost this source?"), and the
+    executable proof that the stage operators compose: each stage is
+    the library operator, not a re-implementation.
+
+    Returns (source, n_raw, n_quality, n_decontaminated, n_unique),
+    each count ≤ the previous — all BIGINT, hash-stable.
+
+    Scale shape: quality is a scan-side projection; contamination ids
+    come from the broadcast probe-hash semi-join (doc ids only, no run
+    merge needed for a drop decision); dedup is one md5-key window.
+    The four per-source aggregates reuse the same filtered lineage —
+    Spark evaluates them as one job tree with no collects."""
+    from pyspark.sql import Window
+
+    from hermod_spark.operators.dedup import _ngram_positions
+
+    q = quality_logistic(
+        corpus, text_col, id_col, passthrough=(source_col, text_col)
+    )
+    probe_hashes = (
+        _ngram_positions(probes, text_col, id_col, n).select("h").distinct()
+    )
+    contaminated = (
+        _ngram_positions(corpus, text_col, id_col, n)
+        .join(F.broadcast(probe_hashes), "h", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    kept_q = q.filter(F.col("keep"))
+    kept_d = kept_q.join(contaminated, id_col, "left_anti")
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    unique = (
+        kept_d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+
+    def _cnt(frame: DataFrame, name: str) -> DataFrame:
+        return frame.groupBy(F.col(source_col)).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    out = (
+        _cnt(corpus, "n_raw")
+        .join(_cnt(kept_q, "n_quality"), source_col, "left")
+        .join(_cnt(kept_d, "n_decontaminated"), source_col, "left")
+        .join(_cnt(unique, "n_unique"), source_col, "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        source_col,
+        "n_raw",
+        F.coalesce("n_quality", zero).alias("n_quality"),
+        F.coalesce("n_decontaminated", zero).alias("n_decontaminated"),
+        F.coalesce("n_unique", zero).alias("n_unique"),
+    )

@@ -558,3 +558,38 @@ def test_dedup_keep_best_tiebreaks_on_min_id(spark):
     )
     rows = curation.dedup_keep_best(df).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 5 and rows[0]["n_dups"] == 3
+
+
+def test_curation_funnel_stage_monotone_and_correct(spark):
+    """Each stage count <= the previous; quality drops the junk doc,
+    decontamination drops the probe-overlapping doc, dedup collapses
+    the exact pair."""
+    from hermod_spark.operators.curation import curation_funnel
+
+    good = ("this is a perfectly reasonable document with plenty of the "
+            "usual common english words that the classifier likes to see "
+            "and it keeps going for a while longer")
+    corpus = spark.createDataFrame(
+        [
+            (100, good + " one", "web"),
+            (101, "$$$ ### @@@ !!! %%% ^^^ &&& *** ((( )))", "web"),  # junk
+            (102, good + " two " + " ".join(f"p{i}" for i in range(13)), "web"),
+            (103, good + " three", "books"),
+            (104, good + " three", "books"),  # exact dup of 103
+        ],
+        "doc_id INT, text STRING, source STRING",
+    )
+    probes = spark.createDataFrame(
+        [(1, " ".join(f"p{i}" for i in range(13)), "bench")],
+        "doc_id INT, text STRING, source STRING",
+    )
+    got = {r["source"]: r for r in
+           curation_funnel(corpus, probes, n=13).collect()}
+    web, books = got["web"], got["books"]
+    assert web["n_raw"] == 3 and web["n_quality"] == 2
+    assert web["n_decontaminated"] == 1 and web["n_unique"] == 1
+    assert books["n_raw"] == 2 and books["n_quality"] == 2
+    assert books["n_decontaminated"] == 2 and books["n_unique"] == 1
+    for r in got.values():
+        assert (r["n_raw"] >= r["n_quality"] >= r["n_decontaminated"]
+                >= r["n_unique"])
