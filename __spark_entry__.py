@@ -826,6 +826,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_funnel"] = cur_funnel
 
+    def cur_decon_ngram_bloom(spark, sf):
+        """Streaming-shaped 13-gram Bloom decontamination: probe n-gram
+        bits broadcast, per-doc scan-side membership (no shuffle), the
+        exact leg auditing false positives."""
+        from hermod_spark.operators.sketches import ngram_bloom_decontaminate
+
+        d = _t(spark, sf, "documents")
+        return ngram_bloom_decontaminate(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            n=13,
+        )
+
+    q["cur_decon_ngram_bloom"] = cur_decon_ngram_bloom
+
     # --- similarity search --------------------------------------------
     q["sim_bruteforce_topk"] = lambda spark, sf: S.brute_force_topk(
         _t(spark, sf, "embeddings"), k=_TOPK, n_queries=_N_QUERIES
@@ -1430,6 +1445,7 @@ def _rotate_for_driver_window(
         "dedup_span_keep_one",
         "cur_decontaminate_ngram",
         "cur_funnel",
+        "cur_decon_ngram_bloom",
         "sim_ivfpq_topk",
         "text_surprisal",
         "sketch_kmv_stream_replay",
@@ -1452,7 +1468,7 @@ def _rotate_for_driver_window(
         "ddl_gen", "ddl_merge", "snk_dryrun", "rel_pricing_summary",
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
-        "rel_recent_events", "rel_semi_anti",
+        "rel_recent_events",
     ]
     tier0 = [k for k in [*new_in_r7, *stale_r2, *stale_r3] if k in q]
     # tier1: everything else, ROTATED by the round number so each
@@ -3083,6 +3099,43 @@ SELECT doc_id, bloom_hit,
   (k IN (SELECT k FROM pk)) AS exact_hit,
   (bloom_hit AND k NOT IN (SELECT k FROM pk)) AS false_positive
 FROM hit"""
+
+    # ngram-level bloom decontamination: same affine family, m=65536,
+    # key = the 13-gram md5, base = md5(key) re-hash; hits counted per
+    # gram OCCURRENCE (position, not distinct hash) to match the
+    # scan-side array filter
+    _bh = "CAST(CAST(('0x' || substring(md5(h), 1, 8)) AS UBIGINT) AS BIGINT)"
+    o["cur_decon_ngram_bloom"] = f"""
+WITH c(i, a, b) AS (VALUES {bloom_consts}),
+toks AS (SELECT doc_id, {_toks_sql('text')} AS w FROM documents),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(w[p:p+12], ' ')) AS h
+  FROM (SELECT doc_id, unnest(range(1, len(w) - 13 + 2)) AS p, w
+        FROM toks WHERE len(w) >= 13)),
+ph AS (SELECT DISTINCT h FROM grams WHERE doc_id < 100),
+bits AS (
+  SELECT DISTINCT ((c.a * {_bh} + c.b) % {CM_P}) % 65536 AS pos
+  FROM ph CROSS JOIN c),
+cg AS (SELECT doc_id, p, h FROM grams WHERE doc_id >= 100),
+gh AS (
+  SELECT doc_id, p,
+    BOOL_AND(((c.a * {_bh} + c.b) % {CM_P}) % 65536
+             IN (SELECT pos FROM bits)) AS hit
+  FROM cg CROSS JOIN c GROUP BY doc_id, p),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+  FROM gh GROUP BY doc_id),
+ex AS (SELECT DISTINCT doc_id FROM cg WHERE h IN (SELECT h FROM ph))
+SELECT d.doc_id,
+  COALESCE(per.n_grams, 0) AS n_grams,
+  COALESCE(per.n_bloom_hits, 0) AS n_bloom_hits,
+  COALESCE(per.n_bloom_hits, 0) > 0 AS bloom_contaminated,
+  (d.doc_id IN (SELECT doc_id FROM ex)) AS exact_contaminated,
+  (COALESCE(per.n_bloom_hits, 0) > 0
+   AND d.doc_id NOT IN (SELECT doc_id FROM ex)) AS false_positive
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+LEFT JOIN per ON per.doc_id = d.doc_id"""
 
     o["cur_shard_shuffle"] = """
 WITH h AS (

@@ -744,6 +744,27 @@ def _ngram_positions(
     ).select(id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h"))
 
 
+def ngram_hash_array(text_col: str, n: int) -> Column:
+    """Scan-side ARRAY of a doc's token n-gram md5 hashes (no explode,
+    no positions) — the form a STATELESS streaming stage can consume:
+    membership tests over it are per-row higher-order functions, zero
+    shuffle. Token array let-bound once; short docs yield []."""
+    from hermod_spark.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _hashes(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, F.lit(n)))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(toks), _hashes))
+
+
 def _merge_start_runs(starts: DataFrame, id_col: str, n: int) -> DataFrame:
     """Merge sorted equal-length-n interval starts into maximal per-doc
     spans (merge iff p ≤ prev + n): two windows keyed by id, one

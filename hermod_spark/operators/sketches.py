@@ -338,3 +338,66 @@ def kmv_merge_check(
             (F.col("merged_est") == F.col("direct_est")).alias("merge_exact"),
         )
     )
+
+
+def ngram_bloom_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    k: int = 3,
+    m: int = 65536,
+) -> DataFrame:
+    """SUBSTRING-granularity Bloom decontamination — the streaming face
+    of `dedup.contamination_spans`: the probe set's n-gram hashes are
+    folded once into ≤m bits, and a corpus/stream document is flagged
+    when ANY of its n-grams bloom-hits. No false negatives (every true
+    13-gram overlap is caught); false positives bounded by m and
+    audited here via the exact semi-join leg.
+
+    Stateless by construction: the bloom leg is one per-row
+    higher-order expression over the doc's scan-side n-gram hash array
+    (`dedup.ngram_hash_array`) against a broadcast bit set — zero
+    shuffle, zero state — so the same expression drops contaminated
+    docs inside a `readStream` plan, where the exact join (which needs
+    the probe table) cannot run. Output per doc: n-gram count, bloom
+    hit count, the bloom flag, the exact flag, and the FP flag."""
+    from hermod_spark.operators.dedup import _ngram_positions, ngram_hash_array
+
+    probe_h = _ngram_positions(probes, text_col, id_col, n).select("h")
+    bits = bloom_build(probe_h, "h", k, m).agg(
+        F.array_sort(F.collect_list("pos")).alias("_bits")
+    )
+    exact_ids = (
+        _ngram_positions(corpus, text_col, id_col, n)
+        .join(F.broadcast(probe_h.distinct()), "h", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    grams = ngram_hash_array(text_col, n)
+    scored = corpus.select(F.col(id_col), grams.alias("_g")).crossJoin(
+        F.broadcast(bits)
+    )
+    hit = lambda h: F.forall(  # noqa: E731
+        bloom_positions(h, k, m), lambda p: F.array_contains(F.col("_bits"), p)
+    )
+    n_hits = F.size(F.filter(F.col("_g"), hit))
+    out = scored.select(
+        id_col,
+        F.size("_g").cast("long").alias("n_grams"),
+        n_hits.cast("long").alias("n_bloom_hits"),
+        (n_hits > 0).alias("bloom_contaminated"),
+    ).join(F.broadcast(exact_ids), id_col, "left")
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_bloom_hits",
+        "bloom_contaminated",
+        F.coalesce("_exact", F.lit(False)).alias("exact_contaminated"),
+        (
+            F.col("bloom_contaminated")
+            & ~F.coalesce("_exact", F.lit(False))
+        ).alias("false_positive"),
+    )

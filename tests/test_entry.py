@@ -42,8 +42,8 @@ def test_driver_window_covers_unchecked_block():
         # r7 new operators (never driver-checked)
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
         "dedup_span_removal", "dedup_span_keep_one",
-        "cur_decontaminate_ngram", "cur_funnel", "sim_ivfpq_topk",
-        "text_surprisal",
+        "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
+        "sim_ivfpq_topk", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
         # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
         "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
@@ -52,15 +52,15 @@ def test_driver_window_covers_unchecked_block():
         # then the r3-vintage block — spot-check its corners; the full
         # list lives in _rotate_for_driver_window
         "fn_rot13", "flt_topic", "xf_new", "val_rec", "ddl_gen",
-        "rel_pricing_summary", "rel_semi_anti",
+        "rel_pricing_summary", "rel_recent_events",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[:11]) == {
+    assert set(qs[:12]) == {
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
         "dedup_span_removal", "dedup_span_keep_one",
-        "cur_decontaminate_ngram", "cur_funnel", "sim_ivfpq_topk",
-        "text_surprisal",
+        "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
+        "sim_ivfpq_topk", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
     }
 

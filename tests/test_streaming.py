@@ -572,3 +572,74 @@ def test_curation_ingest_pipeline_composes_on_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_ngram_bloom_decontaminate_stream_parity(spark, tmp_path):
+    """The bloom leg is stateless scan-side math — the SAME flags must
+    come out of a readStream plan as out of the batch run (no false
+    negatives either way)."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.dedup import ngram_hash_array
+    from hermod_spark.operators.sketches import (
+        bloom_build, bloom_positions, ngram_bloom_decontaminate,
+    )
+    from hermod_spark.sources.messages import message_stream
+
+    probe_text = " ".join(f"q{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            (100, "padding words before " + probe_text + " after"),
+            (101, " ".join(f"c{i}" for i in range(20))),
+        ],
+        "doc_id INT, text STRING",
+    )
+    probes = spark.createDataFrame([(1, probe_text)], "doc_id INT, text STRING")
+    batch = {r["doc_id"]: r for r in
+             ngram_bloom_decontaminate(corpus, probes, n=13).collect()}
+    assert batch[100]["bloom_contaminated"] and batch[100]["exact_contaminated"]
+    assert not batch[101]["exact_contaminated"]
+
+    # streaming leg: collect the bit set once (driver-side model), then
+    # apply the same scan-side expression inside a file stream
+    bits = (
+        bloom_build(
+            probes.select(ngram_hash_array("text", 13).alias("_g"))
+            .select(F.explode("_g").alias("h")), "h", 3, 65536
+        )
+        .agg(F.array_sort(F.collect_list("pos")).alias("_bits"))
+        .first()["_bits"]
+    )
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream = message_stream(spark, src, schema=corpus.schema)
+    bits_col = F.array(*[F.lit(int(b)) for b in bits])
+    flagged = stream.select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(
+                    ngram_hash_array("text", 13),
+                    lambda h: F.forall(
+                        bloom_positions(h, 3, 65536),
+                        lambda p: F.array_contains(bits_col, p),
+                    ),
+                )
+            )
+            > 0
+        ).alias("bloom_contaminated"),
+    )
+    import uuid
+
+    sink = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r["bloom_contaminated"]
+               for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    finally:
+        q.stop()
+    assert got == {d: batch[d]["bloom_contaminated"] for d in got}
