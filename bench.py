@@ -167,6 +167,8 @@ SCALE10X = [
     # ngram shuffle
     "dedup_clusters", "dedup_cluster_keep_best",
     "cur_decontaminate_fuzzy", "dedup_redundancy", "dedup_exact_spans",
+    # late-r7: the composed funnel and the streaming-shaped ngram bloom
+    "cur_funnel", "cur_decon_ngram_bloom",
 ]
 
 
@@ -232,7 +234,10 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     from hermod_spark.operators import curation as CUR
     from hermod_spark.operators import dedup
     from hermod_spark.operators import relational as R
-    from hermod_spark.operators.sketches import bloom_decontaminate
+    from hermod_spark.operators.sketches import (
+        bloom_decontaminate,
+        ngram_bloom_decontaminate,
+    )
 
     def _bloom10(docs):
         return bloom_decontaminate(
@@ -273,6 +278,16 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         ),
         "dedup_redundancy": lambda: dedup.redundancy_profile(docs10),
         "dedup_exact_spans": lambda: dedup.duplicated_spans(docs10, n=8),
+        "cur_funnel": lambda: CUR.curation_funnel(
+            docs10.filter(F.col("doc_id") >= 100),
+            docs10.filter(F.col("doc_id") < 100),
+            n=13,
+        ),
+        "cur_decon_ngram_bloom": lambda: ngram_bloom_decontaminate(
+            docs10.filter(F.col("doc_id") >= 100),
+            docs10.filter(F.col("doc_id") < 100),
+            n=13,
+        ),
     }
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
