@@ -1357,6 +1357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_queries=_N_QUERIES,
         codebooks=S.pq_random_codebooks(_EMB_DIM),
     )
+    # LSH recall MEASUREMENT (vs exact cosine truth) with the same
+    # seeded hyperplanes sim_lsh_topk serves — the number n_planes is
+    # tuned by; oracle value-checks the recall itself
+    q["sim_lsh_recall"] = lambda spark, sf: S.lsh_recall_check(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_planes=4,
+        dim=_EMB_DIM,
+    )
     # MinHash estimate-vs-exact audit (adjacent pairs as the candidate
     # stand-in) — the measurement that justifies the banding params
     q["dedup_minhash_audit"] = lambda spark, sf: dedup.minhash_estimate_audit(
@@ -1382,6 +1392,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sketch_kmv_merge"] = sketch_kmv_merge
+
+    def sketch_hist_merge(spark, sf):
+        """Histogram-quantile mergeability + error audit: per-day
+        fixed-bin count vectors merged by addition vs the direct
+        whole-data histogram (exactly equal — pointwise binning), and
+        the merged sketch's quantile estimates against exact order
+        statistics, with the |est−exact| ≤ bin-width guarantee
+        value-checked per (event_type, prob)."""
+        from hermod_spark.operators.sketches import hist_quantile_merge_check
+
+        ev = _t(spark, sf, "events")
+        return hist_quantile_merge_check(
+            ev, "event_type", "value", "event_id",
+            F.date_trunc("day", "ts"), n_bins=32,
+            probs=(0.25, 0.5, 0.75, 0.9),
+        )
+
+    q["sketch_hist_merge"] = sketch_hist_merge
     # eval-hygiene: near-dup pairs straddling the train/val/test split
     q["cur_split_leakage"] = lambda spark, sf: CUR.split_leakage(
         _t(spark, sf, "documents")
@@ -1431,11 +1459,11 @@ def _rotate_for_driver_window(
 
     Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
     query's latest driver row is green, but 7 date from r2 and 37 from
-    r3): tier0 is the 5 new r7 queries followed by exactly that stale
-    block, oldest evidence first — 5 + 7 + 37 = 49 of the 50-entry
-    window. After this window lands, no query's latest driver evidence
-    predates r5, and the r5 block (38 queries) becomes the natural r8
-    tier0.
+    r3): tier0 is the 14 new r7 queries followed by the stale block,
+    oldest evidence first — 14 + 7 + 29 = the 50-entry window. Two
+    r3-vintage pure-scalar codecs (fn_b64e, fn_hexd — golden-value
+    pytest coverage, the lowest-risk surfaces in the repo) spill to
+    tier1 and rotate in r8 alongside the r5 block.
     """
     new_in_r7 = [
         "dedup_report",
@@ -1447,6 +1475,8 @@ def _rotate_for_driver_window(
         "cur_funnel",
         "cur_decon_ngram_bloom",
         "sim_ivfpq_topk",
+        "sim_lsh_recall",
+        "sketch_hist_merge",
         "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
@@ -1461,7 +1491,7 @@ def _rotate_for_driver_window(
         "sim_embedding_neardups",
     ]
     stale_r3 = [
-        "fn_rot13", "fn_b64e", "fn_b64d", "fn_hexe", "fn_hexd",
+        "fn_rot13", "fn_b64d", "fn_hexe",
         "fn_jenc", "fn_jdec", "flt_topic", "flt_route", "prj_pass",
         "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
         "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
@@ -2249,6 +2279,36 @@ r AS (SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+    o["sim_lsh_recall"] = f"""
+WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]", _PLANES_TOPK)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM h WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM h),
+s AS (SELECT query_id, neighbor_id, {cos} AS sim
+      FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM s) WHERE rnk <= {_TOPK}),
+qt AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id < {_N_QUERIES}),
+ct AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+st AS (SELECT query_id, neighbor_id, {cos} AS sim
+       FROM ct, qt WHERE query_id <> neighbor_id),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM st) WHERE rnk <= {_TOPK})
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id"""
     cos_ivf = _COS_SQL.format(a="qv", b="nv")
     o["sim_ivf_topk"] = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3460,6 +3520,50 @@ de AS (SELECT key,
 SELECT me.key, merged_est, direct_est,
   merged_est = direct_est AS merge_exact
 FROM me JOIN de USING (key)"""
+
+    _hq_probs = ", ".join(f"CAST({p} AS DOUBLE)" for p in (0.25, 0.5, 0.75, 0.9))
+    o["sketch_hist_merge"] = f"""
+WITH vals AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS slice,
+    CAST(value AS DOUBLE) AS v, event_id AS _id
+  FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT key, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+           FROM vals GROUP BY key),
+binned AS (
+  SELECT vals.key, slice, v, _id, lo, n, (hi - lo) / 32.0 AS w,
+    CASE WHEN (hi - lo) / 32.0 = 0 THEN 0
+         ELSE CAST(LEAST(FLOOR((v - lo) / ((hi - lo) / 32.0)), 31) AS INTEGER)
+    END AS bin
+  FROM vals JOIN bounds USING (key)),
+ps AS (SELECT key, slice, bin, COUNT(*) AS c FROM binned
+       GROUP BY key, slice, bin),
+merged AS (SELECT key, bin, SUM(c) AS mc FROM ps GROUP BY key, bin),
+direct AS (SELECT key, bin, COUNT(*) AS dc FROM binned GROUP BY key, bin),
+bad AS (SELECT COALESCE(m.key, d.key) AS key,
+         SUM(CASE WHEN COALESCE(mc, -1) <> COALESCE(dc, -2)
+                  THEN 1 ELSE 0 END) AS n_bad
+        FROM merged m FULL JOIN direct d ON m.key = d.key AND m.bin = d.bin
+        GROUP BY COALESCE(m.key, d.key)),
+pr AS (SELECT UNNEST([{_hq_probs}]) AS prob),
+ranks AS (SELECT key, lo, n, prob, CAST(CEIL(prob * n) AS BIGINT) AS r
+          FROM bounds CROSS JOIN pr),
+cum AS (SELECT key, bin,
+          SUM(mc) OVER (PARTITION BY key ORDER BY bin) AS cum FROM merged),
+est AS (SELECT r.key, prob, r.r, lo, MIN(bin) AS qbin
+        FROM ranks r JOIN cum ON r.key = cum.key AND cum.cum >= r.r
+        GROUP BY r.key, prob, r.r, lo),
+ranked AS (SELECT key, v, w,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, _id) AS rn
+           FROM binned),
+ex AS (SELECT ranks.key, prob, v AS exv, w
+       FROM ranks JOIN ranked ON ranks.key = ranked.key AND rn = r)
+SELECT est.key, prob, ROUND(lo + (qbin + 1) * w, 6) AS est,
+  ROUND(exv, 6) AS exact,
+  ROUND(ABS(lo + (qbin + 1) * w - exv), 6) AS abs_err,
+  ROUND(w, 6) AS bin_w,
+  ABS(lo + (qbin + 1) * w - exv) <= w + 1e-9 AS err_bounded,
+  n_bad = 0 AS merge_exact
+FROM est JOIN ex USING (key, prob) JOIN bad USING (key)"""
 
     # split leakage: banded candidates × the same hash-split boundaries
     # the cur_split oracle uses

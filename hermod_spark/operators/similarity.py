@@ -1172,3 +1172,49 @@ def pq_recall_check(
             F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
         )
     )
+
+
+def lsh_recall_check(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Measured recall@k of the sign-LSH bucketed path against exact
+    cosine truth — the number you tune ``n_planes`` by. Same shape as
+    :func:`pq_recall_check`: both sides are deterministic (seeded
+    hyperplanes), so the oracle value-checks the recall itself.
+
+    A query whose bucket holds fewer than k neighbors returns fewer
+    candidates; that recall loss is exactly what this audit surfaces
+    (the production fix is multi-probe or fewer planes, and the fix is
+    validated by re-running this same query). Both join inputs are
+    n_queries×k rows — the audit costs one LSH pass + one brute-force
+    pass, and the comparison itself is trivial at any corpus size."""
+    approx = lsh_topk(
+        embeddings, k, n_queries, n_planes=n_planes, seed=seed,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    truth = brute_force_topk(embeddings, k, n_queries, id_col, vec_col)
+    hits = truth.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )

@@ -725,3 +725,36 @@ def test_kmv_merge_is_exact_composition(spark):
     assert r["merged_est"] == r["direct_est"]
     # 600 distinct values > k -> estimator branch, sanity range
     assert 300 < r["direct_est"] < 1200
+
+
+def test_hist_quantile_merge_exact_and_bounded(spark):
+    import datetime as _dt
+
+    from hermod_spark.operators.sketches import hist_quantile_merge_check
+
+    rows = []
+    for d in range(3):
+        for i in range(300):
+            # deterministic non-uniform values, two keys
+            rows.append(
+                ("a", 300 * d + i, float((i * i * 7) % 997),
+                 _dt.datetime(2024, 1, 1 + d, 12))
+            )
+    # single-value key: lo == hi -> bin width 0 path
+    rows.append(("b", 9000, 5.0, _dt.datetime(2024, 1, 1, 12)))
+    df = spark.createDataFrame(
+        rows, "event_type STRING, event_id INT, value DOUBLE, ts TIMESTAMP"
+    )
+    out = hist_quantile_merge_check(
+        df, "event_type", "value", "event_id",
+        F.date_trunc("day", "ts"), n_bins=16, probs=(0.5, 0.9),
+    ).collect()
+    assert len(out) == 4  # 2 keys x 2 probs
+    for r in out:
+        assert r["merge_exact"] is True, r
+        assert r["err_bounded"] is True, r
+        assert r["abs_err"] <= r["bin_w"] + 1e-9
+    b = {r["prob"]: r for r in out if r["key"] == "b"}
+    # degenerate key: estimate collapses to the single value, zero error
+    assert b[0.5]["est"] == 5.0 and b[0.5]["exact"] == 5.0
+    assert b[0.5]["abs_err"] == 0.0 and b[0.5]["bin_w"] == 0.0

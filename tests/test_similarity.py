@@ -426,3 +426,24 @@ def test_ivfpq_topk_matches_full_pq_on_probed_lists(spark):
     }
     for r in got:
         assert full_rank[(r["query_id"], r["rnk"])] == r["neighbor_id"]
+
+
+def test_lsh_recall_measurement_shape_and_more_planes_not_better(spark):
+    """Recall rows are well-formed, and widening buckets (fewer planes)
+    can only grow the candidate set, so mean recall at 1 plane must be
+    >= mean recall at 6 planes (1-plane buckets strictly contain the
+    finer partition's candidate pairs on average)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_recall(n_planes):
+        out = S.lsh_recall_check(
+            emb, k=5, n_queries=4, n_planes=n_planes, dim=64
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n_truth"] == 5
+            assert 0 <= r["n_hits"] <= 5
+            assert r["recall"] == round(r["n_hits"] / 5, 6)
+        return sum(r["recall"] for r in out) / len(out)
+
+    assert mean_recall(1) >= mean_recall(6)
