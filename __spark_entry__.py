@@ -1269,6 +1269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_quality_logistic"] = lambda spark, sf: CUR.quality_logistic(
         _t(spark, sf, "documents")
     )
+    # rule→model distillation: Gopher labels train a token NB in-engine
+    # (training IS aggregation); per-doc score + teacher-agreement audit
+    q["cur_distill_nb"] = lambda spark, sf: CUR.nb_distill(
+        _t(spark, sf, "documents"), vocab_size=200
+    )
 
     def sketch_bloom(spark, sf):
         """Bloom decontamination of documents against the 'benchmark'
@@ -1460,10 +1465,10 @@ def _rotate_for_driver_window(
     Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
     query's latest driver row is green, but 7 date from r2 and 37 from
     r3): tier0 is the 14 new r7 queries followed by the stale block,
-    oldest evidence first — 14 + 7 + 29 = the 50-entry window. Two
-    r3-vintage pure-scalar codecs (fn_b64e, fn_hexd — golden-value
-    pytest coverage, the lowest-risk surfaces in the repo) spill to
-    tier1 and rotate in r8 alongside the r5 block.
+    oldest evidence first — 15 + 7 + 28 = the 50-entry window. Three
+    r3-vintage pure-scalar codecs (fn_b64e, fn_hexd, fn_hexe —
+    golden-value pytest coverage, the lowest-risk surfaces in the
+    repo) spill to tier1 and rotate in r8 alongside the r5 block.
     """
     new_in_r7 = [
         "dedup_report",
@@ -1477,6 +1482,7 @@ def _rotate_for_driver_window(
         "sim_ivfpq_topk",
         "sim_lsh_recall",
         "sketch_hist_merge",
+        "cur_distill_nb",
         "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
@@ -1491,7 +1497,7 @@ def _rotate_for_driver_window(
         "sim_embedding_neardups",
     ]
     stale_r3 = [
-        "fn_rot13", "fn_b64d", "fn_hexe",
+        "fn_rot13", "fn_b64d",
         "fn_jenc", "fn_jdec", "flt_topic", "flt_route", "prj_pass",
         "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
         "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
@@ -2695,7 +2701,9 @@ FROM g LEFT JOIN hits h USING (doc_id)"""
     sym_sql = (
         "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))"
     )
-    o["cur_gopher"] = f"""
+    # gopher flag CTE chain, shared by cur_gopher and cur_distill_nb
+    # (factored, not spliced — the ADVICE r6 #2 rule)
+    _gopher_pre = f"""
 WITH t AS (
   SELECT doc_id, {toks3} AS tk, {sym_sql} AS nsym FROM documents),
 s AS (
@@ -2706,16 +2714,53 @@ s AS (
         x -> list_contains({'[' + ', '.join(f"'{w}'" for w in _SW['en']) + ']'}, x)))
       AS stopword_hits,
     ROUND(nsym / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS symbol_ratio
-  FROM t)
+  FROM t)"""
+    _gopher_keep = """((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (stopword_hits >= 2) AND (symbol_ratio <= 0.1))"""
+    o["cur_gopher"] = f"""{_gopher_pre}
 SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_ratio,
   (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_len,
   (stopword_hits >= 2) AS flag_stopwords,
   (symbol_ratio <= 0.1) AS flag_symbols,
-  ((n_words >= 50 AND n_words <= 100000)
-   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-   AND (stopword_hits >= 2) AND (symbol_ratio <= 0.1)) AS keep
+  {_gopher_keep} AS keep
 FROM s"""
+    _nb_v = 200
+    o["cur_distill_nb"] = f"""{_gopher_pre},
+lab AS (SELECT s.doc_id, CASE WHEN {_gopher_keep} THEN 1 ELSE 0 END AS y
+        FROM s),
+tokl AS (SELECT t.doc_id, y, unnest(tk) AS tok
+         FROM t JOIN lab ON t.doc_id = lab.doc_id),
+cnt AS (SELECT tok, SUM(y) AS c1, SUM(1 - y) AS c0
+        FROM tokl WHERE tok IS NOT NULL GROUP BY tok),
+tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM cnt),
+voc AS (SELECT tok, c1, c0 FROM cnt
+        ORDER BY (c1 + c0) DESC, tok ASC LIMIT {_nb_v}),
+model AS (
+  SELECT tok,
+    CAST(ln((c1 + 1.0) / (n1 + {_nb_v}.0))
+         - ln((c0 + 1.0) / (n0 + {_nb_v}.0)) AS DECIMAL(18,9)) AS w
+  FROM voc CROSS JOIN tot),
+pri AS (SELECT CAST(ln((SUM(y) + 1.0) / (SUM(1 - y) + 1.0))
+               AS DECIMAL(18,9)) AS p FROM lab),
+docs AS (
+  SELECT d.doc_id, y,
+    CASE WHEN len({toks3}) = 0 THEN [NULL]
+         ELSE {toks3} END AS tk2
+  FROM documents d JOIN lab ON d.doc_id = lab.doc_id),
+tok2 AS (SELECT doc_id, y, unnest(tk2) AS tok FROM docs),
+sc AS (
+  SELECT t2.doc_id, y, COUNT(t2.tok) AS n_tokens,
+    COALESCE(SUM(m.w), CAST(0 AS DECIMAL(18,9))) AS sw
+  FROM tok2 t2 LEFT JOIN model m ON t2.tok = m.tok
+  GROUP BY t2.doc_id, y)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(sw + p AS DOUBLE), 6) AS score,
+  (sw + p) > 0 AS predicted_keep,
+  y = 1 AS teacher_keep,
+  ((sw + p) > 0) = (y = 1) AS agree
+FROM sc CROSS JOIN pri"""
     o["text_oov"] = f"""
 WITH tk AS (SELECT doc_id, unnest({toks3}) AS tok FROM documents),
 v AS (

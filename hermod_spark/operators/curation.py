@@ -1002,3 +1002,109 @@ def curation_funnel(
         F.coalesce("n_decontaminated", zero).alias("n_decontaminated"),
         F.coalesce("n_unique", zero).alias("n_unique"),
     )
+
+
+def nb_distill(
+    df: DataFrame,
+    vocab_size: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_model: bool = False,
+) -> DataFrame:
+    """Distill the Gopher rule battery into a token-level Naive Bayes
+    quality classifier, trained IN-ENGINE — the bootstrap every cheap
+    pretraining-quality filter starts from (label with rules, train a
+    text model that generalizes past them; the fastText-classifier
+    recipe of CCNet/LLaMA, with NB standing in because its training IS
+    a grouped aggregation, so the whole train+score round trip stays
+    declarative and oracle-checkable — no gradient loop).
+
+    Train: weak label y = :func:`gopher_flags` ``keep``; per-token
+    class counts (c1, c0) over the full token stream; vocabulary =
+    top-``vocab_size`` tokens by total count (ties → token asc, the
+    `oov_rate` convention); per-token weight is the Laplace-smoothed
+    log-likelihood ratio ln((c1+1)/(n1+V)) − ln((c0+1)/(n0+V)), with
+    n1/n0 the whole-stream class token totals and V the vocab size.
+    Score: per-doc sum of in-vocab token weights (OOV contributes 0)
+    plus the doc-count prior ln((d1+1)/(d0+1)); prediction is the
+    score sign, reported next to the teacher label as the AGREEMENT
+    audit (how faithfully the distilled model reproduces its teacher
+    — the number you check before replacing the rules).
+
+    Float determinism: every log term is cast DECIMAL(18,9) before
+    the per-doc sum (the `unigram_surprisal` pattern), so the score
+    is exact and partitioning-independent.
+
+    Scale shape: labels join back on ``id_col`` (both sides co-
+    partition on the same key; the text scan runs twice — disclosed);
+    token-class counts are one map-side-combinable shuffle; vocab is
+    TakeOrderedAndProject → broadcast; totals and prior are lazy
+    1-row aggs cross-joined in; scoring is a broadcast join + one
+    groupBy(doc). The corpus never shuffles for the model."""
+    from hermod_spark.functions.text import tokens
+
+    labels = gopher_flags(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.when(F.col("keep"), 1).otherwise(0).alias("_y")
+    )
+    toks = (
+        df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t")
+        )
+        .join(labels, id_col)
+        .select(
+            id_col, "_y", F.explode_outer(F.col("_t")).alias("tok")
+        )
+    )
+    tokc = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(
+            F.sum("_y").alias("c1"),
+            F.sum(F.lit(1) - F.col("_y")).alias("c0"),
+        )
+    )
+    tot = tokc.agg(F.sum("c1").alias("_n1"), F.sum("c0").alias("_n0"))
+    voc = tokc.orderBy(
+        (F.col("c1") + F.col("c0")).desc(), F.col("tok").asc()
+    ).limit(vocab_size)
+    v = float(vocab_size)
+    llr = (
+        F.log((F.col("c1") + 1.0) / (F.col("_n1") + v))
+        - F.log((F.col("c0") + 1.0) / (F.col("_n0") + v))
+    ).cast("decimal(18,9)")
+    model = voc.crossJoin(F.broadcast(tot)).select(
+        "tok", "c1", "c0", llr.alias("_w")
+    )
+    if return_model:
+        return model.select(
+            "tok", "c1", "c0", F.round(F.col("_w").cast("double"), 6).alias("llr")
+        )
+    prior = labels.agg(
+        F.log(
+            (F.sum("_y") + F.lit(1.0))
+            / (F.sum(F.lit(1) - F.col("_y")) + F.lit(1.0))
+        )
+        .cast("decimal(18,9)")
+        .alias("_pri")
+    )
+    agg = (
+        toks.join(F.broadcast(model.select("tok", "_w")), "tok", "left")
+        .groupBy(id_col, "_y")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum("_w").alias("_s"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,9)")
+    score = F.coalesce(F.col("_s"), zero) + F.col("_pri")
+    return (
+        agg.crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(score.cast("double"), 6).alias("score"),
+            (score > 0).alias("predicted_keep"),
+            (F.col("_y") == 1).alias("teacher_keep"),
+            ((score > 0) == (F.col("_y") == 1)).alias("agree"),
+        )
+    )

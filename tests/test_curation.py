@@ -593,3 +593,35 @@ def test_curation_funnel_stage_monotone_and_correct(spark):
     for r in got.values():
         assert (r["n_raw"] >= r["n_quality"] >= r["n_decontaminated"]
                 >= r["n_unique"])
+
+
+def test_nb_distill_scores_and_agreement_audit(spark):
+    """Distilled NB must (a) emit a consistent audit surface and (b)
+    beat the majority-class baseline at reproducing its own teacher on
+    the deterministic sf0.001 corpus — the minimum bar for calling the
+    distillation a model rather than a coin flip."""
+    from hermod_spark.operators.curation import nb_distill
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = nb_distill(d).collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        assert r["agree"] == (r["predicted_keep"] == r["teacher_keep"])
+        assert r["n_tokens"] >= 0
+    agreement = sum(r["agree"] for r in rows) / len(rows)
+    keep_rate = sum(r["teacher_keep"] for r in rows) / len(rows)
+    majority = max(keep_rate, 1 - keep_rate)
+    assert agreement > majority, (agreement, majority)
+
+
+def test_nb_distill_model_surface(spark):
+    from hermod_spark.operators.curation import nb_distill
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = nb_distill(d, vocab_size=50, return_model=True).collect()
+    # sf0.001 has fewer than 50 distinct tokens; LIMIT caps, not pads
+    assert 0 < len(m) <= 50
+    for r in m:
+        # smoothed LLR of observed counts is finite
+        assert abs(r["llr"]) < 20
+        assert r["c1"] + r["c0"] > 0

@@ -44,7 +44,7 @@ def test_driver_window_covers_unchecked_block():
         "dedup_span_removal", "dedup_span_keep_one",
         "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
         "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
-        "text_surprisal",
+        "cur_distill_nb", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
         # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
         "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
@@ -58,12 +58,12 @@ def test_driver_window_covers_unchecked_block():
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[:14]) == {
+    assert set(qs[:15]) == {
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
         "dedup_span_removal", "dedup_span_keep_one",
         "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
         "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
-        "text_surprisal",
+        "cur_distill_nb", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
     }
 
