@@ -79,6 +79,9 @@ BASELINE = {
     "cur_decontaminate_ngram": 1.365, "sim_ivfpq_topk": 1.742,
     "text_surprisal": 0.555, "dedup_span_removal": 0.361,
     "dedup_span_keep_one": 0.351,
+    # added late-r07, isolated-run medians (4 runs, first discarded)
+    "sim_lsh_recall": 1.871, "sketch_hist_merge": 1.399,
+    "cur_distill_nb": 1.005,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -148,6 +151,10 @@ HEADLINE = [
     "text_surprisal",
     "dedup_span_removal",
     "dedup_span_keep_one",
+    # added late-r07
+    "sim_lsh_recall",
+    "sketch_hist_merge",
+    "cur_distill_nb",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
