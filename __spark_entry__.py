@@ -1035,6 +1035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_sample_stratified"] = lambda spark, sf: CUR.stratified_sample_exact(
         _t(spark, sf, "documents"), k=50
     )
+    # Efraimidis–Spirakis weighted sample (token-count weights) — one
+    # TakeOrderedAndProject, deterministic md5 uniforms
+    q["cur_sample_weighted"] = lambda spark, sf: CUR.weighted_sample(
+        _t(spark, sf, "documents"), k=100
+    )
 
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -1465,9 +1470,9 @@ def _rotate_for_driver_window(
     Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
     query's latest driver row is green, but 7 date from r2 and 37 from
     r3): tier0 is the 14 new r7 queries followed by the stale block,
-    oldest evidence first — 15 + 7 + 28 = the 50-entry window. Three
-    r3-vintage pure-scalar codecs (fn_b64e, fn_hexd, fn_hexe —
-    golden-value pytest coverage, the lowest-risk surfaces in the
+    oldest evidence first — 16 + 7 + 27 = the 50-entry window. Four
+    r3-vintage pure-scalar codecs (fn_b64e, fn_b64d, fn_hexd, fn_hexe
+    — golden-value pytest coverage, the lowest-risk surfaces in the
     repo) spill to tier1 and rotate in r8 alongside the r5 block.
     """
     new_in_r7 = [
@@ -1483,6 +1488,7 @@ def _rotate_for_driver_window(
         "sim_lsh_recall",
         "sketch_hist_merge",
         "cur_distill_nb",
+        "cur_sample_weighted",
         "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
@@ -1497,7 +1503,7 @@ def _rotate_for_driver_window(
         "sim_embedding_neardups",
     ]
     stale_r3 = [
-        "fn_rot13", "fn_b64d",
+        "fn_rot13",
         "fn_jenc", "fn_jdec", "flt_topic", "flt_route", "prj_pass",
         "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
         "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
@@ -2621,6 +2627,15 @@ q AS (
   FROM ranked)
 SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens, p5, p95
 FROM l, q WHERE n_tok >= p5 AND n_tok <= p95"""
+
+    o["cur_sample_weighted"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(greatest(len({_toks_sql('text')}), 1) AS DOUBLE) AS w,
+    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+     + 1.0) / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, w AS weight, ROUND(ln(u) / w, 9) AS key
+FROM t ORDER BY ROUND(ln(u) / w, 9) DESC, doc_id ASC LIMIT 100"""
 
     o["cur_sample_stratified"] = """
 WITH h AS (

@@ -1108,3 +1108,61 @@ def nb_distill(
             ((score > 0) == (F.col("_y") == 1)).alias("agree"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement at corpus
+    scale — Efraimidis–Spirakis A-Res reduced to one top-k: each doc
+    gets the key ln(u)/w (u = its deterministic md5 uniform, w > 0 its
+    weight; the log form of u^(1/w), same argmax order, no pow()
+    cross-engine risk), and the sample is the k largest keys. This is
+    how a quality-weighted training subset is drawn from 100 TB: no
+    global shuffle, no state — Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject, so only k rows leave each partition.
+
+    Default weight = token count (longer docs proportionally more
+    likely — the tokens-budget-aware draw); pass any positive Column
+    (e.g. a quality score) to reweight. Determinism: u derives from
+    ``id_col`` via md5, so the sample is a pure function of the data —
+    re-running selects the same docs, and the DuckDB oracle replays it
+    exactly. u ∈ (0,1] (never 0: offset by 1 before the divide), so
+    ln(u) is finite; ties break by id.
+
+    Cites reference scope: the reference has no sampling operator at
+    all (SURVEY §2.6); this extends the curation family
+    (`cur_sample_stratified` draws exact per-stratum counts; this
+    draws one corpus-wide weighted sample)."""
+    from hermod_spark.functions.text import token_count
+    from hermod_spark.operators.sketches import TWO_32
+
+    w = (
+        F.greatest(token_count(F.col(text_col)), F.lit(1)).cast("double")
+        if weight is None
+        else weight.cast("double")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(TWO_32)
+    keyed = df.select(
+        F.col(id_col),
+        w.alias("w"),
+        F.round(F.log(u) / w, 9).alias("key"),
+    )
+    return (
+        keyed.orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.col("w").cast("double").alias("weight"),
+            F.col("key"),
+        )
+    )

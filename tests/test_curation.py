@@ -625,3 +625,27 @@ def test_nb_distill_model_surface(spark):
         # smoothed LLR of observed counts is finite
         assert abs(r["llr"]) < 20
         assert r["c1"] + r["c0"] > 0
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-Res sample is a pure function of the data (same rows on
+    re-run), k caps the size, and heavy-weight docs dominate: with
+    120-token docs vs 1-token docs at 10:90 mix, a k=20 draw must pick
+    mostly heavy docs (each heavy key ln(u)/120 is ~120x closer to 0)."""
+    from hermod_spark.operators.curation import weighted_sample
+
+    rows = [(i, "w " * 120) for i in range(10)]
+    rows += [(i, "x") for i in range(10, 100)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = weighted_sample(d, k=20).collect()
+    b = weighted_sample(d, k=20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 20
+    heavy = sum(1 for r in a if r["doc_id"] < 10)
+    assert heavy == 10  # all heavy docs make a k=20 sample
+    # keys are sorted descending, finite
+    keys = [r["key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k <= 0 for k in keys)
+    # k > n returns everything
+    assert weighted_sample(d, k=500).count() == 100
