@@ -81,7 +81,7 @@ BASELINE = {
     "dedup_span_keep_one": 0.351,
     # added late-r07, isolated-run medians (4 runs, first discarded)
     "sim_lsh_recall": 1.871, "sketch_hist_merge": 1.399,
-    "cur_distill_nb": 1.005,
+    "cur_distill_nb": 1.005, "cur_sample_weighted": 0.568,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -155,6 +155,7 @@ HEADLINE = [
     "sim_lsh_recall",
     "sketch_hist_merge",
     "cur_distill_nb",
+    "cur_sample_weighted",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
