@@ -732,6 +732,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_cm"] = sketch_cm
 
+    def sketch_cm_merge(spark, sf):
+        """Count-min mergeability proof: per-day d×w sketches summed
+        cell-wise vs the whole-data sketch — equal by construction,
+        value-checked per depth row."""
+        from hermod_spark.operators.sketches import cm_merge_check
+
+        ev = _t(spark, sf, "events")
+        return cm_merge_check(ev, "user_id", F.date_trunc("day", "ts"))
+
+    q["sketch_cm_merge"] = sketch_cm_merge
+
+    def sketch_bloom_merge(spark, sf):
+        """Bloom mergeability proof: per-day bit sets OR-ed vs the
+        whole-data filter — one summary row, zero symmetric
+        difference."""
+        from hermod_spark.operators.sketches import bloom_merge_check
+
+        ev = _t(spark, sf, "events")
+        return bloom_merge_check(ev, "user_id", F.date_trunc("day", "ts"))
+
+    q["sketch_bloom_merge"] = sketch_bloom_merge
+
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1470,10 +1492,11 @@ def _rotate_for_driver_window(
     Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
     query's latest driver row is green, but 7 date from r2 and 37 from
     r3): tier0 is the 14 new r7 queries followed by the stale block,
-    oldest evidence first — 16 + 7 + 27 = the 50-entry window. Four
-    r3-vintage pure-scalar codecs (fn_b64e, fn_b64d, fn_hexd, fn_hexe
-    — golden-value pytest coverage, the lowest-risk surfaces in the
-    repo) spill to tier1 and rotate in r8 alongside the r5 block.
+    oldest evidence first — 18 + 7 + 25 = the 50-entry window. Six
+    r3-vintage pure-scalar codecs (fn_b64e, fn_b64d, fn_hexd, fn_hexe,
+    fn_jenc, fn_jdec — golden-value pytest coverage, the lowest-risk
+    surfaces in the repo) spill to tier1 and rotate in r8 alongside
+    the r5 block.
     """
     new_in_r7 = [
         "dedup_report",
@@ -1489,6 +1512,8 @@ def _rotate_for_driver_window(
         "sketch_hist_merge",
         "cur_distill_nb",
         "cur_sample_weighted",
+        "sketch_cm_merge",
+        "sketch_bloom_merge",
         "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
@@ -1503,8 +1528,7 @@ def _rotate_for_driver_window(
         "sim_embedding_neardups",
     ]
     stale_r3 = [
-        "fn_rot13",
-        "fn_jenc", "fn_jdec", "flt_topic", "flt_route", "prj_pass",
+        "fn_rot13", "flt_topic", "flt_route", "prj_pass",
         "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
         "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
         "ddl_gen", "ddl_merge", "snk_dryrun", "rel_pricing_summary",
@@ -1983,6 +2007,54 @@ pcells AS (
 SELECT user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
 FROM pcells LEFT JOIN sketch s USING (i, cell)
 GROUP BY user_id"""
+    o["sketch_cm_merge"] = f"""
+WITH c(i, a, b) AS (VALUES {cm_consts}),
+base AS (
+  SELECT date_trunc('day', ts) AS slice,
+    CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         AS BIGINT) AS bh
+  FROM events),
+cells AS (
+  SELECT slice, c.i, ((c.a * base.bh + c.b) % {CM_P}) % 1024 AS cell
+  FROM base CROSS JOIN c),
+ps AS (SELECT slice, i, cell, COUNT(*) AS cnt FROM cells
+       GROUP BY slice, i, cell),
+merged AS (SELECT i, cell, SUM(cnt) AS mc FROM ps GROUP BY i, cell),
+direct AS (SELECT i, cell, COUNT(*) AS dc FROM cells GROUP BY i, cell),
+j AS (
+  SELECT COALESCE(m.i, d.i) AS i, COALESCE(mc, 0) AS mc,
+    COALESCE(dc, 0) AS dc,
+    (COALESCE(mc, -1) <> COALESCE(dc, -2)) AS bad
+  FROM merged m FULL JOIN direct d ON m.i = d.i AND m.cell = d.cell)
+SELECT i, CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(mc) AS BIGINT) AS merged_total,
+  CAST(SUM(dc) AS BIGINT) AS direct_total,
+  SUM(CASE WHEN bad THEN 1 ELSE 0 END) = 0 AS merge_exact
+FROM j GROUP BY i"""
+    bloom_consts = ", ".join(f"({i}, {CM_A[i]}, {CM_B[i]})" for i in range(3))
+    o["sketch_bloom_merge"] = f"""
+WITH c(i, a, b) AS (VALUES {bloom_consts}),
+base AS (
+  SELECT date_trunc('day', ts) AS slice,
+    CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         AS BIGINT) AS bh
+  FROM events),
+merged AS (
+  SELECT DISTINCT pos FROM (
+    SELECT DISTINCT slice, ((c.a * base.bh + c.b) % {CM_P}) % 4096 AS pos
+    FROM base CROSS JOIN c)),
+direct AS (
+  SELECT DISTINCT ((c.a * base.bh + c.b) % {CM_P}) % 4096 AS pos
+  FROM base CROSS JOIN c),
+j AS (SELECT m.pos AS mp, d.pos AS dp
+      FROM merged m FULL JOIN direct d ON m.pos = d.pos)
+SELECT CAST(SUM(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS merged_bits,
+  CAST(SUM(CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS direct_bits,
+  SUM(CASE WHEN mp IS NULL OR dp IS NULL THEN 1 ELSE 0 END) = 0
+    AS merge_exact
+FROM j"""
     # HLL surface = exact distinct count + within-bounds claim (see
     # sketch_hll query comment); oracle computes the exact side
     o["sketch_hll"] = """

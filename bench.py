@@ -82,6 +82,7 @@ BASELINE = {
     # added late-r07, isolated-run medians (4 runs, first discarded)
     "sim_lsh_recall": 1.871, "sketch_hist_merge": 1.399,
     "cur_distill_nb": 1.005, "cur_sample_weighted": 0.568,
+    "sketch_cm_merge": 1.295, "sketch_bloom_merge": 0.737,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -156,6 +157,8 @@ HEADLINE = [
     "sketch_hist_merge",
     "cur_distill_nb",
     "cur_sample_weighted",
+    "sketch_cm_merge",
+    "sketch_bloom_merge",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

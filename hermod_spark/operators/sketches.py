@@ -528,3 +528,105 @@ def hist_quantile_merge_check(
             (F.col("_n_bad") == 0).alias("merge_exact"),
         )
     )
+
+
+def cm_merge_check(
+    df: DataFrame,
+    key_col: str,
+    part_expr: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min mergeability proof, as a checkable query (the KMV /
+    histogram-quantile pattern, closing the family: every sketch the
+    engine ships is PROVEN mergeable by a value-checked identity):
+    per PARTITION SLICE, each slice builds its own d×w cell-count
+    sketch; the merge operator is cell-wise addition; because each
+    input row increments exactly one cell per depth row regardless of
+    which slice counted it, the merged matrix EQUALS the whole-data
+    sketch. Output: one row per depth row i with merged/direct cell
+    counts and the mismatch count (0 ⇔ merge exact).
+
+    Scale shape: the per-slice shuffle carries ≤ d×w×slices count
+    rows (the models), never the data; the comparison join is over
+    ≤ d×w cells."""
+    base = _cm_base(key_col)
+    cells = df.select(
+        part_expr.alias("_slice"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_cell(base, i, width).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select("_slice", "s.i", "s.cell")
+    per_slice = cells.groupBy("_slice", "i", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = per_slice.groupBy("i", "cell").agg(F.sum("cnt").alias("mc"))
+    direct = cm_sketch(df, key_col, depth, width).withColumnRenamed("cnt", "dc")
+    j = merged.join(direct, ["i", "cell"], "full")
+    return (
+        j.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.coalesce("mc", F.lit(0))).cast("bigint").alias("merged_total"),
+            F.sum(F.coalesce("dc", F.lit(0))).cast("bigint").alias("direct_total"),
+            F.sum(
+                F.when(
+                    F.coalesce("mc", F.lit(-1)) != F.coalesce("dc", F.lit(-2)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+        .select(
+            "i",
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            "merged_total",
+            "direct_total",
+            (F.col("n_mismatch") == 0).alias("merge_exact"),
+        )
+    )
+
+
+def bloom_merge_check(
+    df: DataFrame,
+    key_col: str,
+    part_expr: Column,
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Bloom mergeability proof: per-slice bit sets OR-ed together
+    (set union of bit positions) vs the whole-data filter — equal by
+    construction (a bit is set iff SOME key sets it, regardless of
+    which slice saw the key), value-checked as one summary row:
+    merged/direct bit counts and the symmetric difference (0 ⇔ merge
+    exact). The identity that lets every executor build its filter
+    independently and a reducer OR m bits instead of re-reading data."""
+    sliced = df.select(
+        part_expr.alias("_slice"),
+        F.explode(bloom_positions(key_col, k, m)).alias("pos"),
+    ).distinct()  # per-slice bit sets
+    merged = sliced.select("pos").distinct().withColumn("_m", F.lit(1))
+    direct = bloom_build(df, key_col, k, m).withColumn("_d", F.lit(1))
+    j = merged.join(direct, "pos", "full")
+    return j.agg(
+        F.sum(F.coalesce("_m", F.lit(0))).cast("bigint").alias("merged_bits"),
+        F.sum(F.coalesce("_d", F.lit(0))).cast("bigint").alias("direct_bits"),
+        F.sum(
+            F.when(F.col("_m").isNull() | F.col("_d").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sym_diff"),
+    ).select(
+        "merged_bits",
+        "direct_bits",
+        (F.col("n_sym_diff") == 0).alias("merge_exact"),
+    )

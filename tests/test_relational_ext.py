@@ -758,3 +758,26 @@ def test_hist_quantile_merge_exact_and_bounded(spark):
     # degenerate key: estimate collapses to the single value, zero error
     assert b[0.5]["est"] == 5.0 and b[0.5]["exact"] == 5.0
     assert b[0.5]["abs_err"] == 0.0 and b[0.5]["bin_w"] == 0.0
+
+
+def test_cm_and_bloom_merge_are_exact_compositions(spark):
+    import datetime as _dt
+
+    from hermod_spark.operators.sketches import bloom_merge_check, cm_merge_check
+
+    rows = []
+    for d in range(3):
+        for u in range(150):
+            rows.append((1000 * d + u % 80, _dt.datetime(2024, 1, 1 + d, 9)))
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    cm = cm_merge_check(df, "user_id", F.date_trunc("day", "ts"), depth=4).collect()
+    assert len(cm) == 4
+    total = len(rows)
+    for r in cm:
+        assert r["merge_exact"] is True
+        # every input row lands in exactly one cell per depth row
+        assert r["merged_total"] == total and r["direct_total"] == total
+    bl = bloom_merge_check(df, "user_id", F.date_trunc("day", "ts")).collect()
+    assert len(bl) == 1
+    assert bl[0]["merge_exact"] is True
+    assert 0 < bl[0]["merged_bits"] == bl[0]["direct_bits"] <= 4096
