@@ -134,3 +134,66 @@ def test_dup_span_stats_fraction_bounds(spark, words, n):
     spans.sort()
     for (s_a, e_a), (s_b, _) in zip(spans, spans[1:]):
         assert s_b > e_a + 1
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False, width=64),
+        min_size=1, max_size=60,
+    ),
+    n_slices=st.integers(min_value=1, max_value=5),
+    n_bins=st.integers(min_value=1, max_value=16),
+)
+@_settings
+def test_hist_quantile_merge_property(spark, vals, n_slices, n_bins):
+    """For ANY value set, slice assignment, and bin count: the merged
+    per-slice histogram equals the direct one, and every quantile
+    estimate lands within one bin width of the exact order statistic."""
+    import datetime as _dt
+
+    from hermod_spark.operators.sketches import hist_quantile_merge_check
+
+    rows = [
+        ("k", i, float(v), _dt.datetime(2024, 1, 1 + (i % n_slices), 8))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, event_id INT, value DOUBLE, ts TIMESTAMP"
+    )
+    out = hist_quantile_merge_check(
+        df, "event_type", "value", "event_id",
+        F.date_trunc("day", "ts"), n_bins=n_bins, probs=(0.1, 0.5, 0.99),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["merge_exact"] is True, r
+        assert r["err_bounded"] is True, r
+
+
+@given(
+    users=st.lists(st.integers(min_value=0, max_value=500),
+                   min_size=1, max_size=80),
+    n_slices=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_cm_bloom_merge_property(spark, users, n_slices):
+    """Count-min cell-sum and Bloom bit-OR merges are exact for any
+    data and any slicing."""
+    import datetime as _dt
+
+    from hermod_spark.operators.sketches import (
+        bloom_merge_check, cm_merge_check,
+    )
+
+    rows = [
+        (u, _dt.datetime(2024, 1, 1 + (i % n_slices), 8))
+        for i, u in enumerate(users)
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    part = F.date_trunc("day", "ts")
+    for r in cm_merge_check(df, "user_id", part, depth=2, width=64).collect():
+        assert r["merge_exact"] is True
+        assert r["merged_total"] == r["direct_total"] == len(rows)
+    b = bloom_merge_check(df, "user_id", part, k=2, m=256).collect()[0]
+    assert b["merge_exact"] is True and b["merged_bits"] == b["direct_bits"]
