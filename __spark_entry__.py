@@ -2826,10 +2826,11 @@ voc AS (SELECT tok, c1, c0 FROM cnt
         ORDER BY (c1 + c0) DESC, tok ASC LIMIT {_nb_v}),
 model AS (
   SELECT tok,
-    CAST(ln((c1 + 1.0) / (n1 + {_nb_v}.0))
-         - ln((c0 + 1.0) / (n0 + {_nb_v}.0)) AS DECIMAL(18,9)) AS w
+    CAST(ROUND(ln((c1 + 1.0) / (n1 + {_nb_v}.0))
+               - ln((c0 + 1.0) / (n0 + {_nb_v}.0)), 6)
+         AS DECIMAL(18,9)) AS w
   FROM voc CROSS JOIN tot),
-pri AS (SELECT CAST(ln((SUM(y) + 1.0) / (SUM(1 - y) + 1.0))
+pri AS (SELECT CAST(ROUND(ln((SUM(y) + 1.0) / (SUM(1 - y) + 1.0)), 6)
                AS DECIMAL(18,9)) AS p FROM lab),
 docs AS (
   SELECT d.doc_id, y,

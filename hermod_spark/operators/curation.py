@@ -1068,9 +1068,16 @@ def nb_distill(
         (F.col("c1") + F.col("c0")).desc(), F.col("tok").asc()
     ).limit(vocab_size)
     v = float(vocab_size)
-    llr = (
+    # each log term is ROUNDED to 6dp before the decimal cast (the
+    # quality_logistic feature discipline): a last-ulp ln() difference
+    # between engines can flip the 9th decimal of a raw cast, and one
+    # flipped term puts the summed score on a 6dp rounding boundary —
+    # observed once at sf0.1 (round 7). 6dp quantization keeps the
+    # whole train+score path bit-stable at any scale.
+    llr = F.round(
         F.log((F.col("c1") + 1.0) / (F.col("_n1") + v))
-        - F.log((F.col("c0") + 1.0) / (F.col("_n0") + v))
+        - F.log((F.col("c0") + 1.0) / (F.col("_n0") + v)),
+        6,
     ).cast("decimal(18,9)")
     model = voc.crossJoin(F.broadcast(tot)).select(
         "tok", "c1", "c0", llr.alias("_w")
@@ -1080,9 +1087,12 @@ def nb_distill(
             "tok", "c1", "c0", F.round(F.col("_w").cast("double"), 6).alias("llr")
         )
     prior = labels.agg(
-        F.log(
-            (F.sum("_y") + F.lit(1.0))
-            / (F.sum(F.lit(1) - F.col("_y")) + F.lit(1.0))
+        F.round(
+            F.log(
+                (F.sum("_y") + F.lit(1.0))
+                / (F.sum(F.lit(1) - F.col("_y")) + F.lit(1.0))
+            ),
+            6,
         )
         .cast("decimal(18,9)")
         .alias("_pri")
