@@ -2873,8 +2873,8 @@ tot AS (SELECT SUM(cnt) AS total FROM cnts),
 voc AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok ASC LIMIT 100),
 per AS (
   SELECT t.doc_id, COUNT(*) AS n_tokens,
-    CAST(SUM(CAST(-ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE)
-                      / CAST(total AS DOUBLE))
+    CAST(SUM(CAST(ROUND(-ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE)
+                        / CAST(total AS DOUBLE)), 6)
              AS DECIMAL(18,9))) AS DOUBLE) AS s
   FROM tk t LEFT JOIN voc v USING (tok) CROSS JOIN tot
   GROUP BY t.doc_id)

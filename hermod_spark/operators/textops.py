@@ -720,11 +720,16 @@ def unigram_surprisal(
         counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(vocab_size)
     )
-    surp = (
+    # -ln(p) is ROUNDED to 6dp before the decimal cast: ln() is not
+    # correctly-rounded-identical across engines, and a last-ulp flip
+    # in one term can land the per-doc sum on a 6dp rounding boundary
+    # (the cur_distill_nb class, caught by the r7 sf0.1 sweep)
+    surp = F.round(
         -F.log(
             F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
             / F.col("_total").cast("double")
-        )
+        ),
+        6,
     ).cast("decimal(18,9)")
     agg = (
         toks.join(F.broadcast(vocab), "tok", "left")
