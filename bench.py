@@ -180,6 +180,9 @@ SCALE10X = [
     "cur_decontaminate_fuzzy", "dedup_redundancy", "dedup_exact_spans",
     # late-r7: the composed funnel and the streaming-shaped ngram bloom
     "cur_funnel", "cur_decon_ngram_bloom",
+    # late-r7: the 0-shuffle weighted draw (TakeOrdered must stay flat)
+    # and the in-engine NB train+score round trip
+    "cur_sample_weighted", "cur_distill_nb",
 ]
 
 
@@ -299,6 +302,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
             docs10.filter(F.col("doc_id") < 100),
             n=13,
         ),
+        "cur_sample_weighted": lambda: CUR.weighted_sample(docs10, k=100),
+        "cur_distill_nb": lambda: CUR.nb_distill(docs10, vocab_size=200),
     }
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
