@@ -649,6 +649,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_asof"] = rel_asof
 
+    def rel_asof_forward(spark, sf):
+        """FORWARD as-of: each signup's first purchase at-or-after it
+        (time-to-convert lookup) — same union+window encoding scanning
+        time descending."""
+        ev = _t(spark, sf, "events")
+        signups = ev.filter(F.col("event_type") == "signup").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_event_id"))
+            .select(
+                "user_id", "ts", F.col("ts").alias("purchase_ts"),
+                "purchase_event_id",
+            )
+        )
+        return R.asof_join(
+            signups,
+            purchases,
+            key="user_id",
+            time_left="ts",
+            time_right="ts",
+            right_cols=["purchase_ts", "purchase_event_id"],
+            direction="forward",
+        ).select(
+            "event_id", "user_id", "ts",
+            "purchase_ts_asof", "purchase_event_id_asof",
+        )
+
+    q["rel_asof_forward"] = rel_asof_forward
+
+    def rel_asof_nearest(spark, sf):
+        """NEAREST as-of: each purchase's closest signup in either
+        direction (ties → backward, the pandas merge_asof convention)
+        — one shuffle, two in-partition sorts."""
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        signups = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("signup_event_id"))
+            .select("user_id", "ts", F.col("ts").alias("signup_ts"), "signup_event_id")
+        )
+        return R.asof_join(
+            purchases,
+            signups,
+            key="user_id",
+            time_left="ts",
+            time_right="ts",
+            right_cols=["signup_ts", "signup_event_id"],
+            direction="nearest",
+        ).select("event_id", "user_id", "ts", "signup_ts_asof", "signup_event_id_asof")
+
+    q["rel_asof_nearest"] = rel_asof_nearest
+
     def rel_sessionize(spark, sf):
         return R.sessionize(
             _t(spark, sf, "events"), key="user_id", time_col="ts", gap="30 minutes"
@@ -1492,11 +1550,11 @@ def _rotate_for_driver_window(
     Round 7 (VERDICT r6 #2 — evidence FRESHNESS, not absence: every
     query's latest driver row is green, but 7 date from r2 and 37 from
     r3): tier0 is the 14 new r7 queries followed by the stale block,
-    oldest evidence first — 18 + 7 + 25 = the 50-entry window. Six
-    r3-vintage pure-scalar codecs (fn_b64e, fn_b64d, fn_hexd, fn_hexe,
-    fn_jenc, fn_jdec — golden-value pytest coverage, the lowest-risk
-    surfaces in the repo) spill to tier1 and rotate in r8 alongside
-    the r5 block.
+    oldest evidence first — 20 + 7 + 23 = the 50-entry window. Eight
+    r3-vintage golden-tested scalar/column ops (fn_b64e, fn_b64d,
+    fn_hexd, fn_hexe, fn_jenc, fn_jdec, xf_c2f, xf_copy — exhaustive
+    pytest goldens, the lowest-risk surfaces in the repo) spill to
+    tier1 and rotate in r8 alongside the r5 block.
     """
     new_in_r7 = [
         "dedup_report",
@@ -1514,6 +1572,8 @@ def _rotate_for_driver_window(
         "cur_sample_weighted",
         "sketch_cm_merge",
         "sketch_bloom_merge",
+        "rel_asof_forward",
+        "rel_asof_nearest",
         "text_surprisal",
         "sketch_kmv_stream_replay",
         "stream_ewma_replay",
@@ -1529,8 +1589,8 @@ def _rotate_for_driver_window(
     ]
     stale_r3 = [
         "fn_rot13", "flt_topic", "flt_route", "prj_pass",
-        "xf_c2f", "xf_extract", "xf_cond", "xf_default", "xf_meta",
-        "xf_copy", "xf_new", "xf_legacy", "flt_ident", "val_rec",
+        "xf_extract", "xf_cond", "xf_default", "xf_meta",
+        "xf_new", "xf_legacy", "flt_ident", "val_rec",
         "ddl_gen", "ddl_merge", "snk_dryrun", "rel_pricing_summary",
         "rel_revenue_nation", "rel_top_customers", "rel_rollup",
         "rel_running_total", "rel_setops", "rel_hourly_rollup",
@@ -1790,6 +1850,39 @@ SELECT l.event_id, l.user_id, l.ts,
   r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    o["rel_asof_forward"] = """
+WITH signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts,
+  r.purchase_ts AS purchase_ts_asof,
+  r.purchase_event_id AS purchase_event_id_asof
+FROM signups l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts <= r.purchase_ts"""
+    o["rel_asof_nearest"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+signups AS (
+  SELECT user_id, ts AS s_ts, MAX(event_id) AS s_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+b AS (
+  SELECT l.event_id, r.s_ts, r.s_id
+  FROM purchases l ASOF LEFT JOIN signups r
+    ON l.user_id = r.user_id AND l.ts >= r.s_ts),
+f AS (
+  SELECT l.event_id, r.s_ts, r.s_id
+  FROM purchases l ASOF LEFT JOIN signups r
+    ON l.user_id = r.user_id AND l.ts <= r.s_ts)
+SELECT p.event_id, p.user_id, p.ts,
+  CASE WHEN b.s_ts IS NOT NULL
+            AND (f.s_ts IS NULL OR (p.ts - b.s_ts) <= (f.s_ts - p.ts))
+       THEN b.s_ts ELSE f.s_ts END AS signup_ts_asof,
+  CASE WHEN b.s_ts IS NOT NULL
+            AND (f.s_ts IS NULL OR (p.ts - b.s_ts) <= (f.s_ts - p.ts))
+       THEN b.s_id ELSE f.s_id END AS signup_event_id_asof
+FROM purchases p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)"""
     o["rel_funnel"] = """
 WITH signups AS (
   SELECT user_id, MIN(ts) AS signup_ts FROM events

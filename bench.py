@@ -83,6 +83,7 @@ BASELINE = {
     "sim_lsh_recall": 1.871, "sketch_hist_merge": 1.399,
     "cur_distill_nb": 1.005, "cur_sample_weighted": 0.568,
     "sketch_cm_merge": 1.295, "sketch_bloom_merge": 0.737,
+    "rel_asof_forward": 0.682, "rel_asof_nearest": 0.683,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -159,6 +160,8 @@ HEADLINE = [
     "cur_sample_weighted",
     "sketch_cm_merge",
     "sketch_bloom_merge",
+    "rel_asof_forward",
+    "rel_asof_nearest",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -889,22 +889,32 @@ def asof_join(
     time_right: str,
     right_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``time_right <= time_left`` on the same key.
+    """As-of join: for each left row, the nearest right row on the same
+    key — ``backward`` (latest with ``time_right <= time_left``, the
+    default), ``forward`` (earliest with ``time_right >= time_left``),
+    or ``nearest`` (closer of the two; exact ties → backward, the
+    deterministic convention documented here). The pandas
+    ``merge_asof`` direction set, distributed.
 
     Spark has no ASOF JOIN; the naive encodings are a range cross join
     (quadratic) or a per-key collect (skew-bound). This is the
     scale-correct shape: UNION both sides, ONE shuffle on the key, and
-    a running ``last(..., ignorenulls=True)`` window carries the most
-    recent right-side values forward onto left rows. Cost is a single
-    sort-within-partition of |L|+|R| — no join at all, no row blowup,
-    and AQE handles key skew like any other shuffle.
+    a running ``last(..., ignorenulls=True)`` window carries the
+    nearest right-side values onto left rows — backward scans time
+    ascending, forward descending (same exchange, one extra in-
+    partition sort for ``nearest``, which needs both). No join, no row
+    blowup; AQE handles key skew like any other shuffle.
 
-    Ties (equal timestamps) resolve right-before-left, matching the
-    inclusive ``<=``. ``tolerance`` (e.g. "3600 seconds") nulls matches
-    older than the window, like pandas ``merge_asof``.
+    Ties (equal timestamps) match inclusively in both directions.
+    ``tolerance`` (e.g. "3600 seconds") nulls matches farther than the
+    window, like pandas ``merge_asof``. Right rows sharing (key, time)
+    are ambiguous under any as-of semantics — pre-aggregate the right
+    side to one row per (key, time), as the rel_asof queries do.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lcols = [c for c in left.columns]
     l = left.select(
         F.col(key).alias("_k"),
@@ -920,32 +930,68 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
-    w = (
+    # backward: time asc, right-before-left at ties (inclusive <=).
+    # forward: time desc, right-before-left at ties (inclusive >=).
+    w_b = (
         Window.partitionBy("_k")
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_m_t"),
+    w_f = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = matched.filter(F.col("_side") == 1)
-    keep = F.lit(True)
-    if tolerance is not None:
-        keep = F.col("_m_t") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
-    return out.select(
-        *[F.col(c) for c in lcols],
-        *[
-            F.when(keep, F.col(f"_m_{c}")).alias(f"{c}_asof")
+    unioned = l.unionByName(r)
+    rt = F.when(F.col("_side") == 0, F.col("_t"))
+
+    def _match(w, tag: str):
+        return [
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m{tag}_{c}")
+                for c in right_cols
+            ],
+            F.last(rt, ignorenulls=True).over(w).alias(f"_m{tag}_t"),
+        ]
+
+    cols = []
+    if direction in ("backward", "nearest"):
+        cols += _match(w_b, "b")
+    if direction in ("forward", "nearest"):
+        cols += _match(w_f, "f")
+    out = unioned.select("*", *cols).filter(F.col("_side") == 1)
+
+    def _keep(tag: str) -> Column:
+        if tolerance is None:
+            return F.col(f"_m{tag}_t").isNotNull()
+        bound = F.expr(f"INTERVAL {tolerance}")
+        if tag == "b":
+            return F.col(f"_m{tag}_t") >= F.col("_t") - bound
+        return F.col(f"_m{tag}_t") <= F.col("_t") + bound
+
+    if direction == "nearest":
+        # closer side wins; ties and missing-forward fall back to
+        # backward (both-null stays null via the keep gates)
+        use_b = _keep("b") & (
+            ~_keep("f")
+            | (
+                (F.col("_t") - F.col("_mb_t"))
+                <= (F.col("_mf_t") - F.col("_t"))
+            )
+        )
+        pick = [
+            F.when(use_b, F.col(f"_mb_{c}"))
+            .when(_keep("f"), F.col(f"_mf_{c}"))
+            .alias(f"{c}_asof")
             for c in right_cols
-        ],
-    )
+        ]
+    else:
+        tag = "b" if direction == "backward" else "f"
+        pick = [
+            F.when(_keep(tag), F.col(f"_m{tag}_{c}")).alias(f"{c}_asof")
+            for c in right_cols
+        ]
+    return out.select(*[F.col(c) for c in lcols], *pick)
 
 
 def sessionize(

@@ -45,7 +45,8 @@ def test_driver_window_covers_unchecked_block():
         "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
         "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
         "cur_distill_nb", "cur_sample_weighted",
-        "sketch_cm_merge", "sketch_bloom_merge", "text_surprisal",
+        "sketch_cm_merge", "sketch_bloom_merge",
+        "rel_asof_forward", "rel_asof_nearest", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
         # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
         "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
@@ -53,20 +54,21 @@ def test_driver_window_covers_unchecked_block():
         "sim_embedding_neardups",
         # then the r3-vintage block — spot-check its corners; the full
         # list lives in _rotate_for_driver_window (fn_b64e/fn_b64d/
-        # fn_hexd/fn_hexe/fn_jenc/fn_jdec spilled to tier1:
-        # golden-value pytest coverage, lowest risk)
+        # fn_hexd/fn_hexe/fn_jenc/fn_jdec/xf_c2f/xf_copy spilled to
+        # tier1: golden-value pytest coverage, lowest risk)
         "fn_rot13", "flt_topic", "xf_new", "val_rec", "ddl_gen",
         "rel_pricing_summary", "rel_recent_events",
     }
     assert tier0 <= first50, sorted(tier0 - first50)
     # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[:18]) == {
+    assert set(qs[:20]) == {
         "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
         "dedup_span_removal", "dedup_span_keep_one",
         "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
         "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
         "cur_distill_nb", "cur_sample_weighted",
-        "sketch_cm_merge", "sketch_bloom_merge", "text_surprisal",
+        "sketch_cm_merge", "sketch_bloom_merge",
+        "rel_asof_forward", "rel_asof_nearest", "text_surprisal",
         "sketch_kmv_stream_replay", "stream_ewma_replay",
     }
 
