@@ -781,3 +781,35 @@ def test_cm_and_bloom_merge_are_exact_compositions(spark):
     assert len(bl) == 1
     assert bl[0]["merge_exact"] is True
     assert 0 < bl[0]["merged_bits"] == bl[0]["direct_bits"] <= 4096
+
+
+def test_asof_direction_tolerance(spark):
+    """Tolerance nulls matches farther than the window in BOTH
+    directions, and nearest falls back to the in-window side."""
+    import datetime as _dt
+
+    from hermod_spark.operators.relational import asof_join
+
+    B = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(0, 1, B + _dt.timedelta(minutes=60))], "id INT, k INT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(1, B, 10), (1, B + _dt.timedelta(minutes=65), 20)],
+        "k INT, ts TIMESTAMP, v INT",
+    )
+    def run(direction, tol):
+        return asof_join(
+            left, right, key="k", time_left="ts", time_right="ts",
+            right_cols=["v"], direction=direction, tolerance=tol,
+        ).first()["v_asof"]
+
+    assert run("backward", None) == 10
+    assert run("backward", "30 minutes") is None  # 60m back > 30m
+    assert run("forward", None) == 20
+    assert run("forward", "3 minutes") is None  # 5m ahead > 3m
+    # nearest: forward (5m) beats backward (60m); with a 3m window
+    # neither side qualifies
+    assert run("nearest", None) == 20
+    assert run("nearest", "10 minutes") == 20
+    assert run("nearest", "3 minutes") is None
