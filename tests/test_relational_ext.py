@@ -813,3 +813,22 @@ def test_asof_direction_tolerance(spark):
     assert run("nearest", None) == 20
     assert run("nearest", "10 minutes") == 20
     assert run("nearest", "3 minutes") is None
+
+
+def test_asof_directions_stay_join_free_single_exchange(spark, asof_frames):
+    """The forward and nearest directions keep the union+window shape:
+    no join node, and ONE hash exchange even for nearest (both windows
+    share the partitioning; nearest just adds an in-partition sort)."""
+    left, right = asof_frames
+    for direction in ("forward", "nearest"):
+        plan = (
+            R.asof_join(
+                left, right, key="user_id", time_left="ts", time_right="ts",
+                right_cols=["signup_event_id"], direction=direction,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan, direction
+        assert plan.count("Exchange hashpartitioning") == 1, direction
