@@ -796,8 +796,12 @@ def contamination_spans(
     broadcast_probes: bool = True,
 ) -> DataFrame:
     """Exact n-gram decontamination, the GPT-3/PaLM "13-gram overlap"
-    modality: every maximal corpus span whose n-grams ALL appear in the
-    probe (benchmark) set, as (doc_id, span_start, span_end, span_len).
+    modality: every maximal run of overlapping/adjacent MATCHED n-grams
+    in the corpus (start positions within ``n`` tokens of each other are
+    merged), as (doc_id, span_start, span_end, span_len). Interior
+    n-grams of a merged span need not each appear in the probe set —
+    the span is the union of matched n-gram extents, which is the
+    removal granularity decontamination wants.
     Complements `cross_contamination` (fuzzy LSH doc-level) and
     `sketches.bloom_decontaminate` (exact whole-doc): this is substring
     granularity with exact semantics — the form eval-suite hygiene
@@ -947,7 +951,7 @@ def dedup_report(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
     ).localCheckpoint(eager=False)
     ver = near_dup_pairs(
-        df, text_col, id_col, threshold=threshold, candidates=cand
+        df, text_col, id_col, threshold=threshold, w=w, candidates=cand
     ).localCheckpoint(eager=False)
     clusters = near_dup_clusters(df, text_col, id_col, pairs=ver)
 

@@ -962,12 +962,17 @@ def asof_join(
     out = unioned.select("*", *cols).filter(F.col("_side") == 1)
 
     def _keep(tag: str) -> Column:
+        # Null-safe: a NULL match time must yield False, not NULL —
+        # otherwise ~_keep('f') is NULL and the nearest-direction
+        # when() chain drops a valid backward match for keys with no
+        # forward row (three-valued logic swallows the branch).
+        has = F.col(f"_m{tag}_t").isNotNull()
         if tolerance is None:
-            return F.col(f"_m{tag}_t").isNotNull()
+            return has
         bound = F.expr(f"INTERVAL {tolerance}")
         if tag == "b":
-            return F.col(f"_m{tag}_t") >= F.col("_t") - bound
-        return F.col(f"_m{tag}_t") <= F.col("_t") + bound
+            return has & (F.col(f"_m{tag}_t") >= F.col("_t") - bound)
+        return has & (F.col(f"_m{tag}_t") <= F.col("_t") + bound)
 
     if direction == "nearest":
         # closer side wins; ties and missing-forward fall back to

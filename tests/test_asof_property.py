@@ -112,3 +112,49 @@ def test_asof_forward_and_nearest_match_pandas(spark, left_rows, right_rows):
             assert got[row["event_id"]] == want, (
                 direction, left_rows, right_rows, row["event_id"],
             )
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_rows=rows_left, right_rows=rows_right)
+def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows):
+    """All three directions with a tolerance window must agree with
+    pandas merge_asof(tolerance=...), including keys that only have a
+    match on ONE side (the r8 null-safety regression)."""
+    left_pdf = pd.DataFrame(
+        {
+            "event_id": range(len(left_rows)),
+            "user_id": [k for k, _ in left_rows],
+            "ts": [BASE + dt.timedelta(minutes=m) for _, m in left_rows],
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "user_id": [k for k, _, _ in right_rows],
+            "ts": [BASE + dt.timedelta(minutes=m) for _, m, _ in right_rows],
+            "payload": [p for _, _, p in right_rows],
+        }
+    )
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["event_id"]: r["payload_asof"]
+            for r in asof_join(
+                left, right, key="user_id", time_left="ts", time_right="ts",
+                right_cols=["payload"], direction=direction,
+                tolerance="17 minutes",
+            ).collect()
+        }
+        expected = pd.merge_asof(
+            left_pdf.sort_values("ts", kind="stable"),
+            right_pdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="user_id",
+            direction=direction,
+            tolerance=pd.Timedelta(minutes=17),
+        )
+        for _, row in expected.iterrows():
+            want = None if pd.isna(row["payload"]) else int(row["payload"])
+            assert got[row["event_id"]] == want, (
+                direction, left_rows, right_rows, row["event_id"],
+            )

@@ -815,6 +815,40 @@ def test_asof_direction_tolerance(spark):
     assert run("nearest", "3 minutes") is None
 
 
+def test_asof_nearest_tolerance_one_sided_keys(spark):
+    """Regression (r8): nearest+tolerance must keep a valid one-sided
+    match. With only a BACKWARD row, _mf_t is NULL — a non-null-safe
+    keep gate turns use_b into NULL and both when() branches fall
+    through, dropping the match. Symmetrically for forward-only."""
+    import datetime as _dt
+
+    from hermod_spark.operators.relational import asof_join
+
+    B = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(0, 1, B + _dt.timedelta(minutes=60)),   # key 1: backward-only
+         (1, 2, B + _dt.timedelta(minutes=60)),   # key 2: forward-only
+         (2, 3, B + _dt.timedelta(minutes=60))],  # key 3: backward-only, out of window
+        "id INT, k INT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, B + _dt.timedelta(minutes=50), 10),
+         (2, B + _dt.timedelta(minutes=70), 20),
+         (3, B, 30)],
+        "k INT, ts TIMESTAMP, v INT",
+    )
+    out = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(
+            left, right, key="k", time_left="ts", time_right="ts",
+            right_cols=["v"], direction="nearest", tolerance="30 minutes",
+        ).collect()
+    }
+    assert out[0] == 10   # backward-only, 10m back, in window
+    assert out[1] == 20   # forward-only, 10m ahead, in window
+    assert out[2] is None  # backward-only but 60m back > 30m
+
+
 def test_asof_directions_stay_join_free_single_exchange(spark, asof_frames):
     """The forward and nearest directions keep the union+window shape:
     no join node, and ONE hash exchange even for nearest (both windows
