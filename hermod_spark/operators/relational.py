@@ -1024,3 +1024,46 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def bucketed_order_revenue(
+    spark,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    num_buckets: int = 8,
+    tag: str = "t",
+) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed storage: revenue and
+    item counts per order priority, with orders⋈lineitem joined over
+    bucketed copies so the join itself has ZERO shuffle exchange.
+
+    This closes the one named 100 TB gap in SCALE.md's star-join row:
+    an unbucketed orders⋈lineitem re-shuffles both facts on every
+    query (3 exchanges for this rollup); with both facts bucketed by
+    orderkey into the same bucket count, the persisted bucket layout
+    satisfies the join's distribution requirement and only the final
+    small per-priority aggregation exchanges (1). At 100 TB the facts
+    are written bucketed ONCE at ingest (`ensure_bucketed_table`,
+    ~4096 buckets), and every orderkey join thereafter is shuffle-free.
+    `tests/test_plans.py` pins the plan: bucketed scans, SortMergeJoin
+    with no Exchange beneath it.
+    """
+    from hermod_spark.sinks.writer import ensure_bucketed_table
+
+    o = ensure_bucketed_table(
+        spark, orders, f"hermod_bkt_orders_{tag}", "o_orderkey", num_buckets
+    )
+    l = ensure_bucketed_table(
+        spark, lineitem, f"hermod_bkt_lineitem_{tag}", "l_orderkey", num_buckets
+    )
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            dbl(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

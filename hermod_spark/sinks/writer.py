@@ -155,3 +155,59 @@ class MultiTableWriter:
             os.replace(tmp, marker)
 
         return _fn
+
+
+def ensure_bucketed_table(
+    spark,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: tuple = (),
+) -> DataFrame:
+    """Create-if-absent a bucketed, per-bucket-sorted copy of ``df`` as
+    a catalog table and return it.
+
+    This is the storage leg of the shuffle-free fact⋈fact join: two
+    facts bucketed by their join key into the SAME bucket count join
+    with ZERO shuffle exchange — the bucket layout IS the hash
+    partitioning, persisted, so every downstream join/agg on the key
+    reuses it for free (`tests/test_plans.py` pins the plan shape).
+    At 100 TB this is the difference between re-shuffling 100 TB per
+    join and never shuffling the fact tables at all; pick
+    ``num_buckets`` so one bucket ≈ 0.5–2 GB (e.g. 4096 buckets for a
+    4 TB fact). The `repartition(num_buckets, key)` before the write
+    makes each task own exactly one bucket → one file per bucket, so
+    the layout stays tight at any scale.
+
+    Uses `saveAsTable` because bucket metadata lives in the catalog —
+    a path-read of the same parquet would NOT get a bucketed scan. In
+    this sandbox the catalog is per-session in-memory, so the copy is
+    (re)written once per session; a real deployment has a persistent
+    metastore and writes once ever.
+    """
+    validate_identifier(bucket_col, strict=True)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    # The copy is a derived cache. With this sandbox's per-session
+    # in-memory catalog, a PREVIOUS session may have left the managed
+    # location on disk while the table registration died with it —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear the
+    # stale location and rebuild; a persistent metastore (the real
+    # deployment) takes the tableExists fast path instead.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        stale = os.path.join(wh.path, name.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    (
+        df.repartition(num_buckets, bucket_col)
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col, *sort_cols)
+        .saveAsTable(name)
+    )
+    return spark.table(name)

@@ -29,48 +29,35 @@ def test_every_oracle_has_a_query():
     assert q - o == set()
 
 
-def test_driver_window_covers_unchecked_block():
+def test_driver_window_is_oldest_evidence_first():
     """The driver hashes only the first 50 queries() entries. The
-    never-driver-checked block now exceeds 50, so the rotation is
-    tiered: every query ADDED or CHANGED this round must land inside
-    the window (tier 0); the remainder of the never-checked block
-    fills the rest and its tail spills — a handful of entries —
-    rotating in next round."""
+    rotation is derived from the CORRECTNESS_r*.json artifacts: order
+    must be non-decreasing in last-checked round, with never-checked
+    queries leading — so a new query lands in the next driver sample
+    and no query's evidence can age past ~4 rounds (VERDICT r7 #5)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", f)
+        if not m:
+            continue
+        try:
+            keys = list(json.load(open(f)))
+        except Exception:  # noqa: BLE001 - unreadable file = no evidence
+            continue
+        for k in keys:
+            last[k] = max(last.get(k, 0), int(m.group(1)))
     qs = list(E.queries())
-    first50 = set(qs[:50])
-    tier0 = {
-        # r7 new operators (never driver-checked)
-        "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
-        "dedup_span_removal", "dedup_span_keep_one",
-        "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
-        "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
-        "cur_distill_nb", "cur_sample_weighted",
-        "sketch_cm_merge", "sketch_bloom_merge",
-        "rel_asof_forward", "rel_asof_nearest", "text_surprisal",
-        "sketch_kmv_stream_replay", "stream_ewma_replay",
-        # stalest driver evidence: the r2-vintage block (VERDICT r6 #2)
-        "dedup_minhash_cand", "dedup_jaccard_adjacent", "dedup_simhash",
-        "dedup_clusters", "sim_bruteforce_topk", "sim_lsh_topk",
-        "sim_embedding_neardups",
-        # then the r3-vintage block — spot-check its corners; the full
-        # list lives in _rotate_for_driver_window (fn_b64e/fn_b64d/
-        # fn_hexd/fn_hexe/fn_jenc/fn_jdec/xf_c2f/xf_copy spilled to
-        # tier1: golden-value pytest coverage, lowest risk)
-        "fn_rot13", "flt_topic", "xf_new", "val_rec", "ddl_gen",
-        "rel_pricing_summary", "rel_recent_events",
-    }
-    assert tier0 <= first50, sorted(tier0 - first50)
-    # tier0 must lead the dict so no later growth can push it out
-    assert set(qs[:20]) == {
-        "dedup_report", "dedup_exact_spans", "text_dup_span_frac",
-        "dedup_span_removal", "dedup_span_keep_one",
-        "cur_decontaminate_ngram", "cur_funnel", "cur_decon_ngram_bloom",
-        "sim_ivfpq_topk", "sim_lsh_recall", "sketch_hist_merge",
-        "cur_distill_nb", "cur_sample_weighted",
-        "sketch_cm_merge", "sketch_bloom_merge",
-        "rel_asof_forward", "rel_asof_nearest", "text_surprisal",
-        "sketch_kmv_stream_replay", "stream_ewma_replay",
-    }
+    ages = [last.get(k, 0) for k in qs]
+    assert ages == sorted(ages), "window must be oldest-evidence-first"
+    # never-checked queries must all sit before any checked one
+    if 0 in ages and any(a > 0 for a in ages):
+        assert ages.index(next(a for a in ages if a > 0)) == ages.count(0)
 
 
 def test_driver_window_prioritizes_unevidenced_queries():

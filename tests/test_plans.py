@@ -269,3 +269,23 @@ def test_surprisal_model_broadcasts_corpus_never_shuffles_for_join(spark):
     assert count(r"BroadcastExchange", plan) >= 2  # vocab + total
     assert count(r"TakeOrderedAndProject", plan) >= 1  # top-V vocab
     assert count(r"EvalPython", plan) == 0
+
+
+def test_bucketed_join_no_join_shuffle(spark):
+    """rel_bucketed_join: both facts scan Bucketed, the orderkey join
+    is a SortMergeJoin with NO exchange beneath it — the persisted
+    bucket layout satisfies the join distribution; the only shuffle in
+    the whole plan is the final per-priority aggregation. (Broadcast
+    is disabled for the assertion: at smoke scale the pruned orders
+    side would otherwise broadcast and hide the bucketing claim.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "rel_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert count(r"Bucketed: true", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 1
+    # ONE shuffle total (the o_orderpriority agg); zero on the join keys
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Exchange hashpartitioning\((l_orderkey|o_orderkey)", plan) == 0
