@@ -89,6 +89,69 @@ BASELINE = {
 # absolute floor below which a 2× ratio is not meaningful.
 _NOISE_FLOOR_SEC = 0.5
 
+# Streaming ingest throughput (VERDICT r7 #2): the reference is an
+# ingestion engine, so the bench measures the full ingest path —
+# recorded spool → mqtt_replay Python DataSource → route planner →
+# foreachBatch multi-table parquet sink — as rows/sec, not just batch
+# queries. Pinned from an isolated-run best-of-2 at sf0.1 local[32]
+# recorded before the gating snapshot; same 2× regression gate.
+INGEST_BASELINE_SEC = 3.2  # r8 isolated runs: 3.277 / 3.194 (~31k rows/s)
+INGEST_TOML = """
+[[routes]]
+filter = "sensors/error/#"
+table = "error_events"
+
+[[routes]]
+filter = "sensors/#"
+table = "sensor_events"
+"""
+
+
+def _ingest_bench(spark) -> dict:
+    """End-to-end streaming ingest over the sf events rendered as a
+    recorded message log. Spool render is setup (cached per SF);
+    timing covers stream start → availableNow drain → sink commit."""
+    import shutil
+    import tempfile
+
+    import hermod_spark.config as C
+    from hermod_spark.engine import Engine
+    from hermod_spark.sources.messages import render_replay_spool
+    from hermod_spark.sources.mqtt import MqttReplayDataSource
+
+    tag = SF_DIR.rstrip("/").replace("/", "_")
+    spool = f"/tmp/hermod_ingest_spool{tag}.jsonl"
+    if os.path.exists(spool):
+        with open(spool, encoding="utf-8") as fh:
+            n = sum(1 for _ in fh)
+    else:
+        n = render_replay_spool(spark, SF_DIR, spool)
+    spark.dataSource.register(MqttReplayDataSource)
+    per_batch = max(1, n // max(1, CPUS // 2))  # 16 read partitions
+    best = float("inf")
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="hermod_ingest_out_")
+        ckpt = os.path.join(out, "_ckpt")
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.format("mqtt_replay")
+            .option("path", spool)
+            .option("maxMessagesPerBatch", per_batch)
+            .load()
+        )
+        q = Engine(C.loads(INGEST_TOML)).run_stream(
+            stream, base_path=out, checkpoint=ckpt
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+    return {
+        "rows": n,
+        "sec": round(best, 3),
+        "rows_per_sec": int(n / best),
+    }
+
+
 # Headline set: one per family, heaviest representatives.
 HEADLINE = [
     "flt_route",
@@ -430,6 +493,36 @@ def main() -> None:
                     f"{base:.2f}s ({ratio:.1f}x > 2x gate)",
                     file=sys.stderr,
                 )
+    scale10x = {}
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        scale10x = _scale10x_run(spark, queries)
+
+    ingest = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_INGEST") != "1":
+        try:
+            ingest = _ingest_bench(spark)
+            print(
+                f"# ingest_replay: {ingest['rows']} rows in "
+                f"{ingest['sec']:.2f}s = {ingest['rows_per_sec']} rows/s",
+                file=sys.stderr,
+            )
+            if (
+                abs(sf - 0.1) < 1e-9
+                and INGEST_BASELINE_SEC
+                and ingest["sec"] / INGEST_BASELINE_SEC > 2.0
+                and ingest["sec"] > _NOISE_FLOOR_SEC
+            ):
+                regressions["ingest_replay"] = round(
+                    ingest["sec"] / INGEST_BASELINE_SEC, 2
+                )
+                print(
+                    f"# REGRESSION ingest_replay: {ingest['sec']:.2f}s vs "
+                    f"baseline {INGEST_BASELINE_SEC:.2f}s",
+                    file=sys.stderr,
+                )
+        except Exception as ex:  # noqa: BLE001 - ingest leg must not kill the bench
+            print(f"# ingest bench failed: {ex}", file=sys.stderr)
+
     if regressions:
         print(f"# BENCH REGRESSION GATE FAILED: {sorted(regressions)}", file=sys.stderr)
     # The driver must still receive the JSON line (below), so the
@@ -437,23 +530,39 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_STRICT=1 to turn regressions into rc=1.
     strict_fail = bool(regressions) and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1"
 
-    scale10x = {}
-    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        scale10x = _scale10x_run(spark, queries)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+        "scale10x": scale10x,
+        "ingest": ingest,
+    }
+    # The driver records only a TAIL of captured output — BENCH_r07's
+    # JSON line lost its first 27 timings to the cutoff (VERDICT r7
+    # #7). Persist the full payload to a committed in-repo artifact so
+    # every timing is auditable regardless of capture limits; stdout
+    # still gets the one JSON line the driver contract requires.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        import glob as _glob
+        import re as _re
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "regressions": regressions,
-                "scale10x": scale10x,
-            }
-        )
-    )
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(here, f"BENCH_local_r{rnd:02d}.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as ex:
+        print(f"# could not persist bench artifact: {ex}", file=sys.stderr)
+    print(json.dumps(payload))
     if strict_fail:
         sys.exit(1)
 

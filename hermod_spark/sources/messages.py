@@ -74,3 +74,50 @@ def mqtt_source(*_args, **_kwargs):
     log, or an MQTT→Kafka bridge with
     ``spark.readStream.format('kafka')``."""
     raise NotImplementedError(mqtt_source.__doc__)
+
+
+def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
+    """Render the events table as a recorded-message JSONL spool for
+    the ``mqtt_replay`` source (one JSON object per line: time as a
+    unix-seconds float, topic, qos, retain, payload) and return the
+    line count.
+
+    This is the backfill-shaped setup step: at 100 TB the spool is an
+    archived message log that already exists; here it's derived from
+    the synthetic events once and cached (the ingest bench and e2e
+    tests re-use it). The render is distributed (to_json over the
+    message frame); only the final concatenation to one local file is
+    driver-side, because the replay source's offset model indexes a
+    single ordered log — exactly the shape a broker spool has."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    frame = message_frame(spark, sf_dir)
+    rendered = frame.select(
+        F.to_json(
+            F.struct(
+                # events ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+                # (UTC session tz makes the cast an identity)
+                (
+                    F.unix_micros(F.col("time").cast("timestamp"))
+                    / F.lit(1000000.0)
+                ).alias("time"),
+                F.col("topic"),
+                F.col("qos"),
+                F.col("retain"),
+                F.col("payload"),
+            )
+        ).alias("line")
+    )
+    tmp = tempfile.mkdtemp(prefix="hermod_spool_")
+    try:
+        rendered.coalesce(1).write.mode("overwrite").text(tmp)
+        part = next(iter(glob.glob(os.path.join(tmp, "part-*"))))
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(path, encoding="utf-8") as fh:
+        return sum(1 for _ in fh)
