@@ -829,6 +829,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_cand"] = dedup_minhash_cand
 
+    # incremental (streaming) LSH dedup, gated through its batch replay
+    # — the stream_ewma_replay pattern: same fold as the streaming
+    # state machine, chunked arrivals, oracle = the banded self-join
+    def dedup_lsh_incremental(spark, sf):
+        from hermod_spark.streaming.stateful import lsh_dedup_replay
+
+        return lsh_dedup_replay(_t(spark, sf, "documents"), n_batches=4)
+
+    q["dedup_lsh_incremental"] = dedup_lsh_incremental
+
     def dedup_jaccard_adjacent(spark, sf):
         d = _t(spark, sf, "documents")
         a = d.select(F.col("doc_id").alias("id_a"), dedup.shingles("text").alias("sh_a"))
@@ -2148,6 +2158,11 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
     )
+    # the replay's distinct emission set equals the batch candidate set
+    # (no bucket saturates at the default uncapped replay), so the
+    # incremental operator shares the banded-join oracle
+    o["dedup_lsh_incremental"] = o["dedup_minhash_cand"]
+
     o["dedup_jaccard_adjacent"] = f"""
 WITH sh AS (SELECT doc_id, {_shingles_sql("text")} AS s FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

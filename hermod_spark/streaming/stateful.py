@@ -381,3 +381,150 @@ def kmv_state_replay(
         .applyInPandas(replay, "key STRING, n_distinct_est DOUBLE, exact BOOLEAN")
         .withColumnRenamed("key", key_col)
     )
+
+
+# ------------------------------------------------------- incremental LSH
+
+
+def _lsh_bucket_fold(
+    seen: list, new_ids: list, cap: int
+) -> tuple[list, list]:
+    """The per-bucket admission fold both ``lsh_dedup_stream`` and
+    ``lsh_dedup_replay`` run — one LSH band bucket's resident ids plus
+    a batch of arriving ids → candidate pairs + updated residents.
+
+    Every ADMITTED arrival pairs with all residents before it (other
+    arrivals in the same batch included, in sorted order), so the
+    union of emissions over any batch decomposition equals the batch
+    candidate set — decomposition invariance, pinned by the parity
+    tests. ``cap`` bounds state per bucket: once a bucket holds ``cap``
+    ids, later arrivals are dropped unseen (the streaming face of
+    `near_dup_candidates`' ``max_bucket`` boilerplate-flood guard —
+    a prefix cap, since a stream cannot retroactively drop a bucket
+    that grew too hot)."""
+    pairs: list[tuple[int, int]] = []
+    resident = set(seen)
+    for nid in new_ids:
+        if nid in resident:
+            continue  # at-least-once replay of an already-seen doc
+        if len(seen) >= cap:
+            continue  # saturated bucket
+        pairs.extend((s, nid) if s < nid else (nid, s) for s in seen)
+        seen.append(nid)
+        resident.add(nid)
+    return pairs, seen
+
+
+def _lsh_banded(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    w: int,
+) -> DataFrame:
+    """Scan-side (stateless, JVM-only) banding for streaming input:
+    signature + band keys as ONE projection per row — no shuffle, no
+    Python, safe on an unbounded stream (minhash_bands' explode+agg
+    shape would be a stateful aggregation here)."""
+    from hermod_spark.operators.dedup import lsh_band_keys, minhash_signature
+
+    rows = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, w)
+    return docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.posexplode(lsh_band_keys(sig, bands, rows)),
+    ).toDF("_id", "band_id", "band_key")
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup detection: MinHash/LSH candidate pairs of
+    ARRIVING documents against everything seen so far — the streaming
+    face of `near_dup_candidates` (VERDICT r7 #3). A 100 TB pipeline
+    dedups new crawl increments against the corpus without re-running
+    LSH from scratch; this is that operator.
+
+    Shape: banding is one scan-side projection (same signature math as
+    the batch operator, bit-identical band keys), then ONE shuffle on
+    (band_id, band_key) into ``applyInPandasWithState``: state per
+    bucket is the resident doc ids, bounded by ``max_bucket`` (the
+    streaming prefix-cap of the batch flood guard). Emits (id_a, id_b)
+    candidate rows; a pair sharing several bands (or replayed after a
+    failure) can emit more than once — at-least-once, downstream
+    verify/cluster stages dedup, exactly like the batch plan's
+    ``distinct()``. State is O(buckets × cap) ids regardless of stream
+    length."""
+    banded = _lsh_banded(docs, text_col, id_col, num_hashes, bands, w)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = list(state.get[0]) if state.exists else []
+        arriving: set[int] = set()
+        for pdf in pdfs:
+            arriving.update(int(v) for v in pdf["_id"])
+        pairs, seen = _lsh_bucket_fold(seen, sorted(arriving), max_bucket)
+        state.update((seen,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        update,
+        outputStructType="id_a LONG, id_b LONG",
+        stateStructType="ids ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def lsh_dedup_replay(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    max_bucket: int = 1 << 30,
+    n_batches: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Batch REPLAY of ``lsh_dedup_stream``'s per-bucket state machine —
+    the oracle surface for the incremental dedup (the
+    ``stream_ewma_replay`` pattern): each bucket's arrivals are split
+    into ``n_batches`` id-ordered chunks folded through the SAME
+    ``_lsh_bucket_fold``, resident state carried chunk to chunk. The
+    DISTINCT union of emissions equals `near_dup_candidates`' pair set
+    when no bucket saturates — which the DuckDB banded-join oracle
+    reproduces exactly.
+
+    Scale: one explicit hash exchange on the bucket key (AQE-coalesce
+    exempt, same rationale as ewma_replay), O(cap) state per bucket."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted({int(v) for v in pdf["_id"]})
+        seen: list[int] = []
+        out: list[tuple[int, int]] = []
+        step = max(1, -(-len(ids) // n_batches))
+        for lo in range(0, len(ids), step):
+            pairs, seen = _lsh_bucket_fold(seen, ids[lo : lo + step], max_bucket)
+            out.extend(pairs)
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    banded = _lsh_banded(docs, text_col, id_col, num_hashes, bands, w)
+    nparts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        banded.repartition(nparts, "band_id", "band_key")
+        .groupBy("band_id", "band_key")
+        .applyInPandas(replay, "id_a LONG, id_b LONG")
+        .distinct()
+    )

@@ -315,3 +315,89 @@ def test_kmv_replay_chunking_invariant(spark):
     one = kmv_state_replay(df, k=16, n_batches=1).collect()
     many = kmv_state_replay(df, k=16, n_batches=9).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+# ---------------------------------------------------- incremental LSH dedup
+
+
+def _docs(spark, n=60):
+    """Small corpus with planted near-dups: every 10th doc repeats the
+    previous doc's text with one word changed, so LSH buckets collide."""
+    base = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"while the rain in spain stays mainly on the plain {i % 7}"
+        for i in range(n)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        if i % 10 == 9:
+            t = base[i - 1].replace("fox", "cat")
+        rows.append((i, t))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_lsh_dedup_stream_matches_batch_candidates(spark, tmp_path):
+    """3 micro-batches of arriving docs must emit (at least once) every
+    batch LSH candidate pair and nothing else."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.dedup import near_dup_candidates
+    from hermod_spark.streaming.stateful import lsh_dedup_stream
+
+    docs = _docs(spark)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert want  # the planted dups must actually collide
+
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for lo in (0, 20, 40):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = message_stream(spark, src, schema=docs.schema)
+    got_rows = _run_stream(
+        spark, tmp_path,
+        lsh_dedup_stream(stream, num_hashes=8, bands=4),
+    )
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want
+
+
+def test_lsh_dedup_stream_cap_bounds_state(spark, tmp_path):
+    """A bucket flooded past max_bucket stops admitting: with 20
+    identical docs and cap 5, residents pair only among the first 5."""
+    from hermod_spark.streaming.stateful import lsh_dedup_stream
+
+    rows = [(i, "exactly the same boilerplate text every single time") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = message_stream(spark, src, schema=docs.schema)
+    got_rows = _run_stream(
+        spark, tmp_path,
+        lsh_dedup_stream(stream, num_hashes=8, bands=4, max_bucket=5),
+    )
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+def test_lsh_dedup_replay_matches_stream_and_batch(spark, tmp_path):
+    """The batch replay (same fold, chunked) equals the streaming
+    emission set AND near_dup_candidates — replay-equals-stream is a
+    code identity, and both equal the one-shot batch plan."""
+    from hermod_spark.operators.dedup import near_dup_candidates
+    from hermod_spark.streaming.stateful import lsh_dedup_replay
+
+    docs = _docs(spark)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_dedup_replay(docs, num_hashes=8, bands=4, n_batches=3).collect()
+    }
+    assert got == want
