@@ -984,6 +984,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids=_pinned_centroids(spark, sf),
         n_probe=2,
     )
+    # recall-vs-cost curve (VERDICT r7 #4): integer counters per
+    # n_probe ∈ {1,2,4} — n_hits/n_truth is recall@k, n_scanned the
+    # cost axis; the pinned-centroid model keeps the oracle exact
+    q["sim_ivf_recall_curve"] = lambda spark, sf: S.ivf_recall_curve(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        probes=(1, 2, 4),
+        centroids=_pinned_centroids(spark, sf),
+    )
     # skewed-key join through salted_join: 90% of fact rows share one
     # hot key; result identical to the plain join (the salt is internal)
     def rel_salted_join(spark, sf):
@@ -2531,6 +2542,43 @@ r AS (SELECT query_id, neighbor_id, sim,
                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= {_TOPK}"""
+
+    o["sim_ivf_recall_curve"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+asg AS (SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY list_dot_product(v, cv) DESC, cent_id ASC) AS rn
+        FROM emb CROSS JOIN cent),
+lists AS (SELECT vec_id, v, cent_id AS list_id FROM asg WHERE rn = 1),
+probes(n_probe) AS (VALUES (1), (2), (4)),
+q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS list_id, rn FROM asg
+      WHERE vec_id < {_N_QUERIES} AND rn <= 4),
+c AS (SELECT vec_id AS neighbor_id, v AS nv, list_id FROM lists),
+cand AS (SELECT p.n_probe, q.query_id, c.neighbor_id, {cos_ivf} AS sim
+         FROM probes p
+         JOIN q ON q.rn <= p.n_probe
+         JOIN c ON q.list_id = c.list_id AND q.query_id <> c.neighbor_id),
+r AS (SELECT n_probe, query_id, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM cand),
+ts AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL.format(a="a.v", b="b.v")} DESC,
+                                     b.vec_id ASC) AS trnk
+       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id < {_N_QUERIES}),
+t AS (SELECT query_id, neighbor_id FROM ts WHERE trnk <= {_TOPK}),
+hits AS (SELECT n_probe, CAST(COUNT(t.query_id) AS BIGINT) AS n_hits
+         FROM r LEFT JOIN t USING (query_id, neighbor_id)
+         WHERE r.rnk <= {_TOPK} GROUP BY n_probe),
+scanned AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_scanned
+            FROM cand GROUP BY n_probe)
+SELECT s.n_probe, (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_truth,
+  h.n_hits, s.n_scanned,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM emb) AS n_corpus
+FROM scanned s JOIN hits h USING (n_probe)"""
 
     cosab = _COS_SQL.format(a="a.v", b="b.v")
     o["sim_embedding_neardups"] = f"""

@@ -1218,3 +1218,99 @@ def lsh_recall_check(
             F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
         )
     )
+
+
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    probes: tuple = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall-vs-cost curve for the IVF probe knob: one row per
+    ``n_probe`` with integer counters the oracle reproduces exactly —
+    n_truth (exact top-k rows), n_hits (IVF∩truth), n_scanned
+    (candidate pairs actually scored = the cost axis), n_corpus.
+    recall@k = n_hits/n_truth; fraction scanned = n_scanned/
+    (n_queries·(n_corpus−1)). This is THE operational ANN tradeoff:
+    raising n_probe buys recall linearly in scan cost without touching
+    the stored lists (VERDICT r7 #4).
+
+    Plan shape: lists assigned once, candidates scored ONCE at the
+    widest probe setting with their probe rank attached, then the
+    probe sweep is a literal explode over the scored frame — per-p
+    top-k via one window; no per-p rescan of the corpus. Queries
+    broadcast; never a cartesian."""
+    if list(probes) != sorted(set(probes)) or not probes:
+        raise ValueError("probes must be sorted distinct and non-empty")
+    max_p = max(probes)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids_kmeans(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
+    assigned = ensure_min_partitions(embeddings).select(
+        F.col(id_col), F.col(vec_col), ivf_assign(vec_col, cents).alias("list_id")
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(ivf_probe_lists(vec_col, cents, max_p)).alias(
+            "probe_rank", "list_id"
+        ),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            cosine("q_vec", "c_vec").alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # one scoring pass feeds every p
+    )
+    swept = scored.join(
+        F.broadcast(
+            embeddings.sparkSession.createDataFrame(
+                [(int(p),) for p in probes], "n_probe INT"
+            )
+        ),
+        F.col("probe_rank") < F.col("n_probe"),
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = swept.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    truth = brute_force_topk(embeddings, k, n_queries, id_col, vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_t")
+    )
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("n_probe")
+        .agg(F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_hits"))
+    )
+    scanned = swept.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    n_truth = truth.groupBy().agg(F.count(F.lit(1)).alias("n_truth"))
+    n_corpus = embeddings.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        hits.join(scanned, "n_probe")
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_corpus))
+        .select("n_probe", "n_truth", "n_hits", "n_scanned", "n_corpus")
+        .orderBy("n_probe")
+    )

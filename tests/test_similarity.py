@@ -447,3 +447,28 @@ def test_lsh_recall_measurement_shape_and_more_planes_not_better(spark):
         return sum(r["recall"] for r in out) / len(out)
 
     assert mean_recall(1) >= mean_recall(6)
+
+
+def test_ivf_recall_curve_monotone_with_floor(spark):
+    """The recall-vs-cost curve (VERDICT r7 #4): recall and scan cost
+    must both be non-decreasing in n_probe, the widest probe setting
+    must clear the 0.6 recall floor the trained path promises, and the
+    cost axis must stay a strict subset of the corpus (the whole point
+    of IVF: never a full scan)."""
+    from hermod_spark.data import table
+
+    emb = table(spark, "/root/testdata/sf0.1", "embeddings")
+    rows = {
+        r["n_probe"]: r
+        for r in S.ivf_recall_curve(
+            emb, k=5, n_queries=10, n_centroids=8, probes=(1, 2, 4)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    recalls = [rows[p]["n_hits"] / rows[p]["n_truth"] for p in (1, 2, 4)]
+    scans = [rows[p]["n_scanned"] for p in (1, 2, 4)]
+    assert recalls == sorted(recalls)
+    assert scans == sorted(scans) and scans[0] < scans[-1]
+    assert recalls[-1] >= 0.6
+    n = rows[4]["n_corpus"]
+    assert rows[4]["n_scanned"] < 10 * (n - 1)  # probing 4/8 lists ≪ full scan
