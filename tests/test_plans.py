@@ -289,3 +289,53 @@ def test_bucketed_join_no_join_shuffle(spark):
     # ONE shuffle total (the o_orderpriority agg); zero on the join keys
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Exchange hashpartitioning\((l_orderkey|o_orderkey)", plan) == 0
+
+
+def test_aqe_splits_manufactured_skewed_join(spark):
+    """SCALE.md leans on AQE skew handling for hot LSH buckets and
+    power-law fact keys; this proves the mechanism actually fires
+    (VERDICT r7 #9): a 95%-one-key fact SMJ-joined to a non-broadcast
+    dim, with skew thresholds scaled to test data volume, must show
+    `SortMergeJoin(skew=true)` over an `AQEShuffleRead skewed` in the
+    FINAL adaptive plan. Complements the salted_join gate: salting is
+    the static remedy, this is the runtime one."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # production defaults are 256MB/5.0 — scaled to the few-MB test
+        # shuffle so the same 95/5 skew ratio crosses them
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise((F.col("id") % 25).cast("int"))
+            .alias("k"),
+            F.col("id").alias("row_id"),
+            F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))).alias("pad"),
+        )
+        dim = spark.range(0, 25).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("dim"), F.col("id")).alias("name"),
+        )
+        j = fact.join(dim, "k").select("k", "row_id", "name")
+        assert len(j.collect()) == 200_000  # result correct under the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
