@@ -1022,6 +1022,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_bucketed_join"] = rel_bucketed_join
 
+    # decorrelated subqueries (SURVEY §2.6 subquery surface, VERDICT r7
+    # #10): the oracles are written in CORRELATED form (EXISTS / scalar
+    # per-part subquery); the engine runs the decorrelation — semi-join
+    # and agg-join — with no per-row subplan (plan-gated)
+    q["rel_exists_rewrite"] = lambda spark, sf: R.orders_with_returns(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    q["rel_scalar_subquery"] = lambda spark, sf: R.small_quantity_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
     # exactly and asserts recall_ok, so a recall regression reds the row
@@ -2420,6 +2431,28 @@ SELECT o_orderpriority,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+    # correlated forms on purpose: DuckDB decorrelates internally, the
+    # engine ships the rewrite explicitly — equal results prove it
+    o["rel_exists_rewrite"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+    o["rel_scalar_subquery"] = """
+WITH branded AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#4')
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM branded b
+WHERE b.l_quantity < 0.5 * (
+  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+  FROM lineitem l2 WHERE l2.l_partkey = b.l_partkey)"""
 
     o["rel_salted_join"] = """
 WITH f AS (

@@ -1067,3 +1067,67 @@ def bucketed_order_revenue(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def orders_with_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS subquery, decorrelated: order counts per
+    priority among orders with at least one returned line item.
+
+    The SQL form is `WHERE EXISTS (SELECT 1 FROM lineitem WHERE
+    l_orderkey = o_orderkey AND l_returnflag = 'R')`; executed
+    per-row that is a correlated subplan (a scan per outer row). The
+    engine form is its decorrelation: ONE left-semi hash join on the
+    order key — no per-row subplan anywhere in the physical plan
+    (gated by tests/test_plans.py), one shuffle pair at scale, and
+    the semi join carries no lineitem payload columns."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#4"
+) -> DataFrame:
+    """TPC-H Q17-shaped scalar correlated subquery, decorrelated:
+    average yearly revenue lost by not filling small orders — line
+    items of one brand whose quantity is below half the part's average
+    quantity.
+
+    The SQL form compares each row against `(SELECT 0.5*AVG(l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)` — a correlated
+    scalar subplan per row. The engine form aggregates per-part
+    averages ONCE (map-side partial agg) and equi-joins them back:
+    the subquery becomes a join against an O(parts) frame, which is
+    broadcastable at any scale where parts ≪ lineitem. Averages are
+    ratios of decimal-exact sums so both engines compute identical
+    doubles."""
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(dec("l_quantity")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    branded = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        branded.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
+        .agg(
+            # exact decimal sum → double (scale 4: cast is exact in
+            # every engine) → one double division: bit-reproducible
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

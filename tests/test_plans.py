@@ -339,3 +339,22 @@ def test_aqe_splits_manufactured_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decorrelated_subqueries_have_no_per_row_subplan(spark):
+    """The EXISTS / scalar-subquery pair runs as joins: no Subquery
+    node anywhere (a correlated subplan re-executes per outer row),
+    the EXISTS is a semi join carrying no lineitem payload, and the
+    per-part average joins back broadcast."""
+    plan = plan_of(spark, "rel_exists_rewrite")
+    assert "Subquery" not in plan
+    assert count(r"LeftSemi", plan) >= 1
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "l_orderkey:bigint", "l_returnflag:string",
+    }
+
+    plan = plan_of(spark, "rel_scalar_subquery")
+    assert "Subquery" not in plan
+    assert count(r"BroadcastHashJoin", plan) >= 2
+    assert count(r"HashAggregate", plan) >= 2  # partial+final per-part avg
