@@ -1305,6 +1305,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_audio_chunks"] = mm_audio_chunks
 
+    def mm_audio_decode(spark, sf):
+        """REAL-codec e2e gate: deterministic WAV bytes (stdlib RIFF
+        writer) synthesized per document, decoded back through the
+        Arrow-batched `decode_audio` operator. The oracle reproduces
+        every recovered field arithmetically — if the real encode/
+        decode round trip drifts by one frame, the row hashes red."""
+        import pandas as _pd
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", ((F.col("n_chars") % 50) + 10).alias("_ms")
+        )
+
+        def gen(it):
+            from hermod_spark.operators.multimodal import wav_blob
+
+            for pdf in it:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": [
+                            wav_blob(8000, 440.0, int(m)) for m in pdf["_ms"]
+                        ],
+                    }
+                )
+
+        blobs = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+        return MM.decode_audio(blobs).select(
+            "doc_id", "sample_rate", "n_channels", "n_frames",
+            "duration_ms", "decode_ok",
+        )
+
+    q["mm_audio_decode"] = mm_audio_decode
+
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
         from hermod_spark.streaming.windows import windowed_agg
@@ -3225,6 +3258,16 @@ SELECT doc_id, chunk_start_ms,
   CAST(chunk_start_ms * 16000 / 1000 AS BIGINT) AS start_sample,
   CAST(least(chunk_start_ms + 5000, dur) * 16000 / 1000 AS BIGINT) AS end_sample
 FROM c"""
+    # real-WAV round trip: every decoded field is an exact arithmetic
+    # function of the synthesis parameters (sr=8000, ms=(n_chars%50)+10)
+    o["mm_audio_decode"] = """
+SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(8000 * ((n_chars % 50) + 10) // 1000 AS BIGINT) AS n_frames,
+  CAST((8000 * ((n_chars % 50) + 10) // 1000) * 1000 // 8000 AS BIGINT)
+    AS duration_ms,
+  TRUE AS decode_ok
+FROM documents"""
 
     o["stream_windowed"] = f"""
 WITH msg AS ({_MSG_SQL})

@@ -242,3 +242,199 @@ def batch_plan(
         F.floor((rn - 1) / batch_size).cast("int").alias("batch_id"),
         ((rn - 1) % batch_size).cast("int").alias("batch_pos"),
     )
+
+
+# ----------------------------------------------------- real-codec legs
+#
+# The fake HSPK kernel above proves the Spark plumbing; these are the
+# REAL decoders behind import gates (VERDICT r7 #8). Two tiers:
+#  - WAV audio via the stdlib `wave` module — always available, so the
+#    real-bytes path is e2e-tested even in this container;
+#  - images via Pillow — gated on find_spec("PIL"), auto-skipping in
+#    environments without it (same pattern as the paho MQTT client).
+# Every decoder has the same contract: blob -> tuple or None, so the
+# Arrow-batched mapInPandas shape is shared with the fake kernel.
+
+
+def have_pillow() -> bool:
+    from importlib.util import find_spec
+
+    return find_spec("PIL") is not None
+
+
+def _decode_one_pil(blob: bytes) -> tuple[int, int, int, float] | None:
+    """REAL image decoder (Pillow): any format PIL reads (PNG/JPEG/…)
+    → (width, height, n_channels, mean_intensity). Import-gated —
+    callers choose it via ``decode_images(..., codec='pil')``."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(blob))
+        img.load()
+    except Exception:  # noqa: BLE001 - any corrupt blob = not decodable
+        return None
+    n_channels = len(img.getbands())
+    hist = img.convert("L").histogram()
+    n = sum(hist)
+    mean = sum(i * c for i, c in enumerate(hist)) / n / 255.0 if n else 0.0
+    return img.width, img.height, n_channels, mean
+
+
+_IMAGE_CODECS = {"hspk": _decode_one, "pil": _decode_one_pil}
+
+
+def image_codec(name: str = "auto"):
+    """Resolve a decode kernel: 'hspk' (synthetic, deterministic),
+    'pil' (real, import-gated), or 'auto' (pil when installed, else
+    hspk). Raises ImportError with wiring instructions when 'pil' is
+    requested but Pillow is absent — never a silent fake fallback."""
+    if name == "auto":
+        name = "pil" if have_pillow() else "hspk"
+    if name == "pil" and not have_pillow():
+        raise ImportError(
+            "codec='pil' requires Pillow (pip install Pillow); this "
+            "container ships none — use codec='hspk' (synthetic) or "
+            "codec='auto' to fall back automatically"
+        )
+    return _IMAGE_CODECS[name]
+
+
+def decode_images_with(
+    df: DataFrame,
+    codec: str = "auto",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`decode_images` with a selectable kernel — identical schema,
+    batching, and corrupt-blob behavior; only the per-blob decoder
+    changes (the swap the module docstring promises)."""
+    decode = image_codec(codec)
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(DECODED_FIELDS.fields)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                dec = decode(bytes(blob)) if blob is not None else None
+                if dec is None:
+                    rows.append((i, None, None, None, None, False))
+                else:
+                    rows.append((i, *dec[:3], dec[3], True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels",
+                    "mean_intensity", "decode_ok",
+                ],
+            )
+
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def wav_blob(
+    sample_rate: int = 8000,
+    freq_hz: float = 440.0,
+    ms: int = 125,
+    amplitude: float = 0.5,
+    n_channels: int = 1,
+) -> bytes:
+    """Deterministic REAL WAV bytes (RIFF, 16-bit PCM sine) for tests —
+    produced by the stdlib `wave` writer, decoded by the stdlib `wave`
+    reader: the real-bytes round trip this container can actually run."""
+    import io
+    import math
+    import wave
+
+    n = sample_rate * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for t in range(n):
+            v = int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * t / sample_rate))
+            frames += struct.pack("<h", v) * n_channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _decode_one_wav(blob: bytes) -> tuple[int, int, int, int, float] | None:
+    """REAL audio decoder (stdlib `wave`): RIFF/WAV 16-bit PCM →
+    (sample_rate, n_channels, n_frames, duration_ms, rms in [0,1])."""
+    import array
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            sr, ch, sw, n = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
+            )
+            raw = w.readframes(n)
+    except Exception:  # noqa: BLE001 - corrupt/foreign bytes
+        return None
+    if sw != 2 or sr <= 0:
+        return None
+    samples = array.array("h")
+    samples.frombytes(raw)
+    rms = (
+        (sum(int(x) * int(x) for x in samples) / len(samples)) ** 0.5 / 32768.0
+        if len(samples)
+        else 0.0
+    )
+    return sr, ch, n, n * 1000 // sr, rms
+
+
+WAV_DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL audio decode — same plumbing as decode_images
+    but over genuine WAV bytes (stdlib codec, no external deps).
+    Corrupt/foreign blobs yield decode_ok=false rows, never an abort."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(WAV_DECODED_FIELDS.fields)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                dec = _decode_one_wav(bytes(blob)) if blob is not None else None
+                if dec is None:
+                    rows.append((i, None, None, None, None, None, False))
+                else:
+                    rows.append((i, *dec, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "rms", "decode_ok",
+                ],
+            )
+
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )
