@@ -1032,6 +1032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_scalar_subquery"] = lambda spark, sf: R.small_quantity_revenue(
         _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     )
+    # TPC-H Q13 shape: outer join keeping zero-order customers + a
+    # two-level aggregation; Q3 shape: pushed date filters on both
+    # facts + TakeOrdered top-k over the aggregated rows
+    q["rel_order_dist"] = lambda spark, sf: R.customer_order_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+    q["rel_ship_priority"] = lambda spark, sf: R.shipping_priority(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
 
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
@@ -2464,6 +2473,23 @@ SELECT o_orderpriority,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+    o["rel_order_dist"] = """
+SELECT c_count, COUNT(*) AS n_custs FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count"""
+
+    o["rel_ship_priority"] = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(CAST(ROUND(SUM({DP} * {DISC}), 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10"""
 
     # correlated forms on purpose: DuckDB decorrelates internally, the
     # engine ships the rewrite explicitly — equal results prove it

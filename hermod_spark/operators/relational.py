@@ -1131,3 +1131,55 @@ def small_quantity_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed k
+    orders, INCLUDING the zero-order customers the outer join exists
+    for. Two-level aggregation — per-customer count (left outer join,
+    count of the nullable right key), then histogram over the counts.
+    Both aggs are partial-combined; the second input is O(customers)
+    and the output O(distinct counts)."""
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("c_count"))
+    )
+
+
+def shipping_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-k revenue among orders
+    placed before ``cutoff`` whose items ship after it. Both date
+    filters push to the parquet scans (plan-gated); the join is the
+    orderkey fact pair; top-k is a TakeOrderedAndProject over the
+    aggregated (order, revenue) rows — never a global sort of the
+    fact tables. Ties broken by orderkey for determinism."""
+    cut = F.lit(cutoff).cast("timestamp")
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )

@@ -358,3 +358,18 @@ def test_decorrelated_subqueries_have_no_per_row_subplan(spark):
     assert "Subquery" not in plan
     assert count(r"BroadcastHashJoin", plan) >= 2
     assert count(r"HashAggregate", plan) >= 2  # partial+final per-part avg
+
+
+def test_ship_priority_pushes_dates_and_takeordered(spark):
+    """Q3 shape: both date predicates reach their parquet scans, the
+    top-k is TakeOrderedAndProject (never a global sort of fact rows),
+    and scans are pruned to the join/agg columns."""
+    plan = plan_of(spark, "rel_ship_priority")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert count(r"TakeOrderedAndProject", plan) == 1
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "l_orderkey:bigint", "l_extendedprice:double",
+        "l_discount:double", "l_shipdate:timestamp_ntz",
+    }
