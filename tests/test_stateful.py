@@ -401,3 +401,54 @@ def test_lsh_dedup_replay_matches_stream_and_batch(spark, tmp_path):
         for r in lsh_dedup_replay(docs, num_hashes=8, bands=4, n_batches=3).collect()
     }
     assert got == want
+
+
+def test_lsh_dedup_state_survives_restart(spark, tmp_path):
+    """Incremental-dedup fault tolerance: bucket resident sets restore
+    from the checkpoint across stop/restart — docs arriving AFTER the
+    restart must pair with residents admitted BEFORE it, and the union
+    of emissions must still equal the one-shot batch candidate set."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.operators.dedup import near_dup_candidates
+    from hermod_spark.streaming.stateful import lsh_dedup_stream
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "pairs")
+
+    def run_once():
+        def sink(b, bid):
+            b.write.mode("append").parquet(out_dir)
+
+        stream = message_stream(spark, src, schema=docs.schema)
+        q = (
+            lsh_dedup_stream(stream, num_hashes=8, bands=4)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    docs.filter(F.col("doc_id") < 30).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # cross-restart pairs REQUIRE restored state: ids 30.. pair with <30
+    docs.filter(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert want and got == want
+    # and at least one pair genuinely straddles the restart
+    assert any(a < 30 <= b for a, b in got)
