@@ -225,6 +225,17 @@ HEADLINE = [
     "sketch_bloom_merge",
     "rel_asof_forward",
     "rel_asof_nearest",
+    # added r08: bucketed fact join, incremental LSH dedup replay,
+    # recall-vs-cost sweep, decorrelated subqueries, Q13/Q3 shapes,
+    # real-WAV decode
+    "rel_bucketed_join",
+    "dedup_lsh_incremental",
+    "sim_ivf_recall_curve",
+    "rel_exists_rewrite",
+    "rel_scalar_subquery",
+    "rel_order_dist",
+    "rel_ship_priority",
+    "mm_audio_decode",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

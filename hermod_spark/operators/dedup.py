@@ -118,7 +118,13 @@ def _affine(h: Column, i: int) -> Column:
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, w: int = 3) -> Column:
     """Array of ``num_hashes`` min-hash values (longs), one per
-    universal-hash function."""
+    universal-hash function.
+
+    The hashed-shingle array is bound ONCE via the single-element-array
+    lambda trick (same as `shingles`): referencing it directly from the
+    ``num_hashes`` min folds lets projection collapse re-inline the
+    whole tokenizer+md5 pipeline 16× — minutes of codegen and 16×
+    per-row tokenization (the r8 dedup_lsh_incremental timeout)."""
     sh = shingles(col, w)
     hashed = F.transform(sh, _base_hash)
 
@@ -127,9 +133,12 @@ def minhash_signature(col: Column | str, num_hashes: int = 16, w: int = 3) -> Co
         # second parameter, so a `lambda h, i=i` would be fed (h, idx)
         return lambda h: _affine(h, i)
 
-    return F.array(
-        *[F.array_min(F.transform(hashed, make(i))) for i in range(num_hashes)]
-    )
+    def _mins(h: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(h, make(i))) for i in range(num_hashes)]
+        )
+
+    return F.transform(F.array(hashed), _mins)[0]
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:

@@ -430,10 +430,16 @@ def _lsh_banded(
     from hermod_spark.operators.dedup import lsh_band_keys, minhash_signature
 
     rows = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, w)
+    # bind the signature ONCE: lsh_band_keys references it rows×bands
+    # times (element_at per slot), and projection collapse would
+    # re-inline the whole signature pipeline into each reference
+    keys = F.transform(
+        F.array(minhash_signature(text_col, num_hashes, w)),
+        lambda s: lsh_band_keys(s, bands, rows),
+    )[0]
     return docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        F.posexplode(lsh_band_keys(sig, bands, rows)),
+        F.posexplode(keys),
     ).toDF("_id", "band_id", "band_key")
 
 
@@ -510,21 +516,41 @@ def lsh_dedup_replay(
     Scale: one explicit hash exchange on the bucket key (AQE-coalesce
     exempt, same rationale as ewma_replay), O(cap) state per bucket."""
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted({int(v) for v in pdf["_id"]})
-        seen: list[int] = []
-        out: list[tuple[int, int]] = []
-        step = max(1, -(-len(ids) // n_batches))
-        for lo in range(0, len(ids), step):
-            pairs, seen = _lsh_bucket_fold(seen, ids[lo : lo + step], max_bucket)
-            out.extend(pairs)
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+    def replay_buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int]] = []
+            for bucket_ids in pdf["_ids"]:
+                ids = sorted(int(v) for v in bucket_ids)
+                seen: list[int] = []
+                step = max(1, -(-len(ids) // n_batches))
+                for lo in range(0, len(ids), step):
+                    pairs, seen = _lsh_bucket_fold(
+                        seen, ids[lo : lo + step], max_bucket
+                    )
+                    out.extend(pairs)
+            yield pd.DataFrame(out, columns=["id_a", "id_b"])
 
-    banded = _lsh_banded(docs, text_col, id_col, num_hashes, bands, w)
+    # batch input: the explode+agg banding (map-side combined), its
+    # band-key math bit-identical to _lsh_banded's (the stream≡batch
+    # parity tests pin that), pre-aggregated to ONE ROW PER BUCKET with
+    # singleton buckets pruned — they can emit no pairs, and feeding
+    # ~4×|docs| near-empty groups through per-group applyInPandas costs
+    # ~1 ms of Python dispatch each (measured 24 s at sf0.1; this
+    # mapInPandas shape is one Python call per Arrow batch: 1.5 s).
+    from hermod_spark.operators.dedup import minhash_bands
+
+    banded = minhash_bands(
+        docs, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
     nparts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    buckets = (
         banded.repartition(nparts, "band_id", "band_key")
         .groupBy("band_id", "band_key")
-        .applyInPandas(replay, "id_a LONG, id_b LONG")
+        .agg(F.collect_set("_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return (
+        buckets.select("_ids")
+        .mapInPandas(replay_buckets, "id_a LONG, id_b LONG")
         .distinct()
     )
