@@ -385,6 +385,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flt_route"] = flt_route
 
+    def flt_quarantine(spark, sf):
+        """Dead-letter routing: deterministically corrupted messages
+        (every 13th payload truncated mid-JSON, every 17th topic
+        blanked) must land in _quarantine with a first-match reason;
+        everything else routes normally. Counts per (table, reason)."""
+        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
+        corrupted = msgs.withColumn(
+            "payload",
+            F.when(
+                F.col("event_id") % 13 == 0, F.substring("payload", 1, 10)
+            ).otherwise(F.col("payload")),
+        ).withColumn(
+            "topic",
+            F.when(F.col("event_id") % 17 == 0, F.lit("")).otherwise(
+                F.col("topic")
+            ),
+        )
+        labeled = RoutePlanner(ROUTES).label_with_quarantine(corrupted)
+        return (
+            labeled.groupBy(
+                F.col("_table").alias("route_table"),
+                F.col("_reason").alias("reason"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("route_table", "reason")
+        )
+
+    q["flt_quarantine"] = flt_quarantine
+
     def prj_pass(spark, sf):
         # canonical projection + event_id carried through for a
         # deterministic row identity in the hash comparison
@@ -1707,6 +1736,24 @@ def oracle_sql() -> dict[str, str]:
         f"WITH msg AS ({_MSG_SQL})"
         f" SELECT event_id, topic, {_route_case_sql()} AS _table FROM msg"
     )
+    o["flt_quarantine"] = f"""
+WITH msg AS ({_MSG_SQL}),
+c AS (SELECT time,
+        CASE WHEN event_id % 17 = 0 THEN '' ELSE topic END AS topic,
+        CASE WHEN event_id % 13 = 0 THEN substring(payload, 1, 10)
+             ELSE payload END AS payload,
+        event_id FROM msg),
+r AS (SELECT *,
+        CASE WHEN payload IS NULL THEN 'null_payload'
+             WHEN NOT json_valid(payload) THEN 'bad_json'
+             WHEN topic IS NULL OR trim(topic) = '' THEN 'empty_topic'
+             WHEN time IS NULL THEN 'null_time' END AS reason
+      FROM c)
+SELECT CASE WHEN reason IS NOT NULL THEN '_quarantine'
+            ELSE {_route_case_sql()} END AS route_table,
+       reason, COUNT(*) AS n
+FROM r GROUP BY 1, 2"""
+
     o["prj_pass"] = (
         f"WITH msg AS ({_MSG_SQL}) SELECT event_id, time, topic, qos, retain,"
         " payload AS raw, CASE WHEN json_valid(payload) THEN payload END AS json FROM msg"

@@ -84,6 +84,12 @@ BASELINE = {
     "cur_distill_nb": 1.005, "cur_sample_weighted": 0.568,
     "sketch_cm_merge": 1.295, "sketch_bloom_merge": 0.737,
     "rel_asof_forward": 0.682, "rel_asof_nearest": 0.683,
+    # added r08, isolated-run medians (4 runs, first discarded),
+    # recorded before the round's final snapshot
+    "rel_bucketed_join": 0.356, "dedup_lsh_incremental": 1.405,
+    "sim_ivf_recall_curve": 1.368, "rel_exists_rewrite": 0.39,
+    "rel_scalar_subquery": 1.228, "rel_order_dist": 0.427,
+    "rel_ship_priority": 0.633, "mm_audio_decode": 1.166,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.

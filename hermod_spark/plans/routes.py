@@ -43,6 +43,27 @@ from hermod_spark.functions.topic import topic_matches
 from hermod_spark.plans.schema import validate_identifier
 
 DEFAULT_TABLE = "iot_raw"  # router.go:394
+QUARANTINE_TABLE = "_quarantine"
+
+
+def quarantine_reason(
+    time_col: str = "time",
+    topic_col: str = "topic",
+    payload_col: str = "payload",
+) -> Column:
+    """First-match structural-validity reason, NULL when the record is
+    routable: null_payload → bad_json (try_parse_json, the same probe
+    passthrough_record uses) → empty_topic → null_time. Order is part
+    of the contract (the oracle mirrors it)."""
+    return (
+        F.when(F.col(payload_col).isNull(), F.lit("null_payload"))
+        .when(F.try_parse_json(F.col(payload_col)).isNull(), F.lit("bad_json"))
+        .when(
+            F.col(topic_col).isNull() | (F.trim(F.col(topic_col)) == ""),
+            F.lit("empty_topic"),
+        )
+        .when(F.col(time_col).isNull(), F.lit("null_time"))
+    )
 
 
 @dataclass
@@ -86,6 +107,36 @@ class RoutePlanner:
 
     def label(self, df: DataFrame, topic_col: str = "topic") -> DataFrame:
         return df.withColumn("_table", self.label_col(F.col(topic_col)))
+
+    def label_with_quarantine(
+        self,
+        df: DataFrame,
+        topic_col: str = "topic",
+        payload_col: str = "payload",
+        time_col: str = "time",
+        quarantine_table: str = QUARANTINE_TABLE,
+    ) -> DataFrame:
+        """`label` plus dead-letter routing: structurally invalid
+        records get ``_table = quarantine_table`` and a ``_reason``
+        column instead of being dropped.
+
+        The reference LOGS and skips bad messages (subscriber error
+        logging, cmd/hermod/main.go:128-131); at 100 TB silent drops
+        are unacceptable — the quarantine table preserves every byte
+        for replay after a fix, and the reason column makes the
+        failure mix a queryable metric (see the flt_quarantine gated
+        query). Pure native exprs: one CASE per row, no second scan,
+        no shuffle."""
+        validate_identifier(quarantine_table, strict=False)
+        reason = quarantine_reason(
+            time_col=time_col, topic_col=topic_col, payload_col=payload_col
+        )
+        return df.withColumn("_reason", reason).withColumn(
+            "_table",
+            F.when(F.col("_reason").isNotNull(), F.lit(quarantine_table)).otherwise(
+                self.label_col(F.col(topic_col))
+            ),
+        )
 
     def branches(
         self, df: DataFrame, topic_col: str = "topic"

@@ -122,3 +122,38 @@ def test_apply_uses_transform(spark):
     planned = dict(planner.apply(df))
     assert planned["t1"].columns == ["topic"]
     assert set(planned["iot_raw"].columns) == {"time", "topic", "qos", "retain", "raw", "json"}
+
+
+def test_label_with_quarantine_first_match_reasons(spark):
+    """Dead-letter routing: invalid records keep every byte and get a
+    first-match reason; valid records route exactly as label() does."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermod_spark.plans.routes import QUARANTINE_TABLE, Route, RoutePlanner
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (t0, "sensors/temp/a", '{"v": 1}'),      # valid -> temps
+        (t0, "sensors/temp/a", None),             # null_payload
+        (t0, "sensors/temp/a", "{broken"),        # bad_json
+        (t0, "", '{"v": 1}'),                     # empty_topic
+        (None, "sensors/temp/a", '{"v": 1}'),     # null_time
+        (None, "", "{broken"),                    # bad_json wins (order)
+    ]
+    df = spark.createDataFrame(rows, "time TIMESTAMP, topic STRING, payload STRING")
+    planner = RoutePlanner([Route("sensors/temp/#", "temps")])
+    out = planner.label_with_quarantine(df).collect()
+    got = [(r["_table"], r["_reason"]) for r in out]
+    assert got == [
+        ("temps", None),
+        (QUARANTINE_TABLE, "null_payload"),
+        (QUARANTINE_TABLE, "bad_json"),
+        (QUARANTINE_TABLE, "empty_topic"),
+        (QUARANTINE_TABLE, "null_time"),
+        (QUARANTINE_TABLE, "bad_json"),
+    ]
+    # nothing dropped, all source columns preserved for replay
+    assert len(out) == len(rows)
+    assert {"time", "topic", "payload"} <= set(out[0].asDict())
