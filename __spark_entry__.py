@@ -1051,6 +1051,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_bucketed_join"] = rel_bucketed_join
 
+    # partition pruning over a date-partitioned copy (the layout leg
+    # next to bucketing): a 3-day window of a 30-day table reads 3
+    # directories — plan-gated via PartitionFilters
+    def rel_partition_pruned(spark, sf):
+        import re as _re
+
+        from hermod_spark.operators.relational import partitioned_event_rollup
+
+        tag = _re.sub(r"\W+", "_", sf).strip("_")
+        return partitioned_event_rollup(
+            _prep(spark),
+            _t(spark, sf, "events"),
+            f"/tmp/hermod_part_events_{tag}",
+        )
+
+    q["rel_partition_pruned"] = rel_partition_pruned
+
     # decorrelated subqueries (SURVEY §2.6 subquery surface, VERDICT r7
     # #10): the oracles are written in CORRELATED form (EXISTS / scalar
     # per-part subquery); the engine runs the decorrelation — semi-join
@@ -2520,6 +2537,13 @@ SELECT o_orderpriority,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+    o["rel_partition_pruned"] = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY event_type"""
 
     o["rel_order_dist"] = """
 SELECT c_count, COUNT(*) AS n_custs FROM (

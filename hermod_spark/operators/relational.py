@@ -1183,3 +1183,38 @@ def shipping_priority(
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def partitioned_event_rollup(
+    spark,
+    events: DataFrame,
+    path: str,
+    date_lo: str = "2024-01-10",
+    date_hi: str = "2024-01-12",
+) -> DataFrame:
+    """Time-windowed rollup over a date-partitioned copy of events:
+    per-type counts and value sums for a 3-day window of a 30-day
+    table. The date filter is a PARTITION filter — the scan touches
+    only the window's directories (plan-gated: PartitionFilters
+    non-empty, no post-scan date predicate), which at 100 TB is the
+    difference between reading 10 TB and reading 1 TB for the same
+    answer. Sums decimal-exact for cross-engine hashing."""
+    from hermod_spark.sinks.writer import ensure_partitioned_copy
+
+    part = ensure_partitioned_copy(
+        spark,
+        events.withColumn("event_date", F.to_date(F.col("ts"))),
+        path,
+        "event_date",
+    )
+    lo = F.lit(date_lo).cast("date")
+    hi = F.lit(date_hi).cast("date")
+    return (
+        part.filter(F.col("event_date").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", "decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

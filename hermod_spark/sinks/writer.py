@@ -211,3 +211,28 @@ def ensure_bucketed_table(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def ensure_partitioned_copy(
+    spark,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> DataFrame:
+    """Create-if-absent a Hive-partitioned parquet copy of ``df`` at
+    ``path`` (one directory per ``partition_col`` value) and return a
+    reader over it.
+
+    The storage leg of PARTITION PRUNING — the other half of the
+    layout story next to `ensure_bucketed_table`: bucketing kills the
+    join shuffle, date-partitioning kills the scan for time-windowed
+    queries (a 3-day query over a 30-day table reads 3 directories,
+    plan-gated via PartitionFilters in tests/test_plans.py). At 100 TB
+    this is the hypertable-chunking analogue the reference gets from
+    TimescaleDB (migrations/001_initial_schema.sql:27-35): retention =
+    partition drop, time filters = directory pruning. Idempotent via
+    the _SUCCESS marker, like every derived-layout cache here."""
+    validate_identifier(partition_col, strict=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return spark.read.parquet(path)

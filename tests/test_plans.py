@@ -373,3 +373,17 @@ def test_ship_priority_pushes_dates_and_takeordered(spark):
         "l_orderkey:bigint", "l_extendedprice:double",
         "l_discount:double", "l_shipdate:timestamp_ntz",
     }
+
+
+def test_partition_pruned_scan_reads_only_window_dirs(spark):
+    """rel_partition_pruned: the date predicate is a PARTITION filter —
+    it prunes directories at planning time and no post-scan date
+    predicate remains (the 100 TB time-window story: 3 of 30 days
+    read). PushedFilters on event_date would mean the layout failed."""
+    plan = plan_of(spark, "rel_partition_pruned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "event_date" in m.group(1)
+    # the filter must NOT degrade to a data filter on the scan output
+    assert "PushedFilters: [IsNotNull(event_date" not in plan
+    m2 = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m2 and "ts" not in m2.group(1).split(",")  # pruned columns
