@@ -69,10 +69,26 @@ class Engine:
 
     # --- plan construction --------------------------------------------
 
-    def plan(self, messages: DataFrame) -> list[tuple[str, DataFrame]]:
+    def plan(
+        self, messages: DataFrame, quarantine: bool = False
+    ) -> list[tuple[str, DataFrame]]:
         """(table, DataFrame) branches: routed transforms + passthrough
-        default — the whole router as one declarative plan."""
-        return self.planner.apply(messages)
+        default — the whole router as one declarative plan.
+
+        ``quarantine=True`` prepends a dead-letter branch: structurally
+        invalid records (see :func:`plans.routes.quarantine_reason`)
+        land raw + reason in ``_quarantine`` instead of poisoning a
+        transform or being dropped (the upgrade over the reference's
+        log-and-skip, cmd/hermod/main.go:128-131); only valid records
+        flow into the routes."""
+        if not quarantine:
+            return self.planner.apply(messages)
+        from hermod_spark.plans.routes import QUARANTINE_TABLE, quarantine_reason
+
+        reason = quarantine_reason()
+        bad = messages.filter(reason.isNotNull()).withColumn("reason", reason)
+        good = messages.filter(reason.isNull())
+        return [(QUARANTINE_TABLE, bad), *self.planner.apply(good)]
 
     def writer(self, base_path: str | None = None) -> MultiTableWriter:
         db = self.cfg.database

@@ -223,3 +223,31 @@ def test_engine_dry_run_writes_nothing(spark, messages, tmp_path):
     results = eng.run_batch(messages, base_path=str(tmp_path))
     assert all("plan" in r for r in results)
     assert not any(tmp_path.iterdir())
+
+
+def test_engine_quarantine_branch(spark, engine, tmp_path):
+    """quarantine=True: the corrupt message lands raw+reason in
+    _quarantine; valid ones route exactly as before; nothing dropped."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, tzinfo=UTC)
+    msgs = spark.createDataFrame(
+        [
+            (t0, "sensors/temp/a", 0, False, '{"temperature": 100}'),
+            (t0, "sensors/temp/a", 0, False, "{broken json"),
+            (t0, "", 0, False, '{"temperature": 1}'),
+        ],
+        "time TIMESTAMP, topic STRING, qos INT, retain BOOLEAN, payload STRING",
+    )
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    out = str(tmp_path / "out")
+    results = {
+        r["table"]: r["n_rows"]
+        for r in MultiTableWriter(base_path=out).write(
+            dict(engine.plan(msgs, quarantine=True))
+        )
+    }
+    assert results["_quarantine"] == 2
+    assert results["temps"] == 1
+    q = spark.read.parquet(f"{out}/_quarantine")
+    assert sorted(r["reason"] for r in q.collect()) == ["bad_json", "empty_topic"]
+    assert "payload" in q.columns  # raw bytes preserved for replay
