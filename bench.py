@@ -90,6 +90,7 @@ BASELINE = {
     "sim_ivf_recall_curve": 1.368, "rel_exists_rewrite": 0.39,
     "rel_scalar_subquery": 1.228, "rel_order_dist": 0.427,
     "rel_ship_priority": 0.633, "mm_audio_decode": 1.166,
+    "flt_quarantine": 1.119, "rel_partition_pruned": 0.327,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -242,6 +243,8 @@ HEADLINE = [
     "rel_order_dist",
     "rel_ship_priority",
     "mm_audio_decode",
+    "flt_quarantine",
+    "rel_partition_pruned",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
