@@ -414,6 +414,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flt_quarantine"] = flt_quarantine
 
+    def xf_udtf(spark, sf):
+        """The row→0..N transform contract through the Spark 4 Python
+        UDTF surface (SQL-callable lateral join) — zero records for
+        unparseable/atypical payloads, one C→F record otherwise."""
+        from hermod_spark.operators.transforms import route_records_udtf
+
+        spark = _prep(spark)
+        spark.udtf.register("hermod_records", route_records_udtf())
+        msgs = message_frame(spark, sf, keep=["event_id"])
+        msgs.createOrReplaceTempView("_udtf_msgs")
+        return spark.sql(
+            "SELECT m.event_id, t.tbl, t.temperature_c, t.temperature_f"
+            " FROM _udtf_msgs m, LATERAL hermod_records(m.payload) t"
+        )
+
+    q["xf_udtf"] = xf_udtf
+
     def prj_pass(spark, sf):
         # canonical projection + event_id carried through for a
         # deterministic row identity in the hash comparison
@@ -1775,6 +1792,13 @@ FROM r GROUP BY 1, 2"""
         f"WITH msg AS ({_MSG_SQL}) SELECT event_id, time, topic, qos, retain,"
         " payload AS raw, CASE WHEN json_valid(payload) THEN payload END AS json FROM msg"
     )
+
+    # every synthesized payload parses and carries a numeric
+    # temperature (= value), so the UDTF emits exactly one record/row
+    o["xf_udtf"] = """
+SELECT event_id, 'temps' AS tbl, value AS temperature_c,
+  value * 9 / 5 + 32 AS temperature_f
+FROM events"""
 
     o["xf_c2f"] = (
         "SELECT event_id, value AS temperature_celsius,"

@@ -284,3 +284,42 @@ def iot_metrics(
         with_default("temperature", "value", default=0.0).alias("value"),
         F.col(json_col).alias("raw"),
     )
+
+
+def route_records_udtf():
+    """The Lua row→0..N record contract as a Spark 4 Python UDTF — the
+    third execution shape for xf-new next to native-expr branches and
+    mapInPandas, and the SQL-callable one: ``SELECT m.event_id, t.*
+    FROM msgs m, LATERAL hermod_records(m.payload) t``.
+
+    Per input payload it yields 0..N (table, temperature_c,
+    temperature_f) records with the reference's semantics: unparseable
+    JSON → zero records (router.go:308-314's nil-json path),
+    non-numeric temperature → zero records, else the C→F record
+    (transform.lua:19-22). Arrow-batched when
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set; the class
+    carries no state, so executors parallelize it like any projection.
+
+    Returns the UDTF object; register with
+    ``spark.udtf.register("hermod_records", route_records_udtf())``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tbl STRING, temperature_c DOUBLE, temperature_f DOUBLE")
+    class RouteRecords:
+        def eval(self, payload: str):
+            if payload is None:
+                return
+            try:
+                obj = json.loads(payload)
+            except (ValueError, TypeError):
+                return
+            if not isinstance(obj, dict):
+                return
+            t = obj.get("temperature")
+            if isinstance(t, bool) or not isinstance(t, (int, float)):
+                return
+            c = float(t)
+            yield "temps", c, c * 9 / 5 + 32
+
+    return RouteRecords

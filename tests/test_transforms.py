@@ -128,3 +128,33 @@ def test_iot_metrics_value_fallback(spark):
     rows = XF.iot_metrics(df).collect()
     got = {r["device"]: r["value"] for r in rows}
     assert got == {"t/a": 1.5, "t/b": 7.0}  # non-JSON row filtered out
+
+
+def test_route_records_udtf_contract(spark):
+    """UDTF form of the Lua row→0..N contract: unparseable JSON,
+    non-dict payloads, non-numeric and boolean temperatures emit ZERO
+    records (router.go:308-314 nil-json path); a numeric temperature
+    emits exactly the C→F record (0°C → 32°F golden)."""
+    from hermod_spark.operators.transforms import route_records_udtf
+
+    spark.udtf.register("hr_test", route_records_udtf())
+    df = spark.createDataFrame(
+        [
+            ("{broken",),
+            ('"just a string"',),
+            ('{"temperature": "cold"}',),
+            ('{"temperature": true}',),
+            (None,),
+            ('{"temperature": 0}',),
+            ('{"temperature": 100}',),
+        ],
+        "payload STRING",
+    )
+    df.createOrReplaceTempView("hr_probe")
+    rows = sorted(
+        (r["tbl"], r["temperature_c"], r["temperature_f"])
+        for r in spark.sql(
+            "SELECT t.* FROM hr_probe p, LATERAL hr_test(p.payload) t"
+        ).collect()
+    )
+    assert rows == [("temps", 0.0, 32.0), ("temps", 100.0, 212.0)]
