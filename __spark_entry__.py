@@ -1671,6 +1671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CUR.snapshot_diff(old, d)
 
     q["cur_snapshot_diff"] = cur_snapshot_diff
+    # DSIR importance weights: all documents scored toward the English
+    # subset as the target domain (hashed-unigram log ratios)
+    q["cur_dsir"] = lambda spark, sf: CUR.dsir_weights(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("lang") == "en"),
+        n_buckets=512,
+    )
     q["cur_pack_efficiency"] = lambda spark, sf: CUR.pack_efficiency(
         CUR.pack_chunks(
             CUR.chunk_documents(
@@ -4050,6 +4057,30 @@ GROUP BY 1, 2, 4"""
 
     # pack efficiency: the cur_pack plan as a subquery, then bin fill
     # and per-shard rollup
+    o["cur_dsir"] = f"""
+WITH srct AS (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents),
+tgtt AS (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents
+         WHERE lang = 'en'),
+src AS (SELECT doc_id,
+          CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) % 512 AS b
+        FROM srct),
+tgt AS (SELECT CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) % 512 AS b
+        FROM tgtt),
+sh AS (SELECT b, COUNT(*) AS sc FROM src GROUP BY b),
+th AS (SELECT b, COUNT(*) AS tc FROM tgt GROUP BY b),
+hist AS (SELECT COALESCE(sh.b, th.b) AS b, COALESCE(sc, 0) AS sc,
+           COALESCE(tc, 0) AS tc
+         FROM sh FULL JOIN th ON sh.b = th.b),
+tot AS (SELECT SUM(sc) AS s_total, SUM(tc) AS t_total FROM hist),
+w AS (SELECT b,
+        CAST(ROUND(ln((tc + 0.5) / (t_total + 256.0))
+                   - ln((sc + 0.5) / (s_total + 256.0)), 6)
+             AS DECIMAL(18,9)) AS w
+      FROM hist, tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS dsir_logweight
+FROM src JOIN w USING (b) GROUP BY doc_id"""
+
     o["cur_pack_efficiency"] = f"""
 WITH b AS (
   SELECT shard, bin_id,

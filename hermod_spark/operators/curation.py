@@ -1176,3 +1176,85 @@ def weighted_sample(
             F.col("key"),
         )
     )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every source
+    document by how target-like its HASHED unigram distribution is —
+    the log importance ratio Σ_tokens [ln p_tgt(bucket) − ln
+    p_src(bucket)] over ``n_buckets`` hashed feature buckets with
+    add-``alpha`` smoothing. Sampling ∝ exp(weight) biases a mixture
+    toward the target domain without training a model — the cheap
+    domain-matching selector between rule filters (gopher_flags) and a
+    learned classifier (nb_distill).
+
+    Output: (doc_id, n_tokens, dsir_logweight) for every source doc.
+
+    Float determinism: each bucket's log-ratio is rounded to 6dp and
+    cast DECIMAL(18,9) before the per-doc sum (the `nb_distill`
+    discipline), so the score is exact under any partitioning and
+    bit-equal across engines.
+
+    Scale shape: hashing is scan-side (md5-prefix, the dedup base
+    hash, mod buckets); the bucket histograms are two map-side-
+    combinable aggs of ≤``n_buckets`` rows each; the weight table
+    (full-outer of the two histograms + 1-row totals) is ≤n_buckets
+    rows → broadcast back onto the token stream; one groupBy(doc)
+    sums. The corpus never shuffles for the model — train-small/
+    serve-as-broadcast, same as every model-shaped operator here."""
+    from hermod_spark.data import ensure_min_partitions
+    from hermod_spark.operators.dedup import _base_hash
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            ensure_min_partitions(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_t"),
+            )
+            .filter(F.col("_t").isNotNull())
+            .select("_id", F.pmod(_base_hash(F.col("_t")), F.lit(n_buckets)).alias("_b"))
+        )
+
+    src_toks = bucketed(source)
+    src_hist = src_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_sc"))
+    tgt_hist = bucketed(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    hist = (
+        src_hist.join(tgt_hist, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("_sc", F.lit(0)).alias("_sc"),
+            F.coalesce("_tc", F.lit(0)).alias("_tc"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("_sc").alias("_S"), F.sum("_tc").alias("_T")
+    )
+    a, ab = float(alpha), float(alpha) * n_buckets
+    w = hist.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            F.log((F.col("_tc") + a) / (F.col("_T") + ab))
+            - F.log((F.col("_sc") + a) / (F.col("_S") + ab)),
+            6,
+        )
+        .cast("decimal(18,9)")
+        .alias("_w"),
+    )
+    return (
+        src_toks.join(F.broadcast(w), "_b")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_w").cast("double"), 6).alias("dsir_logweight"),
+        )
+    )

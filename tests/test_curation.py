@@ -649,3 +649,24 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert all(k <= 0 for k in keys)
     # k > n returns everything
     assert weighted_sample(d, k=500).count() == 100
+
+
+def test_dsir_weights_prefer_target_domain(spark):
+    """DSIR log-weights must rank target-like documents above
+    non-target ones: with the English docs as target, mean weight of
+    English sources exceeds the non-English mean, and every source doc
+    gets exactly one row."""
+    from hermod_spark.data import table
+    from hermod_spark.operators.curation import dsir_weights
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=256)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = joined.groupBy(F.col("lang") == "en").agg(
+        F.avg("dsir_logweight").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    means = {r[0]: (r["m"], r["n"]) for r in rows}
+    assert means[True][0] > means[False][0]
+    assert out.count() == docs.count()  # one weight per source doc
+    # weights are finite (smoothing covers empty buckets)
+    assert joined.filter(F.isnan("dsir_logweight")).count() == 0
