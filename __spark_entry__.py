@@ -1261,6 +1261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_surprisal"] = lambda spark, sf: textops.unigram_surprisal(
         _t(spark, sf, "documents"), vocab_size=100
     )
+    # CCNet head/middle/tail tertiles over the surprisal summary
+    q["cur_ccnet_buckets"] = lambda spark, sf: textops.ccnet_buckets(
+        _t(spark, sf, "documents"), vocab_size=100
+    )
     q["text_oov"] = lambda spark, sf: textops.oov_rate(
         _t(spark, sf, "documents"), vocab_size=20
     )
@@ -3203,6 +3207,17 @@ per AS (
 SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
   ROUND(COALESCE(s / n_tokens, 0.0), 6) AS mean_surprisal
 FROM documents d LEFT JOIN per USING (doc_id)"""
+    o["cur_ccnet_buckets"] = f"""
+WITH base AS ({o["text_surprisal"]}),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_surprisal ASC, doc_id ASC) AS rn,
+        COUNT(*) OVER () AS n
+      FROM base)
+SELECT doc_id, n_tokens, mean_surprisal,
+  CAST(ceil(3.0 * rn / n) AS INT) AS bucket,
+  CASE CAST(ceil(3.0 * rn / n) AS INT)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+FROM r"""
+
     pii_src = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR)"
         " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"

@@ -7,7 +7,7 @@ Column exprs (whole-stage codegen; zero Python per row)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hermod_spark.functions import text as X
@@ -749,4 +749,51 @@ def unigram_surprisal(
             ),
             6,
         ).alias("mean_surprisal"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020): rank
+    documents by LM quality (here `unigram_surprisal`, the in-engine
+    stand-in for KenLM perplexity) and split into exact tertiles —
+    head = lowest surprisal (most fluent), tail = highest. The bucket
+    is THE curation knob CCNet-style pipelines mix on (train on
+    head+middle, sample tail).
+
+    Bucket = ceil(3·rank/n) over (mean_surprisal, doc_id) order — pure
+    integer-exact math both engines reproduce bit-identically (the
+    `value_quantiles` no-interpolation discipline).
+
+    Scale shape: the global rank window runs over the O(docs) SUMMARY
+    frame (id, n_tokens, surprisal), never the token stream; at
+    extreme doc counts swap the exact rank for the two-pass histogram
+    boundaries (`value_quantiles_twopass` machinery) — the bucket
+    rule stays a scan-side compare either way."""
+    s = unigram_surprisal(
+        df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
+    )
+    w = Window.orderBy(F.col("mean_surprisal").asc(), F.col(id_col).asc())
+    ranked = s.select(
+        id_col,
+        "n_tokens",
+        "mean_surprisal",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    bucket = F.ceil(F.lit(3) * F.col("_rn") / F.col("_n")).cast("int")
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "mean_surprisal",
+        bucket.alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("label"),
     )

@@ -586,3 +586,28 @@ def test_unigram_surprisal_partition_invariant(spark):
     a = sorted(map(tuple, unigram_surprisal(df, 5).collect()))
     b = sorted(map(tuple, unigram_surprisal(df.repartition(13), 5).collect()))
     assert a == b
+
+
+def test_ccnet_buckets_tertiles(spark):
+    """CCNet partition: even 3-way split, head = lowest surprisal,
+    monotone boundaries, every doc bucketed exactly once."""
+    from hermod_spark.data import table
+    from hermod_spark.operators.textops import ccnet_buckets
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    out = ccnet_buckets(docs, vocab_size=50).collect()
+    assert len(out) == docs.count()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_surprisal"])
+    assert set(by_bucket) == {1, 2, 3}
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1  # even split up to rounding
+    assert max(by_bucket[1]) <= min(by_bucket[2]) or abs(
+        max(by_bucket[1]) - min(by_bucket[2])
+    ) < 1e-12
+    assert max(by_bucket[2]) <= min(by_bucket[3]) or abs(
+        max(by_bucket[2]) - min(by_bucket[3])
+    ) < 1e-12
+    labels = {r["bucket"]: r["label"] for r in out}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
