@@ -91,6 +91,7 @@ BASELINE = {
     "rel_scalar_subquery": 1.228, "rel_order_dist": 0.427,
     "rel_ship_priority": 0.633, "mm_audio_decode": 1.166,
     "flt_quarantine": 1.119, "rel_partition_pruned": 0.327,
+    "cur_dsir": 1.133, "cur_ccnet_buckets": 0.492, "xf_udtf": 1.246,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -245,6 +246,9 @@ HEADLINE = [
     "mm_audio_decode",
     "flt_quarantine",
     "rel_partition_pruned",
+    "cur_dsir",
+    "cur_ccnet_buckets",
+    "xf_udtf",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -269,6 +273,8 @@ SCALE10X = [
     # late-r7: the 0-shuffle weighted draw (TakeOrdered must stay flat)
     # and the in-engine NB train+score round trip
     "cur_sample_weighted", "cur_distill_nb",
+    # r8: incremental-LSH replay + DSIR model pass
+    "dedup_lsh_incremental", "cur_dsir",
 ]
 
 
@@ -390,7 +396,19 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         ),
         "cur_sample_weighted": lambda: CUR.weighted_sample(docs10, k=100),
         "cur_distill_nb": lambda: CUR.nb_distill(docs10, vocab_size=200),
+        # r8: the incremental-LSH replay (Python fold over bucket rows)
+        # and the DSIR model pass — both claim corpus-never-shuffles-
+        # for-the-model shapes; linearity is the proof
+        "dedup_lsh_incremental": lambda: _lsh_replay10(docs10),
+        "cur_dsir": lambda: CUR.dsir_weights(
+            docs10, docs10.filter(F.col("lang") == "en"), n_buckets=512
+        ),
     }
+
+    def _lsh_replay10(docs):
+        from hermod_spark.streaming.stateful import lsh_dedup_replay
+
+        return lsh_dedup_replay(docs, n_batches=4)
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
         t1 = float("inf")
