@@ -119,5 +119,8 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
         shutil.move(part, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    with open(path, encoding="utf-8") as fh:
-        return sum(1 for _ in fh)
+    # sidecar offset index: partitioned range reads seek instead of
+    # scanning from byte 0, and offset queries become O(1)
+    from hermod_spark.sources.mqtt import write_spool_index
+
+    return write_spool_index(path)

@@ -66,17 +66,84 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+INDEX_STRIDE = 1024  # one recorded byte offset per this many lines
+
+
+def write_spool_index(path: str, stride: int = INDEX_STRIDE) -> int:
+    """Build the ``<spool>.idx`` sidecar: byte offset of every
+    ``stride``-th line plus a header with (stride, total_lines,
+    spool_bytes). With it, a range read SEEKS to its anchor instead of
+    scanning from byte 0 — P partitions over an N-line spool cost
+    O(N) total line reads instead of O(N·P/2), and offset queries
+    (latestOffset / partition counting) become O(1). The header's
+    byte size pins staleness: a growing live spool stops matching and
+    readers fall back to the scan path. Returns total_lines."""
+    offsets, total = [], 0
+    with open(path, "rb") as fh:
+        pos = 0
+        for i, line in enumerate(iter(fh.readline, b"")):
+            if i % stride == 0:
+                offsets.append(pos)
+            pos += len(line)
+            total = i + 1
+    tmp = path + ".idx.tmp"
+    with open(tmp, "w", encoding="utf-8") as out:
+        out.write(f"HSPKIDX1 {stride} {total} {os.path.getsize(path)}\n")
+        out.write("".join(f"{o}\n" for o in offsets))
+    os.replace(tmp, path + ".idx")
+    return total
+
+
+def _load_index(path: str):
+    """(stride, total_lines, offsets) if a FRESH index exists, else
+    None (missing, malformed, or the spool grew since it was built)."""
+    ip = path + ".idx"
+    try:
+        with open(ip, encoding="utf-8") as fh:
+            head = fh.readline().split()
+            if len(head) != 4 or head[0] != "HSPKIDX1":
+                return None
+            stride, total, size = int(head[1]), int(head[2]), int(head[3])
+            if os.path.getsize(path) != size:
+                return None  # spool changed after indexing: stale
+            offsets = [int(line) for line in fh]
+    except (OSError, ValueError):
+        return None
+    if len(offsets) != -(-total // stride) and total > 0:
+        return None
+    return stride, total, offsets
+
+
+def _line_count(path: str) -> int:
+    idx = _load_index(path)
+    if idx is not None:
+        return idx[1]
+    with open(path, encoding="utf-8") as fh:
+        return sum(1 for _ in fh)
+
+
 def _read_range(path: str, start: int, end: int):
     import logging
 
-    with open(path, encoding="utf-8") as fh:
-        for i, line in enumerate(fh):
+    idx = _load_index(path)
+    skip_from = 0
+    seek_to = 0
+    if idx is not None and start > 0:
+        stride, _total, offsets = idx
+        anchor = min(start // stride, len(offsets) - 1)
+        seek_to, skip_from = offsets[anchor], anchor * stride
+    # binary mode: text-mode seek() only accepts tell() cookies, but a
+    # byte offset at a line start is seekable directly in binary and
+    # each line decodes independently
+    with open(path, "rb") as fh:
+        fh.seek(seek_to)
+        for i, raw in enumerate(iter(fh.readline, b""), start=skip_from):
             if i >= end:
                 break
-            if i >= start and line.strip():
+            if i >= start and raw.strip():
                 try:
-                    yield _parse_line(line)
-                except (ValueError, TypeError) as ex:
+                    yield _parse_line(raw.decode("utf-8"))
+                except (ValueError, TypeError, UnicodeDecodeError) as ex:
                     # log-and-continue, the reference's bad-message
                     # behavior (a poisoned line must not kill the
                     # stream; cf. subscriber error logging
@@ -92,8 +159,7 @@ class MqttReplayBatchReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 4))
 
     def partitions(self):
-        with open(self.path, encoding="utf-8") as fh:
-            n = sum(1 for _ in fh)
+        n = _line_count(self.path)
         step = max(1, -(-n // self.num_partitions))
         return [
             _RangePartition(self.path, i, min(i + step, n)) for i in range(0, n, step)
@@ -115,11 +181,9 @@ class MqttReplayStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        with open(self.path, encoding="utf-8") as fh:
-            n = sum(1 for _ in fh)
-        # advance at most max_per_batch past what exists; Spark calls
-        # this per trigger, so progress is monotone and bounded.
-        return {"index": n}
+        # O(1) with a fresh spool index, O(n) scan otherwise; Spark
+        # calls this per trigger, so progress is monotone and bounded.
+        return {"index": _line_count(self.path)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]

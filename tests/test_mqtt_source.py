@@ -331,3 +331,48 @@ def test_live_source_real_broker_e2e(spark, tmp_path):
         assert got == 5
     finally:
         q.stop()
+
+
+# ------------------------------------------------------- spool index
+
+
+def test_spool_index_seek_equals_scan(tmp_path):
+    """Range reads through the offset index must be byte-identical to
+    the scan path, at anchors, mid-stride, and across strides."""
+    from hermod_spark.sources.mqtt import (
+        _load_index, _read_range, write_spool_index,
+    )
+
+    p = str(tmp_path / "spool.jsonl")
+    with open(p, "w", encoding="utf-8") as fh:
+        for i in range(2500):
+            fh.write('{"topic": "t/%d", "payload": "%d", "time": %d.5}\n' % (i, i, i))
+    scan = {
+        rng: list(_read_range(p, *rng))
+        for rng in [(0, 10), (1000, 1100), (1023, 1025), (2048, 2500), (1500, 1501)]
+    }
+    total = write_spool_index(p, stride=1024)
+    assert total == 2500
+    idx = _load_index(p)
+    assert idx is not None and idx[0] == 1024 and idx[1] == 2500
+    assert len(idx[2]) == 3  # offsets for lines 0, 1024, 2048
+    for rng, want in scan.items():
+        assert list(_read_range(p, *rng)) == want, rng
+
+
+def test_spool_index_stale_falls_back(tmp_path):
+    """A spool that grew after indexing must NOT use the stale index —
+    reads fall back to scanning and see the appended lines."""
+    from hermod_spark.sources.mqtt import (
+        _line_count, _load_index, write_spool_index,
+    )
+
+    p = str(tmp_path / "spool.jsonl")
+    with open(p, "w", encoding="utf-8") as fh:
+        for i in range(100):
+            fh.write('{"topic": "a", "payload": "%d"}\n' % i)
+    write_spool_index(p, stride=10)
+    with open(p, "a", encoding="utf-8") as fh:
+        fh.write('{"topic": "a", "payload": "late"}\n')
+    assert _load_index(p) is None  # size mismatch = stale
+    assert _line_count(p) == 101  # scan fallback sees everything
