@@ -102,10 +102,16 @@ class Engine:
 
     # --- execution ----------------------------------------------------
 
-    def run_batch(self, messages: DataFrame, base_path: str | None = None) -> list[dict]:
-        """Batch: route + transform + write each branch."""
+    def run_batch(
+        self,
+        messages: DataFrame,
+        base_path: str | None = None,
+        quarantine: bool = False,
+    ) -> list[dict]:
+        """Batch: route + transform + write each branch (optionally
+        with the dead-letter quarantine branch prepended)."""
         w = self.writer(base_path)
-        return w.write(dict(self.plan(messages)))
+        return w.write(dict(self.plan(messages, quarantine=quarantine)))
 
     def run_stream(
         self,
@@ -114,6 +120,7 @@ class Engine:
         checkpoint: str | None = None,
         trigger_once: bool = True,
         exactly_once_commit_dir: str | None = None,
+        quarantine: bool = False,
     ):
         """Streaming: the same plan under foreachBatch. Returns the
         started StreamingQuery (caller stops/awaits). With
@@ -123,13 +130,13 @@ class Engine:
 
         if exactly_once_commit_dir is not None:
             handle = w.idempotent_foreach_batch(
-                lambda batch_df: dict(self.plan(batch_df)),
+                lambda batch_df: dict(self.plan(batch_df, quarantine=quarantine)),
                 commit_dir=exactly_once_commit_dir,
             )
         else:
 
             def handle(batch_df: DataFrame, _batch_id: int) -> None:
-                w.write(dict(self.plan(batch_df)))
+                w.write(dict(self.plan(batch_df, quarantine=quarantine)))
 
         writer = messages.writeStream.foreachBatch(handle)
         if checkpoint:

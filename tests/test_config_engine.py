@@ -251,3 +251,32 @@ def test_engine_quarantine_branch(spark, engine, tmp_path):
     q = spark.read.parquet(f"{out}/_quarantine")
     assert sorted(r["reason"] for r in q.collect()) == ["bad_json", "empty_topic"]
     assert "payload" in q.columns  # raw bytes preserved for replay
+
+
+def test_engine_stream_quarantine(spark, engine, tmp_path):
+    """Streaming with quarantine=True: the corrupt record lands in
+    _quarantine from inside the foreachBatch loop; the stream never
+    dies on it."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, tzinfo=UTC)
+    msgs = spark.createDataFrame(
+        [
+            (t0, "sensors/temp/a", 0, False, '{"temperature": 0}'),
+            (t0, "sensors/temp/a", 0, False, "{broken"),
+        ],
+        "time TIMESTAMP, topic STRING, qos INT, retain BOOLEAN, payload STRING",
+    )
+    src = str(tmp_path / "src")
+    msgs.write.parquet(src)
+    stream = spark.readStream.schema(msgs.schema).parquet(src)
+    q = engine.run_stream(
+        stream,
+        base_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        quarantine=True,
+    )
+    q.awaitTermination(60)
+    quarantined = spark.read.parquet(str(tmp_path / "out" / "_quarantine"))
+    assert quarantined.count() == 1
+    assert quarantined.first()["reason"] == "bad_json"
+    temps = spark.read.parquet(str(tmp_path / "out" / "temps"))
+    assert temps.count() == 1 and temps.first()["temperature_fahrenheit"] == 32.0
