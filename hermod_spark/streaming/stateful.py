@@ -452,6 +452,7 @@ def lsh_dedup_stream(
     bands: int = 4,
     w: int = 3,
     max_bucket: int = 64,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: MinHash/LSH candidate pairs of
     ARRIVING documents against everything seen so far — the streaming
@@ -468,18 +469,44 @@ def lsh_dedup_stream(
     failure) can emit more than once — at-least-once, downstream
     verify/cluster stages dedup, exactly like the batch plan's
     ``distinct()``. State is O(buckets × cap) ids regardless of stream
-    length."""
+    length; ``state_ttl`` (e.g. "7 days") additionally evicts buckets
+    idle longer than the horizon — the memory bound for an unbounded
+    corpus, at the documented cost that a dup arriving AFTER its
+    bucket expired is not paired (dedup-within-horizon, the same
+    tradeoff `dedup_stream`'s watermark makes). The TTL is a
+    PROCESSING-time timeout (the doc stream carries no event time):
+    correct for the long-running continuous trigger it exists for,
+    but note a wall-clock timeout keeps scheduling micro-batches, so
+    drain-style consumers (`processAllAvailable`) should leave it
+    unset — the `ewma_anomalies` docstring records the same
+    livelock."""
     banded = _lsh_banded(docs, text_col, id_col, num_hashes, bands, w)
+
+    ttl_ms = None
+    if state_ttl is not None:
+        n, unit = state_ttl.split()
+        ttl_ms = int(n) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit]
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle bucket past the horizon: evict
+            return
         seen = list(state.get[0]) if state.exists else []
         arriving: set[int] = set()
         for pdf in pdfs:
             arriving.update(int(v) for v in pdf["_id"])
         pairs, seen = _lsh_bucket_fold(seen, sorted(arriving), max_bucket)
         state.update((seen,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
@@ -488,7 +515,11 @@ def lsh_dedup_stream(
         outputStructType="id_a LONG, id_b LONG",
         stateStructType="ids ARRAY<LONG>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -452,3 +452,39 @@ def test_lsh_dedup_state_survives_restart(spark, tmp_path):
     assert want and got == want
     # and at least one pair genuinely straddles the restart
     assert any(a < 30 <= b for a, b in got)
+
+
+def test_lsh_dedup_stream_with_ttl_still_emits(spark, tmp_path):
+    """state_ttl smoke: with a processing-time TTL configured (the
+    long-running-stream memory bound) the operator still emits the
+    in-horizon candidate pairs under an availableNow drain."""
+    from hermod_spark.operators.dedup import near_dup_candidates
+    from hermod_spark.streaming.stateful import lsh_dedup_stream
+
+    docs = _docs(spark, n=30)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = message_stream(spark, src, schema=docs.schema)
+    out = lsh_dedup_stream(stream, num_hashes=8, bands=4, state_ttl="1 hour")
+    sink = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert want and got == want
