@@ -1103,21 +1103,26 @@ def small_quantity_revenue(
 
     The SQL form compares each row against `(SELECT 0.5*AVG(l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)` — a correlated
-    scalar subplan per row. The engine form aggregates per-part
-    averages ONCE (map-side partial agg) and equi-joins them back:
-    the subquery becomes a join against an O(parts) frame, which is
-    broadcastable at any scale where parts ≪ lineitem. Averages are
-    ratios of decimal-exact sums so both engines compute identical
-    doubles."""
-    per_part = lineitem.groupBy(F.col("l_partkey").alias("_pk")).agg(
+    scalar subplan per row. The engine form (r9 shape, VERDICT r8 #2)
+    first restricts lineitem to the brand's parts with a BROADCAST
+    semi-ish join — the per-part average only matters for parts that
+    survive the outer filter, and AVG over a part's rows is unchanged
+    by dropping other parts — then aggregates per-part averages over
+    that ~25×-smaller input (map-side partial agg) and equi-joins them
+    back. The broadcast frame is the O(branded-parts) aggregate, not
+    O(all parts): bounded by the dimension filter at any scale (the
+    r8 form force-broadcast the all-parts aggregate — ~2×10⁹ rows at
+    100 TB, not broadcastable). Averages are ratios of decimal-exact
+    sums so both engines compute identical doubles."""
+    branded = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
             F.sum(dec("l_quantity")).cast("double")
             / F.count(F.lit(1))
         ).alias("_avg_qty")
-    )
-    branded = lineitem.join(
-        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
-        F.col("l_partkey") == F.col("p_partkey"),
     )
     return (
         branded.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk"))

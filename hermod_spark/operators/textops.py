@@ -752,28 +752,32 @@ def unigram_surprisal(
     )
 
 
-def ccnet_buckets(
+def _ccnet_select(s: DataFrame, bucket: Column, id_col: str) -> DataFrame:
+    return s.select(
+        id_col,
+        "n_tokens",
+        "mean_surprisal",
+        bucket.alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("label"),
+    )
+
+
+def ccnet_buckets_exact(
     df: DataFrame,
     vocab_size: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """CCNet's head/middle/tail partition (Wenzek et al. 2020): rank
-    documents by LM quality (here `unigram_surprisal`, the in-engine
-    stand-in for KenLM perplexity) and split into exact tertiles —
-    head = lowest surprisal (most fluent), tail = highest. The bucket
-    is THE curation knob CCNet-style pipelines mix on (train on
-    head+middle, sample tail).
-
-    Bucket = ceil(3·rank/n) over (mean_surprisal, doc_id) order — pure
-    integer-exact math both engines reproduce bit-identically (the
-    `value_quantiles` no-interpolation discipline).
-
-    Scale shape: the global rank window runs over the O(docs) SUMMARY
-    frame (id, n_tokens, surprisal), never the token stream; at
-    extreme doc counts swap the exact rank for the two-pass histogram
-    boundaries (`value_quantiles_twopass` machinery) — the bucket
-    rule stays a scan-side compare either way."""
+    """Exact-rank CCNet tertiles via ONE global window — the oracle
+    cross-check form. Bucket = ceil(3·rank/n) over (mean_surprisal,
+    doc_id) order; pure integer-exact math both engines reproduce
+    bit-identically. NOT the serving form: the unpartitioned
+    `row_number` window funnels the whole O(docs) summary frame into
+    a single partition. Use :func:`ccnet_buckets` (two-pass boundary
+    selection, scan-side compare) everywhere except test-scale
+    cross-checks."""
     s = unigram_surprisal(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
@@ -788,12 +792,119 @@ def ccnet_buckets(
         ).alias("_n"),
     )
     bucket = F.ceil(F.lit(3) * F.col("_rn") / F.col("_n")).cast("int")
-    return ranked.select(
-        id_col,
-        "n_tokens",
-        "mean_surprisal",
-        bucket.alias("bucket"),
-        F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
-        ).alias("label"),
+    return _ccnet_select(ranked, bucket, id_col)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_buckets: int = 32768,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020): rank
+    documents by LM quality (here `unigram_surprisal`, the in-engine
+    stand-in for KenLM perplexity) and split into exact tertiles —
+    head = lowest surprisal (most fluent), tail = highest. The bucket
+    is THE curation knob CCNet-style pipelines mix on (train on
+    head+middle, sample tail).
+
+    Serving form (r9): two-pass boundary selection — the
+    `value_quantiles_twopass` discipline — instead of a global
+    `row_number()` window (which sorts the whole O(docs) summary
+    frame in ONE partition; fine at sf0.1, the textbook funnel at
+    10^10 docs):
+
+    1. histogram (eager): count docs per ``floor(asinh(surprisal)·K)``
+       bucket — map-side-combinable agg, ≤ ``max_buckets`` rows
+       collected by construction (asinh bounds the index range for
+       any finite double).
+    2. refine (eager, tiny): the tertile ranks floor(n/3) and
+       floor(2n/3) each land in exactly one bucket; ONE job re-scans
+       only those ≤2 buckets with the window PARTITIONED by bucket
+       (each sort partition is one bucket, never the table) and
+       recovers the exact (mean_surprisal, doc_id) tuple at each
+       boundary rank.
+    3. serve (the returned plan): bucket = scan-side tuple compare
+       against the two boundary LITERALS — no window, no shuffle, no
+       broadcast frame that grows with scale.
+
+    asinh-bucketing is monotonic and doc_id breaks ties totally, so
+    in-bucket order + bucket order is the global order: the result is
+    bit-identical to the one-window exact form (same DuckDB oracle,
+    hash-green; `ccnet_buckets_exact` is the in-repo cross-check).
+    The summary frame is persisted across the two eager passes, so
+    the surprisal pipeline runs twice total (once cached for both
+    passes, once lazily in the served plan)."""
+    s = unigram_surprisal(
+        df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
+    k_scale = float(max_buckets) / 1421.0
+    bexpr = F.floor(F.asinh(F.col("mean_surprisal")) * F.lit(k_scale)).cast(
+        "long"
+    )
+    cached = s.persist()
+    try:
+        hist = sorted(
+            cached.groupBy(bexpr.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect(),
+            key=lambda r: r["_b"],
+        )
+        n = sum(r["_c"] for r in hist)
+        # boundary rank k: the LAST rank in bucket k is floor(k·n/3)
+        # (ceil(3r/n) ≤ k  ⇔  r ≤ floor(k·n/3))
+        targets = []  # (boundary_idx, target_hist_bucket, in_bucket_rank)
+        for k in (1, 2):
+            r_k = (k * n) // 3
+            if r_k <= 0:
+                targets.append(None)
+                continue
+            cum = 0
+            for row in hist:
+                if cum + row["_c"] >= r_k:
+                    targets.append((row["_b"], r_k - cum))
+                    break
+                cum += row["_c"]
+        bounds: list = [None, None]
+        live = [(i, t) for i, t in enumerate(targets) if t is not None]
+        if live:
+            w = Window.partitionBy("_b").orderBy(
+                F.col("mean_surprisal").asc(), F.col(id_col).asc()
+            )
+            cond = None
+            for _, (tb, ib) in live:
+                c = (F.col("_b") == F.lit(tb)) & (F.col("_rn") == F.lit(ib))
+                cond = c if cond is None else (cond | c)
+            hits = (
+                cached.select(id_col, "mean_surprisal", bexpr.alias("_b"))
+                .filter(
+                    F.col("_b").isin([tb for _, (tb, _) in live])
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(cond)
+                .collect()
+            )
+            by_key = {(r["_b"], r["_rn"]): r for r in hits}
+            for i, (tb, ib) in live:
+                r = by_key[(tb, ib)]
+                bounds[i] = (r["mean_surprisal"], r[id_col])
+    finally:
+        cached.unpersist()
+
+    def le_bound(bnd) -> Column:
+        if bnd is None:
+            return F.lit(False)
+        bv, bid = bnd
+        return (F.col("mean_surprisal") < F.lit(bv)) | (
+            (F.col("mean_surprisal") == F.lit(bv))
+            & (F.col(id_col) <= F.lit(bid))
+        )
+
+    bucket = (
+        F.when(le_bound(bounds[0]), F.lit(1))
+        .when(le_bound(bounds[1]), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+    return _ccnet_select(s, bucket, id_col)

@@ -356,8 +356,26 @@ def test_decorrelated_subqueries_have_no_per_row_subplan(spark):
 
     plan = plan_of(spark, "rel_scalar_subquery")
     assert "Subquery" not in plan
-    assert count(r"BroadcastHashJoin", plan) >= 2
+    # r9 shape: the per-part average aggregates the BRANDED subset
+    # (lineitem ⋈ broadcast branded-parts happens below BOTH the agg
+    # and the outer leg — 3 broadcast joins), so the broadcast-back
+    # frame is O(branded parts), never O(all parts)
+    assert count(r"BroadcastHashJoin", plan) >= 3
     assert count(r"HashAggregate", plan) >= 2  # partial+final per-part avg
+    assert "EqualTo(p_brand" in plan  # brand filter reached the part scan
+
+
+def test_ccnet_serving_plan_has_no_global_window(spark):
+    """cur_ccnet_buckets (r9): the served plan is boundary-literal
+    scan-side compares — the exact-rank global row_number window (a
+    single-partition funnel of the O(docs) summary frame) must be
+    gone; the only SinglePartition exchange left is the surprisal
+    model's 1-row vocab total (bounded partial-agg input — inherent,
+    allowed)."""
+    plan = plan_of(spark, "cur_ccnet_buckets")
+    assert count(r"\bWindow\b", plan) == 0
+    assert "row_number" not in plan
+    assert count(r"SinglePartition", plan) <= 1
 
 
 def test_ship_priority_pushes_dates_and_takeordered(spark):

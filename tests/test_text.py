@@ -611,3 +611,31 @@ def test_ccnet_buckets_tertiles(spark):
     ) < 1e-12
     labels = {r["bucket"]: r["label"] for r in out}
     assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_ccnet_twopass_matches_exact_rank(spark):
+    """The r9 two-pass serving form (histogram → boundary refine →
+    scan-side compare) is bit-identical to the one-window exact-rank
+    form — same buckets for every doc, including boundary ties."""
+    from hermod_spark.data import table
+    from hermod_spark.operators.textops import ccnet_buckets, ccnet_buckets_exact
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, ccnet_buckets(docs, vocab_size=50).collect()))
+    b = sorted(map(tuple, ccnet_buckets_exact(docs, vocab_size=50).collect()))
+    assert a == b
+
+
+def test_ccnet_twopass_tiny_n(spark):
+    """n < 3 edge: with one doc the single row is 'tail' (rank 1 of 1
+    → ceil(3·1/1)=3); with two docs they land middle/tail — matching
+    the exact-rank rule when the head boundary rank floor(n/3) is 0."""
+    from hermod_spark.operators.textops import ccnet_buckets
+
+    one = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    assert [r["label"] for r in ccnet_buckets(one, vocab_size=5).collect()] == ["tail"]
+    two = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id INT, text STRING"
+    )
+    got = {r["doc_id"]: r["label"] for r in ccnet_buckets(two, vocab_size=5).collect()}
+    assert set(got.values()) == {"middle", "tail"}
