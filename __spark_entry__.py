@@ -4091,10 +4091,13 @@ w AS (SELECT b,
         CAST(ROUND(ln((tc + 0.5) / (t_total + 256.0))
                    - ln((sc + 0.5) / (s_total + 256.0)), 6)
              AS DECIMAL(18,9)) AS w
-      FROM hist, tot)
-SELECT doc_id, COUNT(*) AS n_tokens,
-  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS dsir_logweight
-FROM src JOIN w USING (b) GROUP BY doc_id"""
+      FROM hist, tot),
+per AS (SELECT doc_id, COUNT(*) AS nt,
+          ROUND(CAST(SUM(w) AS DOUBLE), 6) AS lw
+        FROM src JOIN w USING (b) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
+  COALESCE(lw, 0.0) AS dsir_logweight
+FROM documents d LEFT JOIN per USING (doc_id)"""
 
     o["cur_pack_efficiency"] = f"""
 WITH b AS (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hermod_spark.config import Config
 from hermod_spark.plans.routes import Route, RoutePlanner, passthrough_record
@@ -85,9 +86,17 @@ class Engine:
             return self.planner.apply(messages)
         from hermod_spark.plans.routes import QUARANTINE_TABLE, quarantine_reason
 
-        reason = quarantine_reason()
-        bad = messages.filter(reason.isNotNull()).withColumn("reason", reason)
-        good = messages.filter(reason.isNull())
+        # materialize the reason ONCE and split on the column — the
+        # expression runs try_parse_json over the full payload, and
+        # separate bad/good filter expressions would evaluate it twice
+        # per row (ADVICE r8; the label_with_quarantine discipline)
+        tagged = messages.withColumn("_qreason", quarantine_reason())
+        bad = (
+            tagged.filter(F.col("_qreason").isNotNull())
+            .withColumn("reason", F.col("_qreason"))
+            .drop("_qreason")
+        )
+        good = tagged.filter(F.col("_qreason").isNull()).drop("_qreason")
         return [(QUARANTINE_TABLE, bad), *self.planner.apply(good)]
 
     def writer(self, base_path: str | None = None) -> MultiTableWriter:

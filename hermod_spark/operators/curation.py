@@ -1215,19 +1215,37 @@ def dsir_weights(
     from hermod_spark.operators.dedup import _base_hash
 
     def bucketed(df: DataFrame) -> DataFrame:
+        # explode_outer + null-bucket passthrough: a zero-token doc
+        # keeps ONE null-_b row so it still gets an output row
+        # (n_tokens=0, weight 0.0 — ADVICE r8; the unigram_surprisal
+        # discipline), with no join-back shuffle
         return (
             ensure_min_partitions(df)
             .select(
                 F.col(id_col).alias("_id"),
                 F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_t"),
             )
-            .filter(F.col("_t").isNotNull())
-            .select("_id", F.pmod(_base_hash(F.col("_t")), F.lit(n_buckets)).alias("_b"))
+            .select(
+                "_id",
+                F.when(
+                    F.col("_t").isNotNull(),
+                    F.pmod(_base_hash(F.col("_t")), F.lit(n_buckets)),
+                ).alias("_b"),
+            )
         )
 
     src_toks = bucketed(source)
-    src_hist = src_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_sc"))
-    tgt_hist = bucketed(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    src_hist = (
+        src_toks.filter(F.col("_b").isNotNull())
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_sc"))
+    )
+    tgt_hist = (
+        bucketed(target)
+        .filter(F.col("_b").isNotNull())
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+    )
     hist = (
         src_hist.join(tgt_hist, "_b", "full")
         .select(
@@ -1251,10 +1269,12 @@ def dsir_weights(
         .alias("_w"),
     )
     return (
-        src_toks.join(F.broadcast(w), "_b")
+        src_toks.join(F.broadcast(w), "_b", "left")
         .groupBy(F.col("_id").alias(id_col))
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("_w").cast("double"), 6).alias("dsir_logweight"),
+            F.count("_b").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.sum("_w").cast("double"), F.lit(0.0)), 6
+            ).alias("dsir_logweight"),
         )
     )

@@ -370,9 +370,10 @@ def wav_blob(
 def _decode_one_wav(blob: bytes) -> tuple[int, int, int, int, float] | None:
     """REAL audio decoder (stdlib `wave`): RIFF/WAV 16-bit PCM →
     (sample_rate, n_channels, n_frames, duration_ms, rms in [0,1])."""
-    import array
     import io
     import wave
+
+    import numpy as np
 
     try:
         with wave.open(io.BytesIO(blob), "rb") as w:
@@ -384,10 +385,14 @@ def _decode_one_wav(blob: bytes) -> tuple[int, int, int, int, float] | None:
         return None
     if sw != 2 or sr <= 0:
         return None
-    samples = array.array("h")
-    samples.frombytes(raw)
+    # vectorized square-sum (r8 verdict nit: the per-sample Python loop
+    # dominated decode cost); int64 dot is the same exact integer sum
+    # as the scalar loop, so the rounded double is bit-identical
+    samples = np.frombuffer(raw[: (len(raw) // 2) * 2], dtype="<i2").astype(
+        np.int64
+    )
     rms = (
-        (sum(int(x) * int(x) for x in samples) / len(samples)) ** 0.5 / 32768.0
+        (int(np.dot(samples, samples)) / len(samples)) ** 0.5 / 32768.0
         if len(samples)
         else 0.0
     )

@@ -157,6 +157,37 @@ class MultiTableWriter:
         return _fn
 
 
+_OWNER_MARKER = "_hermod_owner"  # leading "_": invisible to parquet scans
+
+
+def _layout_fingerprint(df: DataFrame, fingerprint: str | None) -> str:
+    """Cache key for a derived-layout copy. Default = schema hash
+    (free — no Spark job); callers whose source data can be
+    REGENERATED IN PLACE under the same tag/path should pass an
+    explicit fingerprint (source mtime, row count, snapshot id) so the
+    copy rebuilds on content change (ADVICE r8)."""
+    import hashlib
+
+    if fingerprint is not None:
+        return str(fingerprint)
+    return hashlib.sha256(df.schema.json().encode()).hexdigest()[:16]
+
+
+def _read_owner(loc: str) -> str | None:
+    try:
+        with open(os.path.join(loc, _OWNER_MARKER), encoding="utf-8") as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
+def _write_owner(loc: str, fp: str) -> None:
+    tmp = os.path.join(loc, _OWNER_MARKER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(fp)
+    os.replace(tmp, os.path.join(loc, _OWNER_MARKER))
+
+
 def ensure_bucketed_table(
     spark,
     df: DataFrame,
@@ -164,6 +195,7 @@ def ensure_bucketed_table(
     bucket_col: str,
     num_buckets: int,
     sort_cols: tuple = (),
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Create-if-absent a bucketed, per-bucket-sorted copy of ``df`` as
     a catalog table and return it.
@@ -187,22 +219,40 @@ def ensure_bucketed_table(
     metastore and writes once ever.
     """
     validate_identifier(bucket_col, strict=True)
+    import shutil
+    from urllib.parse import urlparse
+
+    fp = _layout_fingerprint(df, fingerprint)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    loc = (
+        os.path.join(wh.path, name.lower())
+        if wh.scheme in ("", "file")
+        else None
+    )
     if spark.catalog.tableExists(name):
-        return spark.table(name)
+        if loc is None or _read_owner(loc) == fp:
+            return spark.table(name)
+        # same table name, different content fingerprint: the source
+        # was regenerated under the same tag — rebuild (ADVICE r8)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     # The copy is a derived cache. With this sandbox's per-session
     # in-memory catalog, a PREVIOUS session may have left the managed
     # location on disk while the table registration died with it —
     # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear the
-    # stale location and rebuild; a persistent metastore (the real
-    # deployment) takes the tableExists fast path instead.
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    if wh.scheme in ("", "file"):
-        stale = os.path.join(wh.path, name.lower())
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    # stale location and rebuild — but ONLY a location this helper
+    # owns (its `_hermod_owner` marker): with a shared warehouse dir
+    # an unmarked directory may be another session's live table, and
+    # deleting it mid-query is data loss (ADVICE r8). A persistent
+    # metastore (the real deployment) takes the tableExists fast path
+    # instead.
+    if loc is not None and os.path.exists(loc):
+        if _read_owner(loc) is None and os.listdir(loc):
+            raise RuntimeError(
+                f"refusing to clear {loc}: directory exists but carries no "
+                f"{_OWNER_MARKER} marker — not a hermod-derived layout. "
+                "Remove it manually or pick a different table name."
+            )
+        shutil.rmtree(loc)
     (
         df.repartition(num_buckets, bucket_col)
         .write.mode("overwrite")
@@ -210,6 +260,8 @@ def ensure_bucketed_table(
         .sortBy(bucket_col, *sort_cols)
         .saveAsTable(name)
     )
+    if loc is not None:
+        _write_owner(loc, fp)
     return spark.table(name)
 
 
@@ -218,6 +270,7 @@ def ensure_partitioned_copy(
     df: DataFrame,
     path: str,
     partition_col: str,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Create-if-absent a Hive-partitioned parquet copy of ``df`` at
     ``path`` (one directory per ``partition_col`` value) and return a
@@ -231,8 +284,15 @@ def ensure_partitioned_copy(
     this is the hypertable-chunking analogue the reference gets from
     TimescaleDB (migrations/001_initial_schema.sql:27-35): retention =
     partition drop, time filters = directory pruning. Idempotent via
-    the _SUCCESS marker, like every derived-layout cache here."""
+    the _SUCCESS marker plus a content fingerprint (`_hermod_owner`) —
+    a regenerated source under the same path rebuilds instead of
+    silently serving the stale copy (ADVICE r8)."""
     validate_identifier(partition_col, strict=True)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _layout_fingerprint(df, fingerprint)
+    if (
+        not os.path.exists(os.path.join(path, "_SUCCESS"))
+        or _read_owner(path) != fp
+    ):
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        _write_owner(path, fp)
     return spark.read.parquet(path)

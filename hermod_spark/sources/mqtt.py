@@ -69,26 +69,50 @@ class _RangePartition(InputPartition):
 INDEX_STRIDE = 1024  # one recorded byte offset per this many lines
 
 
+def _edge_crc(path: str, last_off: int) -> int:
+    """CRC32 over the spool's first and last lines — the cheap
+    content check that catches an in-place SAME-SIZE rewrite, which
+    byte size alone cannot (ADVICE r8): two seeks, two line reads."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        first = fh.readline()
+        fh.seek(last_off)
+        last = fh.readline()
+    return zlib.crc32(first + last)
+
+
 def write_spool_index(path: str, stride: int = INDEX_STRIDE) -> int:
     """Build the ``<spool>.idx`` sidecar: byte offset of every
     ``stride``-th line plus a header with (stride, total_lines,
-    spool_bytes). With it, a range read SEEKS to its anchor instead of
-    scanning from byte 0 — P partitions over an N-line spool cost
-    O(N) total line reads instead of O(N·P/2), and offset queries
-    (latestOffset / partition counting) become O(1). The header's
-    byte size pins staleness: a growing live spool stops matching and
-    readers fall back to the scan path. Returns total_lines."""
-    offsets, total = [], 0
+    spool_bytes, spool_mtime_ns, last_line_offset, edge_crc). With it,
+    a range read SEEKS to its anchor instead of scanning from byte 0 —
+    P partitions over an N-line spool cost O(N) total line reads
+    instead of O(N·P/2), and offset queries (latestOffset / partition
+    counting) become O(1). Staleness is pinned three ways (ADVICE r8):
+    byte size (a growing live spool), mtime_ns (any rewrite, even
+    same-size), and a CRC of the first+last lines (same-size rewrite
+    on filesystems with coarse mtime). On any mismatch readers fall
+    back to the scan path — an offset landing mid-line after a rewrite
+    would otherwise silently mis-parse replayed rows. Returns
+    total_lines."""
+    offsets, total, last_off = [], 0, 0
     with open(path, "rb") as fh:
         pos = 0
         for i, line in enumerate(iter(fh.readline, b"")):
             if i % stride == 0:
                 offsets.append(pos)
+            last_off = pos
             pos += len(line)
             total = i + 1
+    st = os.stat(path)
+    crc = _edge_crc(path, last_off)
     tmp = path + ".idx.tmp"
     with open(tmp, "w", encoding="utf-8") as out:
-        out.write(f"HSPKIDX1 {stride} {total} {os.path.getsize(path)}\n")
+        out.write(
+            f"HSPKIDX2 {stride} {total} {st.st_size} "
+            f"{st.st_mtime_ns} {last_off} {crc}\n"
+        )
         out.write("".join(f"{o}\n" for o in offsets))
     os.replace(tmp, path + ".idx")
     return total
@@ -96,16 +120,20 @@ def write_spool_index(path: str, stride: int = INDEX_STRIDE) -> int:
 
 def _load_index(path: str):
     """(stride, total_lines, offsets) if a FRESH index exists, else
-    None (missing, malformed, or the spool grew since it was built)."""
+    None (missing, malformed, or the spool changed since it was built
+    — grew, shrank, or was rewritten in place)."""
     ip = path + ".idx"
     try:
         with open(ip, encoding="utf-8") as fh:
             head = fh.readline().split()
-            if len(head) != 4 or head[0] != "HSPKIDX1":
-                return None
-            stride, total, size = int(head[1]), int(head[2]), int(head[3])
-            if os.path.getsize(path) != size:
+            if len(head) != 7 or head[0] != "HSPKIDX2":
+                return None  # v1 headers lack the rewrite checks: stale
+            stride, total, size, mtime_ns, last_off, crc = map(int, head[1:])
+            st = os.stat(path)
+            if st.st_size != size or st.st_mtime_ns != mtime_ns:
                 return None  # spool changed after indexing: stale
+            if _edge_crc(path, last_off) != crc:
+                return None  # same-size in-place rewrite: stale
             offsets = [int(line) for line in fh]
     except (OSError, ValueError):
         return None

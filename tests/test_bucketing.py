@@ -50,3 +50,61 @@ def test_bucketed_fact_fact_join_has_no_shuffle(spark, tmp_path, no_broadcast):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {li}")
         spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_ensure_bucketed_refuses_foreign_location(spark):
+    """ADVICE r8: ensure_bucketed_table must never rmtree a warehouse
+    directory it didn't create (shared-warehouse concurrent-session
+    hazard). A marker-less non-empty directory at the managed location
+    raises instead of deleting."""
+    import os
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    from hermod_spark.sinks.writer import ensure_bucketed_table
+
+    name = f"hermod_bkt_foreign_{uuid.uuid4().hex[:8]}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, name.lower())
+    os.makedirs(loc)
+    with open(os.path.join(loc, "somebody-elses-data.parquet"), "w") as fh:
+        fh.write("x")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    try:
+        with pytest.raises(RuntimeError, match="refusing to clear"):
+            ensure_bucketed_table(spark, df, name, "k", 2)
+        assert os.path.exists(os.path.join(loc, "somebody-elses-data.parquet"))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_ensure_layout_rebuilds_on_fingerprint_change(spark, tmp_path):
+    """ADVICE r8: a regenerated source under the same tag/path must
+    rebuild the derived copy — the content fingerprint in the owner
+    marker invalidates the cache."""
+    import uuid
+
+    from hermod_spark.sinks.writer import (
+        ensure_bucketed_table,
+        ensure_partitioned_copy,
+    )
+
+    name = f"hermod_bkt_fp_{uuid.uuid4().hex[:8]}"
+    d1 = spark.range(5).select(F.col("id").alias("k"))
+    d2 = spark.range(9).select(F.col("id").alias("k"))
+    try:
+        assert ensure_bucketed_table(spark, d1, name, "k", 2, fingerprint="v1").count() == 5
+        # same fingerprint: cached copy served even though df changed
+        assert ensure_bucketed_table(spark, d2, name, "k", 2, fingerprint="v1").count() == 5
+        # new fingerprint: rebuilt
+        assert ensure_bucketed_table(spark, d2, name, "k", 2, fingerprint="v2").count() == 9
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    path = str(tmp_path / "pcopy")
+    p1 = spark.range(4).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    p2 = spark.range(8).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    assert ensure_partitioned_copy(spark, p1, path, "p", fingerprint="v1").count() == 4
+    assert ensure_partitioned_copy(spark, p2, path, "p", fingerprint="v1").count() == 4
+    assert ensure_partitioned_copy(spark, p2, path, "p", fingerprint="v2").count() == 8

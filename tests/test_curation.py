@@ -670,3 +670,20 @@ def test_dsir_weights_prefer_target_domain(spark):
     assert out.count() == docs.count()  # one weight per source doc
     # weights are finite (smoothing covers empty buckets)
     assert joined.filter(F.isnan("dsir_logweight")).count() == 0
+
+
+def test_dsir_weights_zero_token_docs_get_rows(spark):
+    """ADVICE r8: 'a row for every source doc' includes docs with no
+    tokens — they score (n_tokens=0, dsir_logweight=0.0), not vanish."""
+    from hermod_spark.operators.curation import dsir_weights
+
+    src = spark.createDataFrame(
+        [(1, "hello world data"), (2, ""), (3, "   "), (4, None)],
+        "doc_id INT, text STRING",
+    )
+    tgt = spark.createDataFrame([(9, "hello data")], "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in dsir_weights(src, tgt, n_buckets=64).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["dsir_logweight"] == 0.0
+    assert got[1]["n_tokens"] == 3

@@ -376,3 +376,46 @@ def test_spool_index_stale_falls_back(tmp_path):
         fh.write('{"topic": "a", "payload": "late"}\n')
     assert _load_index(p) is None  # size mismatch = stale
     assert _line_count(p) == 101  # scan fallback sees everything
+
+
+def test_spool_index_same_size_rewrite_is_stale(tmp_path):
+    """ADVICE r8: an in-place SAME-SIZE rewrite must invalidate the
+    index (byte size alone can't see it; mtime_ns + edge CRC do) —
+    otherwise stale offsets can land mid-line and silently drop rows."""
+    import os
+
+    from hermod_spark.sources.mqtt import _load_index, write_spool_index
+
+    p = str(tmp_path / "spool.jsonl")
+    lines = ['{"topic": "a", "payload": "%03d"}\n' % i for i in range(50)]
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("".join(lines))
+    write_spool_index(p, stride=10)
+    assert _load_index(p) is not None
+    # same byte count, different content AND line boundaries
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("".join(lines)[::-1])
+    assert os.path.getsize(p) == sum(len(s) for s in lines)
+    assert _load_index(p) is None
+
+    # rebuilt index over the rewritten file is fresh again
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("".join(lines))
+    write_spool_index(p, stride=10)
+    assert _load_index(p) is not None
+
+
+def test_spool_index_v1_header_treated_stale(tmp_path):
+    """Old-format sidecars (no rewrite checks) are ignored, not trusted."""
+    from hermod_spark.sources.mqtt import _line_count, _load_index
+
+    p = str(tmp_path / "spool.jsonl")
+    with open(p, "w", encoding="utf-8") as fh:
+        for i in range(20):
+            fh.write('{"topic": "a", "payload": "%d"}\n' % i)
+    import os
+
+    with open(p + ".idx", "w", encoding="utf-8") as fh:
+        fh.write(f"HSPKIDX1 10 20 {os.path.getsize(p)}\n0\n340\n")
+    assert _load_index(p) is None
+    assert _line_count(p) == 20
