@@ -18,8 +18,9 @@ over the reference (SURVEY §2.7: at-most-once row inserts become
 per-batch atomic appends per table).
 
 Targets: ``parquet`` (tests/local), ``jdbc`` (the reference's
-Postgres/Timescale path — exercised only when a jdbc_url is supplied;
-no DB ships in this environment)."""
+Postgres/Timescale path — e2e-tested against EMBEDDED Apache Derby,
+the in-process JDBC database Spark bundles: tests/test_jdbc_sink.py
+writes multi-table branches and reads them back over jdbc)."""
 
 from __future__ import annotations
 
