@@ -414,6 +414,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flt_quarantine"] = flt_quarantine
 
+    def flt_quarantine_mix(spark, sf):
+        """Dead-letter reason mix OVER TIME — the incident-response
+        query behind the replay loop (Engine.replay_quarantine): which
+        failure modes spiked on which day. Corruption adds two more
+        modes to flt_quarantine's set: every 11th payload nulled
+        (null_payload) and every 19th timestamp nulled (null_time,
+        bucketed under a NULL day)."""
+        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
+        corrupted = (
+            msgs.withColumn(
+                "payload",
+                F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+                .when(F.col("event_id") % 13 == 0, F.substring("payload", 1, 10))
+                .otherwise(F.col("payload")),
+            )
+            .withColumn(
+                "topic",
+                F.when(F.col("event_id") % 17 == 0, F.lit("")).otherwise(
+                    F.col("topic")
+                ),
+            )
+            .withColumn(
+                "time",
+                F.when(F.col("event_id") % 19 == 0, F.lit(None)).otherwise(
+                    F.col("time")
+                ),
+            )
+        )
+        labeled = RoutePlanner(ROUTES).label_with_quarantine(corrupted)
+        return (
+            labeled.filter(F.col("_table") == "_quarantine")
+            .groupBy(
+                F.date_trunc("day", F.col("time")).alias("day"),
+                F.col("_reason").alias("reason"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("day", "reason")
+        )
+
+    q["flt_quarantine_mix"] = flt_quarantine_mix
+
     def xf_udtf(spark, sf):
         """The row→0..N transform contract through the Spark 4 Python
         UDTF surface (SQL-callable lateral join) — zero records for
@@ -1798,6 +1839,24 @@ SELECT CASE WHEN reason IS NOT NULL THEN '_quarantine'
             ELSE {_route_case_sql()} END AS route_table,
        reason, COUNT(*) AS n
 FROM r GROUP BY 1, 2"""
+
+    o["flt_quarantine_mix"] = f"""
+WITH msg AS ({_MSG_SQL}),
+c AS (SELECT CASE WHEN event_id % 19 = 0 THEN NULL ELSE time END AS time,
+        CASE WHEN event_id % 17 = 0 THEN '' ELSE topic END AS topic,
+        CASE WHEN event_id % 11 = 0 THEN NULL
+             WHEN event_id % 13 = 0 THEN substring(payload, 1, 10)
+             ELSE payload END AS payload,
+        event_id FROM msg),
+r AS (SELECT *,
+        CASE WHEN payload IS NULL THEN 'null_payload'
+             WHEN NOT json_valid(payload) THEN 'bad_json'
+             WHEN topic IS NULL OR trim(topic) = '' THEN 'empty_topic'
+             WHEN time IS NULL THEN 'null_time' END AS reason
+      FROM c)
+SELECT CAST(date_trunc('day', time) AS TIMESTAMP) AS day, reason,
+       COUNT(*) AS n
+FROM r WHERE reason IS NOT NULL GROUP BY 1, 2"""
 
     o["prj_pass"] = (
         f"WITH msg AS ({_MSG_SQL}) SELECT event_id, time, topic, qos, retain,"

@@ -99,6 +99,31 @@ class Engine:
         good = tagged.filter(F.col("_qreason").isNull()).drop("_qreason")
         return [(QUARANTINE_TABLE, bad), *self.planner.apply(good)]
 
+    def replay_quarantine(
+        self,
+        quarantined: DataFrame,
+        repair: Callable[[DataFrame], DataFrame] | None = None,
+        base_path: str | None = None,
+        reason_col: str = "reason",
+    ) -> list[dict]:
+        """Replay-after-fix for the dead-letter table — the second half
+        of the quarantine promise ("every byte kept FOR REPLAY",
+        plans/routes.py). Takes `_quarantine` rows (raw message columns
+        + reason), applies the caller's ``repair`` (fix payloads,
+        backfill topics — whatever the incident called for), and pushes
+        the repaired frame through the SAME ``plan(quarantine=True)``
+        route pipeline into the same sink: rows the repair actually
+        fixed route to their real tables exactly as if they had arrived
+        clean; rows still structurally invalid land back in
+        `_quarantine` — replay is safely re-runnable, never a bypass
+        of validation. `tests/test_quarantine_replay.py` proves parity
+        with direct ingest of the fixed messages end-to-end."""
+        msgs = quarantined.drop(reason_col)
+        if repair is not None:
+            msgs = repair(msgs)
+        w = self.writer(base_path)
+        return w.write(dict(self.plan(msgs, quarantine=True)))
+
     def writer(self, base_path: str | None = None) -> MultiTableWriter:
         db = self.cfg.database
         return MultiTableWriter(

@@ -52,6 +52,58 @@ def test_retention_dry_run_removes_nothing(spark, partitioned_table):
     assert spark.read.parquet(str(partitioned_table / "metrics")).count() == 3
 
 
+def test_retention_plan_drives_partition_drop_e2e(spark, tmp_path):
+    """VERDICT r8 #5: retention_drop_plan (the green oracle query) →
+    apply_retention_plan on the date-partitioned copy → the reader
+    sees ONLY surviving partitions, pruning still works, and surviving
+    data is byte-identical (drop is metadata-only, never a rewrite)."""
+    from hermod_spark.data import table
+    from hermod_spark.operators.relational import retention_drop_plan
+    from hermod_spark.sinks.retention import apply_retention_plan, list_partitions
+    from hermod_spark.sinks.writer import ensure_partitioned_copy
+
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_day")
+    part = ensure_partitioned_copy(
+        spark,
+        events.withColumn("event_date", F.to_date(F.col("ts"))),
+        path,
+        "event_date",
+    )
+    before = set(list_partitions(str(tmp_path), "events_by_day", "event_date"))
+    keep_days = 7
+    plan = retention_drop_plan(events, keep_days=keep_days)
+    plan_days = {r["day"].date().isoformat() for r in plan.collect()}
+    assert plan_days and plan_days < before  # a real drop, not everything
+
+    # keep a fingerprint of one surviving partition's rows
+    survivor = sorted(before - plan_days)[0]
+    survivor_rows = sorted(
+        map(tuple, part.filter(F.col("event_date") == survivor).collect())
+    )
+
+    dry = apply_retention_plan(path, "event_date", plan, dry_run=True)
+    assert {d.partition.split("=")[1] for d in dry} == plan_days
+    assert set(list_partitions(str(tmp_path), "events_by_day", "event_date")) == before
+
+    dropped = apply_retention_plan(path, "event_date", plan)
+    assert {d.partition.split("=")[1] for d in dropped} == plan_days
+    after = set(list_partitions(str(tmp_path), "events_by_day", "event_date"))
+    assert after == before - plan_days
+
+    back = spark.read.parquet(path)
+    seen = {r["event_date"].isoformat() for r in back.select("event_date").distinct().collect()}
+    assert seen == after
+    # surviving partition untouched (metadata-only drop)
+    assert (
+        sorted(map(tuple, back.filter(F.col("event_date") == survivor).collect()))
+        == survivor_rows
+    )
+    # row counts line up: survivors = total − planned drops
+    n_dropped = sum(r["n_rows"] for r in plan.collect())
+    assert back.count() == events.count() - n_dropped
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     from hermod_spark.sinks.compaction import compact_table, parquet_file_count
 
