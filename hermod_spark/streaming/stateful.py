@@ -422,6 +422,7 @@ def _lsh_banded(
     num_hashes: int,
     bands: int,
     w: int,
+    time_col: str | None = None,
 ) -> DataFrame:
     """Scan-side (stateless, JVM-only) banding for streaming input:
     signature + band keys as ONE projection per row — no shuffle, no
@@ -437,10 +438,12 @@ def _lsh_banded(
         F.array(minhash_signature(text_col, num_hashes, w)),
         lambda s: lsh_band_keys(s, bands, rows),
     )[0]
-    return docs.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.posexplode(keys),
-    ).toDF("_id", "band_id", "band_key")
+    cols = [F.col(id_col).cast("long").alias("_id"), F.posexplode(keys)]
+    names = ["_id", "band_id", "band_key"]
+    if time_col is not None:
+        cols.append(F.col(time_col))
+        names.append("_t")
+    return docs.select(*cols).toDF(*names)
 
 
 def lsh_dedup_stream(
@@ -453,6 +456,8 @@ def lsh_dedup_stream(
     w: int = 3,
     max_bucket: int = 64,
     state_ttl: str | None = None,
+    event_time_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Incremental near-dup detection: MinHash/LSH candidate pairs of
     ARRIVING documents against everything seen so far — the streaming
@@ -473,14 +478,30 @@ def lsh_dedup_stream(
     idle longer than the horizon — the memory bound for an unbounded
     corpus, at the documented cost that a dup arriving AFTER its
     bucket expired is not paired (dedup-within-horizon, the same
-    tradeoff `dedup_stream`'s watermark makes). The TTL is a
-    PROCESSING-time timeout (the doc stream carries no event time):
-    correct for the long-running continuous trigger it exists for,
-    but note a wall-clock timeout keeps scheduling micro-batches, so
-    drain-style consumers (`processAllAvailable`) should leave it
-    unset — the `ewma_anomalies` docstring records the same
-    livelock."""
-    banded = _lsh_banded(docs, text_col, id_col, num_hashes, bands, w)
+    tradeoff `dedup_stream`'s watermark makes).
+
+    Two TTL clocks (VERDICT r8 #8):
+
+    - ``event_time_col=None`` (default): PROCESSING-time timeout —
+      correct for the long-running continuous trigger it exists for,
+      but a wall-clock timeout keeps scheduling micro-batches, so
+      drain-style consumers (`processAllAvailable`) should leave it
+      unset — the `ewma_anomalies` docstring records the same
+      livelock.
+    - ``event_time_col="ts"``: EVENT-time timeout — the bucket's
+      deadline is ``max(event time seen in bucket) + state_ttl`` and
+      eviction fires when the stream's WATERMARK (set here from
+      ``watermark_delay``) passes it. Stream time, not wall time:
+      replays and drains behave deterministically, and a paused
+      source cannot livelock the trigger loop. This is the right
+      clock for any source that carries event time."""
+    if event_time_col is not None and state_ttl is None:
+        raise ValueError("event_time_col requires state_ttl (the horizon)")
+    if event_time_col is not None:
+        docs = docs.withWatermark(event_time_col, watermark_delay)
+    banded = _lsh_banded(
+        docs, text_col, id_col, num_hashes, bands, w, time_col=event_time_col
+    )
 
     ttl_ms = None
     if state_ttl is not None:
@@ -492,6 +513,7 @@ def lsh_dedup_stream(
             "hour": 3_600_000, "hours": 3_600_000,
             "day": 86_400_000, "days": 86_400_000,
         }[unit]
+    event_time = event_time_col is not None
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -501,25 +523,40 @@ def lsh_dedup_stream(
             return
         seen = list(state.get[0]) if state.exists else []
         arriving: set[int] = set()
+        max_t_ms = None
         for pdf in pdfs:
             arriving.update(int(v) for v in pdf["_id"])
+            if event_time and len(pdf):
+                t = pd.Timestamp(pdf["_t"].max()).value // 1_000_000
+                max_t_ms = t if max_t_ms is None else max(max_t_ms, t)
         pairs, seen = _lsh_bucket_fold(seen, sorted(arriving), max_bucket)
         state.update((seen,))
         if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+            if event_time:
+                # deadline = newest event this bucket saw + horizon,
+                # clamped above the current watermark (Spark rejects a
+                # timeout at/behind the watermark)
+                deadline = (max_t_ms or 0) + ttl_ms
+                state.setTimeoutTimestamp(
+                    max(deadline, state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return banded.groupBy("band_id", "band_key").applyInPandasWithState(
         update,
         outputStructType="id_a LONG, id_b LONG",
         stateStructType="ids ARRAY<LONG>",
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )
 
 
