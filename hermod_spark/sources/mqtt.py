@@ -150,16 +150,106 @@ def _line_count(path: str) -> int:
         return sum(1 for _ in fh)
 
 
+def _seek_anchor(path: str, start: int) -> tuple[int, int]:
+    """(byte offset, line number) of the nearest indexed anchor at or
+    before ``start`` — byte 0 / line 0 without a fresh index."""
+    idx = _load_index(path)
+    if idx is None or start <= 0:
+        return 0, 0
+    stride, _total, offsets = idx
+    anchor = min(start // stride, len(offsets) - 1)
+    return offsets[anchor], anchor * stride
+
+
+def _read_range_bytes(path: str, start: int, end: int) -> bytes:
+    """Raw non-blank line bytes of the range, concatenated — the input
+    of the Arrow fast path."""
+    seek_to, skip_from = _seek_anchor(path, start)
+    chunks: list[bytes] = []
+    with open(path, "rb") as fh:
+        fh.seek(seek_to)
+        for i, raw in enumerate(iter(fh.readline, b""), start=skip_from):
+            if i >= end:
+                break
+            if i >= start and raw.strip():
+                chunks.append(raw)
+    return b"".join(chunks)
+
+
+def _arrow_read_range(path: str, start: int, end: int):
+    """Arrow-native range read: the whole byte range parsed by
+    ``pyarrow.json`` (C++ NDJSON reader — ZERO per-row Python) and
+    yielded as RecordBatches, which the Python DataSource protocol
+    passes through without per-row pickling. This is the scale path:
+    the per-row ``json.loads`` loop cost ~25 µs/row at the bench
+    (source 3× slower than Spark's native JSON reader); batch parse
+    closes most of that gap while keeping the replay source's offset
+    model (seekable line ranges) intact.
+
+    Raises on any line the C++ parser rejects or any type the strict
+    schema can't hold (e.g. ISO-string ``time`` from the live-bridge
+    spool) — callers fall back to the per-line log-and-continue path,
+    which preserves the poisoned-line semantics exactly."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    data = _read_range_bytes(path, start, end)
+    if not data:
+        return None
+    tbl = pj.read_json(
+        io.BytesIO(data),
+        parse_options=pj.ParseOptions(
+            explicit_schema=pa.schema(
+                [
+                    ("time", pa.float64()),
+                    ("topic", pa.string()),
+                    ("qos", pa.int32()),
+                    ("retain", pa.bool_()),
+                    ("payload", pa.string()),
+                ]
+            ),
+            unexpected_field_behavior="ignore",
+        ),
+    )
+    # float unix-seconds → micros → timestamp; round() mirrors
+    # datetime.fromtimestamp's nearest-microsecond behavior
+    t_us = pc.cast(pc.round(pc.multiply(tbl["time"], 1e6)), pa.int64())
+    return pa.table(
+        {
+            "time": pc.cast(t_us, pa.timestamp("us")),
+            "topic": pc.fill_null(tbl["topic"], ""),
+            "qos": pc.fill_null(tbl["qos"], 0),
+            "retain": pc.fill_null(tbl["retain"], False),
+            "payload": tbl["payload"],
+        }
+    )
+
+
+def _read_range_auto(path: str, start: int, end: int):
+    """Range read for the DataSource readers: Arrow fast path when the
+    whole range parses cleanly as typed NDJSON, per-line fallback
+    (skip-and-log poisoned lines, ISO time strings) otherwise."""
+    import logging
+
+    try:
+        tbl = _arrow_read_range(path, start, end)
+    except Exception as ex:  # noqa: BLE001 - any parse/type issue
+        logging.getLogger(__name__).debug(
+            "arrow spool fast path unavailable (%s); per-line fallback", ex
+        )
+        yield from _read_range(path, start, end)
+        return
+    if tbl is not None:  # None = empty range
+        yield from tbl.to_batches()
+
+
 def _read_range(path: str, start: int, end: int):
     import logging
 
-    idx = _load_index(path)
-    skip_from = 0
-    seek_to = 0
-    if idx is not None and start > 0:
-        stride, _total, offsets = idx
-        anchor = min(start // stride, len(offsets) - 1)
-        seek_to, skip_from = offsets[anchor], anchor * stride
+    seek_to, skip_from = _seek_anchor(path, start)
     # binary mode: text-mode seek() only accepts tell() cookies, but a
     # byte offset at a line start is seekable directly in binary and
     # each line decodes independently
@@ -194,7 +284,9 @@ class MqttReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        yield from _read_range(partition.path, partition.start, partition.end)
+        yield from _read_range_auto(
+            partition.path, partition.start, partition.end
+        )
 
 
 class MqttReplayStreamReader(DataSourceStreamReader):
@@ -223,7 +315,9 @@ class MqttReplayStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _RangePartition):
-        yield from _read_range(partition.path, partition.start, partition.end)
+        yield from _read_range_auto(
+            partition.path, partition.start, partition.end
+        )
 
     def commit(self, end: dict) -> None:
         pass

@@ -405,6 +405,45 @@ def test_spool_index_same_size_rewrite_is_stale(tmp_path):
     assert _load_index(p) is not None
 
 
+def test_arrow_fast_path_used_and_equal_to_python_path(tmp_path):
+    """A clean float-time spool takes the Arrow fast path (RecordBatch
+    yields — zero per-row Python); its values equal the per-line path
+    exactly. An ISO-time / poisoned spool falls back to per-line rows
+    with the skip-bad-lines contract intact."""
+    import pyarrow as pa
+
+    from hermod_spark.sources.mqtt import _read_range, _read_range_auto
+
+    clean = str(tmp_path / "clean.jsonl")
+    with open(clean, "w", encoding="utf-8") as fh:
+        for i in range(50):
+            fh.write(
+                '{"time": %d.25, "topic": "t/%d", "qos": 1, "retain": false,'
+                ' "payload": "p%d"}\n' % (i, i, i)
+            )
+    out = list(_read_range_auto(clean, 5, 45))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    got = [
+        (r["time"], r["topic"], r["qos"], r["retain"], r["payload"])
+        for b in out
+        for r in b.to_pylist()
+    ]
+    want = [
+        (t.replace(tzinfo=None), topic, qos, retain, payload)
+        for t, topic, qos, retain, payload in _read_range(clean, 5, 45)
+    ]
+    assert got == want and len(got) == 40
+
+    dirty = str(tmp_path / "dirty.jsonl")
+    with open(dirty, "w", encoding="utf-8") as fh:
+        fh.write('{"time": "2024-01-01T00:00:00+00:00", "topic": "a", "payload": "x"}\n')
+        fh.write("NOT JSON AT ALL\n")
+        fh.write('{"time": 5.0, "topic": "b", "payload": "y"}\n')
+    rows = list(_read_range_auto(dirty, 0, 3))
+    assert all(isinstance(r, tuple) for r in rows)  # fallback: row tuples
+    assert [r[1] for r in rows] == ["a", "b"]  # poisoned line skipped
+
+
 def test_spool_index_v1_header_treated_stale(tmp_path):
     """Old-format sidecars (no rewrite checks) are ignored, not trusted."""
     from hermod_spark.sources.mqtt import _line_count, _load_index
