@@ -391,6 +391,63 @@ def min_label_propagation(
     return labels, rounds
 
 
+def _driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(node, min-reachable-node) labels via union-find — bit-identical
+    to converged min-label propagation (the component label IS the
+    minimum node id either way)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the root is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+# Above this many verified edges the CC runs as the distributed
+# min-label loop; below it, a driver-side union-find (microseconds)
+# replaces ~1.5 s of per-round shuffle/checkpoint/probe overhead.
+# Edges are VERIFIED near-dup pairs — orders of magnitude fewer than
+# docs — so even a 100 TB corpus usually stays under a few million.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
+    """(node, label) for every edge-connected node, label = min node
+    id in the component. Hybrid execution (VERDICT r8 #9): bounded
+    edge sets collect to a driver union-find (the train-small house
+    pattern — the edge list is the 'model'); larger ones run the
+    distributed `min_label_propagation` loop. Identical labels either
+    way, pinned by the threshold=0 parity test."""
+    n = pairs.count()
+    if n <= driver_max_edges:
+        spark = pairs.sparkSession
+        edges = [
+            (r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()
+        ]
+        labels = _driver_union_find(edges)
+        if not labels:
+            return spark.createDataFrame([], "node LONG, label LONG")
+        return spark.createDataFrame(labels, "node LONG, label LONG")
+    labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
+    return labels
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -427,7 +484,7 @@ def near_dup_clusters(
             num_hashes=num_hashes, bands=bands, w=w,
         )
     pairs = pairs.select("id_a", "id_b")
-    labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
+    labels = connected_components(pairs, max_iterations=max_iterations)
     connected = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     return (
         df.select(id_col)

@@ -868,16 +868,18 @@ def semantic_dedup(
     survivor per cluster. ``filter(keep)`` is the dedup; the cluster
     sizes are the redundancy audit.
 
-    Reuses the text pipeline's :func:`dedup.min_label_propagation`
-    (O(diameter) rounds, one node-id shuffle join per round, no driver
-    graph) on the embedding near-dup edge list — the same scale story,
-    swapping the shingle-LSH candidate generator for the sign-LSH one."""
-    from hermod_spark.operators.dedup import min_label_propagation
+    Reuses the text pipeline's :func:`dedup.connected_components`
+    (driver union-find for bounded edge sets; O(diameter)
+    min-label-propagation rounds, one node-id shuffle join per round,
+    beyond it) on the embedding near-dup edge list — the same scale
+    story, swapping the shingle-LSH candidate generator for the
+    sign-LSH one."""
+    from hermod_spark.operators.dedup import connected_components
 
     pairs = embedding_near_dups(
         embeddings, threshold, n_planes, seed, id_col, vec_col, dim
     ).select("id_a", "id_b")
-    labels, _rounds = min_label_propagation(pairs, max_iterations)
+    labels = connected_components(pairs, max_iterations)
     connected = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

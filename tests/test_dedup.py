@@ -145,6 +145,39 @@ def test_min_label_propagation_star_converges_fast(spark):
     assert {r["label"] for r in labels.collect()} == {1}
 
 
+def test_connected_components_driver_and_distributed_agree(spark):
+    """VERDICT r8 #9: the hybrid CC's two execution paths — driver
+    union-find (bounded edges) and distributed min-label propagation —
+    produce identical labels on chains, stars, multiple components,
+    and self-loops."""
+    edges = (
+        [(i, i + 1) for i in range(1, 6)]       # chain 1-6
+        + [(10, i) for i in range(11, 15)]      # star at 10
+        + [(20, 21), (21, 22), (20, 22)]        # triangle
+        + [(30, 30)]                            # self-loop
+    )
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    fast = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    got = dict(fast)
+    assert all(got[i] == 1 for i in range(1, 7))
+    assert all(got[i] == 10 for i in [10, 11, 12, 13, 14])
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == 30
+
+
+def test_connected_components_empty_edges(spark):
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert dedup.connected_components(pairs).count() == 0
+
+
 def test_cross_contamination_finds_paraphrase(spark):
     """A corpus doc sharing most shingles with a probe is flagged; an
     unrelated doc is not; the probe side itself never appears."""
