@@ -1145,6 +1145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_ship_priority"] = lambda spark, sf: R.shipping_priority(
         _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
     )
+    # Q21 shape (r9): EXISTS + NOT EXISTS on the same fact,
+    # decorrelated into one per-order aggregate pass
+    q["rel_sole_supplier"] = lambda spark, sf: R.sole_returning_supplier(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    )
+    # Q22 shape (r9): scalar-avg broadcast + LEFT ANTI never-ordered
+    q["rel_inactive_rich"] = lambda spark, sf: R.inactive_rich_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
 
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
@@ -1667,6 +1676,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["cur_mixture_plan"] = lambda spark, sf: CUR.mixture_plan(
         _t(spark, sf, "documents"), budget_tokens=100000
+    )
+    # data-constrained regime (r9): budget EXCEEDS some sources'
+    # available tokens → plan full epochs + fractional tail instead of
+    # capping at rate 1.0
+    q["cur_epoch_plan"] = lambda spark, sf: CUR.epoch_plan(
+        _t(spark, sf, "documents"), budget_tokens=60000
+    )
+    q["cur_epochs"] = lambda spark, sf: CUR.materialize_epochs(
+        _t(spark, sf, "documents"), budget_tokens=60000
     )
 
     def sketch_kmv_merge(spark, sf):
@@ -2655,6 +2673,40 @@ WHERE o_orderdate < TIMESTAMP '1998-06-01'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10"""
+
+    # Q21 shape: the correlated EXISTS + NOT EXISTS pair, decorrelated
+    # engine-side into one per-order aggregate pass
+    o["rel_sole_supplier"] = """
+WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R')
+SELECT s_name, CAST(n AS BIGINT) AS numwait FROM (
+  SELECT l_suppkey, COUNT(*) AS n
+  FROM r l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY l_suppkey) b
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20"""
+
+    # Q22 shape: correlated scalar average + NOT EXISTS, decorrelated
+    # engine-side into a 1-row broadcast and a LEFT ANTI join
+    o["rel_inactive_rich"] = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey"""
 
     # correlated forms on purpose: DuckDB decorrelates internally, the
     # engine ships the rewrite explicitly — equal results prove it
@@ -4030,6 +4082,49 @@ SELECT source, n_docs, available_tokens,
               / CAST(greatest(available_tokens, 1) AS DOUBLE)), 6)
     AS sample_rate
 FROM per, ns"""
+
+    o["cur_epoch_plan"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(len({_toks_sql('text')})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source),
+ns AS (SELECT COUNT(*) AS c FROM per),
+r AS (SELECT source, n_docs, available_tokens,
+        60000.0 / c AS share,
+        (60000.0 / c) / CAST(greatest(available_tokens, 1) AS DOUBLE)
+          AS ratio
+      FROM per, ns)
+SELECT source, n_docs, available_tokens,
+  ROUND(share, 6) AS budget_tokens,
+  CAST(floor(ratio) AS BIGINT) AS n_epochs,
+  ROUND(ratio - floor(ratio), 6) AS tail_rate,
+  CAST(floor(ratio) AS BIGINT) * available_tokens
+    + CAST(floor(ROUND(ratio - floor(ratio), 6) * available_tokens)
+           AS BIGINT) AS planned_tokens
+FROM r"""
+
+    o["cur_epochs"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(len({_toks_sql('text')})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source),
+ns AS (SELECT COUNT(*) AS c FROM per),
+plan AS (SELECT source,
+    CAST(floor((60000.0 / c)
+               / CAST(greatest(available_tokens, 1) AS DOUBLE)) AS BIGINT)
+      AS n_epochs,
+    ROUND((60000.0 / c)
+            / CAST(greatest(available_tokens, 1) AS DOUBLE)
+          - floor((60000.0 / c)
+                  / CAST(greatest(available_tokens, 1) AS DOUBLE)), 6)
+      AS tail_rate
+  FROM per, ns)
+SELECT d.doc_id, d.source, CAST(u.e AS INTEGER) AS epoch
+FROM documents d JOIN plan USING (source),
+  UNNEST(range(0, n_epochs + 1)) AS u(e)
+WHERE u.e < n_epochs
+   OR CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':tail'),
+                              1, 8)) AS UBIGINT) / 4294967296.0 < tail_rate"""
 
     o["sketch_kmv_merge"] = """
 WITH hashed AS (

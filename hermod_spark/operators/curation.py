@@ -10,7 +10,7 @@ what makes train/test splits reproducible at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hermod_spark.functions.text import tokens
@@ -771,6 +771,108 @@ def mixture_plan(
             ),
             6,
         ).alias("sample_rate"),
+    )
+
+
+def epoch_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-constrained mixture planning (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" regime): when a
+    source's budgeted share EXCEEDS its available tokens,
+    `mixture_plan`'s sample_rate caps at 1.0 and silently under-fills
+    the budget. This operator plans the UPSAMPLING instead: per
+    source, ``n_epochs`` full passes (floor of share/available) plus a
+    fractional ``tail_rate`` pass, so
+    n_epochs·available + tail_rate·available ≈ share.
+
+    Same scale shape as mixture_plan: ONE map-side-combinable
+    aggregation to #sources rows; ratios are single double divisions
+    of exact long sums — partitioning-independent, oracle-replayable."""
+    from hermod_spark.functions.text import token_count
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias(
+            "available_tokens"
+        ),
+    )
+    if weights is None:
+        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+        share = (F.lit(float(budget_tokens)) / n_sources).cast("double")
+    else:
+        w: Column | None = None
+        for s, r in sorted(weights.items()):
+            cond = F.col(source_col) == s
+            w = F.when(cond, F.lit(r)) if w is None else w.when(cond, F.lit(r))
+        share = F.lit(float(budget_tokens)) * (
+            F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
+        )
+    ratio = share / F.greatest(F.col("available_tokens"), F.lit(1)).cast(
+        "double"
+    )
+    n_epochs = F.floor(ratio).cast("long")
+    tail = F.round(ratio - n_epochs, 6)
+    return per.select(
+        source_col,
+        "n_docs",
+        "available_tokens",
+        F.round(share, 6).alias("budget_tokens"),
+        n_epochs.alias("n_epochs"),
+        tail.alias("tail_rate"),
+        (
+            n_epochs * F.col("available_tokens")
+            + F.floor(tail * F.col("available_tokens")).cast("long")
+        ).alias("planned_tokens"),
+    )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute an :func:`epoch_plan`: one output row per (doc, epoch)
+    the schedule trains on — every doc repeats for each full epoch,
+    and the fractional tail epoch takes the deterministic md5-fraction
+    subset (``uniform_hash(doc_id:tail) < tail_rate`` — same rule
+    family as `split_assign`, salted so the tail subset is independent
+    of the train/val split). Repetition is a scan-side
+    explode(sequence(0, n_epochs)) against the BROADCAST #sources-row
+    plan — the corpus never shuffles, and the fan-out is exactly the
+    repetition factor a trainer would apply."""
+    from hermod_spark.operators.sketches import uniform_hash
+
+    plan = epoch_plan(df, budget_tokens, weights, text_col, source_col)
+    tail_hash = uniform_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(":tail"))
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(
+            F.broadcast(plan.select(source_col, "n_epochs", "tail_rate")),
+            source_col,
+        )
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(0), F.col("n_epochs"))).alias("epoch"),
+            "n_epochs",
+            "tail_rate",
+            tail_hash.alias("_th"),
+        )
+        .filter(
+            (F.col("epoch") < F.col("n_epochs"))
+            | (F.col("_th") < F.col("tail_rate"))
+        )
+        .select(id_col, source_col, F.col("epoch").cast("int").alias("epoch"))
     )
 
 

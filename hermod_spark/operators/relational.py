@@ -1161,6 +1161,94 @@ def customer_order_distribution(
     )
 
 
+def sole_returning_supplier(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21-shaped double correlated subquery, decorrelated:
+    per supplier, how many multi-supplier orders had THIS supplier as
+    the ONLY one with a returned line (the "who kept the order
+    waiting" blame query, re-keyed to l_returnflag since the synthetic
+    lineitem carries no commit/receipt dates).
+
+    The SQL form nests `EXISTS (another supplier on the order)` AND
+    `NOT EXISTS (another supplier with a returned line)` — two
+    correlated subplans per row. The engine form decorrelates BOTH
+    into one pass of per-order aggregates: n_suppliers and
+    n_returning_suppliers per order (map-side-combined, one shuffle on
+    orderkey), then the pair of EXISTS conditions becomes a scan-side
+    compare (n_suppliers ≥ 2 AND n_returning = 1) joined back to the
+    returning supplier. No per-row subplan, no self-join explosion;
+    the supplier dim is broadcast for the name. Top-k is
+    TakeOrderedAndProject (never a global sort)."""
+    pairs = lineitem.select(
+        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("_ret")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_ret"), F.col("l_suppkey"))).alias(
+            "_n_ret"
+        ),
+    )
+    returning = (
+        pairs.filter(F.col("_ret"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    blamed = (
+        returning.join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_ret") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def inactive_rich_customers(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q22-shaped: per nation, count and total balance of
+    customers with above-average (positive-balance) account balance
+    who never placed an order of the given priority (every synthetic
+    customer HAS orders, so Q22's never-ordered predicate is re-keyed
+    to priority to stay non-vacuous). Two decorrelations in one
+    query: the scalar `(SELECT AVG(c_acctbal) WHERE c_acctbal > 0)`
+    becomes a 1-row broadcast cross-join, and the `NOT EXISTS
+    (orders WHERE priority)` becomes a LEFT ANTI hash join whose
+    right side carries only the pre-filtered key column. Sums
+    decimal-exact for cross-engine hashing."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    never_ordered = rich.join(
+        orders.filter(F.col("o_orderpriority") == priority).select(
+            "o_custkey"
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never_ordered.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dbl(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def shipping_priority(
     orders: DataFrame,
     lineitem: DataFrame,

@@ -687,3 +687,49 @@ def test_dsir_weights_zero_token_docs_get_rows(spark):
     for d in (2, 3, 4):
         assert got[d]["n_tokens"] == 0 and got[d]["dsir_logweight"] == 0.0
     assert got[1]["n_tokens"] == 3
+
+
+def test_epoch_plan_upsampling_math(spark):
+    """Data-constrained plan: share 90 tokens vs 40 available → 2 full
+    epochs + 0.25 tail; planned = 2*40 + floor(0.25*40) = 90."""
+    from hermod_spark.operators.curation import epoch_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "s0") for i in range(10)]
+        + [(100 + i, "a b c d", "s1") for i in range(50)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    # uniform: 2 sources, budget 180 -> share 90 each; s0 has 40
+    # tokens (ratio 2.25), s1 has 200 (ratio 0.45)
+    got = {r["source"]: r for r in epoch_plan(docs, budget_tokens=180).collect()}
+    s0, s1 = got["s0"], got["s1"]
+    assert (s0["available_tokens"], s0["n_epochs"], s0["tail_rate"]) == (40, 2, 0.25)
+    assert s0["planned_tokens"] == 90
+    assert (s1["n_epochs"], s1["tail_rate"]) == (0, 0.45)
+
+
+def test_materialize_epochs_repeats_and_tail(spark):
+    """Every doc appears exactly n_epochs times plus once more iff its
+    salted hash admits it to the tail; repetition factor matches the
+    plan in aggregate."""
+    from hermod_spark.operators.curation import epoch_plan, materialize_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "s0") for i in range(10)]
+        + [(100 + i, "a b c d", "s1") for i in range(50)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = {r["source"]: r for r in epoch_plan(docs, budget_tokens=180).collect()}
+    out = materialize_epochs(docs, budget_tokens=180).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r["source"], r["doc_id"]), []).append(r["epoch"])
+    for (src, _), epochs in per_doc.items():
+        n = plan[src]["n_epochs"]
+        assert sorted(epochs) in ([list(range(n))] + [list(range(n + 1))])
+    # s0 docs appear at least twice (2 full epochs)
+    s0_counts = [len(v) for (s, _), v in per_doc.items() if s == "s0"]
+    assert s0_counts and min(s0_counts) >= 2
+    # determinism
+    again = materialize_epochs(docs, budget_tokens=180).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

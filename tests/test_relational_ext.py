@@ -866,3 +866,66 @@ def test_asof_directions_stay_join_free_single_exchange(spark, asof_frames):
         )
         assert "Join" not in plan, direction
         assert plan.count("Exchange hashpartitioning") == 1, direction
+
+
+def test_sole_returning_supplier_decorrelation(spark):
+    """Q21 shape on a hand-built graph: supplier 1 is the sole
+    returner on the multi-supplier order 100 (counted); order 200 has
+    two returners (nobody counted); order 300 is single-supplier
+    (not counted even though returned)."""
+    li = spark.createDataFrame(
+        [
+            (100, 1, "R"), (100, 2, "N"),          # 1 is sole returner
+            (200, 1, "R"), (200, 2, "R"),          # both returned
+            (300, 3, "R"),                          # single supplier
+            (400, 2, "R"), (400, 3, "N"), (400, 1, "N"),  # 2 sole
+        ],
+        "l_orderkey LONG, l_suppkey LONG, l_returnflag STRING",
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey LONG, s_name STRING"
+    )
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in R.sole_returning_supplier(li, sup).collect()
+    }
+    assert got == {"s1": 1, "s2": 1}
+
+
+def test_sole_supplier_plan_has_no_subquery_or_selfjoin_explosion(spark):
+    """The physical plan decorrelates both EXISTS into aggregates:
+    no Subquery node, and exactly one join of the returning set
+    against the per-order aggregate plus the broadcast dim."""
+    from conftest import SF_SMOKE
+
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["rel_sole_supplier"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Subquery" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inactive_rich_customers_values(spark):
+    """Scalar-avg + anti-join semantics: avg over positive balances
+    only; only above-average customers without a matching-priority
+    order survive."""
+    cust = spark.createDataFrame(
+        [
+            (1, 0, 100.0), (2, 0, 10.0), (3, 1, 90.0),
+            (4, 1, -50.0),  # negative: excluded from the average
+        ],
+        "c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 3, "5-LOW")],
+        "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING",
+    )
+    # avg positive = (100+10+90)/3 = 66.67; rich = {1, 3}; 1 has an
+    # urgent order -> only 3 survives
+    rows = R.inactive_rich_customers(cust, orders).collect()
+    assert [(r["c_nationkey"], r["n_custs"], r["total_bal"]) for r in rows] == [
+        (1, 1, 90.0)
+    ]
