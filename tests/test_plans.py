@@ -405,3 +405,44 @@ def test_partition_pruned_scan_reads_only_window_dirs(spark):
     assert "PushedFilters: [IsNotNull(event_date" not in plan
     m2 = re.search(r"ReadSchema: struct<([^>]*)", plan)
     assert m2 and "ts" not in m2.group(1).split(",")  # pruned columns
+
+
+def test_inactive_rich_decorrelates_to_anti_join(spark):
+    """Q22 shape (r9): no Subquery node — the scalar average is a
+    1-row broadcast and the NOT EXISTS is a LEFT ANTI join whose right
+    side pushed the priority filter to the orders scan."""
+    plan = plan_of(spark, "rel_inactive_rich")
+    assert "Subquery" not in plan
+    assert count(r"LeftAnti", plan) == 1
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    m = re.search(r"ReadSchema: struct<(o_[^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "o_custkey:bigint", "o_orderpriority:string",
+    }
+
+
+def test_sole_supplier_single_fact_aggregation_pass(spark):
+    """Q21 shape (r9): both correlated EXISTS become ONE per-order
+    aggregate pass — no Subquery, supplier dim broadcast, top-k via
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "rel_sole_supplier")
+    assert "Subquery" not in plan
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert count(r"TakeOrderedAndProject", plan) == 1
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "l_orderkey:bigint", "l_suppkey:bigint", "l_returnflag:string",
+    }
+
+
+def test_epochs_fanout_is_scan_side_against_broadcast_plan(spark):
+    """cur_epochs (r9): the repetition fan-out is a Generate(explode)
+    against the BROADCAST #sources-row plan — the corpus side has no
+    hash exchange; only the plan's own per-source aggregation
+    shuffles."""
+    plan = plan_of(spark, "cur_epochs")
+    assert count(r"Generate explode", plan) >= 1
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    # the only hash exchanges belong to the tiny per-source aggregate
+    # (partial+final), never the corpus scan feeding the explode
+    assert count(r"Exchange hashpartitioning", plan) <= 1
