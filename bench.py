@@ -74,7 +74,7 @@ BASELINE = {
     # recorded before the round's final snapshot. dedup_report runs
     # the WHOLE candidates→verify→CC→metrics chain off one LSH pass —
     # under half the standalone trio's summed baselines (5.9s)
-    "dedup_exact_spans": 1.322, "dedup_report": 2.84,
+    "dedup_exact_spans": 1.322, "dedup_report": 2.459,  # re-pinned r9 (hybrid CC)
     "stream_ewma_replay": 2.409,
     "cur_decontaminate_ngram": 1.365, "sim_ivfpq_topk": 1.742,
     "text_surprisal": 0.555, "dedup_span_removal": 0.361,
@@ -88,10 +88,23 @@ BASELINE = {
     # recorded before the round's final snapshot
     "rel_bucketed_join": 0.356, "dedup_lsh_incremental": 1.405,
     "sim_ivf_recall_curve": 1.368, "rel_exists_rewrite": 0.39,
-    "rel_scalar_subquery": 1.228, "rel_order_dist": 0.427,
+    "rel_scalar_subquery": 0.574,  # re-pinned r9 (branded-subset agg)
+    "rel_order_dist": 0.427,
     "rel_ship_priority": 0.633, "mm_audio_decode": 1.166,
     "flt_quarantine": 1.119, "rel_partition_pruned": 0.327,
-    "cur_dsir": 1.133, "cur_ccnet_buckets": 0.492, "xf_udtf": 1.246,
+    "cur_dsir": 1.133, "xf_udtf": 1.246,
+    # re-pinned r9 from isolated-run medians (4 runs, first discarded)
+    # after deliberate algorithm changes: ccnet moved to the two-pass
+    # boundary serving form (2 extra eager boundary jobs, cached
+    # summary — the r8 global-window form was the 100× scale-killer);
+    # scalar_subquery now aggregates the branded subset only (2×
+    # faster); dedup_report rides the hybrid driver-union-find CC
+    "cur_ccnet_buckets": 0.736,
+    # added r09, isolated-run medians (4 runs, first discarded),
+    # recorded before the round's final snapshot
+    "flt_quarantine_mix": 1.303, "rel_sole_supplier": 1.717,
+    "rel_inactive_rich": 0.402, "cur_epoch_plan": 0.303,
+    "cur_epochs": 0.427,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -308,6 +321,12 @@ HEADLINE = [
     "cur_dsir",
     "cur_ccnet_buckets",
     "xf_udtf",
+    # added r09
+    "flt_quarantine_mix",
+    "rel_sole_supplier",
+    "rel_inactive_rich",
+    "cur_epoch_plan",
+    "cur_epochs",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -833,9 +833,13 @@ def ccnet_buckets(
     in-bucket order + bucket order is the global order: the result is
     bit-identical to the one-window exact form (same DuckDB oracle,
     hash-green; `ccnet_buckets_exact` is the in-repo cross-check).
-    The summary frame is persisted across the two eager passes, so
-    the surprisal pipeline runs twice total (once cached for both
-    passes, once lazily in the served plan)."""
+    The O(docs) summary frame is persisted (MEMORY_AND_DISK) and
+    SERVED from — the surprisal pipeline runs exactly once for the
+    two eager boundary passes and the returned plan alike. The cache
+    is released by Spark's ContextCleaner when the returned frame is
+    garbage-collected (the lineage is retained, so the plan stays
+    valid regardless); at 10^10 docs the summary is ~3 small columns
+    × docs — the standard cacheable size for a serving layer."""
     s = unigram_surprisal(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
@@ -844,53 +848,51 @@ def ccnet_buckets(
         "long"
     )
     cached = s.persist()
-    try:
-        hist = sorted(
-            cached.groupBy(bexpr.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .collect(),
-            key=lambda r: r["_b"],
+    hist = sorted(
+        cached.groupBy(bexpr.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect(),
+        key=lambda r: r["_b"],
+    )
+    n = sum(r["_c"] for r in hist)
+    # boundary rank k: the LAST rank in bucket k is floor(k·n/3)
+    # (ceil(3r/n) ≤ k  ⇔  r ≤ floor(k·n/3))
+    targets = []  # (boundary_idx, target_hist_bucket, in_bucket_rank)
+    for k in (1, 2):
+        r_k = (k * n) // 3
+        if r_k <= 0:
+            targets.append(None)
+            continue
+        cum = 0
+        for row in hist:
+            if cum + row["_c"] >= r_k:
+                targets.append((row["_b"], r_k - cum))
+                break
+            cum += row["_c"]
+    bounds: list = [None, None]
+    live = [(i, t) for i, t in enumerate(targets) if t is not None]
+    if live:
+        w = Window.partitionBy("_b").orderBy(
+            F.col("mean_surprisal").asc(), F.col(id_col).asc()
         )
-        n = sum(r["_c"] for r in hist)
-        # boundary rank k: the LAST rank in bucket k is floor(k·n/3)
-        # (ceil(3r/n) ≤ k  ⇔  r ≤ floor(k·n/3))
-        targets = []  # (boundary_idx, target_hist_bucket, in_bucket_rank)
-        for k in (1, 2):
-            r_k = (k * n) // 3
-            if r_k <= 0:
-                targets.append(None)
-                continue
-            cum = 0
-            for row in hist:
-                if cum + row["_c"] >= r_k:
-                    targets.append((row["_b"], r_k - cum))
-                    break
-                cum += row["_c"]
-        bounds: list = [None, None]
-        live = [(i, t) for i, t in enumerate(targets) if t is not None]
-        if live:
-            w = Window.partitionBy("_b").orderBy(
-                F.col("mean_surprisal").asc(), F.col(id_col).asc()
+        cond = None
+        for _, (tb, ib) in live:
+            c = (F.col("_b") == F.lit(tb)) & (F.col("_rn") == F.lit(ib))
+            cond = c if cond is None else (cond | c)
+        hits = (
+            cached.select(id_col, "mean_surprisal", bexpr.alias("_b"))
+            .filter(
+                F.col("_b").isin([tb for _, (tb, _) in live])
             )
-            cond = None
-            for _, (tb, ib) in live:
-                c = (F.col("_b") == F.lit(tb)) & (F.col("_rn") == F.lit(ib))
-                cond = c if cond is None else (cond | c)
-            hits = (
-                cached.select(id_col, "mean_surprisal", bexpr.alias("_b"))
-                .filter(
-                    F.col("_b").isin([tb for _, (tb, _) in live])
-                )
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(cond)
-                .collect()
-            )
-            by_key = {(r["_b"], r["_rn"]): r for r in hits}
-            for i, (tb, ib) in live:
-                r = by_key[(tb, ib)]
-                bounds[i] = (r["mean_surprisal"], r[id_col])
-    finally:
-        cached.unpersist()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(cond)
+            .collect()
+        )
+        by_key = {(r["_b"], r["_rn"]): r for r in hits}
+        for i, (tb, ib) in live:
+            r = by_key[(tb, ib)]
+            bounds[i] = (r["mean_surprisal"], r[id_col])
+
 
     def le_bound(bnd) -> Column:
         if bnd is None:
@@ -907,4 +909,4 @@ def ccnet_buckets(
         .otherwise(F.lit(3))
         .cast("int")
     )
-    return _ccnet_select(s, bucket, id_col)
+    return _ccnet_select(cached, bucket, id_col)

@@ -375,7 +375,11 @@ def test_ccnet_serving_plan_has_no_global_window(spark):
     plan = plan_of(spark, "cur_ccnet_buckets")
     assert count(r"\bWindow\b", plan) == 0
     assert "row_number" not in plan
-    assert count(r"SinglePartition", plan) <= 1
+    # the only SinglePartition exchanges are the surprisal model's
+    # 1-row vocab total (appears once in the serve tree and once
+    # inside the cached summary relation's plan) — bounded inputs both
+    assert count(r"SinglePartition", plan) <= 2
+    assert "InMemoryTableScan" in plan  # serves the cached summary
 
 
 def test_ship_priority_pushes_dates_and_takeordered(spark):
