@@ -1154,6 +1154,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_inactive_rich"] = lambda spark, sf: R.inactive_rich_customers(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
     )
+    # Q11 shape (r9): scalar subquery in the HAVING site
+    q["rel_important_parts"] = lambda spark, sf: R.important_parts(
+        _t(spark, sf, "lineitem")
+    )
+    # Q18 shape (r9): HAVING-membership subquery → pre-aggregated join
+    q["rel_large_orders"] = lambda spark, sf: R.large_volume_customers(
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
 
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
@@ -2673,6 +2683,36 @@ WHERE o_orderdate < TIMESTAMP '1998-06-01'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10"""
+
+    # Q11 shape: scalar subquery in the HAVING site; both compare
+    # operands take the dbl() scale-4 rounding (ulp-identical engines)
+    o["rel_important_parts"] = f"""
+WITH per AS (
+  SELECT l_partkey, SUM({DP} * {DISC}) AS rev
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey,
+  CAST(CAST(ROUND(rev, 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM per
+WHERE CAST(CAST(ROUND(rev, 4) AS DECIMAL(18,4)) AS DOUBLE)
+      > 1.5 * (SELECT CAST(CAST(ROUND(SUM(rev), 4) AS DECIMAL(18,4))
+                           AS DOUBLE) FROM per)
+            / (SELECT COUNT(*) FROM per)
+ORDER BY revenue DESC, l_partkey ASC"""
+
+    # Q18 shape: HAVING-membership subquery (correlated form on
+    # purpose, like the other decorrelation oracles)
+    o["rel_large_orders"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,4)), 4)
+       AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+  CAST(CAST(ROUND(q, 4) AS DECIMAL(18,4)) AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS q
+      FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity
+        AS DECIMAL(12,4))) AS DOUBLE) > 250.0) b
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100"""
 
     # Q21 shape: the correlated EXISTS + NOT EXISTS pair, decorrelated
     # engine-side into one per-order aggregate pass

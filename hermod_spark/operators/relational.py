@@ -1249,6 +1249,79 @@ def inactive_rich_customers(
     )
 
 
+def important_parts(
+    lineitem: DataFrame, alpha: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-scalar: parts whose total revenue
+    exceeds ``alpha ×`` the AVERAGE per-part revenue — the scalar
+    subquery sits in the HAVING clause this time (Q11's absolute
+    fraction scales as 1/SF, so the scale-stable form keys on the
+    average instead: same ~1.3% selectivity at every SF).
+    Decorrelated the same way as the WHERE-site scalar: the global
+    (total, count) is a 1-row aggregate over the per-part RESULT
+    (O(parts) rows — the fact table is scanned once), cross-joined
+    back broadcast, so the HAVING compares #parts rows against one
+    1-row frame — no per-row subplan, no second fact scan. Both
+    compare operands take the dbl() scale-4 rounding discipline
+    (a direct high-scale decimal→double cast is off by 1 ulp between
+    engines, which on a threshold boundary flips a row)."""
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(rev).alias("_rev")
+    )
+    stats = per_part.agg(
+        F.sum("_rev").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .filter(
+            dbl(F.col("_rev"))
+            > F.lit(float(alpha)) * dbl(F.col("_total")) / F.col("_n")
+        )
+        .select("l_partkey", dbl(F.col("_rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose single orders exceed
+    ``min_qty`` total quantity. The `IN (SELECT l_orderkey ... GROUP
+    BY ... HAVING SUM > q)` membership subquery decorrelates into a
+    pre-aggregated big-order frame joined to orders; the per-order
+    quantity aggregation happens ONCE (map-side combined) and only
+    qualifying orderkeys flow into the join — at 100 TB the HAVING
+    filter collapses billions of lineitem rows to the handful of
+    jumbo orders before anything joins. customer is the broadcast
+    dim."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty").cast("double") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            dbl(F.col("o_totalprice").cast(PRICE)).alias("o_totalprice"),
+            dbl(F.col("_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def shipping_priority(
     orders: DataFrame,
     lineitem: DataFrame,

@@ -450,3 +450,28 @@ def test_epochs_fanout_is_scan_side_against_broadcast_plan(spark):
     # the only hash exchanges belong to the tiny per-source aggregate
     # (partial+final), never the corpus scan feeding the explode
     assert count(r"Exchange hashpartitioning", plan) <= 1
+
+
+def test_important_parts_single_fact_scan(spark):
+    """Q11 shape (r9): the HAVING-site scalar is a 1-row broadcast
+    over the per-part RESULT — at runtime AQE reuses the per-part
+    aggregation exchange, so the fact is scanned/shuffled once even
+    though the subtree appears under both the rows and the stats
+    branch; no Subquery node anywhere."""
+    df = E.queries()["rel_important_parts"](spark, SF_SMOKE)
+    df.collect()  # reuse is a RUNTIME decision: inspect the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "Subquery" not in plan
+    assert count(r"ReusedExchange", plan) >= 1
+    assert count(r"BroadcastNestedLoopJoin|BroadcastHashJoin", plan) >= 1
+
+
+def test_large_orders_preaggregates_before_joins(spark):
+    """Q18 shape (r9): the quantity HAVING collapses lineitem BEFORE
+    any join (agg below the first join in the tree), customer dim is
+    broadcast, top-100 is TakeOrdered."""
+    plan = plan_of(spark, "rel_large_orders")
+    assert "Subquery" not in plan
+    assert count(r"TakeOrderedAndProject", plan) == 1
+    assert count(r"BroadcastHashJoin", plan) >= 2

@@ -929,3 +929,46 @@ def test_inactive_rich_customers_values(spark):
     assert [(r["c_nationkey"], r["n_custs"], r["total_bal"]) for r in rows] == [
         (1, 1, 90.0)
     ]
+
+
+def test_important_parts_having_scalar(spark):
+    """Q11 shape: threshold = alpha x average per-part revenue; only
+    parts above it survive, ordered by revenue desc."""
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0), (1, 100.0, 0.0),   # part 1: 200
+            (2, 50.0, 0.0),                      # part 2: 50
+            (3, 30.0, 0.0),                      # part 3: 30
+            (4, 20.0, 0.0),                      # part 4: 20
+        ],
+        "l_partkey LONG, l_extendedprice DOUBLE, l_discount DOUBLE",
+    )
+    # avg = 300/4 = 75; alpha 1.5 -> threshold 112.5 -> only part 1
+    rows = R.important_parts(li, alpha=1.5).collect()
+    assert [(r["l_partkey"], r["revenue"]) for r in rows] == [(1, 200.0)]
+    # alpha 0.5 -> threshold 37.5 -> parts 1 and 2, revenue-desc order
+    rows = R.important_parts(li, alpha=0.5).collect()
+    assert [r["l_partkey"] for r in rows] == [1, 2]
+
+
+def test_large_volume_customers_membership(spark):
+    """Q18 shape: only orders whose summed quantity clears the HAVING
+    threshold appear, joined to their customer."""
+    cust = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "c_custkey LONG, c_name STRING"
+    )
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(10, 1, d, 1000.0), (11, 2, d, 2000.0)],
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    li = spark.createDataFrame(
+        [(10, 300.0), (10, 10.0), (11, 100.0)],
+        "l_orderkey LONG, l_quantity DOUBLE",
+    )
+    rows = R.large_volume_customers(cust, orders, li, min_qty=250.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["c_name"], r["o_orderkey"], r["total_qty"]) == ("alice", 10, 310.0)
