@@ -104,7 +104,8 @@ BASELINE = {
     # recorded before the round's final snapshot
     "flt_quarantine_mix": 1.303, "rel_sole_supplier": 1.717,
     "rel_inactive_rich": 0.402, "cur_epoch_plan": 0.303,
-    "cur_epochs": 0.427,
+    "cur_epochs": 0.427, "rel_important_parts": 1.197,
+    "rel_large_orders": 1.023,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -327,6 +328,8 @@ HEADLINE = [
     "rel_inactive_rich",
     "cur_epoch_plan",
     "cur_epochs",
+    "rel_important_parts",
+    "rel_large_orders",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
