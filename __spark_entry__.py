@@ -1727,6 +1727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hist_merge"] = sketch_hist_merge
     # eval-hygiene: near-dup pairs straddling the train/val/test split
+    # r9: cross-dataset near-dup overlap — the mixing-table diagnostic
+    q["dedup_source_overlap"] = lambda spark, sf: dedup.source_overlap_matrix(
+        _t(spark, sf, "documents")
+    )
     q["cur_split_leakage"] = lambda spark, sf: CUR.split_leakage(
         _t(spark, sf, "documents")
     )
@@ -4261,6 +4265,23 @@ SELECT least(sa.split, sb.split) AS split_a,
   COUNT(*) AS n_pairs,
   least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
 FROM cand JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
+GROUP BY 1, 2, 4"""
+    )
+
+    o["dedup_source_overlap"] = (
+        _minhash_banded_sql()
+        + """,
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id)
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  COUNT(*) AS n_pairs,
+  least(da.source, db.source) <> greatest(da.source, db.source) AS is_cross
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
 GROUP BY 1, 2, 4"""
     )
 

@@ -614,6 +614,51 @@ def minhash_estimate_audit(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Cross-DATASET near-duplicate overlap matrix: banded candidate
+    pairs rolled up per unordered (source_a, source_b) — the
+    mixing-table diagnostic a pipeline reads before weighting sources
+    (two crawls sharing half their near-dups should not both get full
+    weight; the r9 sibling of `split_leakage`, which asks the same
+    question about the train/val boundary).
+
+    Scale shape: the single-pass banded candidate generator (never
+    all-pairs), then two id-equi-joins attaching each endpoint's
+    source label — the joins carry only the candidate pair list, and
+    the rollup is ≤ |sources|² rows. `is_cross` marks inter-dataset
+    rows (the redundancy double-count a mixture must discount)."""
+    pairs = near_dup_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+    )
+    labels = df.select(F.col(id_col), F.col(source_col))
+    a = labels.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_ca")
+    )
+    b = labels.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_cb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_ca", "_cb").alias("source_a"),
+            F.greatest("_ca", "_cb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_cross", F.col("source_a") != F.col("source_b"))
+    )
+
+
 def redundancy_profile(
     df: DataFrame,
     text_col: str = "text",

@@ -563,3 +563,27 @@ def test_contamination_shuffle_path_matches_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
     bplan = b._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" in bplan
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Planted cross-source dup pair lands in an is_cross row; the
+    unordered fold puts (a,b) and (b,a) in one cell; same-source dups
+    are not cross."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base, "crawlB"),
+            (2, base.replace("dog", "cat"), "crawlA"),  # cross dup
+            (3, base.replace("fox", "ox"), "crawlB"),   # same-source dup
+            (4, "completely different words entirely here", "crawlA"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["is_cross"])
+        for r in dedup.source_overlap_matrix(df, num_hashes=8, bands=4).collect()
+    }
+    assert ("crawlA", "crawlB") in rows and rows[("crawlA", "crawlB")][1] is True
+    assert all(a <= b for a, b in rows)  # unordered fold: sorted cells
+    if ("crawlB", "crawlB") in rows:
+        assert rows[("crawlB", "crawlB")][1] is False
