@@ -105,7 +105,7 @@ BASELINE = {
     "flt_quarantine_mix": 1.303, "rel_sole_supplier": 1.717,
     "rel_inactive_rich": 0.402, "cur_epoch_plan": 0.303,
     "cur_epochs": 0.427, "rel_important_parts": 1.197,
-    "rel_large_orders": 1.023,
+    "rel_large_orders": 1.023, "dedup_source_overlap": 1.354,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -330,6 +330,7 @@ HEADLINE = [
     "cur_epochs",
     "rel_important_parts",
     "rel_large_orders",
+    "dedup_source_overlap",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -356,6 +357,8 @@ SCALE10X = [
     "cur_sample_weighted", "cur_distill_nb",
     # r8: incremental-LSH replay + DSIR model pass
     "dedup_lsh_incremental", "cur_dsir",
+    # r9: two-pass ccnet boundaries, epoch fan-out, overlap matrix
+    "cur_ccnet_buckets", "cur_epochs", "dedup_source_overlap",
 ]
 
 
@@ -484,12 +487,25 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "cur_dsir": lambda: CUR.dsir_weights(
             docs10, docs10.filter(F.col("lang") == "en"), n_buckets=512
         ),
+        # r9: the two-pass boundary serving form (the scale claim IS
+        # that it survives growth the global window would not), the
+        # epoch fan-out, and the cross-source overlap rollup
+        "cur_ccnet_buckets": lambda: _ccnet10(docs10),
+        "cur_epochs": lambda: CUR.materialize_epochs(
+            docs10, budget_tokens=600000
+        ),
+        "dedup_source_overlap": lambda: dedup.source_overlap_matrix(docs10),
     }
 
     def _lsh_replay10(docs):
         from hermod_spark.streaming.stateful import lsh_dedup_replay
 
         return lsh_dedup_replay(docs, n_batches=4)
+
+    def _ccnet10(docs):
+        from hermod_spark.operators.textops import ccnet_buckets
+
+        return ccnet_buckets(docs, vocab_size=100)
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
         t1 = float("inf")
