@@ -122,3 +122,53 @@ def test_jdbc_schema_validation_gate(spark, derby_url):
     bad = spark.createDataFrame([(1, "x", 2.0)], "a BIGINT, b STRING, c DOUBLE")
     with pytest.raises(Exception):
         w.write({"typed": bad})
+
+
+def test_engine_route_plan_lands_in_derby(spark, derby_url):
+    """The reference main loop's shape against a REAL database:
+    config-driven routes -> Engine.plan -> MultiTableWriter(jdbc) ->
+    rows readable back over jdbc, per route table."""
+    import datetime as dt
+
+    from hermod_spark import config as C
+    from hermod_spark.engine import Engine
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    eng = Engine(C.loads(
+        '[[routes]]\nfilter = "sensors/temp/#"\ntable = "temps_raw"\n'
+        '[[routes]]\nfilter = "sensors/#"\ntable = "sensor_raw"\n'
+    ))
+    t0 = dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc)
+    msgs = spark.createDataFrame(
+        [
+            (t0, "sensors/temp/a", 0, False, '{"temperature": 7}'),
+            (t0, "sensors/hum/b", 0, False, '{"humidity": 40}'),
+            (t0, "other/x", 0, False, '{"z": 1}'),
+        ],
+        "time TIMESTAMP, topic STRING, qos INT, retain BOOLEAN, payload STRING",
+    )
+    w = MultiTableWriter(jdbc_url=derby_url, jdbc_options={"driver": DERBY_DRIVER})
+    results = {r["table"]: r["n_rows"] for r in w.write(dict(eng.plan(msgs)))}
+    assert results == {"temps_raw": 1, "sensor_raw": 1, "iot_raw": 1}
+    assert _read(spark, derby_url, "temps_raw").count() == 1
+    back = _read(spark, derby_url, "sensor_raw").first()
+    assert back["topic"] == "sensors/hum/b"
+
+
+def test_engine_config_builds_jdbc_writer():
+    """With a [database] section and no base_path, Engine.writer()
+    targets jdbc with the configured credentials — the wiring the
+    reference's storage.Connect does (storage.go:41-66)."""
+    from hermod_spark import config as C
+    from hermod_spark.engine import Engine
+
+    eng = Engine(C.loads(
+        "[database]\nhost = \"db.example\"\nport = 5432\n"
+        "user = \"u\"\npassword = \"p\"\ndatabase = \"metrics\"\n"
+        "sslmode = \"disable\"\npool_size = 4\n"
+        '[[routes]]\nfilter = "s/#"\ntable = "t"\n'
+    ))
+    w = eng.writer()
+    assert w.jdbc_url == "jdbc:postgresql://db.example:5432/metrics?sslmode=disable"
+    assert w.jdbc_options == {"user": "u", "password": "p"}
+    assert w.base_path is None
