@@ -434,6 +434,11 @@ def connected_components(
     pattern — the edge list is the 'model'); larger ones run the
     distributed `min_label_propagation` loop. Identical labels either
     way, pinned by the threshold=0 parity test."""
+    # lazy local checkpoint: the count() decides the execution path and
+    # materializes the (possibly LSH-verify-shaped) edge pipeline ONCE;
+    # the collect / min-label loop then reads the checkpoint instead of
+    # re-running it
+    pairs = pairs.localCheckpoint(eager=False)
     n = pairs.count()
     if n <= driver_max_edges:
         spark = pairs.sparkSession
