@@ -1164,6 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"),
         _t(spark, sf, "lineitem"),
     )
+    # Q16 shape (r9): NOT IN → null-safe LEFT ANTI (precondition doc'd)
+    q["rel_supplier_variety"] = lambda spark, sf: R.supplier_variety(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
 
     # TRAINED path (sampled spherical k-means centroids): hashed surface
     # is the recall-vs-exact-truth claim — oracle reproduces n_truth
@@ -2717,6 +2721,24 @@ JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100"""
+
+    # Q16 shape: the correlated NOT IN form on purpose — DuckDB
+    # evaluates real NOT IN semantics, the engine ships the anti-join
+    # rewrite; equality proves the rewrite's no-NULL precondition holds
+    o["rel_supplier_variety"] = """
+WITH per AS (SELECT l_suppkey, COUNT(*) AS r FROM lineitem
+             WHERE l_returnflag = 'R' GROUP BY 1)
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'ECONOMY'
+  AND l_suppkey NOT IN (
+    SELECT l_suppkey FROM per
+    WHERE CAST(r AS DOUBLE) > 1.05 * (SELECT CAST(SUM(r) AS DOUBLE)
+                                      FROM per)
+                                   / (SELECT COUNT(*) FROM per))
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+LIMIT 20"""
 
     # Q21 shape: the correlated EXISTS + NOT EXISTS pair, decorrelated
     # engine-side into one per-order aggregate pass

@@ -106,6 +106,7 @@ BASELINE = {
     "rel_inactive_rich": 0.402, "cur_epoch_plan": 0.303,
     "cur_epochs": 0.427, "rel_important_parts": 1.197,
     "rel_large_orders": 1.023, "dedup_source_overlap": 1.354,
+    "rel_supplier_variety": 1.181,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -331,6 +332,7 @@ HEADLINE = [
     "rel_important_parts",
     "rel_large_orders",
     "dedup_source_overlap",
+    "rel_supplier_variety",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -1322,6 +1322,64 @@ def large_volume_customers(
     )
 
 
+def supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_factor: float = 1.05,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q16-shaped NOT IN subquery: distinct supplier counts per
+    (brand, size) over non-ECONOMY parts, EXCLUDING suppliers whose
+    returned-line count exceeds ``exclude_factor ×`` the average (the
+    complaints-supplier exclusion, re-keyed to return counts since the
+    synthetic supplier table carries no comments).
+
+    NOT IN decorrelates to a LEFT ANTI join — which is only equivalent
+    when the subquery produces no NULLs (SQL's NOT IN returns UNKNOWN,
+    i.e. drops EVERYTHING, if any subquery value is NULL; the classic
+    trap). Here the exclusion keys come out of a GROUP BY on a
+    non-null join key, so the anti-join is exact — the docstring
+    records the precondition the rewrite relies on. The exclusion set
+    is O(suppliers) (dimension-bounded → broadcast); the distinct-count
+    aggregation expands to the standard two-phase partial-distinct
+    plan. Top-k via TakeOrdered, ties broken by (brand, size)."""
+    per_supp = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_r"))
+    )
+    stats = per_supp.agg(
+        F.sum("_r").alias("_t"), F.count(F.lit(1)).alias("_n")
+    )
+    bad = (
+        per_supp.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("_r").cast("double")
+            > F.lit(float(exclude_factor))
+            * F.col("_t").cast("double")
+            / F.col("_n")
+        )
+        .select(F.col("l_suppkey").alias("_bad"))
+    )
+    pairs = lineitem.join(
+        F.broadcast(
+            part.filter(F.col("p_type") != "ECONOMY").select(
+                "p_partkey", "p_brand", "p_size"
+            )
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    kept = pairs.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("_bad"), "left_anti"
+    )
+    return (
+        kept.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+        .limit(k)
+    )
+
+
 def shipping_priority(
     orders: DataFrame,
     lineitem: DataFrame,

@@ -972,3 +972,31 @@ def test_large_volume_customers_membership(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["c_name"], r["o_orderkey"], r["total_qty"]) == ("alice", 10, 310.0)
+
+
+def test_supplier_variety_not_in_exclusion(spark):
+    """Q16 shape: the heavy-returner is excluded from the distinct
+    count; ECONOMY parts never counted; distinct per (brand, size)."""
+    li = spark.createDataFrame(
+        [
+            # supplier 1: 3 returns (heavy); suppliers 2,3: 1 each
+            (100, 1, "R"), (101, 1, "R"), (102, 1, "R"),
+            (103, 2, "R"), (104, 3, "R"),
+            # supply edges: part 100 (kept type) from suppliers 1,2,3
+            (100, 1, "N"), (100, 2, "N"), (100, 3, "N"),
+            # part 200 is ECONOMY: never counted
+            (200, 2, "N"),
+        ],
+        "l_partkey LONG, l_suppkey LONG, l_returnflag STRING",
+    )
+    # note: the R rows above use l_partkey=1xx as well; give them a
+    # non-counted part type by mapping only parts 100/200
+    part = spark.createDataFrame(
+        [(100, "BrandX", 5, "SMALL"), (200, "BrandY", 7, "ECONOMY")],
+        "p_partkey LONG, p_brand STRING, p_size INT, p_type STRING",
+    )
+    rows = R.supplier_variety(li, part, exclude_factor=1.2).collect()
+    got = {(r["p_brand"], r["p_size"]): r["supplier_cnt"] for r in rows}
+    # avg returns = 5/3; 1.2x -> 2.0; supplier 1 (3 returns) excluded;
+    # suppliers 2 and 3 remain for part 100
+    assert got == {("BrandX", 5): 2}
