@@ -475,3 +475,15 @@ def test_large_orders_preaggregates_before_joins(spark):
     assert "Subquery" not in plan
     assert count(r"TakeOrderedAndProject", plan) == 1
     assert count(r"BroadcastHashJoin", plan) >= 2
+
+
+def test_supplier_variety_not_in_is_broadcast_anti_join(spark):
+    """Q16 shape (r9): the NOT IN runs as ONE broadcast LEFT ANTI
+    against the O(suppliers) exclusion aggregate — no Subquery node,
+    part filter pushed to its scan, top-k via TakeOrdered."""
+    plan = plan_of(spark, "rel_supplier_variety")
+    assert "Subquery" not in plan
+    assert count(r"LeftAnti", plan) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Not(EqualTo(p_type,ECONOMY))" in plan
+    assert count(r"TakeOrderedAndProject", plan) == 1
