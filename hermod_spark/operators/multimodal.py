@@ -200,8 +200,14 @@ def extract_audio_features(
                 if b is None or len(b) <= 9 or b[:4] != _MAGIC:
                     rows.append((i, None, None, False))
                     continue
-                samples = b[9:]
-                rms = (sum(x * x for x in samples) / len(samples)) ** 0.5 / 255.0
+                import numpy as np
+
+                samples = np.frombuffer(b[9:], dtype=np.uint8).astype(
+                    np.int64
+                )
+                rms = (
+                    int(np.dot(samples, samples)) / len(samples)
+                ) ** 0.5 / 255.0
                 rows.append((i, len(samples), rms, True))
             yield pd.DataFrame(rows, columns=[id_col, "n_samples", "rms", "decode_ok"])
 
