@@ -359,8 +359,10 @@ SCALE10X = [
     "cur_sample_weighted", "cur_distill_nb",
     # r8: incremental-LSH replay + DSIR model pass
     "dedup_lsh_incremental", "cur_dsir",
-    # r9: two-pass ccnet boundaries, epoch fan-out, overlap matrix
+    # r9: two-pass ccnet boundaries, epoch fan-out, overlap matrix,
+    # and the decorrelation shapes on a 10x-deep lineitem
     "cur_ccnet_buckets", "cur_epochs", "dedup_source_overlap",
+    "rel_sole_supplier", "rel_important_parts", "rel_supplier_variety",
 ]
 
 
@@ -417,6 +419,27 @@ def _events_10x(spark):
     return out
 
 
+def _lineitem_10x(spark):
+    """10 stacked copies of sf0.1 lineitem with disjoint order keys and
+    the SAME part/supplier key spaces — per-part and per-supplier
+    aggregates grow 10× deep (the decorrelation shapes' stress axis)
+    while the dimension-bounded broadcasts stay dimension-bounded."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "lineitem")
+    no = base.agg(F.max("l_orderkey")).first()[0] + 1
+    parts = [
+        base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * no))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     """Time each SCALE10X query on sf0.1 (best-of-2) and on the 10×
     synthesized frame (single run — long enough to be noise-stable),
@@ -440,6 +463,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         )
 
     docs10, events10 = _documents_10x(spark), _events_10x(spark)
+    lineitem10 = _lineitem_10x(spark)
     # Warm the synthesized inputs once so the first timed query does
     # not also pay the scan+translate+union build cost (the 1× side is
     # best-of-2, i.e. warm — VERDICT r5 #7: dedup_exact's 1.27× per-row
@@ -447,6 +471,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     # partition sweep moved it only 0.81→0.63 s, i.e. fixed cost).
     docs10.count()
     events10.count()
+    lineitem10.count()
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
@@ -493,6 +518,12 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # that it survives growth the global window would not), the
         # epoch fan-out, and the cross-source overlap rollup
         "cur_ccnet_buckets": lambda: _ccnet10(docs10),
+        # r9 decorrelation shapes on a 10x-deep fact: the per-order /
+        # per-supplier / per-part aggregate inputs grow 10x while the
+        # broadcast frames stay dimension-bounded
+        "rel_sole_supplier": lambda: _q21_10(lineitem10),
+        "rel_important_parts": lambda: _q11_10(lineitem10),
+        "rel_supplier_variety": lambda: _q16_10(lineitem10),
         "cur_epochs": lambda: CUR.materialize_epochs(
             docs10, budget_tokens=600000
         ),
@@ -508,6 +539,19 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         from hermod_spark.operators.textops import ccnet_buckets
 
         return ccnet_buckets(docs, vocab_size=100)
+
+    def _q21_10(li):
+        from hermod_spark.data import table
+
+        return R.sole_returning_supplier(li, table(spark, SF_DIR, "supplier"))
+
+    def _q11_10(li):
+        return R.important_parts(li)
+
+    def _q16_10(li):
+        from hermod_spark.data import table
+
+        return R.supplier_variety(li, table(spark, SF_DIR, "part"))
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
         t1 = float("inf")
