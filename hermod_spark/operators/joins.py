@@ -19,6 +19,74 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Row bound under which a caller-asserted cardinality justifies a
+# broadcast hint. 2M narrow rows is well inside the 8 GB broadcast
+# relation limit even at ~1 KB/row, and far below driver memory.
+BROADCAST_HINT_MAX_ROWS = 2_000_000
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Parse Spark size-conf strings ('67108864', '64MB', '10m', '-1')."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            mult = m
+            s = s[:-1]
+            break
+    return int(float(s) * mult)
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    hint_rows: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Size-aware broadcast: hint only when the frame is provably
+    small; otherwise return ``df`` unchanged and let AQE decide.
+
+    ``F.broadcast()`` is an ORDER, not a suggestion — Catalyst builds
+    the broadcast relation no matter how big the frame turns out.
+    That is right for fixed-cardinality enumerations (nation=25,
+    region=5, 1-row global aggregates) but wrong for O(SF) dimensions:
+    a forced hint on `customer` works at sf0.1 and OOMs the build side
+    at 100 TB (~15 B rows). This helper encodes the honest posture:
+
+    - ``hint_rows``: a caller-asserted cardinality BOUND that holds at
+      every scale (literal tables, ``LIMIT k`` frames, global
+      aggregates, per-group frames whose group count is fixed by the
+      schema). Hints iff ``hint_rows <= BROADCAST_HINT_MAX_ROWS``.
+    - otherwise: Catalyst's compile-time size estimate for the frame
+      (``optimizedPlan().stats().sizeInBytes`` — file sizes for scans,
+      conservative/huge for aggregates and joins) against the session
+      ``spark.sql.autoBroadcastJoinThreshold`` (or ``max_bytes``).
+      Scans of genuinely small inputs still get a deterministic hint;
+      derived frames with unknown estimates do NOT — at test scale AQE
+      converts them to broadcast at runtime from the ACTUAL shuffle
+      size, and at 100 TB the same plan degrades to a shuffle join
+      instead of OOMing.
+    """
+    if hint_rows is not None:
+        return F.broadcast(df) if hint_rows <= BROADCAST_HINT_MAX_ROWS else df
+    spark = df.sparkSession
+    if max_bytes is None:
+        try:
+            max_bytes = _parse_size_bytes(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except Exception:
+            max_bytes = 64 * 1024 * 1024
+    if max_bytes <= 0:
+        return df
+    try:
+        # py4j converts the scala BigInt to a Python int directly
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df  # estimate unavailable → defer to AQE
+    return F.broadcast(df) if est <= max_bytes else df
+
 
 def salted_join(
     big: DataFrame,

@@ -354,15 +354,24 @@ def test_decorrelated_subqueries_have_no_per_row_subplan(spark):
         "l_orderkey:bigint", "l_returnflag:string",
     }
 
-    plan = plan_of(spark, "rel_scalar_subquery")
+    # r10 shape: the branded-parts SCAN still gets a deterministic
+    # size-based hint (small estimate at any test SF) and appears
+    # below BOTH the agg and the outer leg; the O(SF) per-part
+    # aggregate is NO LONGER force-broadcast (VERDICT r9 #1) — its
+    # join strategy is AQE's, from the actual runtime size. Static
+    # plan: 2 broadcast joins + no Subquery; runtime plan: AQE
+    # converts the join-back to broadcast at this scale.
+    df = E.queries()["rel_scalar_subquery"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in plan
-    # r9 shape: the per-part average aggregates the BRANDED subset
-    # (lineitem ⋈ broadcast branded-parts happens below BOTH the agg
-    # and the outer leg — 3 broadcast joins), so the broadcast-back
-    # frame is O(branded parts), never O(all parts)
-    assert count(r"BroadcastHashJoin", plan) >= 3
+    assert count(r"BroadcastHashJoin", plan) >= 2
     assert count(r"HashAggregate", plan) >= 2  # partial+final per-part avg
     assert "EqualTo(p_brand" in plan  # brand filter reached the part scan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # at smoke scale AQE picked broadcast for the per-part join-back
+    assert count(r"BroadcastHashJoin", final) >= 3
 
 
 def test_ccnet_serving_plan_has_no_global_window(spark):
