@@ -118,7 +118,12 @@ _NOISE_FLOOR_SEC = 0.5
 # foreachBatch multi-table parquet sink — as rows/sec, not just batch
 # queries. Pinned from an isolated-run best-of-2 at sf0.1 local[32]
 # recorded before the gating snapshot; same 2× regression gate.
-INGEST_BASELINE_SEC = 3.2  # r8 isolated runs: 3.277 / 3.194 (~31k rows/s)
+INGEST_BASELINE_SEC = 3.0  # r10 isolated run: 3.045 (~33k rows/s) after
+# the untimed planning-worker warmup; r8 pin was 3.2 (~31k rows/s).
+# The Arrow fast path is now PROVEN to fire on the bench-shaped spool
+# (tests/test_mqtt_source.py::test_bench_shaped_spool_takes_arrow_path)
+# rather than inferred; the r9 26k reading was residual spawn cost in
+# the reported run, not a parse regression.
 # Native-JSON-source leg (VERDICT r8 #6): same routes+sink, Spark's
 # JVM-side JSON file source instead of the Python DataSource — the
 # engine-cost floor the replay leg is compared against. Pinned from an
@@ -207,6 +212,34 @@ def _ingest_bench(spark) -> dict:
             .json(spool_dir)
             .withColumn("time", F.timestamp_seconds(F.col("time")))
         )
+
+    # Untimed warmup: one tiny replay drain spawns the Python
+    # stream-reader planning worker and the per-batch plan workers —
+    # one-time process costs (~5-8 s cold) that are NOT throughput and
+    # would otherwise pollute run 0 of best-of-2 (the r9 26k-rows/s
+    # reading was exactly this: residual spawn cost in the reported
+    # run). Backfill at scale amortizes the spawn over hours; the leg
+    # numbers measure the steady-state path.
+    warm_spool = f"/tmp/hermod_ingest_warmup{tag}.jsonl"
+    with open(spool, encoding="utf-8") as src, open(
+        warm_spool, "w", encoding="utf-8"
+    ) as dst:
+        for _ in range(200):
+            line = src.readline()
+            if not line:
+                break
+            dst.write(line)
+    warm_out = tempfile.mkdtemp(prefix="hermod_ingest_warm_")
+    q = Engine(C.loads(INGEST_TOML)).run_stream(
+        spark.readStream.format("mqtt_replay")
+        .option("path", warm_spool)
+        .option("maxMessagesPerBatch", 200)
+        .load(),
+        base_path=warm_out,
+        checkpoint=os.path.join(warm_out, "_ckpt"),
+    )
+    q.awaitTermination()
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     def run_leg(mk_stream) -> dict:
         best = float("inf")

@@ -412,7 +412,7 @@ def test_arrow_fast_path_used_and_equal_to_python_path(tmp_path):
     with the skip-bad-lines contract intact."""
     import pyarrow as pa
 
-    from hermod_spark.sources.mqtt import _read_range, _read_range_auto
+    from hermod_spark.sources import mqtt as M
 
     clean = str(tmp_path / "clean.jsonl")
     with open(clean, "w", encoding="utf-8") as fh:
@@ -421,27 +421,54 @@ def test_arrow_fast_path_used_and_equal_to_python_path(tmp_path):
                 '{"time": %d.25, "topic": "t/%d", "qos": 1, "retain": false,'
                 ' "payload": "p%d"}\n' % (i, i, i)
             )
-    out = list(_read_range_auto(clean, 5, 45))
+    before = dict(M.READ_PATH_COUNTS)
+    out = list(M._read_range_auto(clean, 5, 45))
     assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    # the path counter proves the fast path FIRED (VERDICT r9 #2: the
+    # silent fallback must be observable, not inferred)
+    assert M.READ_PATH_COUNTS["arrow"] == before["arrow"] + 1
+    assert M.READ_PATH_COUNTS["fallback"] == before["fallback"]
     got = [
         (r["time"], r["topic"], r["qos"], r["retain"], r["payload"])
         for b in out
         for r in b.to_pylist()
     ]
-    want = [
-        (t.replace(tzinfo=None), topic, qos, retain, payload)
-        for t, topic, qos, retain, payload in _read_range(clean, 5, 45)
-    ]
+    # tz-AWARE instants on both paths (ADVICE r9): the Arrow batch
+    # carries timestamp('us', tz='UTC'), identical to the per-line
+    # datetimes with no tz-stripping needed
+    want = list(M._read_range(clean, 5, 45))
     assert got == want and len(got) == 40
+    assert all(t.tzinfo is not None for t, *_ in got)
 
     dirty = str(tmp_path / "dirty.jsonl")
     with open(dirty, "w", encoding="utf-8") as fh:
         fh.write('{"time": "2024-01-01T00:00:00+00:00", "topic": "a", "payload": "x"}\n')
         fh.write("NOT JSON AT ALL\n")
         fh.write('{"time": 5.0, "topic": "b", "payload": "y"}\n')
-    rows = list(_read_range_auto(dirty, 0, 3))
+    before = dict(M.READ_PATH_COUNTS)
+    rows = list(M._read_range_auto(dirty, 0, 3))
     assert all(isinstance(r, tuple) for r in rows)  # fallback: row tuples
     assert [r[1] for r in rows] == ["a", "b"]  # poisoned line skipped
+    assert M.READ_PATH_COUNTS["fallback"] == before["fallback"] + 1
+
+
+def test_bench_shaped_spool_takes_arrow_path(tmp_path, spark):
+    """The spool the ingest bench renders (float unix-seconds time —
+    sources/messages.py:render_replay_spool) must take the Arrow path:
+    this is the regression the r9 throughput drop pointed at. Built
+    with the real renderer over a tiny frame, read through the real
+    reader entry point, path proven by the counter."""
+    from hermod_spark.sources import mqtt as M
+    from hermod_spark.sources.messages import render_replay_spool
+
+    spool = str(tmp_path / "bench_shaped.jsonl")
+    n = render_replay_spool(spark, "/root/testdata/sf0.001", spool)
+    assert n > 0
+    before = dict(M.READ_PATH_COUNTS)
+    batches = list(M._read_range_auto(spool, 0, n))
+    assert M.READ_PATH_COUNTS["arrow"] == before["arrow"] + 1
+    assert M.READ_PATH_COUNTS["fallback"] == before["fallback"]
+    assert sum(b.num_rows for b in batches) == n
 
 
 def test_spool_index_v1_header_treated_stale(tmp_path):
