@@ -82,6 +82,34 @@ _SPARK_TO_SQL = {
     T.BooleanType(): "boolean",
 }
 
+# Declared SQL type → the Spark-SQL DDL string the JDBC writer's
+# ``createTableColumnTypes`` option accepts (it must parse as a Spark
+# type; the JDBC dialect then renders the database-side DDL). This is
+# how the reference's typed CREATE (schema.go:136-161 emits the
+# declared Postgres types verbatim) survives the trip through Spark's
+# writer: postgres-isms map to their closest Spark type, and
+# text/jsonb pin VARCHAR instead of the dialect's default LOB type so
+# the created column is indexable/comparable like the reference's.
+_SQL_TO_DDL: dict[str, str] = {
+    "timestamptz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP",
+    "text": "VARCHAR(8192)",
+    "jsonb": "VARCHAR(8192)",
+    "double precision": "DOUBLE",
+    "float8": "DOUBLE",
+    "bigint": "BIGINT",
+    "int": "INT",
+    "integer": "INT",
+    "boolean": "BOOLEAN",
+}
+
+
+def sql_type_to_ddl(declared: str) -> str:
+    """Spark-parseable DDL string for a declared SQL type; unknown
+    declarations fall back to the writer's default for the column's
+    actual Spark type (signalled by returning None)."""
+    return _SQL_TO_DDL.get(declared.lower().strip())
+
 
 @dataclass
 class TableSchema:
@@ -126,6 +154,18 @@ class TableSchema:
             lines.append(f"  {col} {self.columns[col]}{sep}")
         lines.append(");")
         return "\n".join(lines)
+
+    def create_table_column_types(self, columns) -> str | None:
+        """The ``createTableColumnTypes`` option string for a JDBC
+        write of ``columns``: every DECLARED column gets its mapped
+        DDL type; undeclared columns are left to the writer's default
+        type mapping. None when nothing is declared."""
+        parts = [
+            f"{c} {sql_type_to_ddl(self.columns[c])}"
+            for c in columns
+            if c in self.columns and sql_type_to_ddl(self.columns[c])
+        ]
+        return ", ".join(parts) or None
 
     @classmethod
     def from_struct_type(cls, name: str, st: T.StructType) -> "TableSchema":

@@ -71,17 +71,44 @@ class MultiTableWriter:
 
         from pyspark.sql import Observation
 
+        if self.jdbc_url:
+            # Complex values → JSON text before the insert, exactly the
+            # reference's marshaling (storage.go:118-128: map/array
+            # values json.Marshal'd); parquet targets keep native
+            # nested types — only the SQL trip flattens.
+            from pyspark.sql import types as T
+
+            df = df.select(
+                *[
+                    F.to_json(F.col(f.name)).alias(f.name)
+                    if isinstance(
+                        f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                    )
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         obs = Observation(f"write_{table}_{_uuid.uuid4().hex[:8]}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if self.jdbc_url:
-            (
+            writer = (
                 df.write.format("jdbc")
                 .option("url", self.jdbc_url)
                 .option("dbtable", table)
                 .options(**self.jdbc_options)
                 .mode("append")
-                .save()
             )
+            # Typed CREATE (storage.go:87-96 + schema.go:136-161): the
+            # declared schema's SQL types reach the table Spark creates
+            # via createTableColumnTypes; undeclared columns keep the
+            # dialect default.
+            if self.schema is not None and table in self.schema.tables:
+                types = self.schema.tables[table].create_table_column_types(
+                    df.columns
+                )
+                if types:
+                    writer = writer.option("createTableColumnTypes", types)
+            writer.save()
         elif self.base_path:
             writer = df.write.mode("append")
             parts = [c for c in self.partition_by if c in df.columns]
@@ -290,10 +317,20 @@ def ensure_partitioned_copy(
     silently serving the stale copy (ADVICE r8)."""
     validate_identifier(partition_col, strict=True)
     fp = _layout_fingerprint(df, fingerprint)
-    if (
-        not os.path.exists(os.path.join(path, "_SUCCESS"))
-        or _read_owner(path) != fp
-    ):
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        _write_owner(path, fp)
+    complete = os.path.exists(os.path.join(path, "_SUCCESS"))
+    owner = _read_owner(path)
+    if complete and owner == fp:
+        return spark.read.parquet(path)
+    # Same shared-location hazard as ensure_bucketed_table (ADVICE r9):
+    # a complete parquet dataset with NO owner marker is someone
+    # else's data — mode('overwrite') here would silently destroy it.
+    # Only a marker that exists and mismatches means "our stale copy".
+    if complete and owner is None:
+        raise RuntimeError(
+            f"refusing to overwrite {path}: complete parquet dataset with "
+            f"no {_OWNER_MARKER} marker — not a hermod-derived copy. "
+            "Remove it manually or pick a different path."
+        )
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    _write_owner(path, fp)
     return spark.read.parquet(path)

@@ -108,3 +108,28 @@ def test_ensure_layout_rebuilds_on_fingerprint_change(spark, tmp_path):
     assert ensure_partitioned_copy(spark, p1, path, "p", fingerprint="v1").count() == 4
     assert ensure_partitioned_copy(spark, p2, path, "p", fingerprint="v1").count() == 4
     assert ensure_partitioned_copy(spark, p2, path, "p", fingerprint="v2").count() == 8
+
+
+def test_partitioned_copy_refuses_foreign_complete_dataset(spark, tmp_path):
+    """ADVICE r9: a COMPLETE parquet dataset (has _SUCCESS) with no
+    _hermod_owner marker at the target path is someone else's data —
+    the helper must refuse to overwrite it, mirroring the bucketed
+    guard, instead of destroying it via mode('overwrite')."""
+    import os
+
+    from hermod_spark.sinks.writer import ensure_partitioned_copy
+
+    path = str(tmp_path / "foreign")
+    foreign = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    foreign.write.partitionBy("p").parquet(path)  # plain write: no marker
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    mine = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    with pytest.raises(RuntimeError, match="refusing to overwrite"):
+        ensure_partitioned_copy(spark, mine, path, "p")
+    # the foreign dataset is intact
+    assert spark.read.parquet(path).count() == 6

@@ -124,6 +124,79 @@ def test_jdbc_schema_validation_gate(spark, derby_url):
         w.write({"typed": bad})
 
 
+def test_jdbc_typed_create_and_complex_marshaling(spark, derby_url):
+    """The last reference sink behavior (VERDICT r9 #3): declared SQL
+    types reach the CREATE TABLE (schema.go:136-161 →
+    createTableColumnTypes) and map/array/struct values are JSON-
+    marshaled before the insert (storage.go:118-128). e2e: write a
+    route-shaped frame with a nested struct + array column through the
+    jdbc sink, read it back as JSON strings, and assert the created
+    column types from Derby's catalog."""
+    import datetime as dt
+    import json
+
+    from hermod_spark.plans.schema import Schema
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    schema = Schema.declare(
+        {
+            "typed_nested": {
+                "t": "timestamptz",
+                "topic": "text",
+                "meta": "jsonb",
+                "readings": "jsonb",
+                "n": "bigint",
+            }
+        }
+    )
+    w = MultiTableWriter(
+        jdbc_url=derby_url,
+        jdbc_options={"driver": DERBY_DRIVER},
+        schema=schema,
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (t0, "sensors/a", {"unit": "C", "site": "lab"}, [1.5, 2.5], 2),
+            (t0, "sensors/b", {"unit": "F"}, [], 0),
+        ],
+        "t TIMESTAMP, topic STRING, meta MAP<STRING,STRING>, "
+        "readings ARRAY<DOUBLE>, n BIGINT",
+    )
+    [res] = w.write({"typed_nested": df})
+    assert res["n_rows"] == 2
+
+    back = _read(spark, derby_url, "typed_nested")
+    # nested values came back as the JSON text the reference stores
+    assert dict(back.dtypes)["meta"] == "string"
+    row = {r["topic"]: r for r in back.collect()}
+    assert json.loads(row["sensors/a"]["meta"]) == {"unit": "C", "site": "lab"}
+    assert json.loads(row["sensors/a"]["readings"]) == [1.5, 2.5]
+    assert row["sensors/b"]["n"] == 0
+
+    # the CREATE used the declared types: text/jsonb pinned VARCHAR
+    # (Derby's default for StringType is CLOB), timestamptz→TIMESTAMP,
+    # bigint→BIGINT — asserted from Derby's own catalog
+    cat = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("driver", DERBY_DRIVER)
+        .option(
+            "query",
+            "SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(64)) "
+            "AS dtype FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON "
+            "c.REFERENCEID = t.TABLEID WHERE t.TABLENAME = 'TYPED_NESTED'",
+        )
+        .load()
+    )
+    types = {r["COLUMNNAME"].lower(): r["DTYPE"] for r in cat.collect()}
+    assert types["meta"].startswith("VARCHAR")
+    assert types["readings"].startswith("VARCHAR")
+    assert types["topic"].startswith("VARCHAR")
+    assert types["t"].startswith("TIMESTAMP")
+    assert types["n"].startswith("BIGINT")
+
+
 def test_engine_route_plan_lands_in_derby(spark, derby_url):
     """The reference main loop's shape against a REAL database:
     config-driven routes -> Engine.plan -> MultiTableWriter(jdbc) ->
