@@ -1386,6 +1386,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids=_pinned_centroids(spark, sf),
         codebooks=S.pq_random_codebooks(_EMB_DIM),
     )
+    # r10 (VERDICT r9 #4): the serving form — ADC nominates 4k
+    # candidates, exact L2 re-scores them (bounded join back to the
+    # embedding table), top-k ranked by the exact distance
+    q["sim_ivfpq_rerank"] = lambda spark, sf: S.ivfpq_rerank_topk(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        rerank=4,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_pinned_centroids(spark, sf),
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
+    q["sim_ivfpq_rerank_recall"] = lambda spark, sf: S.ivfpq_rerank_recall_check(
+        _t(spark, sf, "embeddings"),
+        k=_TOPK,
+        rerank=4,
+        n_queries=_N_QUERIES,
+        n_centroids=8,
+        n_probe=2,
+        centroids=_pinned_centroids(spark, sf),
+        codebooks=S.pq_random_codebooks(_EMB_DIM),
+    )
     # threshold matches sim_embedding_neardups (random-ish synthetic
     # embeddings have no 0.95-cosine twins; 0.3 yields a real graph)
     q["emb_semantic_dedup"] = lambda spark, sf: S.semantic_dedup(
@@ -3533,6 +3556,73 @@ SELECT query_id, neighbor_id, est_dist,
     PARTITION BY query_id ORDER BY est_dist ASC, neighbor_id ASC) AS INT) AS rnk
 FROM scored QUALIFY rnk <= {_TOPK}
 ORDER BY query_id, rnk"""
+    # IVFPQ + exact re-rank (r10): the same coarse-assign/encode/ADC
+    # chain nominates 4k candidates; only those join back to the
+    # embedding table for exact L2²; final top-k ranked by exact dist
+    _ivfpq_chain = f"""cb AS (SELECT {_b3} AS B),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+asg AS (SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY list_dot_product(v, cv) DESC, cent_id ASC) AS rn
+        FROM emb CROSS JOIN cent),
+enc AS (
+  SELECT a.vec_id, a.cent_id AS list_id, a.v AS e, {_codes} AS codes
+  FROM asg a, cb WHERE a.rn = 1),
+qp AS (SELECT vec_id AS query_id, v AS qe, cent_id AS list_id
+       FROM asg WHERE vec_id < {_N_QUERIES} AND rn <= 2),
+scored AS (
+  SELECT qp.query_id, enc.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_m + 1}), b ->
+      list_sum(list_transform(range(1, {_sd + 1}), t ->
+        {_adc_term} * {_adc_term})))), 6) AS est_dist
+  FROM enc JOIN qp USING (list_id) CROSS JOIN cb
+  WHERE qp.query_id != enc.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY est_dist ASC, neighbor_id ASC) AS crnk
+    FROM scored) WHERE crnk <= {_TOPK * 4}),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < {_N_QUERIES}),
+ex AS (
+  SELECT c.query_id, c.neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_EMB_DIM} + 1), i ->
+      (CAST(e2.embedding[i] AS DOUBLE) - qe[i])
+      * (CAST(e2.embedding[i] AS DOUBLE) - qe[i]))), 6) AS dist2
+  FROM cand c
+  JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+  JOIN qv USING (query_id)),
+rr AS (
+  SELECT query_id, neighbor_id, dist2,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rnk
+  FROM ex QUALIFY rnk <= {_TOPK})"""
+    o["sim_ivfpq_rerank"] = f"""
+WITH {_ivfpq_chain}
+SELECT query_id, neighbor_id, dist2, rnk FROM rr
+ORDER BY query_id, rnk"""
+    o["sim_ivfpq_rerank_recall"] = f"""
+WITH {_ivfpq_chain},
+ts AS (
+  SELECT qv.query_id, e2.vec_id AS neighbor_id,
+    ROUND(list_sum(list_transform(range(1, {_EMB_DIM} + 1), i ->
+      (CAST(e2.embedding[i] AS DOUBLE) - qe[i])
+      * (CAST(e2.embedding[i] AS DOUBLE) - qe[i]))), 6) AS tdist2
+  FROM embeddings e2 CROSS JOIN qv WHERE qv.query_id != e2.vec_id),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY tdist2 ASC, neighbor_id ASC) AS trnk
+    FROM ts) WHERE trnk <= {_TOPK})
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN rr p USING (query_id, neighbor_id)
+GROUP BY t.query_id"""
     o["emb_class_stats"] = """
 WITH x AS (
   SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS pos

@@ -107,6 +107,10 @@ BASELINE = {
     "cur_epochs": 0.427, "rel_important_parts": 1.197,
     "rel_large_orders": 1.023, "dedup_source_overlap": 1.354,
     "rel_supplier_variety": 1.181,
+    # added r10, isolated-run median (4 runs, first discarded): the
+    # IVFPQ serving form — ADC nominate + exact re-rank of 4k
+    # candidates (recall 0.34 vs raw ADC 0.12 at sf0.01)
+    "sim_ivfpq_rerank": 2.16,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -366,6 +370,8 @@ HEADLINE = [
     "rel_large_orders",
     "dedup_source_overlap",
     "rel_supplier_variety",
+    # added r10
+    "sim_ivfpq_rerank",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

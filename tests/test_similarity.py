@@ -472,3 +472,53 @@ def test_ivf_recall_curve_monotone_with_floor(spark):
     assert recalls[-1] >= 0.6
     n = rows[4]["n_corpus"]
     assert rows[4]["n_scanned"] < 10 * (n - 1)  # probing 4/8 lists ≪ full scan
+
+
+def test_ivfpq_rerank_beats_raw_adc_and_is_exact_on_candidates(spark):
+    """r10 (VERDICT r9 #4): the exact re-rank must (a) return distances
+    equal to true L2² for every returned pair (it re-scored them
+    exactly), and (b) lift recall@k above the raw compressed-domain
+    ranking with the same models — the number that justifies the
+    bounded join back to the embedding table."""
+    import pyspark.sql.functions as F
+
+    from hermod_spark.data import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = S.centroids_of(emb, 8)
+    books = S.pq_random_codebooks(64)
+    kw = dict(
+        k=5, n_queries=10, n_centroids=8, n_probe=2,
+        centroids=cents, codebooks=books,
+    )
+
+    rr = S.ivfpq_rerank_topk(emb, rerank=4, **kw).collect()
+    assert len(rr) == 50 and all(1 <= r["rnk"] <= 5 for r in rr)
+    # (a) returned dist2 values are the TRUE L2² (cross-checked against
+    # a direct exact computation for those exact pairs)
+    pairs = {(r["query_id"], r["neighbor_id"]): r["dist2"] for r in rr}
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(
+            F.col("vec_id").isin(
+                [q for q, _ in pairs] + [n for _, n in pairs]
+            )
+        ).collect()
+    }
+    for (qid, nid), d in pairs.items():
+        exact = round(
+            sum((float(a) - float(b)) ** 2 for a, b in zip(vecs[qid], vecs[nid])), 6
+        )
+        assert abs(exact - d) < 1e-6
+
+    # (b) recall floor above the raw ADC path (same models)
+    def mean(df):
+        rows = df.collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    rerank_recall = mean(
+        S.ivfpq_rerank_recall_check(emb, rerank=4, **kw)
+    )
+    adc_recall = mean(S.pq_recall_check(emb, k=5, n_queries=10, codebooks=books))
+    assert rerank_recall >= adc_recall
+    assert rerank_recall >= 0.2  # absolute floor at this SF (measured 0.34)
