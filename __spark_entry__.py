@@ -75,6 +75,14 @@ ROUTES = [
 
 TOPIC_FILTERS = ["sensors/+/5", "sensors/error/#", "#", "sensors/purchase/1"]
 
+# Identical boilerplate planted on 90% of docs by the hot-band-bucket
+# skew probe (r10): long enough for several word-3-shingles, all one
+# signature → one flooded LSH bucket per band.
+_HOT_BOILER = (
+    "subscribe to our newsletter for updates terms of service privacy "
+    "policy all rights reserved copyright twenty twenty four"
+)
+
 # Declared schemas for ddl_gen / ddl_merge / val_rec — the reference's
 # own example declaration (examples/multi_table.lua:3-19) plus an
 # overlapping second declaration to exercise first-wins merge.
@@ -185,7 +193,12 @@ def _shingles_sql(col: str, w: int = 3) -> str:
     )
 
 
-def _minhash_banded_sql(num_hashes: int = 16, bands: int = 4, w: int = 3) -> str:
+def _minhash_banded_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+    source: str = "documents",
+) -> str:
     """(doc_id, band_id, band_key) rows mirroring minhash_bands: one
     32-bit md5-prefix base hash per shingle, then the same fixed-seed
     universal-hash family (a_i * h + b_i) mod P as the Spark side."""
@@ -208,7 +221,7 @@ def _minhash_banded_sql(num_hashes: int = 16, bands: int = 4, w: int = 3) -> str
         for j in range(bands)
     )
     return (
-        f"WITH sh AS (SELECT doc_id, {_shingles_sql('text', w)} AS s FROM documents),"
+        f"WITH sh AS (SELECT doc_id, {_shingles_sql('text', w)} AS s FROM {source}),"
         f" hb AS (SELECT doc_id, list_transform(s, x -> {base}) AS hs FROM sh),"
         f" sig AS (SELECT doc_id, {mins} FROM hb),"
         f" banded AS ({band_rows})"
@@ -384,6 +397,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return RoutePlanner(ROUTES).label(msgs).select("event_id", "topic", "_table")
 
     q["flt_route"] = flt_route
+
+    def flt_route_hot(spark, sf):
+        """Skewed-key routing probe (r10, VERDICT r9 #5): 90% of the
+        message stream collapses onto ONE hot topic. Routing is a
+        scan-side CASE projection — zero shuffles — so a hot topic
+        must cost exactly what a uniform one does; this query pins
+        that claim (and scale10x re-proves it at 10×)."""
+        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
+        hot = msgs.withColumn(
+            "topic",
+            F.when(F.col("event_id") % 10 != 0, F.lit("sensors/hot/1"))
+            .otherwise(F.col("topic")),
+        )
+        return RoutePlanner(ROUTES).label(hot).select("event_id", "topic", "_table")
+
+    q["flt_route_hot"] = flt_route_hot
 
     def flt_quarantine(spark, sf):
         """Dead-letter routing: deterministically corrupted messages
@@ -915,6 +944,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.near_dup_candidates(_t(spark, sf, "documents"))
 
     q["dedup_minhash_cand"] = dedup_minhash_cand
+
+    def dedup_minhash_hot(spark, sf):
+        """Hot-band-bucket probe (r10, VERDICT r9 #5): half the docs
+        carry IDENTICAL boilerplate text, so every band funnels them
+        into one flooded bucket — n(n-1)/2 pair expansion would be
+        quadratic in the flood. The max_bucket cap must turn the hot
+        bucket into a no-op (such floods are exact dups that
+        exact_dedup already collapses); surviving candidates are the
+        pairs among the normal half whose buckets stay under the cap."""
+        d = _t(spark, sf, "documents")
+        hot = d.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 != 0, F.lit(_HOT_BOILER))
+            .otherwise(F.col("text")),
+        )
+        return dedup.near_dup_candidates(hot, max_bucket=64)
+
+    q["dedup_minhash_hot"] = dedup_minhash_hot
 
     # incremental (streaming) LSH dedup, gated through its batch replay
     # — the stream_ewma_replay pattern: same fold as the streaming
@@ -1881,6 +1928,13 @@ def oracle_sql() -> dict[str, str]:
         f"WITH msg AS ({_MSG_SQL})"
         f" SELECT event_id, topic, {_route_case_sql()} AS _table FROM msg"
     )
+    o["flt_route_hot"] = (
+        f"WITH msg AS ({_MSG_SQL}),"
+        " h AS (SELECT event_id,"
+        " CASE WHEN event_id % 10 != 0 THEN 'sensors/hot/1'"
+        " ELSE topic END AS topic FROM msg)"
+        f" SELECT event_id, topic, {_route_case_sql()} AS _table FROM h"
+    )
     o["flt_quarantine"] = f"""
 WITH msg AS ({_MSG_SQL}),
 c AS (SELECT time,
@@ -2443,6 +2497,27 @@ FROM banded a JOIN banded b
     # (no bucket saturates at the default uncapped replay), so the
     # incremental operator shares the banded-join oracle
     o["dedup_lsh_incremental"] = o["dedup_minhash_cand"]
+    # hot-band-bucket probe (r10): same banding over the boilerplate-
+    # flooded corpus; buckets over the cap (or singleton) contribute
+    # no pairs — the cap semantics the Spark side applies pre-expansion
+    o["dedup_minhash_hot"] = (
+        _minhash_banded_sql(
+            source=(
+                "(SELECT doc_id, CASE WHEN doc_id % 2 != 0 THEN "
+                f"'{_HOT_BOILER}' ELSE text END AS text FROM documents)"
+            )
+        )
+        + """
+, caps AS (
+  SELECT band_id, band_key FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= 64)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+JOIN caps c ON a.band_id = c.band_id AND a.band_key = c.band_key"""
+    )
 
     o["dedup_jaccard_adjacent"] = f"""
 WITH sh AS (SELECT doc_id, {_shingles_sql("text")} AS s FROM documents)

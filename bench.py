@@ -402,6 +402,12 @@ SCALE10X = [
     # and the decorrelation shapes on a 10x-deep lineitem
     "cur_ccnet_buckets", "cur_epochs", "dedup_source_overlap",
     "rel_sole_supplier", "rel_important_parts", "rel_supplier_variety",
+    # r10 (VERDICT r9 #5): the SKEWED-key probes — every other probe
+    # is uniform-ish; these pin that one hot routing topic (90% of
+    # rows) and one flooded LSH band bucket (50% identical boilerplate)
+    # stay linear: routing is scan-side CASE (skew-free by shape) and
+    # the max_bucket cap turns the quadratic hot bucket into a no-op
+    "flt_route_hot", "dedup_minhash_hot",
 ]
 
 
@@ -567,7 +573,34 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
             docs10, budget_tokens=600000
         ),
         "dedup_source_overlap": lambda: dedup.source_overlap_matrix(docs10),
+        # r10 skew probes: 10× corpus with the SAME hot-key fractions
+        "flt_route_hot": lambda: _route_hot10(events10),
+        "dedup_minhash_hot": lambda: dedup.near_dup_candidates(
+            _hot_docs10(docs10), max_bucket=64
+        ),
     }
+
+    def _route_hot10(ev):
+        from hermod_spark.plans.routes import RoutePlanner
+        from hermod_spark.sources.messages import message_frame_of
+
+        msgs = message_frame_of(ev, keep=["event_id"])
+        hot = msgs.withColumn(
+            "topic",
+            F.when(F.col("event_id") % 10 != 0, F.lit("sensors/hot/1"))
+            .otherwise(F.col("topic")),
+        )
+        return (
+            RoutePlanner(E.ROUTES).label(hot)
+            .select("event_id", "topic", "_table")
+        )
+
+    def _hot_docs10(docs):
+        return docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 != 0, F.lit(E._HOT_BOILER))
+            .otherwise(F.col("text")),
+        )
 
     def _lsh_replay10(docs):
         from hermod_spark.streaming.stateful import lsh_dedup_replay

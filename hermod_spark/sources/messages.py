@@ -34,7 +34,13 @@ def message_frame(spark: SparkSession, sf_dir: str, keep: list[str] | None = Non
     'sensors/+/...' examples); payload = a JSON object combining the
     event's value and props — so routed transforms have real JSON to
     decode, like an MQTT sensor payload."""
-    ev = data.table(spark, sf_dir, "events")
+    return message_frame_of(data.table(spark, sf_dir, "events"), keep)
+
+
+def message_frame_of(ev: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """The message-frame projection over an arbitrary events-shaped
+    frame — lets synthesized (e.g. 10×/skewed) event frames flow
+    through the identical routing surface the sf tables use."""
     return ev.select(
         *[F.col(c) for c in (keep or [])],
         F.col("ts").alias("time"),
