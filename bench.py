@@ -75,7 +75,11 @@ BASELINE = {
     # the WHOLE candidates→verify→CC→metrics chain off one LSH pass —
     # under half the standalone trio's summed baselines (5.9s)
     "dedup_exact_spans": 1.322, "dedup_report": 2.459,  # re-pinned r9 (hybrid CC)
-    "stream_ewma_replay": 2.409,
+    # re-pinned r10 after a deliberate shape change (VERDICT r9 #6):
+    # mapInPandas over key-sorted partitions (1 Python call/partition)
+    # replaced applyInPandas (1 call + frame build per tiny group) —
+    # isolated-run median 0.90s, was 2.0-2.4s
+    "stream_ewma_replay": 0.90,
     "cur_decontaminate_ngram": 1.365, "sim_ivfpq_topk": 1.742,
     "text_surprisal": 0.555, "dedup_span_removal": 0.361,
     "dedup_span_keep_one": 0.351,

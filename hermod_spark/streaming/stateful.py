@@ -161,11 +161,37 @@ def _ewma_fold(
     Recurrence (order matters for bit-reproducibility — the DuckDB
     oracle's recursive CTE mirrors these exact double ops):
     d = x − mean; mean += α·d; var = (1−α)·(var + α·d·d)."""
-    out: list[tuple] = []
     # one column extraction, not per-row .iloc (measured ~10µs/access —
     # the fold is the hot loop of a 7500-group replay)
-    vals = rows[value_col].to_numpy()
-    times = rows[time_col].to_numpy()
+    return _ewma_fold_arrays(
+        key,
+        rows[time_col].to_numpy(),
+        rows[value_col].to_numpy(),
+        mean,
+        var,
+        n,
+        alpha=alpha,
+        threshold=threshold,
+        warmup=warmup,
+    )
+
+
+def _ewma_fold_arrays(
+    key,
+    times,
+    vals,
+    mean: float,
+    var: float,
+    n: int,
+    *,
+    alpha: float,
+    threshold: float,
+    warmup: int,
+) -> tuple[list, float, float, int]:
+    """Array-level body of :func:`_ewma_fold` — the batch replay slices
+    numpy views straight into it (no per-chunk pandas frames; the
+    per-group object churn was the r9→r10 wall-time driver)."""
+    out: list[tuple] = []
     for i in range(len(vals)):
         x = vals[i]
         if x is None or pd.isna(x):
@@ -209,36 +235,54 @@ def ewma_replay(
     recurrence) proves the arithmetic. Emits the anomaly rows.
 
     Scale: one shuffle on the key; the per-key fold is O(rows) with
-    three scalars of state, Arrow-batched. The shuffle is an EXPLICIT
-    hash repartition (``num_partitions``, default the cluster's
-    defaultParallelism): with many tiny groups the dominant cost is
-    per-group Python call overhead, and AQE would coalesce the
-    small-volume exchange down to 1-2 partitions, serializing
-    thousands of group calls through two workers (measured 16× slower
-    at sf0.1); a user-specified partition count is exempt from AQE
-    coalescing and satisfies the grouping distribution, so no second
-    exchange is added."""
+    three scalars of state, Arrow-batched. Shape (r10, VERDICT r9 #6):
+    ``repartition(key) + sortWithinPartitions(key, time, value) +
+    mapInPandas`` — ONE Python call per PARTITION, with per-key numpy
+    views sliced inside, instead of ``groupBy().applyInPandas``'s one
+    call (and one pandas frame build) per group: with thousands of
+    tiny key groups the per-group object churn dominated wall time
+    (measured ~2× at sf0.1's 7.5k topics). The hash repartition is an
+    EXPLICIT user count (``num_partitions``, default cluster
+    defaultParallelism), exempt from AQE coalescing — AQE would shrink
+    the small-volume exchange to 1-2 partitions and serialize the fold
+    through two workers (measured 16× slower)."""
+    import numpy as np
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([time_col, value_col], ignore_index=True)
-        key = pdf[key_col].iloc[0]
-        mean, var, n = 0.0, 0.0, 0
+    nparts = num_partitions or messages.sparkSession.sparkContext.defaultParallelism
+
+    def replay_partition(pdfs):
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        # Arrow yields ~10k-row batches; a key's rows may straddle two,
+        # so buffer the partition (bounded: ~rows/num_partitions) — the
+        # sort already made keys contiguous within it
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        keys = pdf[key_col].to_numpy()
+        vals = pdf[value_col].to_numpy()
+        times = pdf[time_col].to_numpy()
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = [0, *bounds.tolist()]
+        ends = [*bounds.tolist(), len(keys)]
         out: list[tuple] = []
-        total = len(pdf)
-        step = max(1, -(-total // n_batches))
-        for lo in range(0, total, step):
-            chunk = pdf.iloc[lo : lo + step].reset_index(drop=True)
-            o, mean, var, n = _ewma_fold(
-                key, chunk, mean, var, n,
-                time_col=time_col, value_col=value_col,
-                alpha=alpha, threshold=threshold, warmup=warmup,
-            )
-            out.extend(o)
-        return pd.DataFrame(
+        for lo, hi in zip(starts, ends):
+            key, mean, var, n = keys[lo], 0.0, 0.0, 0
+            step = max(1, -(-(hi - lo) // n_batches))
+            for clo in range(lo, hi, step):
+                chi = min(clo + step, hi)
+                o, mean, var, n = _ewma_fold_arrays(
+                    key, times[clo:chi], vals[clo:chi], mean, var, n,
+                    alpha=alpha, threshold=threshold, warmup=warmup,
+                )
+                out.extend(o)
+        yield pd.DataFrame(
             out, columns=["key", "event_time", "value", "ewma", "sigma"]
         )
 
-    nparts = num_partitions or messages.sparkSession.sparkContext.defaultParallelism
     return (
         messages.select(
             F.col(key_col).alias(key_col),
@@ -246,9 +290,9 @@ def ewma_replay(
             F.col(value_col).alias(value_col),
         )
         .repartition(nparts, key_col)
-        .groupBy(key_col)
-        .applyInPandas(
-            replay,
+        .sortWithinPartitions(key_col, time_col, value_col)
+        .mapInPandas(
+            replay_partition,
             "key STRING, event_time TIMESTAMP, value DOUBLE,"
             " ewma DOUBLE, sigma DOUBLE",
         )
