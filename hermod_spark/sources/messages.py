@@ -100,8 +100,25 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
     import shutil
     import tempfile
 
-    frame = message_frame(spark, sf_dir)
-    rendered = frame.select(
+    rendered = _rendered_lines(message_frame(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="hermod_spool_")
+    try:
+        rendered.coalesce(1).write.mode("overwrite").text(tmp)
+        part = next(iter(glob.glob(os.path.join(tmp, "part-*"))))
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # sidecar offset index: partitioned range reads seek instead of
+    # scanning from byte 0, and offset queries become O(1)
+    from hermod_spark.sources.mqtt import write_spool_index
+
+    return write_spool_index(path)
+
+
+def _rendered_lines(frame: DataFrame) -> DataFrame:
+    """message frame → one JSON line per message (the spool format)."""
+    return frame.select(
         F.to_json(
             F.struct(
                 # events ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
@@ -117,16 +134,43 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
             )
         ).alias("line")
     )
-    tmp = tempfile.mkdtemp(prefix="hermod_spool_")
-    try:
-        rendered.coalesce(1).write.mode("overwrite").text(tmp)
-        part = next(iter(glob.glob(os.path.join(tmp, "part-*"))))
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        shutil.move(part, path)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    # sidecar offset index: partitioned range reads seek instead of
-    # scanning from byte 0, and offset queries become O(1)
+
+
+def render_replay_spool_sharded(
+    spark: SparkSession, sf_dir: str, dir_path: str, shards: int = 4
+) -> int:
+    """Render the events table as an N-SHARD spool directory
+    (``shard-0000.jsonl`` … each with its own ``.idx`` sidecar) and
+    return the total line count.
+
+    The single-file render funnels the whole corpus through one
+    ``coalesce(1)`` task and leaves the reader one seekable log; at
+    backfill scale a spool is naturally MANY logs (one per broker
+    partition / archive chunk). Each shard here is an independent
+    ordered log written by its own task — no driver-side
+    concatenation, no single-task bottleneck — and the replay source
+    plans one range-partition set PER SHARD, so source parallelism is
+    shards × ranges (VERDICT r9 #7)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
     from hermod_spark.sources.mqtt import write_spool_index
 
-    return write_spool_index(path)
+    rendered = _rendered_lines(message_frame(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="hermod_spool_")
+    total = 0
+    try:
+        rendered.repartition(shards).write.mode("overwrite").text(tmp)
+        os.makedirs(dir_path, exist_ok=True)
+        for old in glob.glob(os.path.join(dir_path, "shard-*.jsonl*")):
+            os.remove(old)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        for i, part in enumerate(parts):
+            dst = os.path.join(dir_path, f"shard-{i:04d}.jsonl")
+            shutil.move(part, dst)
+            total += write_spool_index(dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return total

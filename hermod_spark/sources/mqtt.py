@@ -309,17 +309,42 @@ def _read_range(path: str, start: int, end: int):
                     )
 
 
+def _spool_files(path: str) -> list[str]:
+    """The ordered shard list behind a spool path: a directory means a
+    sharded spool (every ``*.jsonl`` inside, sorted — each shard an
+    independent ordered log with its own sidecar index); a plain file
+    is a 1-shard spool."""
+    if os.path.isdir(path):
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(path, "*.jsonl")))
+    return [path]
+
+
+def _shard_ranges(files: list[str], step_of) -> list[_RangePartition]:
+    """One range-partition set per shard: shard boundaries are natural
+    partition boundaries (separate files), so P shards × R ranges read
+    concurrently with zero coordination."""
+    parts: list[_RangePartition] = []
+    for f in files:
+        n = _line_count(f)
+        step = step_of(n)
+        parts.extend(
+            _RangePartition(f, i, min(i + step, n)) for i in range(0, n, step)
+        )
+    return parts
+
+
 class MqttReplayBatchReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
         self.num_partitions = int(options.get("numPartitions", 4))
 
     def partitions(self):
-        n = _line_count(self.path)
-        step = max(1, -(-n // self.num_partitions))
-        return [
-            _RangePartition(self.path, i, min(i + step, n)) for i in range(0, n, step)
-        ]
+        files = _spool_files(self.path)
+        # num_partitions is the TOTAL target across shards
+        per_shard = max(1, -(-self.num_partitions // max(1, len(files))))
+        return _shard_ranges(files, lambda n: max(1, -(-n // per_shard)))
 
     def read(self, partition: _RangePartition):
         yield from _read_range_auto(
