@@ -822,7 +822,48 @@ def main() -> None:
             fh.write("\n")
     except OSError as ex:
         print(f"# could not persist bench artifact: {ex}", file=sys.stderr)
+        rnd = 0
     print(json.dumps(payload))
+    # The driver records only a ~2 KB stdout TAIL, and the full payload
+    # line is ~5 KB — every driver BENCH_r*.json since r7 recorded
+    # "parsed": null (VERDICT r10 #3). The LAST line is therefore a
+    # compact (<1.5 KB) summary that fits whole inside any tail: total,
+    # slowest-5 timings, worst-5 baseline ratios, regressions, ingest
+    # throughput, worst scale10x ratio, and the committed artifact
+    # carrying the full per-query payload.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    ratios = sorted(
+        (
+            (n, round(t / BASELINE[n], 2))
+            for n, t in timings.items()
+            if BASELINE.get(n)
+        ),
+        key=lambda kv: -kv[1],
+    )
+    sc_worst = None
+    if scale10x:
+        name, row = max(
+            scale10x.items(), key=lambda kv: kv[1].get("per_row_ratio", 0)
+        )
+        sc_worst = {"query": name, "per_row_ratio": row.get("per_row_ratio")}
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "worst_ratios": dict(ratios[:5]),
+        "regressions": regressions,
+        "ingest_rows_per_sec": {
+            leg: row.get("rows_per_sec")
+            for leg, row in (ingest.get("legs") or {}).items()
+        },
+        "scale10x_worst": sc_worst,
+        "artifact": f"BENCH_local_r{rnd:02d}.json" if rnd else None,
+        "summary_of": "full per-query payload in artifact + previous line",
+    }
+    print(json.dumps(summary))
     if strict_fail:
         sys.exit(1)
 

@@ -82,22 +82,42 @@ class Engine:
         transform or being dropped (the upgrade over the reference's
         log-and-skip, cmd/hermod/main.go:128-131); only valid records
         flow into the routes."""
+        branches, _cached = self._plan_cached(messages, quarantine)
+        return branches
+
+    def _plan_cached(
+        self, messages: DataFrame, quarantine: bool
+    ) -> tuple[list[tuple[str, DataFrame]], DataFrame | None]:
+        """`plan` plus the persisted tagged frame (None without
+        quarantine) so callers that run the branch ACTIONS can
+        unpersist afterwards — run_batch/run_stream do; a bare
+        ``plan()`` caller leaves the cache to LRU eviction."""
         if not quarantine:
-            return self.planner.apply(messages)
+            return self.planner.apply(messages), None
+        from pyspark import StorageLevel
+
         from hermod_spark.plans.routes import QUARANTINE_TABLE, quarantine_reason
 
-        # materialize the reason ONCE and split on the column — the
-        # expression runs try_parse_json over the full payload, and
-        # separate bad/good filter expressions would evaluate it twice
-        # per row (ADVICE r8; the label_with_quarantine discipline)
-        tagged = messages.withColumn("_qreason", quarantine_reason())
+        # PERSIST the tagged frame so the reason really is computed
+        # once per row (VERDICT r10 #6): every branch here is a
+        # separate write ACTION, and uncached branches would each
+        # re-run try_parse_json over the full payload from the scan —
+        # N+1 evaluations per row across the quarantine + route
+        # branches, not one. The cache costs one serialized
+        # materialization (disk-spillable, the standard multi-sink
+        # fan-out trade) and every branch then reads
+        # InMemoryTableScan; tests/test_config_engine.py gates the
+        # plan shape.
+        tagged = messages.withColumn(
+            "_qreason", quarantine_reason()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         bad = (
             tagged.filter(F.col("_qreason").isNotNull())
             .withColumn("reason", F.col("_qreason"))
             .drop("_qreason")
         )
         good = tagged.filter(F.col("_qreason").isNull()).drop("_qreason")
-        return [(QUARANTINE_TABLE, bad), *self.planner.apply(good)]
+        return [(QUARANTINE_TABLE, bad), *self.planner.apply(good)], tagged
 
     def replay_quarantine(
         self,
@@ -122,7 +142,12 @@ class Engine:
         if repair is not None:
             msgs = repair(msgs)
         w = self.writer(base_path)
-        return w.write(dict(self.plan(msgs, quarantine=True)))
+        branches, cached = self._plan_cached(msgs, quarantine=True)
+        try:
+            return w.write(dict(branches))
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def writer(self, base_path: str | None = None) -> MultiTableWriter:
         db = self.cfg.database
@@ -145,7 +170,12 @@ class Engine:
         """Batch: route + transform + write each branch (optionally
         with the dead-letter quarantine branch prepended)."""
         w = self.writer(base_path)
-        return w.write(dict(self.plan(messages, quarantine=quarantine)))
+        branches, cached = self._plan_cached(messages, quarantine)
+        try:
+            return w.write(dict(branches))
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def run_stream(
         self,
@@ -162,15 +192,39 @@ class Engine:
         skipped via batch-id commit markers (idempotent sink)."""
         w = self.writer(base_path)
 
+        # per-micro-batch cache hygiene: the quarantine plan persists
+        # the tagged frame (one try_parse_json per row across N+1
+        # branch actions); unpersist after each batch's writes or the
+        # caches accumulate across triggers
         if exactly_once_commit_dir is not None:
-            handle = w.idempotent_foreach_batch(
-                lambda batch_df: dict(self.plan(batch_df, quarantine=quarantine)),
-                commit_dir=exactly_once_commit_dir,
+            _pending: list[DataFrame] = []
+
+            def _plan_fn(batch_df: DataFrame) -> dict:
+                branches, cached = self._plan_cached(batch_df, quarantine)
+                if cached is not None:
+                    _pending.append(cached)
+                return dict(branches)
+
+            inner = w.idempotent_foreach_batch(
+                _plan_fn, commit_dir=exactly_once_commit_dir
             )
+
+            def handle(batch_df: DataFrame, batch_id: int) -> None:
+                try:
+                    inner(batch_df, batch_id)
+                finally:
+                    for c in _pending:
+                        c.unpersist()
+                    _pending.clear()
         else:
 
             def handle(batch_df: DataFrame, _batch_id: int) -> None:
-                w.write(dict(self.plan(batch_df, quarantine=quarantine)))
+                branches, cached = self._plan_cached(batch_df, quarantine)
+                try:
+                    w.write(dict(branches))
+                finally:
+                    if cached is not None:
+                        cached.unpersist()
 
         writer = messages.writeStream.foreachBatch(handle)
         if checkpoint:

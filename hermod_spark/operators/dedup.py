@@ -420,8 +420,11 @@ def _driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
 # min-label loop; below it, a driver-side union-find (microseconds)
 # replaces ~1.5 s of per-round shuffle/checkpoint/probe overhead.
 # Edges are VERIFIED near-dup pairs — orders of magnitude fewer than
-# docs — so even a 100 TB corpus usually stays under a few million.
-CC_DRIVER_MAX_EDGES = 2_000_000
+# docs. 200k (VERDICT r10 #5, down from 2M): 200k Row objects ≈ tens
+# of MB of driver heap — safe at default driver sizing; 2M risked
+# hundreds of MB collected + re-uploaded. Above it the distributed
+# loop costs ~1.5 s of fixed overhead, noise at that edge volume.
+CC_DRIVER_MAX_EDGES = 200_000
 
 
 def connected_components(
@@ -448,7 +451,16 @@ def connected_components(
         labels = _driver_union_find(edges)
         if not labels:
             return spark.createDataFrame([], "node LONG, label LONG")
-        return spark.createDataFrame(labels, "node LONG, label LONG")
+        # parallelize, don't createDataFrame(list): a pickled local
+        # relation embeds every label tuple in the PLAN payload (at
+        # the 200k cap that is tens of MB shipped with every task);
+        # parallelize distributes the same bytes as ordinary RDD
+        # partitions instead (VERDICT r10 #5)
+        sc = spark.sparkContext
+        n_slices = max(2, min(32, len(labels) // 25_000 + 1))
+        return spark.createDataFrame(
+            sc.parallelize(labels, n_slices), "node LONG, label LONG"
+        )
     labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
     return labels
 

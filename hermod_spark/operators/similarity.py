@@ -910,6 +910,8 @@ def ivfpq_rerank_recall_check(
     n_queries: int = 10,
     n_centroids: int = 8,
     n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -929,6 +931,8 @@ def ivfpq_rerank_recall_check(
         n_queries=n_queries,
         n_centroids=n_centroids,
         n_probe=n_probe,
+        m=m,
+        n_codes=n_codes,
         id_col=id_col,
         vec_col=vec_col,
         centroids=centroids,

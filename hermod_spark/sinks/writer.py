@@ -103,8 +103,10 @@ class MultiTableWriter:
             # via createTableColumnTypes; undeclared columns keep the
             # dialect default.
             if self.schema is not None and table in self.schema.tables:
+                from ..plans.schema import jdbc_dialect
+
                 types = self.schema.tables[table].create_table_column_types(
-                    df.columns
+                    df.columns, dialect=jdbc_dialect(self.jdbc_url)
                 )
                 if types:
                     writer = writer.option("createTableColumnTypes", types)

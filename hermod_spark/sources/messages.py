@@ -150,7 +150,13 @@ def render_replay_spool_sharded(
     ordered log written by its own task — no driver-side
     concatenation, no single-task bottleneck — and the replay source
     plans one range-partition set PER SHARD, so source parallelism is
-    shards × ranges (VERDICT r9 #7)."""
+    shards × ranges (VERDICT r9 #7).
+
+    The render is ATOMIC (VERDICT r10 #9): shards + sidecar indexes
+    are fully assembled in a sibling temp directory and renamed into
+    place LAST, so a crashed render can never leave a half-shard
+    directory that ``_spool_files`` would silently serve as a
+    truncated corpus."""
     import glob
     import os
     import shutil
@@ -160,17 +166,26 @@ def render_replay_spool_sharded(
 
     rendered = _rendered_lines(message_frame(spark, sf_dir))
     tmp = tempfile.mkdtemp(prefix="hermod_spool_")
+    dir_path = os.path.abspath(dir_path)
+    os.makedirs(os.path.dirname(dir_path), exist_ok=True)
+    # staging dir on the SAME filesystem as the target so the final
+    # rename is an atomic directory swap, not a copy
+    stage = tempfile.mkdtemp(
+        prefix=os.path.basename(dir_path) + ".render-",
+        dir=os.path.dirname(dir_path),
+    )
     total = 0
     try:
         rendered.repartition(shards).write.mode("overwrite").text(tmp)
-        os.makedirs(dir_path, exist_ok=True)
-        for old in glob.glob(os.path.join(dir_path, "shard-*.jsonl*")):
-            os.remove(old)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
         for i, part in enumerate(parts):
-            dst = os.path.join(dir_path, f"shard-{i:04d}.jsonl")
+            dst = os.path.join(stage, f"shard-{i:04d}.jsonl")
             shutil.move(part, dst)
             total += write_spool_index(dst)
+        if os.path.isdir(dir_path):
+            shutil.rmtree(dir_path)
+        os.rename(stage, dir_path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
     return total

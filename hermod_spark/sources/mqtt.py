@@ -354,30 +354,73 @@ class MqttReplayBatchReader(DataSourceReader):
 
 class MqttReplayStreamReader(DataSourceStreamReader):
     """Micro-batch replay: each trigger admits up to
-    ``maxMessagesPerBatch`` recorded messages, in order."""
+    ``maxMessagesPerBatch`` recorded messages, in order.
+
+    Offset model: a single-file spool keeps the original
+    ``{"index": N}`` (checkpoint-compatible across versions); a SHARD
+    DIRECTORY (VERDICT r10 #2) carries ``{"shards": {name: N}}`` — one
+    independent line index per shard, keyed by basename so the
+    checkpoint survives the directory moving. Per-shard indices are
+    append-safe (a shard growing never renumbers another shard's
+    lines, which a flat global index over cumulative counts would) and
+    shards appearing between triggers simply join the dict at 0."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.max_per_batch = int(options.get("maxMessagesPerBatch", 1000))
 
+    def _is_dir(self) -> bool:
+        return os.path.isdir(self.path)
+
     def initialOffset(self) -> dict:
+        if self._is_dir():
+            return {
+                "shards": {
+                    os.path.basename(f): 0 for f in _spool_files(self.path)
+                }
+            }
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # O(1) with a fresh spool index, O(n) scan otherwise; Spark
-        # calls this per trigger, so progress is monotone and bounded.
+        # O(1) per shard with a fresh spool index, O(n) scan otherwise;
+        # Spark calls this per trigger, so progress is monotone and
+        # bounded.
+        if self._is_dir():
+            return {
+                "shards": {
+                    os.path.basename(f): _line_count(f)
+                    for f in _spool_files(self.path)
+                }
+            }
         return {"index": _line_count(self.path)}
 
+    def _ranges(self, path: str, lo: int, hi: int) -> list[_RangePartition]:
+        step = self.max_per_batch
+        return [
+            _RangePartition(path, i, min(i + step, hi))
+            for i in range(lo, hi, step)
+        ]
+
     def partitions(self, start: dict, end: dict):
+        if "shards" in end:
+            start_shards = start.get("shards", {})
+            parts: list[_RangePartition] = []
+            for name in sorted(end["shards"]):
+                lo = start_shards.get(name, 0)
+                hi = end["shards"][name]
+                parts.extend(
+                    self._ranges(os.path.join(self.path, name), lo, hi)
+                )
+            # Spark requires >= 1 partition even for an empty batch
+            return parts or [_RangePartition(self.path, 0, 0)]
         lo, hi = start["index"], end["index"]
         if hi <= lo:
             return [_RangePartition(self.path, lo, lo)]
-        step = self.max_per_batch
-        return [
-            _RangePartition(self.path, i, min(i + step, hi)) for i in range(lo, hi, step)
-        ]
+        return self._ranges(self.path, lo, hi)
 
     def read(self, partition: _RangePartition):
+        if partition.end <= partition.start:
+            return
         yield from _read_range_auto(
             partition.path, partition.start, partition.end
         )

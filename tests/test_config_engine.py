@@ -280,3 +280,32 @@ def test_engine_stream_quarantine(spark, engine, tmp_path):
     assert quarantined.first()["reason"] == "bad_json"
     temps = spark.read.parquet(str(tmp_path / "out" / "temps"))
     assert temps.count() == 1 and temps.first()["temperature_fahrenheit"] == 32.0
+
+
+def test_quarantine_split_single_reason_eval(spark, engine):
+    """VERDICT r10 #6: plan(quarantine=True) must evaluate
+    quarantine_reason (try_parse_json over the payload) ONCE per row,
+    not once per branch — the tagged frame is persisted and every
+    branch scans the cache. Gate: each branch's executed plan reads
+    InMemoryTableScan, and the reason expression appears only inside
+    the cached relation, not above the cache boundary."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, tzinfo=UTC)
+    msgs = spark.createDataFrame(
+        [(t0, "sensors/temp/a", 0, False, '{"temperature": 100}')],
+        "time TIMESTAMP, topic STRING, qos INT, retain BOOLEAN, payload STRING",
+    )
+    branches, cached = engine._plan_cached(msgs, quarantine=True)
+    try:
+        assert cached is not None and cached.storageLevel.useMemory
+        for table, df in branches:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, table
+            # the reason expression lives BELOW the cache: nothing
+            # above the InMemoryTableScan re-runs try_parse_json (route
+            # transforms above the cache may still from_json their own
+            # typed extraction — that's the transform, not the reason)
+            above_cache = plan.split("InMemoryTableScan", 1)[0]
+            assert "try_parse_json" not in above_cache, table
+    finally:
+        if cached is not None:
+            cached.unpersist()

@@ -178,6 +178,35 @@ def test_connected_components_empty_edges(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_cc_path_selection_and_parallelized_label_upload(spark):
+    """VERDICT r10 #5: (a) the driver cap sits at 200k — small enough
+    that the collected Row list is tens of MB, not hundreds; (b) edge
+    sets ABOVE the cap take the distributed min-label path (no
+    driver collect); (c) the driver path ships labels back via
+    sc.parallelize — the plan scans an RDD, not a pickled
+    LocalTableScan embedding every tuple in the plan payload."""
+    assert dedup.CC_DRIVER_MAX_EDGES == 200_000
+
+    edges = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+
+    # (b) above-cap → distributed: labels identical, and the result
+    # plan is the propagation loop's (checkpointed scan), not an RDD
+    # of driver labels. driver_max_edges below the edge count stands
+    # in for "edge set larger than the cap".
+    dist = dedup.connected_components(pairs, driver_max_edges=3)
+    dist_labels = {(r["node"], r["label"]) for r in dist.collect()}
+    assert dist_labels == {(i, 1) for i in range(1, 9)}
+
+    # (c) driver path: parallelized upload → ExistingRDD scan, and no
+    # LocalTableScan carrying the label tuples
+    fast = dedup.connected_components(pairs)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "LocalTableScan" not in plan
+    assert {(r["node"], r["label"]) for r in fast.collect()} == dist_labels
+
+
 def test_cross_contamination_finds_paraphrase(spark):
     """A corpus doc sharing most shingles with a probe is flagged; an
     unrelated doc is not; the probe side itself never appears."""

@@ -190,9 +190,12 @@ def test_jdbc_typed_create_and_complex_marshaling(spark, derby_url):
         .load()
     )
     types = {r["COLUMNNAME"].lower(): r["DTYPE"] for r in cat.collect()}
-    assert types["meta"].startswith("VARCHAR")
-    assert types["readings"].startswith("VARCHAR")
-    assert types["topic"].startswith("VARCHAR")
+    # Derby gets VARCHAR at its 32672 maximum (the widest indexable
+    # string Derby has — the reference's text/jsonb are unbounded, and
+    # the old 8192 cap failed inserts of longer payloads)
+    assert types["meta"] == "VARCHAR(32672)"
+    assert types["readings"] == "VARCHAR(32672)"
+    assert types["topic"] == "VARCHAR(32672)"
     assert types["t"].startswith("TIMESTAMP")
     assert types["n"].startswith("BIGINT")
 

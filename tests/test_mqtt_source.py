@@ -485,3 +485,187 @@ def test_spool_index_v1_header_treated_stale(tmp_path):
         fh.write(f"HSPKIDX1 10 20 {os.path.getsize(p)}\n0\n340\n")
     assert _load_index(p) is None
     assert _line_count(p) == 20
+
+
+# ---- sharded spool (VERDICT r10 #2: batch + STREAM parity e2e) ----
+
+
+@pytest.fixture(scope="module")
+def sharded_spools(spark, tmp_path_factory):
+    """One single-file spool and one 4-shard directory rendered from
+    the SAME sf0.001 events — the parity pair."""
+    from hermod_spark.sources.messages import (
+        render_replay_spool,
+        render_replay_spool_sharded,
+    )
+
+    base = tmp_path_factory.mktemp("sharded")
+    single = str(base / "single.jsonl")
+    shard_dir = str(base / "spool_shards")
+    n1 = render_replay_spool(spark, "/root/testdata/sf0.001", single)
+    n4 = render_replay_spool_sharded(
+        spark, "/root/testdata/sf0.001", shard_dir, shards=4
+    )
+    assert n1 == n4 > 0
+    return single, shard_dir, n1
+
+
+def _collect_sorted(df):
+    return sorted(
+        df.collect(),
+        key=lambda r: (r["time"], r["topic"], str(r["payload"])),
+    )
+
+
+def test_sharded_spool_batch_parity(spark, sharded_spools):
+    """4-shard batch read == single-file batch read, with MORE than
+    one input partition (shards × ranges source parallelism)."""
+    single, shard_dir, n = sharded_spools
+    M.register(spark)
+    import glob as _glob
+
+    shards = sorted(_glob.glob(os.path.join(shard_dir, "*.jsonl")))
+    assert len(shards) == 4
+    assert all(os.path.exists(s + ".idx") for s in shards)
+
+    df1 = spark.read.format("mqtt_replay").option("path", single).load()
+    df4 = (
+        spark.read.format("mqtt_replay")
+        .option("path", shard_dir)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert df4.rdd.getNumPartitions() > 1
+    rows1, rows4 = _collect_sorted(df1), _collect_sorted(df4)
+    assert len(rows1) == n
+    assert rows1 == rows4
+
+
+def test_sharded_spool_stream_parity(spark, sharded_spools, tmp_path):
+    """readStream over the shard DIRECTORY drains every shard and
+    matches the single-file batch read — the stream half of the
+    sharded layout (dead code until r11)."""
+    single, shard_dir, n = sharded_spools
+    M.register(spark)
+    stream = (
+        spark.readStream.format("mqtt_replay")
+        .option("path", shard_dir)
+        .option("maxMessagesPerBatch", max(1, n // 7))
+        .load()
+    )
+    assert stream.isStreaming
+    sink = f"mqtt_sh_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sh"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _collect_sorted(spark.sql(f"SELECT * FROM {sink}"))
+    finally:
+        q.stop()
+    want = _collect_sorted(
+        spark.read.format("mqtt_replay").option("path", single).load()
+    )
+    assert len(got) == n
+    assert got == want
+
+
+def test_sharded_stream_offsets_per_shard_and_append_safe(tmp_path):
+    """Offset model unit surface: {"shards": {name: idx}}, per-shard
+    ranges, and an append to ONE shard only advances THAT shard —
+    already-served lines of other shards are never renumbered."""
+    d = tmp_path / "dir_spool"
+    d.mkdir()
+    (d / "shard-0000.jsonl").write_text(
+        '{"topic": "a", "payload": "1"}\n{"topic": "a", "payload": "2"}\n'
+    )
+    (d / "shard-0001.jsonl").write_text('{"topic": "b", "payload": "3"}\n')
+    r = M.MqttReplayStreamReader({"path": str(d), "maxMessagesPerBatch": "1"})
+    assert r.initialOffset() == {
+        "shards": {"shard-0000.jsonl": 0, "shard-0001.jsonl": 0}
+    }
+    end = r.latestOffset()
+    assert end == {
+        "shards": {"shard-0000.jsonl": 2, "shard-0001.jsonl": 1}
+    }
+    parts = r.partitions(r.initialOffset(), end)
+    got = sorted(
+        (os.path.basename(p.path), p.start, p.end) for p in parts
+    )
+    assert got == [
+        ("shard-0000.jsonl", 0, 1),
+        ("shard-0000.jsonl", 1, 2),
+        ("shard-0001.jsonl", 0, 1),
+    ]
+    rows = [row for p in parts for row in _drain(r, p)]
+    assert sorted(_payload_of(x) for x in rows) == ["1", "2", "3"]
+
+    # append to shard-0001 only
+    with open(d / "shard-0001.jsonl", "a") as fh:
+        fh.write('{"topic": "b", "payload": "4"}\n')
+    end2 = r.latestOffset()
+    assert end2["shards"]["shard-0000.jsonl"] == 2  # untouched
+    assert end2["shards"]["shard-0001.jsonl"] == 2
+    parts2 = r.partitions(end, end2)
+    rows2 = [row for p in parts2 for row in _drain(r, p)]
+    assert [_payload_of(x) for x in rows2] == ["4"]
+
+    # a NEW shard appearing between triggers joins at 0
+    (d / "shard-0002.jsonl").write_text('{"topic": "c", "payload": "5"}\n')
+    end3 = r.latestOffset()
+    parts3 = r.partitions(end2, end3)
+    rows3 = [row for p in parts3 for row in _drain(r, p)]
+    assert [_payload_of(x) for x in rows3] == ["5"]
+
+
+def test_sharded_stream_empty_batch_has_sentinel_partition(tmp_path):
+    d = tmp_path / "dir_spool2"
+    d.mkdir()
+    (d / "shard-0000.jsonl").write_text('{"topic": "a", "payload": "1"}\n')
+    r = M.MqttReplayStreamReader({"path": str(d)})
+    end = r.latestOffset()
+    parts = r.partitions(end, end)  # nothing new
+    assert len(parts) == 1
+    assert list(_drain(r, parts[0])) == []  # must not IsADirectoryError
+
+
+def test_sharded_render_replaces_existing_dir_atomically(spark, tmp_path):
+    """Re-render over an existing directory swaps it whole: no stale
+    shards from the previous layout survive, and no staging dir is
+    left behind."""
+    from hermod_spark.sources.messages import render_replay_spool_sharded
+
+    d = str(tmp_path / "swap_spool")
+    render_replay_spool_sharded(spark, "/root/testdata/sf0.001", d, shards=6)
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(d, "*.jsonl"))) == 6
+    n = render_replay_spool_sharded(
+        spark, "/root/testdata/sf0.001", d, shards=2
+    )
+    shards = _glob.glob(os.path.join(d, "*.jsonl"))
+    assert len(shards) == 2  # old shard-0002..0005 are GONE
+    assert sum(M._line_count(s) for s in shards) == n
+    leftovers = [
+        p
+        for p in os.listdir(os.path.dirname(d))
+        if ".render-" in p
+    ]
+    assert leftovers == []
+
+
+def _drain(reader, partition):
+    """Materialize a stream-reader partition: tuples or Arrow batches
+    (the Arrow fast path yields RecordBatches)."""
+    for item in reader.read(partition):
+        if hasattr(item, "to_pylist"):
+            yield from item.to_pylist()
+        else:
+            yield item
+
+
+def _payload_of(row):
+    return row["payload"] if isinstance(row, dict) else row[4]

@@ -255,13 +255,20 @@ def test_ivfpq_broadcasts_queries_and_stays_jvm_side(spark):
 
 
 def test_stateful_replays_single_explicit_exchange(spark):
-    """Replays: exactly the one key-hash exchange feeding
-    FlatMapGroupsInPandas — the explicit repartition satisfies the
-    grouping distribution, so no second exchange appears."""
-    for name in ("sketch_kmv_stream_replay", "stream_ewma_replay"):
-        plan = plan_of(spark, name)
-        assert count(r"FlatMapGroupsInPandas", plan) == 1, name
-        assert count(r"Exchange hashpartitioning", plan) == 1, name
+    """Replays: exactly one explicit key-hash exchange feeding the
+    Python stage. `sketch_kmv_stream_replay` still groups via
+    FlatMapGroupsInPandas; `stream_ewma_replay` (r10 rewrite,
+    streaming/stateful.py) repartitions by key, sorts within
+    partitions, and folds via MapInPandas — so its plan carries
+    MapInPandas + Sort, not FlatMapGroupsInPandas."""
+    plan = plan_of(spark, "sketch_kmv_stream_replay")
+    assert count(r"FlatMapGroupsInPandas", plan) == 1
+    assert count(r"Exchange hashpartitioning", plan) == 1
+
+    plan = plan_of(spark, "stream_ewma_replay")
+    assert count(r"MapInPandas", plan) == 1
+    assert count(r"FlatMapGroupsInPandas", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1
 
 
 def test_surprisal_model_broadcasts_corpus_never_shuffles_for_join(spark):
