@@ -412,7 +412,44 @@ SCALE10X = [
     # stay linear: routing is scan-side CASE (skew-free by shape) and
     # the max_bucket cap turns the quadratic hot bucket into a no-op
     "flt_route_hot", "dedup_minhash_hot",
+    # r11 (VERDICT r10 #8): the newest headline query — re-rank serving
+    # form. Expected ~sublinear: candidates are queries×k′-bounded
+    # regardless of corpus size; the corpus leg is one assign+encode
+    # scan plus the bounded exact-rescore join.
+    "sim_ivfpq_rerank",
 ]
+
+
+def _embeddings_10x(spark):
+    """10 stacked copies of sf0.1 embeddings with disjoint vec_ids and
+    a tiny per-copy vector shift so copies are not bit-identical
+    neighbors — the model (pinned centroids + seeded codebooks) stays
+    FIXED while the corpus grows 10×, the realistic serving shape."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "embeddings")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(10):
+        vec = (
+            F.col("embedding")
+            if i == 0
+            else F.transform(
+                "embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")
+            )
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                vec.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _documents_10x(spark):
@@ -513,6 +550,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
 
     docs10, events10 = _documents_10x(spark), _events_10x(spark)
     lineitem10 = _lineitem_10x(spark)
+    emb10 = _embeddings_10x(spark)
     # Warm the synthesized inputs once so the first timed query does
     # not also pay the scan+translate+union build cost (the 1× side is
     # best-of-2, i.e. warm — VERDICT r5 #7: dedup_exact's 1.27× per-row
@@ -521,6 +559,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     docs10.count()
     events10.count()
     lineitem10.count()
+    emb10.count()
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
@@ -582,7 +621,30 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "dedup_minhash_hot": lambda: dedup.near_dup_candidates(
             _hot_docs10(docs10), max_bucket=64
         ),
+        # r11: fixed model, 10× corpus — candidate pool stays
+        # queries×k′-bounded
+        "sim_ivfpq_rerank": lambda: _rerank10(emb10),
     }
+
+    def _rerank10(emb):
+        from hermod_spark.data import table
+        from hermod_spark.operators import similarity as S
+
+        # same pinned model the 1× headline query uses (first-8
+        # centroids of the sf0.1 table + seeded codebooks) — the model
+        # must NOT grow with the corpus for an honest scaling read
+        return S.ivfpq_rerank_topk(
+            emb,
+            k=E._TOPK,
+            rerank=4,
+            n_queries=E._N_QUERIES,
+            n_centroids=8,
+            n_probe=2,
+            centroids=S.centroids_of(
+                table(spark, SF_DIR, "embeddings"), 8
+            ),
+            codebooks=S.pq_random_codebooks(E._EMB_DIM),
+        )
 
     def _route_hot10(ev):
         from hermod_spark.plans.routes import RoutePlanner
