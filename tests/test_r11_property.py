@@ -1,0 +1,128 @@
+"""Property tests for the r11 items: the sharded-spool per-shard
+offset model (arbitrary interleavings of appends/new shards/trigger
+draws must deliver every line exactly once, in per-shard order), and
+the streamed EWMA partition fold's batch-decomposition invariance
+(any chunking of a key's rows folds to identical output)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hermod_spark.sources import mqtt as M
+
+_settings = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _drain(reader, partition):
+    for item in reader.read(partition):
+        if hasattr(item, "to_pylist"):
+            for d in item.to_pylist():
+                yield d["payload"]
+        else:
+            yield item[4]
+
+
+# Each step: (shard_index 0..2, n_lines_appended). A shard first
+# touched mid-run is a "new shard appears between triggers" case.
+@given(
+    steps=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 5)),
+        min_size=1,
+        max_size=12,
+    ),
+    draws_after=st.lists(st.booleans(), min_size=1, max_size=12),
+)
+@_settings
+def test_sharded_offsets_exactly_once_any_interleaving(
+    tmp_path_factory, steps, draws_after
+):
+    """Apply appends step by step; after step i, if draws_after[i]
+    (cycled), advance the stream (latestOffset → partitions → read).
+    Always finish with one final draw. Union of all draws must be
+    every appended line EXACTLY once, and per-shard delivery order
+    must equal append order — under ANY interleaving of appends, new
+    shards, and trigger timings."""
+    d = tmp_path_factory.mktemp("prop_spool")
+    reader = M.MqttReplayStreamReader(
+        {"path": str(d), "maxMessagesPerBatch": "3"}
+    )
+    start = reader.initialOffset()
+    appended: dict[str, list[str]] = {}
+    got: dict[str, list[str]] = {}
+    seq = 0
+
+    def draw():
+        nonlocal start
+        end = reader.latestOffset()
+        for p in reader.partitions(start, end):
+            name = os.path.basename(p.path)
+            for payload in _drain(reader, p):
+                got.setdefault(name, []).append(payload)
+        start = end
+
+    for i, (shard_i, n_lines) in enumerate(steps):
+        name = f"shard-{shard_i:04d}.jsonl"
+        with open(d / name, "a", encoding="utf-8") as fh:
+            for _ in range(n_lines):
+                payload = f"m{seq}"
+                seq += 1
+                fh.write(
+                    json.dumps({"topic": "t", "payload": payload}) + "\n"
+                )
+                appended.setdefault(name, []).append(payload)
+        if draws_after[i % len(draws_after)]:
+            draw()
+    draw()
+
+    assert got == appended  # exactly once, per-shard append order
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.sets(st.integers(1, 59), max_size=6),
+)
+@_settings
+def test_ewma_fold_chunking_invariance_property(values, cuts):
+    """_ewma_fold_arrays is an exact recurrence: folding a key's rows
+    in ONE chunk vs folding at ANY cut points with carried
+    (mean, var, n) yields bit-identical anomaly rows — the property
+    the streamed mapInPandas partition fold relies on when a key
+    straddles Arrow batch boundaries."""
+    import numpy as np
+
+    from hermod_spark.streaming.stateful import _ewma_fold_arrays
+
+    times = np.arange(len(values))
+    vals = np.array(values, dtype=float)
+
+    whole, m1, v1, n1 = _ewma_fold_arrays(
+        "k", times, vals, 0.0, 0.0, 0,
+        alpha=0.2, threshold=1.5, warmup=3,
+    )
+
+    bounds = sorted(c for c in cuts if c < len(values))
+    out, mean, var, n = [], 0.0, 0.0, 0
+    for lo, hi in zip([0, *bounds], [*bounds, len(values)]):
+        o, mean, var, n = _ewma_fold_arrays(
+            "k", times[lo:hi], vals[lo:hi], mean, var, n,
+            alpha=0.2, threshold=1.5, warmup=3,
+        )
+        out.extend(o)
+
+    assert out == whole
+    assert (mean, var, n) == (m1, v1, n1)
