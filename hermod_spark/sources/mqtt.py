@@ -95,7 +95,9 @@ def write_spool_index(path: str, stride: int = INDEX_STRIDE) -> int:
     on filesystems with coarse mtime). On any mismatch readers fall
     back to the scan path — an offset landing mid-line after a rewrite
     would otherwise silently mis-parse replayed rows. Returns
-    total_lines.
+    total_lines. Gzip spools are rejected: byte offsets into a
+    compressed stream are not seekable line anchors (gz shards are
+    read whole instead — see ``_shard_ranges``).
 
     The header stats are taken BEFORE the scan and the scan stops at
     that pre-stat size (ADVICE r9): if the spool is appended to while
@@ -105,6 +107,11 @@ def write_spool_index(path: str, stride: int = INDEX_STRIDE) -> int:
     stamp the GROWN file's stats onto a pre-append line count, making
     ``latestOffset`` silently never serve the appended lines. A few
     retries converge on a quiescent snapshot when possible."""
+    if _is_gz(path):
+        raise ValueError(
+            f"cannot index gzip spool '{path}': gzip streams are not "
+            "byte-seekable; gz shards are read whole"
+        )
     for _ in range(3):
         st0 = os.stat(path)
         offsets, total, last_off = [], 0, 0
@@ -159,17 +166,41 @@ def _load_index(path: str):
     return stride, total, offsets
 
 
+def _is_gz(path: str) -> bool:
+    return path.endswith(".gz")
+
+
+def _open_spool(path: str):
+    """Binary handle on a spool file; `.gz` spools decompress
+    transparently (archived message logs at backfill scale are
+    compressed — a `.jsonl.gz` shard is the common unit). Gzip
+    streams are NOT byte-seekable, so gz spools never get a sidecar
+    index: range reads scan from line 0 and the batch planner gives
+    each gz shard ONE partition instead of seekable sub-ranges (the
+    shard itself is the parallelism unit, exactly how compressed log
+    archives are laid out)."""
+    if _is_gz(path):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def _line_count(path: str) -> int:
-    idx = _load_index(path)
-    if idx is not None:
-        return idx[1]
-    with open(path, encoding="utf-8") as fh:
+    if not _is_gz(path):
+        idx = _load_index(path)
+        if idx is not None:
+            return idx[1]
+    with _open_spool(path) as fh:
         return sum(1 for _ in fh)
 
 
 def _seek_anchor(path: str, start: int) -> tuple[int, int]:
     """(byte offset, line number) of the nearest indexed anchor at or
-    before ``start`` — byte 0 / line 0 without a fresh index."""
+    before ``start`` — byte 0 / line 0 without a fresh index (gzip
+    spools are never byte-seekable)."""
+    if _is_gz(path):
+        return 0, 0
     idx = _load_index(path)
     if idx is None or start <= 0:
         return 0, 0
@@ -183,8 +214,9 @@ def _read_range_bytes(path: str, start: int, end: int) -> bytes:
     of the Arrow fast path."""
     seek_to, skip_from = _seek_anchor(path, start)
     chunks: list[bytes] = []
-    with open(path, "rb") as fh:
-        fh.seek(seek_to)
+    with _open_spool(path) as fh:
+        if seek_to:
+            fh.seek(seek_to)
         for i, raw in enumerate(iter(fh.readline, b""), start=skip_from):
             if i >= end:
                 break
@@ -291,8 +323,9 @@ def _read_range(path: str, start: int, end: int):
     # binary mode: text-mode seek() only accepts tell() cookies, but a
     # byte offset at a line start is seekable directly in binary and
     # each line decodes independently
-    with open(path, "rb") as fh:
-        fh.seek(seek_to)
+    with _open_spool(path) as fh:
+        if seek_to:
+            fh.seek(seek_to)
         for i, raw in enumerate(iter(fh.readline, b""), start=skip_from):
             if i >= end:
                 break
@@ -311,22 +344,37 @@ def _read_range(path: str, start: int, end: int):
 
 def _spool_files(path: str) -> list[str]:
     """The ordered shard list behind a spool path: a directory means a
-    sharded spool (every ``*.jsonl`` inside, sorted — each shard an
-    independent ordered log with its own sidecar index); a plain file
-    is a 1-shard spool."""
+    sharded spool (every ``*.jsonl`` / ``*.jsonl.gz`` inside, sorted —
+    each plain shard an independent ordered log with its own sidecar
+    index, each gz shard a compressed archive chunk); a plain file is
+    a 1-shard spool."""
     if os.path.isdir(path):
         import glob as _glob
 
-        return sorted(_glob.glob(os.path.join(path, "*.jsonl")))
+        return sorted(
+            _glob.glob(os.path.join(path, "*.jsonl"))
+            + _glob.glob(os.path.join(path, "*.jsonl.gz"))
+        )
     return [path]
+
+
+# Sentinel end for whole-shard partitions (gz shards aren't seekable,
+# so they're read start-to-EOF without a planning-time line count).
+_WHOLE_SHARD = 1 << 62
 
 
 def _shard_ranges(files: list[str], step_of) -> list[_RangePartition]:
     """One range-partition set per shard: shard boundaries are natural
     partition boundaries (separate files), so P shards × R ranges read
-    concurrently with zero coordination."""
+    concurrently with zero coordination. Gzip shards get exactly ONE
+    whole-file partition — no seek means no cheap sub-ranges, and no
+    planning-time decompress just to learn the line count (the reader
+    stops at EOF)."""
     parts: list[_RangePartition] = []
     for f in files:
+        if _is_gz(f):
+            parts.append(_RangePartition(f, 0, _WHOLE_SHARD))
+            continue
         n = _line_count(f)
         step = step_of(n)
         parts.extend(
@@ -403,6 +451,17 @@ class MqttReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         if "shards" in end:
+            if start.get("index", 0) > 0:
+                # a single-file checkpoint re-pointed at a shard
+                # DIRECTORY: the file offset is meaningless against
+                # per-shard indices, and silently starting every shard
+                # at 0 would re-deliver everything the old stream
+                # already served
+                raise ValueError(
+                    "checkpoint offset is for a single-file spool but "
+                    f"'{self.path}' is now a shard directory; restart "
+                    "with a fresh checkpoint to replay a sharded spool"
+                )
             start_shards = start.get("shards", {})
             parts: list[_RangePartition] = []
             for name in sorted(end["shards"]):

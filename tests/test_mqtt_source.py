@@ -669,3 +669,96 @@ def _drain(reader, partition):
 
 def _payload_of(row):
     return row["payload"] if isinstance(row, dict) else row[4]
+
+
+# ---- gzip shards + checkpoint-format guard (r11) ----
+
+
+def test_gz_shards_batch_and_stream_parity(spark, tmp_path):
+    """A spool directory of gzip shards (and a gz/plain MIX — the
+    half-compressed archive case) reads identically to plain shards:
+    gz shards are one whole-file partition each, plain shards still
+    range-split."""
+    import gzip as _gzip
+
+    rows = [
+        {"topic": f"t/{i % 5}", "payload": f"p{i}"} for i in range(40)
+    ]
+    plain = tmp_path / "plain"
+    mixed = tmp_path / "mixed"
+    plain.mkdir(), mixed.mkdir()
+    import json as _json
+
+    for shard_i in range(4):
+        lines = "".join(
+            _json.dumps(r) + "\n" for r in rows[shard_i::4]
+        )
+        (plain / f"shard-{shard_i:04d}.jsonl").write_text(lines)
+        if shard_i % 2 == 0:
+            with _gzip.open(
+                mixed / f"shard-{shard_i:04d}.jsonl.gz", "wt"
+            ) as fh:
+                fh.write(lines)
+        else:
+            (mixed / f"shard-{shard_i:04d}.jsonl").write_text(lines)
+
+    M.register(spark)
+
+    def read_sorted(p):
+        df = spark.read.format("mqtt_replay").option("path", str(p)).load()
+        return sorted(r["payload"] for r in df.collect())
+
+    want = sorted(f"p{i}" for i in range(40))
+    assert read_sorted(plain) == want
+    assert read_sorted(mixed) == want
+
+    # gz shards are one partition each: 2 gz + 2 plain (range-split)
+    r = M.MqttReplayBatchReader({"path": str(mixed), "numPartitions": "8"})
+    parts = r.partitions()
+    gz_parts = [p for p in parts if p.path.endswith(".gz")]
+    assert len(gz_parts) == 2
+    assert all(p.start == 0 and p.end == M._WHOLE_SHARD for p in gz_parts)
+
+    # stream over the mixed dir drains everything exactly once
+    sink = f"mqtt_gz_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("mqtt_replay")
+        .option("path", str(mixed))
+        .option("maxMessagesPerBatch", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gz"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["payload"]
+            for r in spark.sql(f"SELECT payload FROM {sink}").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
+
+
+def test_gz_spool_cannot_be_indexed():
+    with pytest.raises(ValueError, match="gzip"):
+        M.write_spool_index("/tmp/whatever.jsonl.gz")
+
+
+def test_single_file_checkpoint_rejected_on_shard_dir(tmp_path):
+    """Re-pointing a single-file checkpoint at a shard directory must
+    FAIL LOUDLY: per-shard indices can't honor a flat file offset, and
+    silently starting shards at 0 would re-deliver served rows."""
+    d = tmp_path / "dirspool"
+    d.mkdir()
+    (d / "shard-0000.jsonl").write_text('{"topic": "a", "payload": "1"}\n')
+    r = M.MqttReplayStreamReader({"path": str(d)})
+    end = r.latestOffset()
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        r.partitions({"index": 5}, end)
+    # a PRISTINE single-file checkpoint (index 0, nothing served) is
+    # fine — nothing can be re-delivered
+    parts = r.partitions({"index": 0}, end)
+    assert len(parts) == 1
