@@ -248,3 +248,37 @@ def test_engine_config_builds_jdbc_writer():
     assert w.jdbc_url == "jdbc:postgresql://db.example:5432/metrics?sslmode=disable"
     assert w.jdbc_options == {"user": "u", "password": "p"}
     assert w.base_path is None
+
+
+def test_text_payload_over_8k_survives_jdbc_insert(spark, derby_url):
+    """r11 regression proof for the VARCHAR(8192) cap (ADVICE r10):
+    the reference's text/jsonb are unbounded, so a 20 KB payload must
+    insert and read back byte-identical — under the old fixed
+    VARCHAR(8192) DDL this write failed with value-too-long."""
+    import datetime as dt
+    import json
+
+    from hermod_spark.plans.schema import Schema
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    schema = Schema.declare(
+        {"big_payloads": {"t": "timestamptz", "topic": "text",
+                          "payload": "jsonb"}}
+    )
+    w = MultiTableWriter(
+        jdbc_url=derby_url,
+        jdbc_options={"driver": DERBY_DRIVER},
+        schema=schema,
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc)
+    big = json.dumps({"blob": "x" * 20000, "n": 1})
+    assert len(big) > 8192
+    df = spark.createDataFrame(
+        [(t0, "sensors/big", big)],
+        "t TIMESTAMP, topic STRING, payload STRING",
+    )
+    [res] = w.write({"big_payloads": df})
+    assert res["n_rows"] == 1
+    back = _read(spark, derby_url, "big_payloads").collect()
+    assert len(back) == 1
+    assert back[0]["payload"] == big  # byte-identical round trip
