@@ -102,11 +102,18 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
 
     rendered = _rendered_lines(message_frame(spark, sf_dir))
     tmp = tempfile.mkdtemp(prefix="hermod_spool_")
+    path = os.path.abspath(path)
     try:
         rendered.coalesce(1).write.mode("overwrite").text(tmp)
         part = next(iter(glob.glob(os.path.join(tmp, "part-*"))))
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        shutil.move(part, path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # land next to the target first, then atomic-rename into place
+        # (the straight move from /tmp may cross filesystems — a
+        # non-atomic copy whose crash leaves a silently truncated
+        # spool; same discipline as the sharded render)
+        stage = path + f".render-{os.getpid()}"
+        shutil.move(part, stage)
+        os.replace(stage, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # sidecar offset index: partitioned range reads seek instead of
