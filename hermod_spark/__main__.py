@@ -11,8 +11,9 @@ Reference: ``hermod -config config.toml [-sql]`` (cmd/hermod/main.go:
 
 ``--sql`` prints merged DDL and exits without touching any source or
 sink (main.go:49-54). The source is a parquet directory of canonical
-message frames, or a JSONL message log (replayed through the
-``mqtt_replay`` DataSource). Transforms are loaded from a registry
+message frames, or a recorded message spool replayed through the
+``mqtt_replay`` DataSource — a ``.jsonl``/``.jsonl.gz`` log or a
+SHARDED spool directory of such files. Transforms are loaded from a registry
 module given with ``--transforms module.path`` exposing
 ``TRANSFORMS: dict[str, DataFrame->DataFrame]`` and optionally
 ``SCHEMAS: dict[str, Schema]``.
@@ -24,6 +25,24 @@ import argparse
 import importlib
 import logging
 import sys
+
+
+def _is_spool(path: str) -> bool:
+    """True when --source is a recorded message spool for the
+    ``mqtt_replay`` DataSource: a ``.jsonl``/``.jsonl.gz`` log, or a
+    directory holding such shards (a parquet source directory holds
+    ``*.parquet``, so the two never collide)."""
+    import glob
+    import os
+
+    if path.endswith(".jsonl") or path.endswith(".jsonl.gz"):
+        return True
+    if os.path.isdir(path):
+        return bool(
+            glob.glob(os.path.join(path, "*.jsonl"))
+            or glob.glob(os.path.join(path, "*.jsonl.gz"))
+        )
+    return False
 
 
 def _setup_logging(level: str) -> None:
@@ -40,7 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hermod_spark")
     ap.add_argument("--config", required=True, help="TOML config path")
     ap.add_argument("--sql", action="store_true", help="print merged DDL and exit")
-    ap.add_argument("--source", help="parquet dir or .jsonl message log")
+    ap.add_argument(
+        "--source",
+        help="parquet dir, .jsonl[.gz] message log, or sharded spool dir",
+    )
     ap.add_argument("--out", help="parquet sink root (default: JDBC from config)")
     ap.add_argument("--stream", action="store_true", help="run as a stream")
     ap.add_argument("--checkpoint", help="stream checkpoint dir")
@@ -71,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
     from hermod_spark.session import get_spark
 
     spark = get_spark("hermod-spark-cli")
-    if args.source.endswith(".jsonl"):
+    if _is_spool(args.source):
         from hermod_spark.sources.mqtt import register as register_mqtt
 
         register_mqtt(spark)

@@ -61,3 +61,39 @@ def test_batch_run_jsonl(spark, config_path, tmp_path):
     assert rc == 0
     assert spark.read.parquet(str(out / "sensor_raw")).count() == 1
     assert spark.read.parquet(str(out / "iot_raw")).count() == 1
+
+
+def test_is_spool_detection(tmp_path):
+    from hermod_spark.__main__ import _is_spool
+
+    assert _is_spool("log.jsonl")
+    assert _is_spool("archive/log.jsonl.gz")
+    d = tmp_path / "shards"
+    d.mkdir()
+    assert not _is_spool(str(d))  # empty dir: not a spool
+    (d / "shard-0000.jsonl").write_text("{}\n")
+    assert _is_spool(str(d))
+    p = tmp_path / "pq"
+    p.mkdir()
+    (p / "part-0.parquet").write_text("")
+    assert not _is_spool(str(p))
+
+
+def test_batch_run_sharded_spool_dir(spark, config_path, tmp_path):
+    """r11: --source pointing at a SHARDED spool directory (gz + plain
+    mix) replays through mqtt_replay, not the parquet branch."""
+    import gzip
+    import json
+
+    d = tmp_path / "spool_dir"
+    d.mkdir()
+    (d / "shard-0000.jsonl").write_text(
+        json.dumps({"topic": "sensors/a", "payload": "x"}) + "\n"
+    )
+    with gzip.open(d / "shard-0001.jsonl.gz", "wt") as fh:
+        fh.write(json.dumps({"topic": "other", "payload": "y"}) + "\n")
+    out = tmp_path / "out_sh"
+    rc = main(["--config", config_path, "--source", str(d), "--out", str(out)])
+    assert rc == 0
+    assert spark.read.parquet(str(out / "sensor_raw")).count() == 1
+    assert spark.read.parquet(str(out / "iot_raw")).count() == 1
