@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true", help="run as a stream")
     ap.add_argument("--checkpoint", help="stream checkpoint dir")
     ap.add_argument("--transforms", help="module exposing TRANSFORMS / SCHEMAS")
+    ap.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="route structurally invalid records to the _quarantine "
+        "table (raw + reason) instead of the reference's log-and-skip",
+    )
     args = ap.parse_args(argv)
 
     from hermod_spark import config as C
@@ -109,10 +115,17 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.stream:
-        q = engine.run_stream(messages, base_path=args.out, checkpoint=args.checkpoint)
+        q = engine.run_stream(
+            messages,
+            base_path=args.out,
+            checkpoint=args.checkpoint,
+            quarantine=args.quarantine,
+        )
         q.awaitTermination()
     else:
-        results = engine.run_batch(messages, base_path=args.out)
+        results = engine.run_batch(
+            messages, base_path=args.out, quarantine=args.quarantine
+        )
         for r in results:
             logging.getLogger("hermod_spark").info("wrote %s", r)
     return 0

@@ -97,3 +97,28 @@ def test_batch_run_sharded_spool_dir(spark, config_path, tmp_path):
     assert rc == 0
     assert spark.read.parquet(str(out / "sensor_raw")).count() == 1
     assert spark.read.parquet(str(out / "iot_raw")).count() == 1
+
+
+def test_batch_run_with_quarantine_flag(spark, config_path, tmp_path):
+    """--quarantine: a structurally broken message lands raw+reason in
+    _quarantine through the CLI path; valid ones route as usual."""
+    import json
+
+    log = tmp_path / "mixed.jsonl"
+    t = 1704110400.0  # 2024-01-01T12:00:00Z
+    log.write_text(
+        json.dumps(
+            {"time": t, "topic": "sensors/a", "payload": '{"v": 1}'}
+        ) + "\n"
+        + json.dumps({"time": t, "topic": "", "payload": '{"v": 2}'}) + "\n"
+    )
+    out = tmp_path / "out_q"
+    rc = main(
+        ["--config", config_path, "--source", str(log), "--out", str(out),
+         "--quarantine"]
+    )
+    assert rc == 0
+    q = spark.read.parquet(str(out / "_quarantine"))
+    assert q.count() == 1
+    assert q.collect()[0]["reason"] == "empty_topic"
+    assert spark.read.parquet(str(out / "sensor_raw")).count() == 1
