@@ -81,17 +81,24 @@ class Engine:
         land raw + reason in ``_quarantine`` instead of poisoning a
         transform or being dropped (the upgrade over the reference's
         log-and-skip, cmd/hermod/main.go:128-131); only valid records
-        flow into the routes."""
-        branches, _cached = self._plan_cached(messages, quarantine)
+        flow into the routes.
+
+        NOTE: with ``quarantine=True`` the returned branches share a
+        PERSISTED tagged frame (so the reason expression runs once per
+        row across the branch actions); this call leaves the cache
+        entry to Spark's LRU eviction. Callers that drive the writes
+        themselves — especially in a loop — should use
+        :meth:`plan_cached` and unpersist the returned frame after
+        their actions, as ``run_batch``/``run_stream`` do."""
+        branches, _cached = self.plan_cached(messages, quarantine)
         return branches
 
-    def _plan_cached(
-        self, messages: DataFrame, quarantine: bool
+    def plan_cached(
+        self, messages: DataFrame, quarantine: bool = False
     ) -> tuple[list[tuple[str, DataFrame]], DataFrame | None]:
         """`plan` plus the persisted tagged frame (None without
         quarantine) so callers that run the branch ACTIONS can
-        unpersist afterwards — run_batch/run_stream do; a bare
-        ``plan()`` caller leaves the cache to LRU eviction."""
+        unpersist afterwards — run_batch/run_stream do."""
         if not quarantine:
             return self.planner.apply(messages), None
         from pyspark import StorageLevel
@@ -142,7 +149,7 @@ class Engine:
         if repair is not None:
             msgs = repair(msgs)
         w = self.writer(base_path)
-        branches, cached = self._plan_cached(msgs, quarantine=True)
+        branches, cached = self.plan_cached(msgs, quarantine=True)
         try:
             return w.write(dict(branches))
         finally:
@@ -170,7 +177,7 @@ class Engine:
         """Batch: route + transform + write each branch (optionally
         with the dead-letter quarantine branch prepended)."""
         w = self.writer(base_path)
-        branches, cached = self._plan_cached(messages, quarantine)
+        branches, cached = self.plan_cached(messages, quarantine)
         try:
             return w.write(dict(branches))
         finally:
@@ -200,7 +207,7 @@ class Engine:
             _pending: list[DataFrame] = []
 
             def _plan_fn(batch_df: DataFrame) -> dict:
-                branches, cached = self._plan_cached(batch_df, quarantine)
+                branches, cached = self.plan_cached(batch_df, quarantine)
                 if cached is not None:
                     _pending.append(cached)
                 return dict(branches)
@@ -219,7 +226,7 @@ class Engine:
         else:
 
             def handle(batch_df: DataFrame, _batch_id: int) -> None:
-                branches, cached = self._plan_cached(batch_df, quarantine)
+                branches, cached = self.plan_cached(batch_df, quarantine)
                 try:
                     w.write(dict(branches))
                 finally:

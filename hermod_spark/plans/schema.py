@@ -90,10 +90,12 @@ _SPARK_TO_SQL = {
 # writer. text/jsonb are DIALECT-AWARE (VERDICT r10 advice — a fixed
 # VARCHAR(8192) silently capped values the reference's unbounded
 # text/jsonb accept): on Postgres `STRING` renders as unbounded TEXT
-# (reference parity, indexable); on Derby StringType's default is
-# CLOB (not comparable/indexable), so pin VARCHAR at Derby's 32672
-# maximum instead; unknown dialects get `STRING` (TEXT-ish unbounded
-# on MySQL/MsSql/Oracle dialects too).
+# (reference parity, indexable); MySQL renders TEXT and SQL Server
+# NVARCHAR(MAX) — both unbounded. Dialects whose StringType default
+# is wrong get explicit overrides: Derby/DB2 default to CLOB (not
+# comparable/indexable) → pin VARCHAR at their 32672 maximum; Oracle
+# defaults to VARCHAR2(255) (a cap far BELOW even the old 8192) →
+# pin VARCHAR(4000), Oracle's standard VARCHAR2 maximum.
 _SQL_TO_DDL: dict[str, str] = {
     "timestamptz": "TIMESTAMP",
     "timestamp": "TIMESTAMP",
@@ -110,6 +112,8 @@ _SQL_TO_DDL: dict[str, str] = {
 # Per-dialect overrides applied on top of _SQL_TO_DDL.
 _DIALECT_DDL_OVERRIDES: dict[str, dict[str, str]] = {
     "derby": {"text": "VARCHAR(32672)", "jsonb": "VARCHAR(32672)"},
+    "db2": {"text": "VARCHAR(32672)", "jsonb": "VARCHAR(32672)"},
+    "oracle": {"text": "VARCHAR(4000)", "jsonb": "VARCHAR(4000)"},
 }
 
 

@@ -103,6 +103,13 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
     rendered = _rendered_lines(message_frame(spark, sf_dir))
     tmp = tempfile.mkdtemp(prefix="hermod_spool_")
     path = os.path.abspath(path)
+    # a kill -9 between move and replace strands a spool-sized
+    # ".render-<pid>" orphan; sweep the previous run's before starting
+    for stale in glob.glob(path + ".render-*"):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     try:
         rendered.coalesce(1).write.mode("overwrite").text(tmp)
         part = next(iter(glob.glob(os.path.join(tmp, "part-*"))))
@@ -112,8 +119,14 @@ def render_replay_spool(spark: SparkSession, sf_dir: str, path: str) -> int:
         # non-atomic copy whose crash leaves a silently truncated
         # spool; same discipline as the sharded render)
         stage = path + f".render-{os.getpid()}"
-        shutil.move(part, stage)
-        os.replace(stage, path)
+        try:
+            shutil.move(part, stage)
+            os.replace(stage, path)
+        finally:
+            # a crash between move and replace must not strand a
+            # spool-sized orphan next to the target
+            if os.path.exists(stage):
+                os.remove(stage)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # sidecar offset index: partitioned range reads seek instead of
@@ -175,6 +188,12 @@ def render_replay_spool_sharded(
     tmp = tempfile.mkdtemp(prefix="hermod_spool_")
     dir_path = os.path.abspath(dir_path)
     os.makedirs(os.path.dirname(dir_path), exist_ok=True)
+    # sweep orphans a killed previous render may have stranded —
+    # BEFORE creating this run's stage, which matches the same glob
+    for stale in glob.glob(dir_path + ".render-*") + glob.glob(
+        dir_path + ".old-*"
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     # staging dir on the SAME filesystem as the target so the final
     # rename is an atomic directory swap, not a copy
     stage = tempfile.mkdtemp(
@@ -182,6 +201,7 @@ def render_replay_spool_sharded(
         dir=os.path.dirname(dir_path),
     )
     total = 0
+    old = dir_path + f".old-{os.getpid()}"
     try:
         rendered.repartition(shards).write.mode("overwrite").text(tmp)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
@@ -189,9 +209,16 @@ def render_replay_spool_sharded(
             dst = os.path.join(stage, f"shard-{i:04d}.jsonl")
             shutil.move(part, dst)
             total += write_spool_index(dst)
+        # mkdtemp creates 0700; the spool must be listable by whoever
+        # runs the executors
+        os.chmod(stage, 0o755)
+        # swap via two renames, never rmtree-then-rename: a crash in
+        # the window leaves the PREVIOUS complete spool parked at
+        # ``.old-<pid>`` (recoverable), not destroyed
         if os.path.isdir(dir_path):
-            shutil.rmtree(dir_path)
+            os.rename(dir_path, old)
         os.rename(stage, dir_path)
+        shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)

@@ -239,13 +239,19 @@ def _arrow_read_range(path: str, start: int, end: int):
     schema can't hold (e.g. ISO-string ``time`` from the live-bridge
     spool) — callers fall back to the per-line log-and-continue path,
     which preserves the poisoned-line semantics exactly."""
+    data = _read_range_bytes(path, start, end)
+    return _parse_ndjson_bytes(data)
+
+
+def _parse_ndjson_bytes(data: bytes):
+    """Typed Arrow parse of concatenated NDJSON line bytes — the
+    shared body of the plain-range and gz-chunk fast paths."""
     import io
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.json as pj
 
-    data = _read_range_bytes(path, start, end)
     if not data:
         return None
     tbl = pj.read_json(
@@ -290,13 +296,103 @@ READ_PATH_COUNTS = {"arrow": 0, "fallback": 0}
 _FALLBACK_LOGGED = False
 
 
-def _read_range_auto(path: str, start: int, end: int):
-    """Range read for the DataSource readers: Arrow fast path when the
-    whole range parses cleanly as typed NDJSON, per-line fallback
-    (skip-and-log poisoned lines, ISO time strings) otherwise."""
+# Decompressed bytes per gz parse chunk: bounds worker memory to one
+# chunk + its Arrow table however large the shard is.
+GZ_CHUNK_BYTES = 8 << 20
+
+
+def _iter_gz_line_chunks(path: str, start: int, end: int):
+    """Non-blank line bytes of a gz spool range, concatenated into
+    ~GZ_CHUNK_BYTES blobs of WHOLE lines — one sequential decompress,
+    bounded memory (a gz shard is not seekable, so the only honest
+    read is front-to-back; chunking keeps the 2-GB-decompressed shard
+    from ever being materialized at once)."""
+    with _open_spool(path) as fh:
+        buf: list[bytes] = []
+        size = 0
+        for i, raw in enumerate(iter(fh.readline, b"")):
+            if i >= end:
+                break
+            if i >= start and raw.strip():
+                buf.append(raw)
+                size += len(raw)
+                if size >= GZ_CHUNK_BYTES:
+                    yield b"".join(buf)
+                    buf, size = [], 0
+        if buf:
+            yield b"".join(buf)
+
+
+def _chunk_lines_to_arrow(chunk: bytes):
+    """Per-line fallback for ONE failed gz chunk, re-expressed as an
+    Arrow table so a partition's output stays homogeneous RecordBatches
+    (the DataSource protocol must not see tuples mixed with batches)."""
+    import logging
+
+    import pyarrow as pa
+
+    rows = []
+    for i, raw in enumerate(chunk.splitlines()):
+        try:
+            rows.append(_parse_line(raw.decode("utf-8")))
+        except (ValueError, TypeError, UnicodeDecodeError) as ex:
+            logging.getLogger(__name__).warning(
+                "skipping malformed gz chunk line %d: %s", i, ex
+            )
+    if not rows:
+        return None
+    t, topic, qos, retain, payload = zip(*rows)
+    return pa.table(
+        {
+            "time": pa.array(t, pa.timestamp("us", tz="UTC")),
+            "topic": pa.array(topic, pa.string()),
+            "qos": pa.array(qos, pa.int32()),
+            "retain": pa.array(retain, pa.bool_()),
+            "payload": pa.array(payload, pa.string()),
+        }
+    )
+
+
+def _gz_read_range_auto(path: str, start: int, end: int):
+    """Chunked gz range read: ONE decompress pass; each chunk takes
+    the typed-Arrow fast path independently, and a chunk the C++
+    parser rejects falls back per-LINE for that chunk only (already-
+    yielded chunks are never re-read, so delivery stays exactly-once)."""
     import logging
 
     global _FALLBACK_LOGGED
+    for chunk in _iter_gz_line_chunks(path, start, end):
+        try:
+            tbl = _parse_ndjson_bytes(chunk)
+        except Exception as ex:  # noqa: BLE001 - any parse/type issue
+            READ_PATH_COUNTS["fallback"] += 1
+            if not _FALLBACK_LOGGED:
+                _FALLBACK_LOGGED = True
+                logging.getLogger(__name__).info(
+                    "arrow gz fast path unavailable for a chunk of %s "
+                    "(%s); per-line fallback engaged for that chunk",
+                    path,
+                    ex,
+                )
+            tbl = _chunk_lines_to_arrow(chunk)
+        else:
+            READ_PATH_COUNTS["arrow"] += 1
+        if tbl is not None:
+            yield from tbl.to_batches()
+
+
+def _read_range_auto(path: str, start: int, end: int):
+    """Range read for the DataSource readers: Arrow fast path when the
+    whole range parses cleanly as typed NDJSON, per-line fallback
+    (skip-and-log poisoned lines, ISO time strings) otherwise. Gzip
+    spools stream through the chunked gz path instead — bounded
+    memory, one decompress, per-chunk fallback."""
+    import logging
+
+    global _FALLBACK_LOGGED
+    if _is_gz(path):
+        yield from _gz_read_range_auto(path, start, end)
+        return
     try:
         tbl = _arrow_read_range(path, start, end)
     except Exception as ex:  # noqa: BLE001 - any parse/type issue
@@ -443,6 +539,13 @@ class MqttReplayStreamReader(DataSourceStreamReader):
         return {"index": _line_count(self.path)}
 
     def _ranges(self, path: str, lo: int, hi: int) -> list[_RangePartition]:
+        if hi <= lo:
+            return []
+        if _is_gz(path):
+            # gz is not seekable: K sub-ranges would each re-decompress
+            # and skip from line 0 — quadratic. ONE partition per gz
+            # shard per trigger; the chunked reader bounds its memory.
+            return [_RangePartition(path, lo, hi)]
         step = self.max_per_batch
         return [
             _RangePartition(path, i, min(i + step, hi))
@@ -472,7 +575,16 @@ class MqttReplayStreamReader(DataSourceStreamReader):
                 )
             # Spark requires >= 1 partition even for an empty batch
             return parts or [_RangePartition(self.path, 0, 0)]
-        lo, hi = start["index"], end["index"]
+        if any(start.get("shards", {}).values()):
+            # the mirror-image mismatch: a shard-directory checkpoint
+            # re-pointed at a single-file spool — same loud failure
+            # instead of a KeyError from deep inside the source
+            raise ValueError(
+                "checkpoint offset is for a sharded spool but "
+                f"'{self.path}' is now a single file; restart with a "
+                "fresh checkpoint to replay it"
+            )
+        lo, hi = start.get("index", 0), end["index"]
         if hi <= lo:
             return [_RangePartition(self.path, lo, lo)]
         return self._ranges(self.path, lo, hi)

@@ -294,7 +294,7 @@ def test_quarantine_split_single_reason_eval(spark, engine):
         [(t0, "sensors/temp/a", 0, False, '{"temperature": 100}')],
         "time TIMESTAMP, topic STRING, qos INT, retain BOOLEAN, payload STRING",
     )
-    branches, cached = engine._plan_cached(msgs, quarantine=True)
+    branches, cached = engine.plan_cached(msgs, quarantine=True)
     try:
         assert cached is not None and cached.storageLevel.useMemory
         for table, df in branches:

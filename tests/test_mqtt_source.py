@@ -762,3 +762,83 @@ def test_single_file_checkpoint_rejected_on_shard_dir(tmp_path):
     # fine — nothing can be re-delivered
     parts = r.partitions({"index": 0}, end)
     assert len(parts) == 1
+
+
+def test_gz_chunked_read_bounded_memory_and_poisoned_chunk(tmp_path, monkeypatch):
+    """r11 review: gz ranges stream in bounded chunks (one decompress,
+    never the whole shard in memory) and a chunk the Arrow parser
+    rejects falls back per-LINE for that chunk only — output identical
+    and exactly-once, all RecordBatches."""
+    import gzip as _gzip
+    import json as _json
+
+    p = tmp_path / "big.jsonl.gz"
+    lines = []
+    for i in range(50):
+        if i == 23:
+            lines.append("NOT JSON AT ALL")  # poisons its chunk
+        else:
+            lines.append(_json.dumps(
+                {"time": 1700000000.0 + i, "topic": "t", "payload": f"p{i}"}
+            ))
+    with _gzip.open(p, "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    monkeypatch.setattr(M, "GZ_CHUNK_BYTES", 256)  # force many chunks
+    batches = list(M._read_range_auto(str(p), 0, 10**9))
+    assert all(hasattr(b, "num_rows") for b in batches)  # homogeneous
+    assert len(batches) > 3  # chunking actually engaged
+    got = [row["payload"] for b in batches for row in b.to_pylist()]
+    assert got == [f"p{i}" for i in range(50) if i != 23]
+
+
+def test_gz_stream_single_partition_per_shard(tmp_path):
+    """gz shards must NOT be sliced into maxMessagesPerBatch ranges —
+    each slice would re-decompress from line 0 (quadratic drain)."""
+    import gzip as _gzip
+    import json as _json
+
+    d = tmp_path / "gzdir"
+    d.mkdir()
+    with _gzip.open(d / "shard-0000.jsonl.gz", "wt") as fh:
+        for i in range(30):
+            fh.write(_json.dumps({"topic": "t", "payload": f"p{i}"}) + "\n")
+    r = M.MqttReplayStreamReader({"path": str(d), "maxMessagesPerBatch": "5"})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 1  # not 6 slices
+    assert (parts[0].start, parts[0].end) == (0, 30)
+
+
+def test_shard_checkpoint_rejected_on_single_file(tmp_path):
+    """Mirror of the file→dir guard: a shard-directory checkpoint
+    re-pointed at a single file raises the clear error, not KeyError;
+    a pristine (all-zero) shard checkpoint passes."""
+    f = tmp_path / "single.jsonl"
+    f.write_text('{"topic": "a", "payload": "1"}\n')
+    r = M.MqttReplayStreamReader({"path": str(f)})
+    end = r.latestOffset()
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        r.partitions({"shards": {"shard-0000.jsonl": 3}}, end)
+    parts = r.partitions({"shards": {"shard-0000.jsonl": 0}}, end)
+    assert len(parts) == 1
+
+
+def test_sharded_render_swap_never_destroys_without_replacement(spark, tmp_path):
+    """The swap is rename-aside + rename-in (never rmtree-then-rename):
+    after a successful re-render no `.old-*` or `.render-*` residue
+    remains and the directory is world-listable (not mkdtemp 0700)."""
+    import os as _os
+    import stat as _stat
+
+    from hermod_spark.sources.messages import render_replay_spool_sharded
+
+    d = str(tmp_path / "swapper")
+    render_replay_spool_sharded(spark, "/root/testdata/sf0.001", d, shards=2)
+    render_replay_spool_sharded(spark, "/root/testdata/sf0.001", d, shards=2)
+    residue = [
+        p for p in _os.listdir(tmp_path)
+        if ".old-" in p or ".render-" in p
+    ]
+    assert residue == []
+    mode = _stat.S_IMODE(_os.stat(d).st_mode)
+    assert mode & 0o055 == 0o055  # group/other can list+traverse

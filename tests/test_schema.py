@@ -241,3 +241,16 @@ def test_create_table_column_types_dialect_aware():
     )
     pg = ts.create_table_column_types(["payload", "n"], dialect="postgresql")
     assert pg == "payload STRING, n BIGINT"
+
+
+def test_ddl_overrides_oracle_db2():
+    """r11 review: dialects whose StringType default is wrong get
+    explicit pins — Oracle's default VARCHAR2(255) would cap below
+    even the old 8192; Derby/DB2 default to non-indexable CLOB."""
+    assert S.sql_type_to_ddl("text", "oracle") == "VARCHAR(4000)"
+    assert S.sql_type_to_ddl("jsonb", "oracle") == "VARCHAR(4000)"
+    assert S.sql_type_to_ddl("text", "db2") == "VARCHAR(32672)"
+    assert S.sql_type_to_ddl("jsonb", "db2") == "VARCHAR(32672)"
+    # mysql / mssql render TEXT / NVARCHAR(MAX) from STRING — no override
+    assert S.sql_type_to_ddl("text", "mysql") == "STRING"
+    assert S.sql_type_to_ddl("text", "sqlserver") == "STRING"
