@@ -146,6 +146,11 @@ INGEST_BASELINE_SEC = 3.0  # r10 isolated run: 3.045 (~33k rows/s) after
 # So the replay wall number is floor-dominated at this SF; the
 # MARGINAL source cost after the r9 Arrow fast path is >500k rows/s.
 INGEST_NATIVE_BASELINE_SEC = 1.3
+# Gz-sharded replay leg (r11): the same 100k rows as 4 .jsonl.gz
+# shards through the chunked-decompress path — 3.22 s isolated
+# best-of-2 (~31k rows/s), within 7% of the uncompressed leg even at
+# only 4-way source parallelism (one partition per gz shard).
+INGEST_GZ_BASELINE_SEC = 3.3
 INGEST_TOML = """
 [[routes]]
 filter = "sensors/error/#"
@@ -267,9 +272,35 @@ def _ingest_bench(spark) -> dict:
             "rows_per_sec": int(n / best),
         }
 
+    # Third leg (r11): the same spool as 4 gzip SHARDS — the archived
+    # compressed-backfill path (chunked decompress, one partition per
+    # gz shard). Rendered once and cached like the plain spool.
+    gz_dir = f"/tmp/hermod_ingest_gzdir{tag}"
+    if not os.path.isdir(gz_dir) or not os.listdir(gz_dir):
+        import gzip as _gzip
+
+        os.makedirs(gz_dir, exist_ok=True)
+        with open(spool, "rb") as src_fh:
+            lines = src_fh.readlines()
+        shard_n = -(-len(lines) // 4)
+        for i in range(4):
+            with _gzip.open(
+                os.path.join(gz_dir, f"shard-{i:04d}.jsonl.gz"), "wb"
+            ) as gz_fh:
+                gz_fh.writelines(lines[i * shard_n : (i + 1) * shard_n])
+
+    def gz_stream():
+        return (
+            spark.readStream.format("mqtt_replay")
+            .option("path", gz_dir)
+            .option("maxMessagesPerBatch", per_batch)
+            .load()
+        )
+
     legs = {
         "replay": run_leg(replay_stream),
         "native_json": run_leg(native_stream),
+        "replay_gz": run_leg(gz_stream),
     }
     # back-compat top-level fields = the replay leg (the pinned one)
     return {**legs["replay"], "legs": legs}
@@ -823,6 +854,7 @@ def main() -> None:
             for leg, base in (
                 ("replay", INGEST_BASELINE_SEC),
                 ("native_json", INGEST_NATIVE_BASELINE_SEC),
+                ("replay_gz", INGEST_GZ_BASELINE_SEC),
             ):
                 row = ingest["legs"][leg]
                 print(
