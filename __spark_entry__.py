@@ -39,6 +39,9 @@ def _prep(spark: SparkSession) -> SparkSession:
     session: UTC timestamps (oracle parity) and Arrow for pandas UDFs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Python UDTFs default to pickle row-at-a-time; Arrow batches the
+    # exchange exactly like pandas_udf (xf_udtf is the only UDTF path).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     return spark
 
 
@@ -703,6 +706,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- relational surface (§2.6 / milestone 5) ----------------------
     q["rel_pricing_summary"] = lambda spark, sf: R.pricing_summary(_t(spark, sf, "lineitem"))
+
+    def rel_profile(spark, sf):
+        """One-scan column profiler over orders: n / nulls / exact NDV
+        / deterministic min-max per column — the pre-ingest
+        data-quality gate. Single Aggregate, single shuffle; the
+        100 TB form swaps exact NDV for HLL via ndv_mode='approx'
+        (pytest pins approx-vs-exact agreement and the no-Expand
+        plan)."""
+        return R.column_profile(_t(spark, sf, "orders"))
+
+    q["rel_profile"] = rel_profile
     q["rel_revenue_nation"] = lambda spark, sf: R.revenue_by_nation(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
@@ -2075,6 +2089,49 @@ FROM msg GROUP BY 1"""
     DP = "CAST(l_extendedprice AS DECIMAL(12,4))"
     DISC = "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
     TAX = "(CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+    def _prof_num(c):
+        return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_v,
+  ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_v,
+  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+FROM orders"""
+
+    def _prof_ts(c):
+        return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+  strftime(MIN({c}), '%Y-%m-%d %H:%M:%S') AS min_s,
+  strftime(MAX({c}), '%Y-%m-%d %H:%M:%S') AS max_s
+FROM orders"""
+
+    def _prof_str(c):
+        return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+  MIN({c}) AS min_s, MAX({c}) AS max_s
+FROM orders"""
+
+    o["rel_profile"] = (
+        " UNION ALL ".join(
+            [
+                _prof_num("o_orderkey"),
+                _prof_num("o_custkey"),
+                _prof_str("o_orderstatus"),
+                _prof_num("o_totalprice"),
+                _prof_ts("o_orderdate"),
+                _prof_str("o_orderpriority"),
+            ]
+        )
+        + " ORDER BY col_name"
+    )
+
     o["rel_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM({DQ}) AS DOUBLE) AS sum_qty,

@@ -407,6 +407,8 @@ HEADLINE = [
     "rel_supplier_variety",
     # added r10
     "sim_ivfpq_rerank",
+    # added r11
+    "rel_profile",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -1000,3 +1000,80 @@ def test_supplier_variety_not_in_exclusion(spark):
     # avg returns = 5/3; 1.2x -> 2.0; supplier 1 (3 returns) excluded;
     # suppliers 2 and 3 remain for part 100
     assert got == {("BrandX", 5): 2}
+
+
+# --- column_profile (r11: one-scan profiler) -------------------------
+
+def _orders_frame(spark):
+    import datetime as _dt
+
+    return spark.createDataFrame(
+        [
+            (1, 10, "O", 100.5, _dt.datetime(2024, 1, 1, 8, 0, 0), "1-URGENT"),
+            (2, 10, "F", 50.25, _dt.datetime(2024, 1, 2, 9, 30, 0), "3-MEDIUM"),
+            (3, 20, "O", None, _dt.datetime(2024, 1, 3, 10, 0, 0), "1-URGENT"),
+            (4, None, "P", 75.0, None, "5-LOW"),
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+
+
+def test_column_profile_values(spark):
+    rows = {r["col_name"]: r for r in R.column_profile(_orders_frame(spark)).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    k = rows["o_orderkey"]
+    assert (k["n"], k["n_null"], k["n_distinct"], k["min_v"], k["max_v"]) == (
+        4, 0, 4, 1.0, 4.0)
+    assert k["min_s"] is None and k["max_s"] is None
+    c = rows["o_custkey"]
+    assert (c["n_null"], c["n_distinct"]) == (1, 2)  # NDV ignores NULL
+    p = rows["o_totalprice"]
+    assert (p["n_null"], p["min_v"], p["max_v"]) == (1, 50.25, 100.5)
+    s = rows["o_orderstatus"]
+    assert (s["min_s"], s["max_s"], s["min_v"]) == ("F", "P", None)
+    d = rows["o_orderdate"]
+    assert d["min_s"] == "2024-01-01 08:00:00"
+    assert d["max_s"] == "2024-01-03 10:00:00"
+    assert d["n_null"] == 1
+
+
+def test_column_profile_approx_matches_exact_everywhere_else(spark):
+    df = _orders_frame(spark)
+    exact = {r["col_name"]: r for r in R.column_profile(df).collect()}
+    approx = {r["col_name"]: r
+              for r in R.column_profile(df, ndv_mode="approx").collect()}
+    for c, e in exact.items():
+        a = approx[c]
+        # NDV within HLL tolerance at tiny cardinality = exact
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= 1
+        for f in ("n", "n_null", "min_v", "max_v", "min_s", "max_s"):
+            assert a[f] == e[f], (c, f)
+
+
+def test_column_profile_plan_shapes(spark):
+    """exact NDV pays Expand (documented); approx is the 100 TB form:
+    NO Expand, one exchange for the global aggregate, single scan."""
+    from conftest import SF_SMOKE
+
+    from hermod_spark import data
+
+    df = R.column_profile(
+        data.table(spark, SF_SMOKE, "orders"), ndv_mode="approx"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert len(_re.findall(r"Expand", plan)) == 0
+    assert len(_re.findall(r"FileScan parquet", plan)) == 1
+    assert len(_re.findall(r"Exchange", plan)) == 1
+    assert len(_re.findall(r"EvalPython", plan)) == 0
+
+
+def test_column_profile_rejects_unknown_column(spark):
+    with pytest.raises(ValueError, match="unknown columns"):
+        R.column_profile(_orders_frame(spark), ["nope"])
+    with pytest.raises(ValueError, match="ndv_mode"):
+        R.column_profile(_orders_frame(spark), ndv_mode="bogus")
