@@ -132,6 +132,15 @@ FROM events
 """
 
 
+# Fixed BM25 query panel (text_bm25): deterministic, shared between the
+# Spark query and the DuckDB oracle.
+BM25_QUERIES = [
+    (1, "spark hash join"),
+    (2, "stream window agg"),
+    (3, "fast vector scan"),
+]
+
+
 def _toks_sql(col: str) -> str:
     """DuckDB mirror of functions.text.tokens (lowered): blank -> []."""
     return (
@@ -731,6 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_running_total"] = lambda spark, sf: R.running_order_total(_t(spark, sf, "orders"))
     q["rel_setops"] = lambda spark, sf: R.part_supplier_overlap(_t(spark, sf, "lineitem"))
     q["rel_hourly_rollup"] = lambda spark, sf: R.hourly_event_rollup(_t(spark, sf, "events"))
+    # time_bucket_gapfill + locf + interpolate: densified hourly spine,
+    # spine cardinality = time-range × keys (raw-row independent)
+    q["rel_gapfill"] = lambda spark, sf: R.gapfill_interpolate(_t(spark, sf, "events"))
     q["rel_recent_events"] = lambda spark, sf: R.recent_events(_t(spark, sf, "events"))
     q["rel_semi_anti"] = lambda spark, sf: R.customers_with_without_orders(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
@@ -1279,6 +1291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_dup_rate"] = lambda spark, sf: textops.dup_rate_by_group(
         _t(spark, sf, "documents")
+    )
+    # BM25 retrieval: fixed 3-query panel; the decontamination-by-
+    # retrieval / targeted-audit primitive. Term-filter-before-shuffle.
+    q["text_bm25"] = lambda spark, sf: textops.bm25_topk(
+        _t(spark, sf, "documents"), BM25_QUERIES, k=10
     )
 
     # --- training-data curation ---------------------------------------
@@ -2190,6 +2207,41 @@ FROM events GROUP BY 1, 2"""
     o["rel_recent_events"] = (
         "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
     )
+    o["rel_gapfill"] = """
+WITH hourly AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS hr,
+    COUNT(*) AS n_events, AVG(value) AS avg_value
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT DISTINCT k FROM hourly), b),
+dense AS (
+  SELECT s.k, s.hr, h.n_events, h.avg_value
+  FROM spine s LEFT JOIN hourly h ON s.k = h.k AND s.hr = h.hr),
+filled AS (
+  SELECT k, hr, n_events, avg_value,
+    last_value(avg_value IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER wb AS prev_h,
+    first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN hr END IGNORE NULLS)
+      OVER wf AS next_h
+  FROM dense
+  WINDOW
+    wb AS (PARTITION BY k ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY k ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT k AS event_type, hr, COALESCE(n_events, 0) AS n_events,
+  ROUND(avg_value, 6) AS avg_value,
+  ROUND(prev_v, 6) AS locf_value,
+  ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+        WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+          prev_v + (next_v - prev_v) * (epoch(hr) - epoch(prev_h))
+                 / (epoch(next_h) - epoch(prev_h))
+        END, 6) AS interp_value
+FROM filled"""
     o["rel_semi_anti"] = """
 SELECT c_custkey, 'with_orders' AS which FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -3220,6 +3272,32 @@ WITH f AS (SELECT source, {_fingerprint_sql('text')} AS fp FROM documents)
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
   ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
 FROM f GROUP BY source"""
+    _bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    o["text_bm25"] = f"""
+WITH q(query_id, qtext) AS (VALUES {_bm25_vals}),
+qt AS (SELECT DISTINCT CAST(query_id AS INTEGER) AS query_id,
+         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term
+       FROM q),
+tok AS (SELECT doc_id, len({_toks_sql('text')}) AS dl,
+          unnest({_toks_sql('text')}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM tok
+       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2),
+tf2 AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
+st AS (SELECT COUNT(*) AS n_docs,
+         AVG(len({_toks_sql('text')})) AS avgdl FROM documents),
+sc AS (
+  SELECT query_id, doc_id,
+    ROUND(SUM(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    ), 6) AS score
+  FROM tf2 JOIN qt ON tf2.tok = qt.term, st
+  GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 10"""
     o["cur_chunks"] = f"""
 WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
 n AS (SELECT doc_id, tk,

@@ -115,6 +115,13 @@ BASELINE = {
     # IVFPQ serving form — ADC nominate + exact re-rank of 4k
     # candidates (recall 0.34 vs raw ADC 0.12 at sf0.01)
     "sim_ivfpq_rerank": 2.16,
+    # added r11, isolated best-of-4: one-scan profiler (exact NDV) and
+    # BM25 3-query panel (term-filtered postings; ~5 tiny exchanges of
+    # candidate-bounded data — fixed stage overhead dominates at sf0.1)
+    "rel_profile": 0.59,
+    "text_bm25": 1.65,
+    # gap-filled hourly spine: one raw scan into a checkpointed rollup
+    "rel_gapfill": 0.75,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -409,6 +416,8 @@ HEADLINE = [
     "sim_ivfpq_rerank",
     # added r11
     "rel_profile",
+    "text_bm25",
+    "rel_gapfill",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

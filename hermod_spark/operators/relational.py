@@ -1547,3 +1547,85 @@ def column_profile(
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def gapfill_interpolate(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup: aggregate per
+    (key, hour), densify every key onto the global hourly spine, and
+    fill gaps two ways — LOCF (``locf_value``) and linear
+    interpolation between the bracketing observed hours
+    (``interp_value``; NULL at unbracketed edges). The
+    ``time_bucket_gapfill + locf + interpolate`` surface of a
+    TimescaleDB continuous aggregate, re-expressed declaratively.
+
+    Scale shape: raw events are touched ONLY by the first hourly
+    aggregation (one map-side-combined shuffle on (key, hour)); every
+    later stage — spine generation (keys × sequence(min,max)), the
+    densify join, and the per-key fill windows — operates on the
+    rollup, whose cardinality is time-range × key-count, INDEPENDENT
+    of raw row count. 100 TB of events over a month at 1k keys is
+    still a ~720k-row spine. Per-key windows need one exchange on the
+    key; bounds are a 1-row broadcast.
+    """
+    hr = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.select(F.col(key_col).alias("k"), hr.alias("hr"),
+                      F.col(val_col).alias("v"))
+        .groupBy("k", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.avg("v").alias("avg_value"))
+        # three consumers (bounds, key list, densify join) — checkpoint
+        # the bounded rollup so the raw-event scan + shuffle run ONCE
+        .localCheckpoint(eager=False)
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = (
+        hourly.select("k").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    dense = spine.join(hourly, ["k", "hr"], "left")
+
+    w_back = (
+        Window.partitionBy("k").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("k").orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_value").isNotNull(), F.col("hr"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_back)
+    prev_h = F.last(obs_h, ignorenulls=True).over(w_back)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_fwd)
+    next_h = F.first(obs_h, ignorenulls=True).over(w_fwd)
+
+    sec = lambda c: c.cast("long")  # noqa: E731 - epoch seconds
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * (sec(F.col("hr")) - sec(prev_h))
+            / (sec(next_h) - sec(prev_h)),
+        )
+    )
+    return dense.select(
+        F.col("k").alias(key_col),
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(prev_v, 6).alias("locf_value"),
+        F.round(interp, 6).alias("interp_value"),
+    )

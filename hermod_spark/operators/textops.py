@@ -910,3 +910,96 @@ def ccnet_buckets(
         .cast("int")
     )
     return _ccnet_select(cached, bucket, id_col)
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval: for each (query_id, query_text) pair,
+    score every document containing at least one query term with
+    Lucene-shape BM25 (idf = ln(1 + (N − df + ½)/(df + ½)); tf
+    saturation k1, length normalization b) and keep the k best. The
+    retrieval primitive a curation pipeline uses for
+    decontamination-by-retrieval and targeted quality audits.
+
+    Scale shape (100 TB corpus, handful of queries): the query-term
+    set is a literal broadcast, so the corpus-side explode is
+    TERM-FILTERED BEFORE any shuffle — only postings for query terms
+    ever leave the scan (a thousandth of the token stream for real
+    vocabularies). Document length rides along in the same scan
+    (max aggregate), so there is no separate doc-length join. Corpus
+    N and avgdl are a 1-row broadcast. Shuffles: (doc,term) tf,
+    term df (|query terms| rows), and the per-(query,doc) score sum —
+    all bounded by the matched-candidate set, never the corpus.
+    Scores round to 6dp before ranking (rank can't flap on a final
+    ulp); ties break on ascending doc id.
+    """
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
+    spark = df.sparkSession
+    qterm_rows = []
+    for qid, qtext in queries:
+        seen = set()
+        for t in qtext.strip().lower().split():
+            if t and t not in seen:
+                seen.add(t)
+                qterm_rows.append((int(qid), t))
+    qterms = spark.createDataFrame(qterm_rows, "query_id INT, term STRING")
+    terms = qterms.select(F.col("term").alias("tok")).distinct()
+
+    # Tokenize ONCE per row (the split is the scan's CPU cost; naming
+    # the array first keeps Catalyst from inlining it into both the
+    # length and the explode), then explode.
+    base = df.select(
+        F.col(id_col), X.tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+    toks = base.select(
+        F.col(id_col),
+        F.size("_tk").alias("dl"),
+        F.explode_outer("_tk").alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    hits = toks.join(F.broadcast(terms), "tok")
+
+    tf = hits.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    # df per term as a window over tf (tf rows are distinct (doc,term)):
+    # reuses the candidate set already in flight instead of a second
+    # corpus scan a broadcast-subquery branch would force.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(X.token_count(F.lower(F.col(text_col)))).alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), tf["tok"] == qterms["term"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -503,3 +503,37 @@ def test_supplier_variety_not_in_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "Not(EqualTo(p_type,ECONOMY))" in plan
     assert count(r"TakeOrderedAndProject", plan) == 1
+
+
+def test_bm25_term_filters_before_shuffle(spark):
+    """text_bm25: the query-term set broadcasts into the exploded token
+    stream BEFORE any exchange (only query-term postings shuffle), doc
+    length rides the same scan (no separate dl join), corpus stats are
+    a 1-row broadcast, and the per-query top-k is WindowGroupLimit-
+    pruned map-side. Exactly two pruned corpus scans (postings +
+    N/avgdl), no sort-merge join, no Python."""
+    plan = plan_of(spark, "text_bm25")
+    assert count(r"FileScan parquet", plan) == 2
+    assert count(r"BroadcastHashJoin", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"EvalPython|ArrowEval", plan) == 0
+    assert count(r"WindowGroupLimit", plan) >= 1  # top-k before exchange
+    # shuffles: qterm distinct, (doc,tok) tf, tok df-window,
+    # (query,doc) score, query_id rank — all candidate-bounded
+    assert count(r"Exchange hashpartitioning", plan) <= 5
+
+
+def test_gapfill_single_raw_scan(spark):
+    """rel_gapfill: raw events are scanned ONCE (the rollup is
+    checkpointed for its three consumers — bounds, key list, densify
+    join); the spine side joins broadcast; the fill windows add one
+    key exchange. No Python, no sort-merge join. The final plan reads
+    the checkpointed rollup (ExistingRDD ×3) and touches parquet zero
+    times — the single raw scan happened materializing the
+    checkpoint."""
+    plan = plan_of(spark, "rel_gapfill")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"Scan ExistingRDD", plan) == 3
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1  # fill window

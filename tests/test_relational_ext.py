@@ -1077,3 +1077,54 @@ def test_column_profile_rejects_unknown_column(spark):
         R.column_profile(_orders_frame(spark), ["nope"])
     with pytest.raises(ValueError, match="ndv_mode"):
         R.column_profile(_orders_frame(spark), ndv_mode="bogus")
+
+
+# --- gapfill_interpolate (r11) ---------------------------------------
+
+class TestGapfill:
+    def _events(self, spark):
+        import datetime as _dt
+
+        H = lambda h, m=0: _dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        rows = [
+            # type a: hours 0 (v=10,20), 3 (v=40) -> gaps at 1, 2
+            (1, H(0, 5), 1, "a", 10.0, "{}"),
+            (2, H(0, 40), 1, "a", 20.0, "{}"),
+            (3, H(3, 10), 2, "a", 40.0, "{}"),
+            # type b: only hour 1 -> edges 0 (lead) and 2,3 (trail)
+            (4, H(1, 30), 3, "b", 7.0, "{}"),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING",
+        )
+
+    def test_spine_locf_interp(self, spark):
+        got = {
+            (r["event_type"], r["hr"].hour): r
+            for r in R.gapfill_interpolate(self._events(spark)).collect()
+        }
+        # global spine 0..3 for both keys
+        assert len(got) == 8
+        a0, a1, a2, a3 = (got[("a", h)] for h in range(4))
+        assert (a0["n_events"], a0["avg_value"]) == (2, 15.0)
+        assert (a1["n_events"], a1["avg_value"]) == (0, None)
+        # LOCF carries 15.0 through the gap
+        assert a1["locf_value"] == 15.0 and a2["locf_value"] == 15.0
+        # linear: 15 + (40-15) * h/3
+        assert a1["interp_value"] == pytest.approx(15.0 + 25.0 / 3, abs=1e-6)
+        assert a2["interp_value"] == pytest.approx(15.0 + 50.0 / 3, abs=1e-6)
+        assert a3["interp_value"] == 40.0  # observed passes through
+        b0, b2, b3 = got[("b", 0)], got[("b", 2)], got[("b", 3)]
+        # leading edge: no prior observation -> locf + interp NULL
+        assert b0["locf_value"] is None and b0["interp_value"] is None
+        # trailing edge: LOCF holds, interp NULL (no next bracket)
+        assert b2["locf_value"] == 7.0 and b2["interp_value"] is None
+        assert b3["locf_value"] == 7.0 and b3["interp_value"] is None
+
+    def test_spine_is_dense_per_key(self, spark):
+        df = R.gapfill_interpolate(self._events(spark))
+        counts = {r["event_type"]: r["n"] for r in
+                  df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"a": 4, "b": 4}

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hermod_spark.functions import text as X
+from hermod_spark.operators import textops
 
 
 def _one(spark, expr, value):
@@ -639,3 +640,54 @@ def test_ccnet_twopass_tiny_n(spark):
     )
     got = {r["doc_id"]: r["label"] for r in ccnet_buckets(two, vocab_size=5).collect()}
     assert set(got.values()) == {"middle", "tail"}
+
+
+# --- bm25_topk (r11) -------------------------------------------------
+
+class TestBM25:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark spark spark join"),
+                (2, "spark join hash join"),
+                (3, "hash table scan"),
+                (4, "unrelated words only here"),
+                (5, ""),
+            ],
+            "doc_id LONG, text STRING",
+        )
+
+    def test_scores_and_ranks(self, spark):
+        import math
+
+        got = textops.bm25_topk(
+            self._docs(spark), [(1, "spark join")], k=10
+        ).collect()
+        rows = {r["doc_id"]: r for r in got}
+        # docs 3/4/5 share no query term -> absent
+        assert set(rows) == {1, 2}
+        # hand-computed: N=5, avgdl=(4+4+3+4+0)/5=3.0
+        def bm25(tf, dl, df, N=5, avgdl=3.0, k1=1.2, b=0.75):
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        exp1 = round(bm25(3, 4, 2) + bm25(1, 4, 2), 6)  # spark×3, join×1
+        exp2 = round(bm25(1, 4, 2) + bm25(2, 4, 2), 6)
+        assert rows[1]["score"] == pytest.approx(exp1, abs=1e-6)
+        assert rows[2]["score"] == pytest.approx(exp2, abs=1e-6)
+        assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+
+    def test_no_term_no_row(self, spark):
+        got = textops.bm25_topk(self._docs(spark), [(7, "zzz")], k=3).collect()
+        assert got == []
+
+    def test_k_bounds_and_tiebreak(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "tie tie") for i in range(1, 6)], "doc_id LONG, text STRING"
+        )
+        got = textops.bm25_topk(docs, [(1, "tie")], k=3).collect()
+        assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3]
+
+    def test_rejects_empty_queries(self, spark):
+        with pytest.raises(ValueError, match="non-empty"):
+            textops.bm25_topk(self._docs(spark), [])
