@@ -960,6 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dedup(d).select("doc_id")
 
     q["dedup_exact"] = dedup_exact
+    # entity-resolution blocking join: length+prefix block, in-block
+    # native levenshtein; hot blocks capped like LSH max_bucket
+    q["dedup_linkage"] = lambda spark, sf: dedup.blocked_linkage(
+        _t(spark, sf, "customer")
+    )
 
     def dedup_groups(spark, sf):
         return dedup.duplicate_groups(_t(spark, sf, "documents"), canonical=True)
@@ -2592,6 +2597,18 @@ FROM islands GROUP BY user_id, sid"""
 SELECT doc_id FROM (
   SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1"""
+    o["dedup_linkage"] = """
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS name,
+    concat_ws('|', CAST(length(c_name) AS VARCHAR),
+              substr(c_name, 1, 16)) AS blk
+  FROM customer),
+s AS (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n_block FROM k),
+f AS (SELECT * FROM s WHERE n_block <= 500)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1"""
     o["dedup_groups"] = f"""
 SELECT {_fingerprint_sql('text')} AS dup_key, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""

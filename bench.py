@@ -122,6 +122,9 @@ BASELINE = {
     "text_bm25": 1.65,
     # gap-filled hourly spine: one raw scan into a checkpointed rollup
     "rel_gapfill": 0.75,
+    # ER blocking join; REPARTITION_BY_NUM keeps the quadratic in-block
+    # expansion parallel (AQE would coalesce the tiny pre-join shuffle)
+    "dedup_linkage": 0.85,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -418,6 +421,7 @@ HEADLINE = [
     "rel_profile",
     "text_bm25",
     "rel_gapfill",
+    "dedup_linkage",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -1180,3 +1180,64 @@ def remove_duplicated_spans(
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def blocked_linkage(
+    df: DataFrame,
+    *,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_len: int = 16,
+    max_dist: int = 1,
+    max_block: int = 500,
+) -> DataFrame:
+    """Entity-resolution record linkage: candidate identity pairs whose
+    names agree on a blocking key (length + ``block_len``-char prefix)
+    and sit within Levenshtein distance ``max_dist``. The structured-
+    metadata counterpart of the text near-dup family — the operator a
+    curation run uses to collapse author/source/site identities before
+    per-entity quotas or dedup-by-provenance.
+
+    Scale shape: the classic ER blocking pattern — the only shuffle is
+    the self-join on the block key, and the quadratic in-block pair
+    expansion is bounded by ``max_block`` exactly like the LSH
+    ``max_bucket`` cap (hot blocks — empty names, template names — are
+    dropped whole; size the cap from a block histogram the same way the
+    LSH path does). Levenshtein runs JVM-native (``F.levenshtein``),
+    only on in-block pairs, never all-pairs.
+    """
+    block = F.concat_ws(
+        "|",
+        F.length(F.col(name_col)).cast("string"),
+        F.substring(F.col(name_col), 1, block_len),
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name"),
+        block.alias("blk"),
+    )
+    # Explicit-width repartition on the block key: the join's work is
+    # quadratic in block size, so partition count must follow expansion
+    # work, not input bytes — with ENSURE_REQUIREMENTS AQE sees a tiny
+    # pre-join shuffle and coalesces the whole expansion onto one task.
+    # REPARTITION_BY_NUM is exempt from AQE coalescing.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    sized = (
+        keyed.repartition(width, "blk")
+        .withColumn(
+            "n_block", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("n_block") <= max_block)
+    )
+    a = sized.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = sized.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

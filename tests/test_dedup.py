@@ -616,3 +616,41 @@ def test_source_overlap_matrix_semantics(spark):
     assert all(a <= b for a, b in rows)  # unordered fold: sorted cells
     if ("crawlB", "crawlB") in rows:
         assert rows[("crawlB", "crawlB")][1] is False
+
+
+# --- blocked_linkage (r11: entity-resolution blocking join) ----------
+
+class TestBlockedLinkage:
+    def _people(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "jon smith"),
+                (2, "jon smyth"),    # dist 1, same block
+                (3, "jon smithe"),   # length differs -> other block
+                (4, "ann lee"),
+                (5, "ann bee"),      # dist 1, same block
+                (6, "ann gee"),      # dist 1 to both 4 and 5
+            ],
+            "c_custkey LONG, c_name STRING",
+        )
+
+    def test_pairs_within_block_and_distance(self, spark):
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in dedup.blocked_linkage(
+                self._people(spark), block_len=4
+            ).collect()
+        }
+        # (1,3) blocked apart by length despite distance 1
+        assert got == {(1, 2): 1, (4, 5): 1, (4, 6): 1, (5, 6): 1}
+
+    def test_hot_block_capped(self, spark):
+        rows = [(i, "same template name") for i in range(40)]
+        df = spark.createDataFrame(rows, "c_custkey LONG, c_name STRING")
+        # all 40 share one block; max_block=10 drops it whole
+        assert dedup.blocked_linkage(df, max_block=10).count() == 0
+        assert dedup.blocked_linkage(df, max_block=40).count() == 40 * 39 // 2
+
+    def test_no_self_or_reversed_pairs(self, spark):
+        got = dedup.blocked_linkage(self._people(spark), block_len=4).collect()
+        assert got and all(r["id_a"] < r["id_b"] for r in got)

@@ -537,3 +537,13 @@ def test_gapfill_single_raw_scan(spark):
     assert count(r"SortMergeJoin", plan) == 0
     assert count(r"EvalPython", plan) == 0
     assert count(r"Exchange hashpartitioning", plan) == 1  # fill window
+
+
+def test_linkage_single_block_shuffle_no_python(spark):
+    """dedup_linkage: ONE self-join on the block key (plus the block-
+    size window exchange on the same key — AQE-reusable), levenshtein
+    JVM-native, no cartesian product, no Python."""
+    plan = plan_of(spark, "dedup_linkage")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"levenshtein", plan) >= 1  # native expr, not UDF
