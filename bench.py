@@ -125,6 +125,11 @@ BASELINE = {
     # ER blocking join; REPARTITION_BY_NUM keeps the quadratic in-block
     # expansion parallel (AQE would coalesce the tiny pre-join shuffle)
     "dedup_linkage": 0.85,
+    # added late-r11, isolated best-of-3: stream-stream interval join
+    # (batch form — equi-join on user_id, 2h range residual) and
+    # exactly-once dedup replay (1.48x redelivered stream, one exchange)
+    "stream_interval_join": 0.65,
+    "stream_dedup_replay": 0.89,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -422,6 +427,8 @@ HEADLINE = [
     "text_bm25",
     "rel_gapfill",
     "dedup_linkage",
+    "stream_interval_join",
+    "stream_dedup_replay",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -463,6 +470,19 @@ SCALE10X = [
     # regardless of corpus size; the corpus leg is one assign+encode
     # scan plus the bounded exact-rescore join.
     "sim_ivfpq_rerank",
+    # r11: gapfill (spine is time-range×keys — the 10× events leg only
+    # deepens the hourly rollup, strongly sublinear by design); BM25
+    # over 10 UNrotated copies (rotation would destroy term matches
+    # and flatter the probe — postings must grow honestly 10×); ER
+    # linkage with per-copy digit rotation (copies form disjoint
+    # blocks: block COUNT ×10 at constant block size — the linear
+    # regime; block-size growth is the capped-quadratic regime probed
+    # separately by the max_block unit test)
+    "rel_gapfill", "text_bm25", "dedup_linkage",
+    # late-r11: interval join (events10 has disjoint per-copy user ids,
+    # so pair count grows exactly 10x at constant per-user density) and
+    # dedup replay (1.48x-duplicated stream, one exchange — linear)
+    "stream_interval_join", "stream_dedup_replay",
 ]
 
 
@@ -572,6 +592,52 @@ def _lineitem_10x(spark):
     return out
 
 
+def _documents_10x_plain(spark):
+    """10 stacked copies of sf0.1 documents with disjoint ids and the
+    text UNchanged — for probes whose work is term-driven (BM25): the
+    rotated variant would destroy query-term matches and understate
+    the postings growth."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "documents")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    parts = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _customer_10x(spark):
+    """10 stacked copies of sf0.1 customer with disjoint keys and a
+    per-copy digit rotation of the name, so each copy's names form
+    their own ER blocks: block count grows 10× at constant block size
+    (the linear blocking regime)."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "customer")
+    n = base.agg(F.max("c_custkey")).first()[0] + 1
+    src = "0123456789"
+    parts = []
+    for i in range(10):
+        rot = src[i:] + src[:i]
+        parts.append(
+            base.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * n))
+            .withColumn("c_name", F.translate("c_name", src, rot))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     """Time each SCALE10X query on sf0.1 (best-of-2) and on the 10×
     synthesized frame (single run — long enough to be noise-stable),
@@ -602,10 +668,13 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     # best-of-2, i.e. warm — VERDICT r5 #7: dedup_exact's 1.27× per-row
     # "ratio" was exactly this cold-input artifact; a 32→256 shuffle-
     # partition sweep moved it only 0.81→0.63 s, i.e. fixed cost).
+    docs10p, cust10 = _documents_10x_plain(spark), _customer_10x(spark)
     docs10.count()
     events10.count()
     lineitem10.count()
     emb10.count()
+    docs10p.count()
+    cust10.count()
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
@@ -670,7 +739,57 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # r11: fixed model, 10× corpus — candidate pool stays
         # queries×k′-bounded
         "sim_ivfpq_rerank": lambda: _rerank10(emb10),
+        # r11 additions: see the SCALE10X comment for the construction
+        # rationale of each 10× input
+        "rel_gapfill": lambda: R.gapfill_interpolate(events10),
+        "text_bm25": lambda: _bm25_10(),
+        "dedup_linkage": lambda: _linkage10(),
+        "stream_interval_join": lambda: _interval_join10(events10),
+        "stream_dedup_replay": lambda: _dedup_replay10(events10),
     }
+
+    def _interval_join10(ev):
+        from pyspark.sql import functions as F
+
+        from hermod_spark.streaming.windows import stream_stream_join
+
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_time"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_time"),
+        )
+        return stream_stream_join(
+            errors, clicks, key="user_id",
+            left_time="error_time", right_time="click_time",
+            within="2 hours",
+        ).select(F.col("l.user_id"), "error_id", "click_id")
+
+    def _dedup_replay10(ev):
+        from pyspark.sql import functions as F
+
+        from hermod_spark.sources.messages import message_frame_of
+        from hermod_spark.streaming.stateful import dedup_stream
+
+        msgs = message_frame_of(ev, keep=["event_id"])
+        dups = msgs.unionByName(
+            msgs.filter(F.col("event_id") % 3 == 0)
+        ).unionByName(msgs.filter(F.col("event_id") % 7 == 0))
+        return dedup_stream(dups, key_cols=("topic", "payload")).select(
+            "topic", "payload"
+        )
+
+    def _bm25_10():
+        from hermod_spark.operators.textops import bm25_topk
+
+        return bm25_topk(docs10p, E.BM25_QUERIES, k=10)
+
+    def _linkage10():
+        return dedup.blocked_linkage(cust10)
 
     def _rerank10(emb):
         from hermod_spark.data import table
