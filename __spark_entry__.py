@@ -39,9 +39,13 @@ def _prep(spark: SparkSession) -> SparkSession:
     session: UTC timestamps (oracle parity) and Arrow for pandas UDFs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # Python UDTFs default to pickle row-at-a-time; Arrow batches the
-    # exchange exactly like pandas_udf (xf_udtf is the only UDTF path).
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # Deliberately NOT setting spark.sql.execution.pythonUDTF.arrow.
+    # enabled: measured on pyspark 4.1.2, ArrowEvalPythonUDTF is ~10x
+    # SLOWER than the default pickle path for xf_udtf's small-row
+    # string->3-col shape (12.3 s vs 1.3 s on 100k rows, one worker) —
+    # the per-eval generator results get wrapped through pandas one
+    # yield at a time, unlike pandas_udf's whole-batch vectorization.
+    spark.conf.unset("spark.sql.execution.pythonUDTF.arrow.enabled")
     return spark
 
 
@@ -504,7 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         spark = _prep(spark)
         spark.udtf.register("hermod_records", route_records_udtf())
-        msgs = message_frame(spark, sf, keep=["event_id"])
+        # UDTF eval is Python-worker-bound: a single-file local scan
+        # would serialize 100% of it onto one worker. At 100 TB the
+        # scan arrives with thousands of splits and the guard no-ops.
+        msgs = data.ensure_min_partitions(
+            message_frame(spark, sf, keep=["event_id"])
+        )
         msgs.createOrReplaceTempView("_udtf_msgs")
         return spark.sql(
             "SELECT m.event_id, t.tbl, t.temperature_c, t.temperature_f"
@@ -1648,6 +1657,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_sessions"] = stream_sessions
+
+    def stream_interval_join(spark, sf):
+        """Watermarked stream-stream interval join, batch form: for
+        each error event, the click events by the same user within the
+        following 2 hours. The join carries BOTH the user equi-key and
+        the event-time range bound — on streams that pair is what lets
+        Spark evict state (watermark + interval ⇒ bounded buffers; the
+        streaming e2e is tests/test_streaming.py::
+        test_stream_stream_join_e2e_matches_batch). Batch plan: one
+        shuffled equi-join on user_id with the range as a join
+        predicate — never a cartesian."""
+        from hermod_spark.streaming.windows import stream_stream_join
+
+        ev = _t(spark, sf, "events")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_time"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_time"),
+        )
+        out = stream_stream_join(
+            errors,
+            clicks,
+            key="user_id",
+            left_time="error_time",
+            right_time="click_time",
+            within="2 hours",
+        )
+        return out.select(
+            F.col("l.user_id").alias("user_id"),
+            "error_id",
+            "click_id",
+            # micros-exact in both engines (a double-seconds diff would
+            # round differently from DuckDB's boundary-counting diff)
+            # NTZ→TIMESTAMP is value-preserving under the UTC session
+            # tz _prep pins; unix_micros rejects NTZ directly
+            (
+                (
+                    F.unix_micros(F.col("click_time").cast("timestamp"))
+                    - F.unix_micros(F.col("error_time").cast("timestamp"))
+                )
+                / F.lit(1000000)
+            ).cast("long").alias("lag_sec"),
+        )
+
+    q["stream_interval_join"] = stream_interval_join
+
+    def stream_dedup_replay(spark, sf):
+        """Exactly-once delivery repair, batch form: a redelivery-heavy
+        stream (every message once, event_id%3 twice, event_id%7 three
+        times — 1.48x volume) through the SAME
+        dropDuplicatesWithinWatermark plan the streaming form uses
+        (stateful.py::dedup_stream; streaming e2e with state eviction
+        is tests/test_stateful.py::test_dedup_stream). Survivor set is
+        the distinct (topic, payload) space — deterministic because
+        redeliveries are byte-identical."""
+        from hermod_spark.streaming.stateful import dedup_stream
+
+        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
+        dups = msgs.unionByName(
+            msgs.filter(F.col("event_id") % 3 == 0)
+        ).unionByName(msgs.filter(F.col("event_id") % 7 == 0))
+        out = dedup_stream(dups, key_cols=("topic", "payload"), watermark="1 hour")
+        return out.select("topic", "payload")
+
+    q["stream_dedup_replay"] = stream_dedup_replay
 
     # --- r7: batch replays of the stateful streaming operators --------
     def sketch_kmv_stream_replay(spark, sf):
@@ -3945,6 +4024,21 @@ SELECT MIN(time) AS session_start,
   topic, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
   MIN(time) AS first_event, MAX(time) AS last_event
 FROM islands GROUP BY topic, sid"""
+
+    o["stream_interval_join"] = """
+SELECT l.user_id AS user_id,
+  l.event_id AS error_id,
+  r.event_id AS click_id,
+  CAST(date_diff('microsecond', l.ts, r.ts) // 1000000 AS BIGINT) AS lag_sec
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'click'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR"""
+    # redeliveries are byte-identical copies, so the survivor set is
+    # the distinct (topic, payload) space of the base stream
+    o["stream_dedup_replay"] = f"""
+WITH msg AS ({_MSG_SQL})
+SELECT DISTINCT topic, payload FROM msg"""
 
     # r7 stateful replays. KMV: fold-in-chunks == one-shot distinct-rank
     # (mergeable-summary identity). EWMA: recursive CTE running the

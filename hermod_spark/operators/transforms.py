@@ -296,9 +296,13 @@ def route_records_udtf():
     temperature_f) records with the reference's semantics: unparseable
     JSON → zero records (router.go:308-314's nil-json path),
     non-numeric temperature → zero records, else the C→F record
-    (transform.lua:19-22). Arrow-batched when
-    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set; the class
-    carries no state, so executors parallelize it like any projection.
+    (transform.lua:19-22). Leave
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` UNSET: measured on
+    pyspark 4.1.2, the Arrow UDTF path is ~10x slower than default
+    pickle for this small-row shape (each yielded tuple is wrapped
+    through pandas individually — not pandas_udf-style whole-batch
+    vectorization). The class carries no state, so executors
+    parallelize it like any projection.
 
     Returns the UDTF object; register with
     ``spark.udtf.register("hermod_records", route_records_udtf())``.
