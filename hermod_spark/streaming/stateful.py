@@ -36,7 +36,13 @@ def dedup_stream(
     """Drop duplicate messages (same key columns) arriving within the
     watermark horizon. State: one entry per distinct key, evicted once
     the watermark passes — bounded by arrival-rate × horizon, not by
-    stream history."""
+    stream history.
+
+    On a batch frame (a completed replay) the horizon is moot — every
+    row is present, so the equivalent is a plain dropDuplicates over
+    the keys (Spark rejects dropDuplicatesWithinWatermark on batch)."""
+    if not messages.isStreaming:
+        return messages.dropDuplicates(list(key_cols))
     return messages.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

@@ -547,3 +547,27 @@ def test_linkage_single_block_shuffle_no_python(spark):
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
     assert count(r"EvalPython", plan) == 0
     assert count(r"levenshtein", plan) >= 1  # native expr, not UDF
+
+
+def test_interval_join_is_equi_join_with_range_predicate(spark):
+    """stream_interval_join (batch form): the user_id equi-key must
+    reach the join as the JOIN KEY (hash/sort-merge), with the 2 h
+    event-time bound as a residual predicate — NEVER a nested-loop
+    over the range condition. Both event_type filters push to the
+    parquet scan."""
+    plan = plan_of(spark, "stream_interval_join")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
+    assert count(r"EvalPython", plan) == 0
+    assert count(r"PushedFilters: \[[^\]]*EqualTo\(event_type", plan) == 2
+
+
+def test_dedup_replay_is_single_exchange_aggregate(spark):
+    """stream_dedup_replay (batch form): dropDuplicates over the keys
+    = one hash exchange into a partial/final aggregate — the union's
+    1.48x redelivered volume is combined map-side before the shuffle.
+    No Python anywhere."""
+    plan = plan_of(spark, "stream_dedup_replay")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"HashAggregate|SortAggregate", plan) >= 2  # partial+final
+    assert count(r"EvalPython", plan) == 0
