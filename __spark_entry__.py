@@ -136,6 +136,19 @@ FROM events
 """
 
 
+# Constraint rule set (rel_check): deterministic, shared between the
+# Spark query and the DuckDB oracle. Two rules fail by design (the
+# o_totalprice cap and the 'P' order status) so the report exercises
+# both verdicts.
+CHECK_RULES = [
+    ("unique", "o_orderkey"),
+    ("not_null", "o_custkey"),
+    ("completeness", "o_orderdate", 0.99),
+    ("in_range", "o_totalprice", 0.0, 450000.0),
+    ("accepted_values", "o_orderstatus", ["F", "O"]),
+    ("min_rows", 1000),
+]
+
 # Fixed BM25 query panel (text_bm25): deterministic, shared between the
 # Spark query and the DuckDB oracle.
 BM25_QUERIES = [
@@ -735,6 +748,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.column_profile(_t(spark, sf, "orders"))
 
     q["rel_profile"] = rel_profile
+
+    def rel_check(spark, sf):
+        """Deequ-style declarative constraint gate over orders — the
+        per-TABLE complement of val_rec's per-record validation. Six
+        rules (uniqueness, nullability, completeness, range, value
+        domain, volume) compiled into ONE Aggregate over ONE scan;
+        deliberately includes two FAILING rules (o_totalprice range,
+        o_orderstatus domain) so the report shape is exercised, not
+        just the all-green path."""
+        return R.validate_constraints(_t(spark, sf, "orders"), CHECK_RULES)
+
+    q["rel_check"] = rel_check
     q["rel_revenue_nation"] = lambda spark, sf: R.revenue_by_nation(
         _t(spark, sf, "lineitem"),
         _t(spark, sf, "orders"),
@@ -2232,6 +2257,56 @@ FROM orders"""
         )
         + " ORDER BY col_name"
     )
+
+    # rel_check: one UNION ALL branch per rule in CHECK_RULES (DuckDB
+    # may scan per branch — the oracle needs correctness, not the
+    # single-Aggregate shape the Spark side is plan-gated to)
+    o["rel_check"] = """
+SELECT 'unique' AS rule, 'o_orderkey' AS col_name,
+  CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+  CAST(0.0 AS DOUBLE) AS threshold,
+  COUNT(DISTINCT o_orderkey)
+    = SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null', 'o_custkey',
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+  CAST(0.0 AS DOUBLE),
+  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'completeness', 'o_orderdate',
+  ROUND((COUNT(*) - SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END))
+        / CAST(COUNT(*) AS DOUBLE), 6),
+  CAST(0.99 AS DOUBLE),
+  ROUND((COUNT(*) - SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END))
+        / CAST(COUNT(*) AS DOUBLE), 6) >= 0.99
+FROM orders
+UNION ALL
+SELECT 'in_range', 'o_totalprice',
+  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+            THEN 1 ELSE 0 END) AS DOUBLE),
+  CAST(0.0 AS DOUBLE),
+  SUM(CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)
+       THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F', 'O')
+            THEN 1 ELSE 0 END) AS DOUBLE),
+  CAST(0.0 AS DOUBLE),
+  SUM(CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('F', 'O')
+       THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'min_rows', '*', CAST(COUNT(*) AS DOUBLE), CAST(1000.0 AS DOUBLE),
+  COUNT(*) >= 1000
+FROM orders
+ORDER BY rule, col_name"""
 
     o["rel_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,

@@ -130,6 +130,8 @@ BASELINE = {
     # exactly-once dedup replay (1.48x redelivered stream, one exchange)
     "stream_interval_join": 0.65,
     "stream_dedup_replay": 0.89,
+    # Deequ-style constraint gate: six rules in one Aggregate pass
+    "rel_check": 0.66,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -429,6 +431,7 @@ HEADLINE = [
     "dedup_linkage",
     "stream_interval_join",
     "stream_dedup_replay",
+    "rel_check",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -483,6 +486,8 @@ SCALE10X = [
     # so pair count grows exactly 10x at constant per-user density) and
     # dedup replay (1.48x-duplicated stream, one exchange — linear)
     "stream_interval_join", "stream_dedup_replay",
+    # constraint gate: disjoint-key 10x orders keeps `unique` truthful
+    "rel_check",
 ]
 
 
@@ -613,6 +618,26 @@ def _documents_10x_plain(spark):
     return out
 
 
+def _orders_10x(spark):
+    """10 stacked copies of sf0.1 orders with disjoint order keys —
+    rel_check's `unique` rule stays truthful (still zero duplicates)
+    while every conditional aggregate sees 10× the rows."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    base = table(spark, SF_DIR, "orders")
+    n = base.agg(F.max("o_orderkey")).first()[0] + 1
+    parts = [
+        base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _customer_10x(spark):
     """10 stacked copies of sf0.1 customer with disjoint keys and a
     per-copy digit rotation of the name, so each copy's names form
@@ -669,6 +694,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     # "ratio" was exactly this cold-input artifact; a 32→256 shuffle-
     # partition sweep moved it only 0.81→0.63 s, i.e. fixed cost).
     docs10p, cust10 = _documents_10x_plain(spark), _customer_10x(spark)
+    orders10 = _orders_10x(spark)
+    orders10.count()
     docs10.count()
     events10.count()
     lineitem10.count()
@@ -744,6 +771,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "rel_gapfill": lambda: R.gapfill_interpolate(events10),
         "text_bm25": lambda: _bm25_10(),
         "dedup_linkage": lambda: _linkage10(),
+        "rel_check": lambda: R.validate_constraints(orders10, E.CHECK_RULES),
         "stream_interval_join": lambda: _interval_join10(events10),
         "stream_dedup_replay": lambda: _dedup_replay10(events10),
     }

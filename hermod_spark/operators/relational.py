@@ -1549,6 +1549,133 @@ def column_profile(
     )
 
 
+def validate_constraints(
+    df: DataFrame,
+    rules: list[tuple],
+    *,
+    ndv_mode: str = "exact",
+    ndv_rsd: float = 0.05,
+) -> DataFrame:
+    """Deequ-style declarative data-quality gate: evaluate a rule set
+    against a table in ONE aggregate over ONE scan and emit one row
+    per rule — (rule, col_name, metric, threshold, passed). The
+    check a 100 TB curation run fires on every new drop before any
+    downstream job trusts it; `val_rec` (plans/schema.py) validates
+    per-RECORD shape, this validates per-TABLE invariants.
+
+    Rule forms (tuples):
+      ("not_null", col)                  — metric: null count, passes at 0
+      ("completeness", col, min_frac)    — metric: non-null fraction
+      ("unique", col)                    — metric: distinct count,
+                                           passes when == non-null count
+      ("in_range", col, lo, hi)          — metric: out-of-range count
+                                           (NULLs don't violate), passes at 0
+      ("accepted_values", col, [vals])   — metric: rejected-value count
+      ("min_rows", n)                    — metric: row count
+
+    Plan shape: every rule compiles to conditional aggregates in the
+    SAME single Aggregate (map-side partial → one exchange of one
+    row); the per-rule pivot is a literal struct array over that row,
+    exactly like ``column_profile``. ``unique`` uses count(DISTINCT)
+    in the conformance form; ``ndv_mode='approx'`` swaps in HLL so the
+    plan needs no Expand at 100 TB (uniqueness then means |ndv -
+    n_nonnull| within the sketch's rsd — surfaced through the same
+    passed boolean).
+    """
+    if ndv_mode not in ("exact", "approx"):
+        raise ValueError(f"ndv_mode must be exact|approx, got {ndv_mode!r}")
+    known = {"not_null", "completeness", "unique", "in_range",
+             "accepted_values", "min_rows"}
+    for r in rules:
+        if not r or r[0] not in known:
+            raise ValueError(f"validate_constraints: bad rule {r!r}")
+        if r[0] != "min_rows" and r[1] not in df.columns:
+            raise ValueError(f"validate_constraints: unknown column in {r!r}")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        kind = r[0]
+        if kind == "min_rows":
+            continue
+        col = F.col(r[1])
+        if kind in ("not_null", "completeness"):
+            aggs.append(
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_m{i}")
+            )
+        elif kind == "unique":
+            if ndv_mode == "exact":
+                aggs.append(F.countDistinct(col).alias(f"_m{i}"))
+            else:
+                aggs.append(
+                    F.approx_count_distinct(col, rsd=ndv_rsd).alias(f"_m{i}")
+                )
+            aggs.append(
+                F.sum(F.when(col.isNotNull(), 1).otherwise(0)).alias(f"_c{i}")
+            )
+        elif kind == "in_range":
+            lo, hi = r[2], r[3]
+            aggs.append(
+                F.sum(
+                    F.when(col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi))), 1)
+                    .otherwise(0)
+                ).alias(f"_m{i}")
+            )
+        elif kind == "accepted_values":
+            aggs.append(
+                F.sum(
+                    F.when(col.isNotNull() & ~col.isin(list(r[2])), 1).otherwise(0)
+                ).alias(f"_m{i}")
+            )
+    one = df.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+    rows = []
+    for i, r in enumerate(rules):
+        kind = r[0]
+        if kind == "not_null":
+            metric = F.col(f"_m{i}").cast("double")
+            threshold, passed = F.lit(0.0), F.col(f"_m{i}") == 0
+        elif kind == "completeness":
+            metric = F.round((n - F.col(f"_m{i}")) / n, 6)
+            threshold = F.lit(float(r[2]))
+            passed = metric >= F.lit(float(r[2]))
+        elif kind == "unique":
+            metric = F.col(f"_m{i}").cast("double")
+            threshold = F.lit(0.0)
+            if ndv_mode == "exact":
+                passed = F.col(f"_m{i}") == F.col(f"_c{i}")
+            else:
+                tol = F.lit(3.0 * ndv_rsd) * F.col(f"_c{i}").cast("double")
+                passed = (
+                    F.abs(F.col(f"_m{i}").cast("double") - F.col(f"_c{i}").cast("double"))
+                    <= tol
+                )
+        elif kind == "in_range":
+            metric = F.col(f"_m{i}").cast("double")
+            threshold, passed = F.lit(0.0), F.col(f"_m{i}") == 0
+        elif kind == "accepted_values":
+            metric = F.col(f"_m{i}").cast("double")
+            threshold, passed = F.lit(0.0), F.col(f"_m{i}") == 0
+        else:  # min_rows
+            metric = n
+            threshold = F.lit(float(r[1]))
+            passed = F.col("_n") >= F.lit(int(r[1]))
+        rows.append(
+            F.struct(
+                F.lit(kind).alias("rule"),
+                F.lit("*" if kind == "min_rows" else r[1]).alias("col_name"),
+                metric.cast("double").alias("metric"),
+                threshold.cast("double").alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("c"))
+        .select("c.*")
+        .orderBy("rule", "col_name")
+    )
+
+
 def gapfill_interpolate(
     events: DataFrame,
     *,

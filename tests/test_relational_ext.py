@@ -1128,3 +1128,64 @@ class TestGapfill:
         counts = {r["event_type"]: r["n"] for r in
                   df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert counts == {"a": 4, "b": 4}
+
+
+# --- validate_constraints (late r11: Deequ-style table gate) ---------
+
+def test_validate_constraints_verdicts(spark):
+    """Every rule kind on a hand-built frame with known violations:
+    duplicate key, one null custkey, one null date, one out-of-range
+    price, one rejected status."""
+    df = _orders_frame(spark).unionByName(
+        _orders_frame(spark).limit(1)  # duplicate orderkey 1
+    )
+    out = R.validate_constraints(df, [
+        ("unique", "o_orderkey"),
+        ("not_null", "o_custkey"),
+        ("completeness", "o_orderdate", 0.5),
+        ("in_range", "o_totalprice", 0.0, 80.0),
+        ("accepted_values", "o_orderstatus", ["F", "O"]),
+        ("min_rows", 10),
+    ])
+    rows = {(r["rule"], r["col_name"]): r for r in out.collect()}
+    assert not rows[("unique", "o_orderkey")]["passed"]  # 4 ndv vs 5 rows
+    assert rows[("unique", "o_orderkey")]["metric"] == 4.0
+    assert not rows[("not_null", "o_custkey")]["passed"]  # 1 null
+    assert rows[("not_null", "o_custkey")]["metric"] == 1.0
+    assert rows[("completeness", "o_orderdate")]["passed"]  # 4/5 >= 0.5
+    assert rows[("completeness", "o_orderdate")]["metric"] == 0.8
+    # prices 100.5 and 100.5(dup) exceed 80; NULL price not a violation
+    assert rows[("in_range", "o_totalprice")]["metric"] == 2.0
+    assert not rows[("in_range", "o_totalprice")]["passed"]
+    assert rows[("accepted_values", "o_orderstatus")]["metric"] == 1.0  # 'P'
+    assert not rows[("min_rows", "*")]["passed"]  # 5 < 10
+    assert rows[("min_rows", "*")]["metric"] == 5.0
+
+
+def test_validate_constraints_rejects_bad_rules(spark):
+    import pytest as _pt
+
+    df = _orders_frame(spark)
+    with _pt.raises(ValueError, match="bad rule"):
+        R.validate_constraints(df, [("frobnicate", "o_orderkey")])
+    with _pt.raises(ValueError, match="unknown column"):
+        R.validate_constraints(df, [("not_null", "nope")])
+
+
+def test_validate_constraints_single_aggregate_no_expand_in_approx(spark):
+    """Scale shape: ONE scan, ONE exchange (the global-aggregate
+    gather); approx mode must not pay the multi-distinct Expand."""
+    df = _orders_frame(spark)
+    rules = [("unique", "o_orderkey"), ("not_null", "o_custkey"),
+             ("in_range", "o_totalprice", 0.0, 1e6), ("min_rows", 1)]
+    exact_plan = R.validate_constraints(df, rules)._jdf.queryExecution().executedPlan().toString()
+    approx = R.validate_constraints(df, rules, ndv_mode="approx")
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert approx_plan.count("Expand") == 0
+    for plan in (exact_plan, approx_plan):
+        assert plan.count("Exchange") <= 2  # agg gather + orderBy range
+        assert "EvalPython" not in plan
+    # approx agrees with exact on verdicts here
+    ev = [r["passed"] for r in R.validate_constraints(df, rules).orderBy("rule").collect()]
+    av = [r["passed"] for r in approx.orderBy("rule").collect()]
+    assert ev == av
