@@ -39,13 +39,14 @@ def _prep(spark: SparkSession) -> SparkSession:
     session: UTC timestamps (oracle parity) and Arrow for pandas UDFs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # Deliberately NOT setting spark.sql.execution.pythonUDTF.arrow.
-    # enabled: measured on pyspark 4.1.2, ArrowEvalPythonUDTF is ~10x
-    # SLOWER than the default pickle path for xf_udtf's small-row
+    # Pin Python UDTFs to the pickle path: measured on pyspark 4.1.2,
+    # ArrowEvalPythonUDTF is ~10x SLOWER for xf_udtf's small-row
     # string->3-col shape (12.3 s vs 1.3 s on 100k rows, one worker) —
     # the per-eval generator results get wrapped through pandas one
     # yield at a time, unlike pandas_udf's whole-batch vectorization.
-    spark.conf.unset("spark.sql.execution.pythonUDTF.arrow.enabled")
+    # Explicit "false" (not unset): an ambient spark-defaults "true"
+    # would silently re-enter the slow path.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "false")
     return spark
 
 
@@ -134,6 +135,64 @@ SELECT ts AS time,
        event_id, event_type, user_id, value
 FROM events
 """
+
+
+def interval_join_of(ev: DataFrame) -> DataFrame:
+    """error→click pairs per user within 2 hours over an events-shaped
+    frame — the ONE body behind both the `stream_interval_join` entry
+    query and bench's 10× scale probe, so the probe can never drift
+    from the shipped query (code-review r11 #5)."""
+    from hermod_spark.streaming.windows import stream_stream_join
+
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_time"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_time"),
+    )
+    out = stream_stream_join(
+        errors,
+        clicks,
+        key="user_id",
+        left_time="error_time",
+        right_time="click_time",
+        within="2 hours",
+    )
+    return out.select(
+        F.col("l.user_id").alias("user_id"),
+        "error_id",
+        "click_id",
+        # micros-exact in both engines (a double-seconds diff would
+        # round differently from DuckDB's boundary-counting diff);
+        # NTZ→TIMESTAMP is value-preserving under the UTC session tz
+        # _prep pins, and unix_micros rejects NTZ directly
+        (
+            (
+                F.unix_micros(F.col("click_time").cast("timestamp"))
+                - F.unix_micros(F.col("error_time").cast("timestamp"))
+            )
+            / F.lit(1000000)
+        ).cast("long").alias("lag_sec"),
+    )
+
+
+def dedup_replay_of(msgs: DataFrame) -> DataFrame:
+    """The redelivery-heavy dedup workload over a message frame: every
+    message once, plus one extra copy for event_id%3 ids and one for
+    event_id%7 ids (%21 ids appear three times; 1.48x volume), through
+    streaming/stateful.py::dedup_stream. Shared by the
+    `stream_dedup_replay` entry query and bench's 10× probe."""
+    from hermod_spark.streaming.stateful import dedup_stream
+
+    dups = msgs.unionByName(
+        msgs.filter(F.col("event_id") % 3 == 0)
+    ).unionByName(msgs.filter(F.col("event_id") % 7 == 0))
+    out = dedup_stream(dups, key_cols=("topic", "payload"), watermark="1 hour")
+    return out.select("topic", "payload")
 
 
 # Constraint rule set (rel_check): deterministic, shared between the
@@ -1693,63 +1752,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         test_stream_stream_join_e2e_matches_batch). Batch plan: one
         shuffled equi-join on user_id with the range as a join
         predicate — never a cartesian."""
-        from hermod_spark.streaming.windows import stream_stream_join
-
-        ev = _t(spark, sf, "events")
-        errors = ev.filter(F.col("event_type") == "error").select(
-            F.col("user_id"),
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_time"),
-        )
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            F.col("user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_time"),
-        )
-        out = stream_stream_join(
-            errors,
-            clicks,
-            key="user_id",
-            left_time="error_time",
-            right_time="click_time",
-            within="2 hours",
-        )
-        return out.select(
-            F.col("l.user_id").alias("user_id"),
-            "error_id",
-            "click_id",
-            # micros-exact in both engines (a double-seconds diff would
-            # round differently from DuckDB's boundary-counting diff)
-            # NTZ→TIMESTAMP is value-preserving under the UTC session
-            # tz _prep pins; unix_micros rejects NTZ directly
-            (
-                (
-                    F.unix_micros(F.col("click_time").cast("timestamp"))
-                    - F.unix_micros(F.col("error_time").cast("timestamp"))
-                )
-                / F.lit(1000000)
-            ).cast("long").alias("lag_sec"),
-        )
+        return interval_join_of(_t(spark, sf, "events"))
 
     q["stream_interval_join"] = stream_interval_join
 
     def stream_dedup_replay(spark, sf):
         """Exactly-once delivery repair, batch form: a redelivery-heavy
-        stream (every message once, event_id%3 twice, event_id%7 three
-        times — 1.48x volume) through the SAME
+        stream (every message once, plus one extra copy for event_id%3
+        ids and one for event_id%7 ids — %21 ids appear three times;
+        1.48x volume) through the SAME
         dropDuplicatesWithinWatermark plan the streaming form uses
         (stateful.py::dedup_stream; streaming e2e with state eviction
         is tests/test_stateful.py::test_dedup_stream). Survivor set is
         the distinct (topic, payload) space — deterministic because
         redeliveries are byte-identical."""
-        from hermod_spark.streaming.stateful import dedup_stream
-
-        msgs = message_frame(_prep(spark), sf, keep=["event_id"])
-        dups = msgs.unionByName(
-            msgs.filter(F.col("event_id") % 3 == 0)
-        ).unionByName(msgs.filter(F.col("event_id") % 7 == 0))
-        out = dedup_stream(dups, key_cols=("topic", "payload"), watermark="1 hour")
-        return out.select("topic", "payload")
+        return dedup_replay_of(
+            message_frame(_prep(spark), sf, keep=["event_id"])
+        )
 
     q["stream_dedup_replay"] = stream_dedup_replay
 
@@ -2263,10 +2282,11 @@ FROM orders"""
     # single-Aggregate shape the Spark side is plan-gated to)
     o["rel_check"] = """
 SELECT 'unique' AS rule, 'o_orderkey' AS col_name,
-  CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+       - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
   CAST(0.0 AS DOUBLE) AS threshold,
-  COUNT(DISTINCT o_orderkey)
-    = SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS passed
+  SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+    = COUNT(DISTINCT o_orderkey) AS passed
 FROM orders
 UNION ALL
 SELECT 'not_null', 'o_custkey',

@@ -491,176 +491,113 @@ SCALE10X = [
 ]
 
 
-def _embeddings_10x(spark):
-    """10 stacked copies of sf0.1 embeddings with disjoint vec_ids and
-    a tiny per-copy vector shift so copies are not bit-identical
-    neighbors — the model (pinned centroids + seeded codebooks) stays
-    FIXED while the corpus grows 10×, the realistic serving shape."""
+def _stack10(spark, table_name, shift_cols, per_copy=None):
+    """10 stacked copies of a sf0.1 table with the key columns in
+    ``shift_cols`` offset per copy (disjoint key spaces) and an
+    optional ``per_copy(df, i)`` hook for copy-specific edits
+    (letter/digit rotation, vector shift). The shared body of every
+    scale10x input builder — one place to fix, one pattern to read."""
     from pyspark.sql import functions as F
 
     from hermod_spark.data import table
 
-    base = table(spark, SF_DIR, "embeddings")
-    n = base.agg(F.max("vec_id")).first()[0] + 1
+    base = table(spark, SF_DIR, table_name)
+    offs = {c: base.agg(F.max(c)).first()[0] + 1 for c in shift_cols}
     parts = []
     for i in range(10):
-        vec = (
-            F.col("embedding")
-            if i == 0
-            else F.transform(
-                "embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")
-            )
-        )
-        parts.append(
-            base.select(
-                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                vec.alias("embedding"),
-            )
-        )
+        p = base
+        for c in shift_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * offs[c]))
+        if per_copy is not None:
+            p = per_copy(p, i)
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _embeddings_10x(spark):
+    """Disjoint vec_ids + a tiny per-copy vector shift so copies are
+    not bit-identical neighbors — the model (pinned centroids + seeded
+    codebooks) stays FIXED while the corpus grows 10x, the realistic
+    serving shape."""
+    from pyspark.sql import functions as F
+
+    def shift(df, i):
+        if i == 0:
+            return df.select("vec_id", "embedding")
+        return df.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x + F.lit(i * 1e-3)).cast("float")
+            ).alias("embedding"),
+        )
+
+    return _stack10(spark, "embeddings", ["vec_id"], shift)
 
 
 def _documents_10x(spark):
-    """10 stacked copies of sf0.1 documents with disjoint ids and
-    per-copy letter-rotation of the text (translate is cheap and
-    deterministic) so copies are NOT near-dups of each other — the
-    candidate-pair count scales ~linearly instead of quadratically,
-    which is the honest way to test LSH scaling on synthesized data."""
+    """Disjoint doc_ids + per-copy letter-rotation of the text
+    (translate is cheap and deterministic) so copies are NOT near-dups
+    of each other — the candidate-pair count scales ~linearly instead
+    of quadratically, which is the honest way to test LSH scaling on
+    synthesized data."""
     from pyspark.sql import functions as F
 
-    from hermod_spark.data import table
+    letters = "etaoinshrdlu"
 
-    base = table(spark, SF_DIR, "documents")
-    n = base.agg(F.max("doc_id")).first()[0] + 1
-    src = "etaoinshrdlu"
-    parts = []
-    for i in range(10):
-        rot = src[i:] + src[:i]
-        parts.append(
-            base.select(
-                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-                F.translate("text", src, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
+    def rot(df, i):
+        return df.withColumn(
+            "text", F.translate("text", letters, letters[i:] + letters[:i])
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    return _stack10(spark, "documents", ["doc_id"], rot)
 
 
 def _events_10x(spark):
-    """10 stacked copies of sf0.1 events with disjoint event/user ids —
-    per-group row counts grow 10× with the same value distribution."""
-    from pyspark.sql import functions as F
-
-    from hermod_spark.data import table
-
-    base = table(spark, SF_DIR, "events")
-    ne = base.agg(F.max("event_id")).first()[0] + 1
-    nu = base.agg(F.max("user_id")).first()[0] + 1
-    parts = []
-    for i in range(10):
-        parts.append(
-            base.withColumn("event_id", F.col("event_id") + F.lit(i * ne))
-            .withColumn("user_id", F.col("user_id") + F.lit(i * nu))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Disjoint event/user ids — per-group row counts grow 10x with
+    the same value distribution (and interval-join pairs grow exactly
+    10x at constant per-user density)."""
+    return _stack10(spark, "events", ["event_id", "user_id"])
 
 
 def _lineitem_10x(spark):
-    """10 stacked copies of sf0.1 lineitem with disjoint order keys and
-    the SAME part/supplier key spaces — per-part and per-supplier
-    aggregates grow 10× deep (the decorrelation shapes' stress axis)
-    while the dimension-bounded broadcasts stay dimension-bounded."""
-    from pyspark.sql import functions as F
-
-    from hermod_spark.data import table
-
-    base = table(spark, SF_DIR, "lineitem")
-    no = base.agg(F.max("l_orderkey")).first()[0] + 1
-    parts = [
-        base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * no))
-        for i in range(10)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Disjoint order keys, SAME part/supplier key spaces — per-part
+    and per-supplier aggregates grow 10x deep (the decorrelation
+    shapes' stress axis) while the dimension-bounded broadcasts stay
+    dimension-bounded."""
+    return _stack10(spark, "lineitem", ["l_orderkey"])
 
 
 def _documents_10x_plain(spark):
-    """10 stacked copies of sf0.1 documents with disjoint ids and the
-    text UNchanged — for probes whose work is term-driven (BM25): the
-    rotated variant would destroy query-term matches and understate
-    the postings growth."""
-    from pyspark.sql import functions as F
-
-    from hermod_spark.data import table
-
-    base = table(spark, SF_DIR, "documents")
-    n = base.agg(F.max("doc_id")).first()[0] + 1
-    parts = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        for i in range(10)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Disjoint doc_ids, text UNchanged — for probes whose work is
+    term-driven (BM25): the rotated variant would destroy query-term
+    matches and understate the postings growth."""
+    return _stack10(spark, "documents", ["doc_id"])
 
 
 def _orders_10x(spark):
-    """10 stacked copies of sf0.1 orders with disjoint order keys —
-    rel_check's `unique` rule stays truthful (still zero duplicates)
-    while every conditional aggregate sees 10× the rows."""
-    from pyspark.sql import functions as F
-
-    from hermod_spark.data import table
-
-    base = table(spark, SF_DIR, "orders")
-    n = base.agg(F.max("o_orderkey")).first()[0] + 1
-    parts = [
-        base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
-        for i in range(10)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Disjoint order keys — rel_check's `unique` rule stays truthful
+    (still zero duplicates) while every conditional aggregate sees 10x
+    the rows."""
+    return _stack10(spark, "orders", ["o_orderkey"])
 
 
 def _customer_10x(spark):
-    """10 stacked copies of sf0.1 customer with disjoint keys and a
-    per-copy digit rotation of the name, so each copy's names form
-    their own ER blocks: block count grows 10× at constant block size
-    (the linear blocking regime)."""
+    """Disjoint keys + per-copy digit rotation of the name, so each
+    copy's names form their own ER blocks: block count grows 10x at
+    constant block size (the linear blocking regime)."""
     from pyspark.sql import functions as F
 
-    from hermod_spark.data import table
+    digits = "0123456789"
 
-    base = table(spark, SF_DIR, "customer")
-    n = base.agg(F.max("c_custkey")).first()[0] + 1
-    src = "0123456789"
-    parts = []
-    for i in range(10):
-        rot = src[i:] + src[:i]
-        parts.append(
-            base.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * n))
-            .withColumn("c_name", F.translate("c_name", src, rot))
+    def rot(df, i):
+        return df.withColumn(
+            "c_name", F.translate("c_name", digits, digits[i:] + digits[:i])
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    return _stack10(spark, "customer", ["c_custkey"], rot)
 
 
 def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
@@ -772,44 +709,17 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "text_bm25": lambda: _bm25_10(),
         "dedup_linkage": lambda: _linkage10(),
         "rel_check": lambda: R.validate_constraints(orders10, E.CHECK_RULES),
-        "stream_interval_join": lambda: _interval_join10(events10),
+        # probes reuse the ENTRY QUERY bodies (frame-parameterized in
+        # __spark_entry__) so a query change can never silently leave
+        # the linearity probe measuring a stale shape
+        "stream_interval_join": lambda: E.interval_join_of(events10),
         "stream_dedup_replay": lambda: _dedup_replay10(events10),
     }
 
-    def _interval_join10(ev):
-        from pyspark.sql import functions as F
-
-        from hermod_spark.streaming.windows import stream_stream_join
-
-        errors = ev.filter(F.col("event_type") == "error").select(
-            "user_id",
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_time"),
-        )
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_time"),
-        )
-        return stream_stream_join(
-            errors, clicks, key="user_id",
-            left_time="error_time", right_time="click_time",
-            within="2 hours",
-        ).select(F.col("l.user_id"), "error_id", "click_id")
-
     def _dedup_replay10(ev):
-        from pyspark.sql import functions as F
-
         from hermod_spark.sources.messages import message_frame_of
-        from hermod_spark.streaming.stateful import dedup_stream
 
-        msgs = message_frame_of(ev, keep=["event_id"])
-        dups = msgs.unionByName(
-            msgs.filter(F.col("event_id") % 3 == 0)
-        ).unionByName(msgs.filter(F.col("event_id") % 7 == 0))
-        return dedup_stream(dups, key_cols=("topic", "payload")).select(
-            "topic", "payload"
-        )
+        return E.dedup_replay_of(message_frame_of(ev, keep=["event_id"]))
 
     def _bm25_10():
         from hermod_spark.operators.textops import bm25_topk

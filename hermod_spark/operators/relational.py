@@ -1566,8 +1566,12 @@ def validate_constraints(
     Rule forms (tuples):
       ("not_null", col)                  — metric: null count, passes at 0
       ("completeness", col, min_frac)    — metric: non-null fraction
-      ("unique", col)                    — metric: distinct count,
-                                           passes when == non-null count
+      ("unique", col)                    — metric: estimated duplicate
+                                           count (non-null rows − NDV);
+                                           passes when |metric| is
+                                           within threshold (0 exact;
+                                           the HLL error budget
+                                           3·rsd·n_nonnull in approx)
       ("in_range", col, lo, hi)          — metric: out-of-range count
                                            (NULLs don't violate), passes at 0
       ("accepted_values", col, [vals])   — metric: rejected-value count
@@ -1584,10 +1588,10 @@ def validate_constraints(
     """
     if ndv_mode not in ("exact", "approx"):
         raise ValueError(f"ndv_mode must be exact|approx, got {ndv_mode!r}")
-    known = {"not_null", "completeness", "unique", "in_range",
-             "accepted_values", "min_rows"}
+    arity = {"not_null": 2, "completeness": 3, "unique": 2,
+             "in_range": 4, "accepted_values": 3, "min_rows": 2}
     for r in rules:
-        if not r or r[0] not in known:
+        if not r or r[0] not in arity or len(r) != arity[r[0]]:
             raise ValueError(f"validate_constraints: bad rule {r!r}")
         if r[0] != "min_rows" and r[1] not in df.columns:
             raise ValueError(f"validate_constraints: unknown column in {r!r}")
@@ -1599,8 +1603,12 @@ def validate_constraints(
             continue
         col = F.col(r[1])
         if kind in ("not_null", "completeness"):
+            # coalesce: SUM over zero rows is NULL, and a NULL metric
+            # would make passed NULL — an empty drop must gate loudly
             aggs.append(
-                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_m{i}")
+                F.coalesce(
+                    F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias(f"_m{i}")
             )
         elif kind == "unique":
             if ndv_mode == "exact":
@@ -1610,20 +1618,29 @@ def validate_constraints(
                     F.approx_count_distinct(col, rsd=ndv_rsd).alias(f"_m{i}")
                 )
             aggs.append(
-                F.sum(F.when(col.isNotNull(), 1).otherwise(0)).alias(f"_c{i}")
+                F.coalesce(
+                    F.sum(F.when(col.isNotNull(), 1).otherwise(0)), F.lit(0)
+                ).alias(f"_c{i}")
             )
         elif kind == "in_range":
             lo, hi = r[2], r[3]
             aggs.append(
-                F.sum(
-                    F.when(col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi))), 1)
-                    .otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi))), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"_m{i}")
             )
         elif kind == "accepted_values":
             aggs.append(
-                F.sum(
-                    F.when(col.isNotNull() & ~col.isin(list(r[2])), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(col.isNotNull() & ~col.isin(list(r[2])), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"_m{i}")
             )
     one = df.agg(*aggs)
@@ -1636,20 +1653,27 @@ def validate_constraints(
             metric = F.col(f"_m{i}").cast("double")
             threshold, passed = F.lit(0.0), F.col(f"_m{i}") == 0
         elif kind == "completeness":
-            metric = F.round((n - F.col(f"_m{i}")) / n, 6)
+            # try_divide: ANSI mode would THROW on the empty-table 0/0;
+            # the metric is NULL there and the verdict coalesces to a
+            # hard False, not NULL-propagated silence
+            metric = F.round(F.try_divide(n - F.col(f"_m{i}"), n), 6)
             threshold = F.lit(float(r[2]))
-            passed = metric >= F.lit(float(r[2]))
+            passed = F.coalesce(metric >= F.lit(float(r[2])), F.lit(False))
         elif kind == "unique":
-            metric = F.col(f"_m{i}").cast("double")
-            threshold = F.lit(0.0)
+            # self-consistent triple: metric = estimated duplicate
+            # count (non-null rows minus NDV), threshold = the
+            # tolerance that decides the verdict (0 exact; the HLL
+            # error budget 3*rsd*n_nonnull in approx mode), and
+            # passed = |metric| <= threshold — recomputable from the
+            # emitted row alone
+            metric = (
+                F.col(f"_c{i}").cast("double") - F.col(f"_m{i}").cast("double")
+            )
             if ndv_mode == "exact":
-                passed = F.col(f"_m{i}") == F.col(f"_c{i}")
+                threshold = F.lit(0.0)
             else:
-                tol = F.lit(3.0 * ndv_rsd) * F.col(f"_c{i}").cast("double")
-                passed = (
-                    F.abs(F.col(f"_m{i}").cast("double") - F.col(f"_c{i}").cast("double"))
-                    <= tol
-                )
+                threshold = F.lit(3.0 * ndv_rsd) * F.col(f"_c{i}").cast("double")
+            passed = F.abs(metric) <= threshold
         elif kind == "in_range":
             metric = F.col(f"_m{i}").cast("double")
             threshold, passed = F.lit(0.0), F.col(f"_m{i}") == 0

@@ -1137,7 +1137,9 @@ def test_validate_constraints_verdicts(spark):
     duplicate key, one null custkey, one null date, one out-of-range
     price, one rejected status."""
     df = _orders_frame(spark).unionByName(
-        _orders_frame(spark).limit(1)  # duplicate orderkey 1
+        # duplicate orderkey 1, selected deterministically (limit(1)
+        # on an unordered frame has no row guarantee)
+        _orders_frame(spark).filter("o_orderkey = 1")
     )
     out = R.validate_constraints(df, [
         ("unique", "o_orderkey"),
@@ -1149,7 +1151,8 @@ def test_validate_constraints_verdicts(spark):
     ])
     rows = {(r["rule"], r["col_name"]): r for r in out.collect()}
     assert not rows[("unique", "o_orderkey")]["passed"]  # 4 ndv vs 5 rows
-    assert rows[("unique", "o_orderkey")]["metric"] == 4.0
+    # metric = estimated duplicate count (non-null rows - NDV)
+    assert rows[("unique", "o_orderkey")]["metric"] == 1.0
     assert not rows[("not_null", "o_custkey")]["passed"]  # 1 null
     assert rows[("not_null", "o_custkey")]["metric"] == 1.0
     assert rows[("completeness", "o_orderdate")]["passed"]  # 4/5 >= 0.5
@@ -1170,6 +1173,48 @@ def test_validate_constraints_rejects_bad_rules(spark):
         R.validate_constraints(df, [("frobnicate", "o_orderkey")])
     with _pt.raises(ValueError, match="unknown column"):
         R.validate_constraints(df, [("not_null", "nope")])
+    # wrong arity must be the SAME loud ValueError, not a deep
+    # IndexError during column construction
+    with _pt.raises(ValueError, match="bad rule"):
+        R.validate_constraints(df, [("completeness", "o_orderdate")])
+    with _pt.raises(ValueError, match="bad rule"):
+        R.validate_constraints(df, [("min_rows",)])
+    with _pt.raises(ValueError, match="bad rule"):
+        R.validate_constraints(df, [("in_range", "o_totalprice", 0.0)])
+
+
+def test_validate_constraints_empty_table_fails_loudly(spark):
+    """An empty drop must produce hard boolean verdicts, never
+    NULL-propagated silence: min_rows is False, zero-violation rules
+    are True (vacuous), completeness is False (0/0 is unknowable)."""
+    df = _orders_frame(spark).limit(0)
+    out = R.validate_constraints(df, [
+        ("unique", "o_orderkey"),
+        ("not_null", "o_custkey"),
+        ("completeness", "o_orderdate", 0.5),
+        ("in_range", "o_totalprice", 0.0, 80.0),
+        ("accepted_values", "o_orderstatus", ["F", "O"]),
+        ("min_rows", 1),
+    ])
+    rows = {(r["rule"], r["col_name"]): r for r in out.collect()}
+    assert all(r["passed"] is not None for r in rows.values())
+    assert not rows[("min_rows", "*")]["passed"]
+    assert not rows[("completeness", "o_orderdate")]["passed"]
+    assert rows[("unique", "o_orderkey")]["passed"]
+    assert rows[("not_null", "o_custkey")]["passed"]
+    assert rows[("in_range", "o_totalprice")]["passed"]
+    assert rows[("accepted_values", "o_orderstatus")]["passed"]
+
+
+def test_validate_constraints_approx_threshold_is_self_consistent(spark):
+    """approx mode must emit the tolerance that DECIDED the verdict:
+    passed == (|metric| <= threshold) recomputed from the row alone."""
+    df = _orders_frame(spark)
+    out = R.validate_constraints(
+        df, [("unique", "o_orderkey")], ndv_mode="approx", ndv_rsd=0.05
+    ).collect()[0]
+    assert out["threshold"] == 3.0 * 0.05 * 4  # 3*rsd*n_nonnull
+    assert out["passed"] == (abs(out["metric"]) <= out["threshold"])
 
 
 def test_validate_constraints_single_aggregate_no_expand_in_approx(spark):
