@@ -180,6 +180,31 @@ def interval_join_of(ev: DataFrame) -> DataFrame:
     )
 
 
+def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
+    """Tile-synth → Arrow aHash → hash-window dedup over a
+    documents-shaped frame — the ONE body behind the
+    `mm_image_ahash_dedup` entry query and bench's 10× probe."""
+    import pandas as _pd
+
+    d = docs.select("doc_id", "text")
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import image_tile_blob
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [image_tile_blob(t) for t in pdf["text"]],
+                }
+            )
+
+    blobs = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+    from hermod_spark.operators.multimodal import ahash_dedup, image_ahash
+
+    return ahash_dedup(image_ahash(blobs)).orderBy("doc_id")
+
+
 def dedup_replay_of(msgs: DataFrame) -> DataFrame:
     """The redelivery-heavy dedup workload over a message frame: every
     message once, plus one extra copy for event_id%3 ids and one for
@@ -1676,6 +1701,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mm_audio_decode"] = mm_audio_decode
+
+    def mm_image_ahash_dedup(spark, sf):
+        """Image dedup by perceptual hash, end-to-end on the multimodal
+        plumbing: per document a deterministic 8×8 grayscale tile blob
+        (text-prefix codepoints — the SQL-reproducible decode stand-in,
+        multimodal.py::image_tile_blob), Arrow-batched average-hash
+        (image_ahash), then one window exchange on the hash for
+        duplicate-group size + min-id keeper flag (ahash_dedup). The
+        oracle recomputes the identical 64-bit hash arithmetically —
+        tile mean is sum/64 (exact in double), so the >= bit decisions
+        match bit-for-bit across engines."""
+        return image_ahash_dedup_of(_t(spark, sf, "documents"))
+
+    q["mm_image_ahash_dedup"] = mm_image_ahash_dedup
 
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
@@ -4079,6 +4118,29 @@ SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
     AS duration_ms,
   TRUE AS decode_ok
 FROM documents"""
+
+    # identical tile + hash arithmetic as image_tile_blob/_ahash_one:
+    # pixel i = min(codepoint, 255) of text char i (space=32 padding),
+    # mean = sum/64 (exact double), bit = pixel >= mean
+    o["mm_image_ahash_dedup"] = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+)
+SELECT doc_id, ahash,
+  COUNT(*) OVER (PARTITION BY ahash) AS group_size,
+  doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
+FROM h ORDER BY doc_id"""
 
     o["stream_windowed"] = f"""
 WITH msg AS ({_MSG_SQL})

@@ -132,6 +132,8 @@ BASELINE = {
     "stream_dedup_replay": 0.89,
     # Deequ-style constraint gate: six rules in one Aggregate pass
     "rel_check": 0.66,
+    # image aHash dedup: two Arrow map stages + one hash-window exchange
+    "mm_image_ahash_dedup": 0.89,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -432,6 +434,7 @@ HEADLINE = [
     "stream_interval_join",
     "stream_dedup_replay",
     "rel_check",
+    "mm_image_ahash_dedup",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -488,6 +491,10 @@ SCALE10X = [
     "stream_interval_join", "stream_dedup_replay",
     # constraint gate: disjoint-key 10x orders keeps `unique` truthful
     "rel_check",
+    # aHash dedup over 10 UNrotated copies: every tile duplicated 10x
+    # across copies — group count constant, group size 10x (the
+    # duplicate-flood direction of the hash window)
+    "mm_image_ahash_dedup",
 ]
 
 
@@ -709,6 +716,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "text_bm25": lambda: _bm25_10(),
         "dedup_linkage": lambda: _linkage10(),
         "rel_check": lambda: R.validate_constraints(orders10, E.CHECK_RULES),
+        "mm_image_ahash_dedup": lambda: E.image_ahash_dedup_of(docs10p),
         # probes reuse the ENTRY QUERY bodies (frame-parameterized in
         # __spark_entry__) so a query change can never silently leave
         # the linearity probe measuring a stale shape

@@ -117,6 +117,83 @@ def decode_images(
     )
 
 
+def image_tile_blob(text: str, side: int = 8) -> bytes:
+    """Deterministic ``side``×``side`` grayscale tile from a text
+    prefix: pixel i = min(codepoint of char i, 255), space(32)-padded
+    past the text end. The SQL-reproducible stand-in for a decoded
+    thumbnail — a real pipeline feeds ``image_ahash`` the output of an
+    actual decoder+resize instead; the hashing/dedup stages don't
+    change."""
+    n = side * side
+    s = (text or "")[:n]
+    codes = [min(ord(ch), 255) for ch in s] + [32] * (n - len(s))
+    return _MAGIC + struct.pack("<HHB", side, side, 1) + bytes(codes)
+
+
+def _ahash_one(blob: bytes) -> str | None:
+    """Average-hash of one grayscale tile blob: bit i = pixel i >= the
+    tile mean, rendered as a '1'/'0' string (64 chars for 8×8). The
+    mean is sum/(side²); side² is a power of two, so the double
+    division is EXACT and the >= comparisons are deterministic across
+    engines (the DuckDB oracle recomputes the identical hash)."""
+    if blob is None or len(blob) < 9 or blob[:4] != _MAGIC:
+        return None
+    w, h, _c = struct.unpack("<HHB", blob[4:9])
+    px = blob[9 : 9 + w * h]
+    if len(px) < w * h:
+        return None
+    mean = sum(px) / (w * h)
+    return "".join("1" if p >= mean else "0" for p in px)
+
+
+def image_ahash(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched perceptual hash: (id, content) → (id, ahash,
+    decode_ok). Corrupt/foreign blobs yield decode_ok=false, never a
+    job abort — same contract as ``decode_images``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ahash", T.StringType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                h = _ahash_one(bytes(blob) if blob is not None else None)
+                rows.append((i, h, h is not None))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash", "decode_ok"])
+
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )
+
+
+def ahash_dedup(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate-image report over an (id, ahash) frame: one
+    window exchange on the hash gives every row its duplicate-group
+    size and a deterministic keeper flag (min id wins). Near-dup
+    (hamming ≤ d) extends this with the SimHash band-join pattern
+    (dedup.py::simhash band split) — same key-hash shuffle shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ahash")
+    return (
+        hashed.filter(F.col("decode_ok"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "keep", F.col(id_col) == F.min(id_col).over(w)
+        )
+        .select(id_col, "ahash", "group_size", "keep")
+    )
+
+
 def resize_plan(df: DataFrame, max_side: int = 512, id_col: str = "doc_id") -> DataFrame:
     """Resize planning (pure metadata math, native exprs): target dims
     preserving aspect ratio, capped at max_side — the shuffle-free

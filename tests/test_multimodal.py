@@ -197,3 +197,44 @@ def test_decode_images_with_hspk_matches_decode_images(spark):
     a = sorted(map(tuple, decode_images(df).collect()))
     b = sorted(map(tuple, decode_images_with(df, codec="hspk").collect()))
     assert a == b
+
+
+# --- image aHash dedup (late r11) ------------------------------------
+
+def test_image_tile_blob_and_ahash_known_values():
+    from hermod_spark.operators.multimodal import _ahash_one, image_tile_blob
+
+    # constant tile: every pixel == mean -> all bits 1
+    blob = image_tile_blob("A" * 64)
+    assert _ahash_one(blob) == "1" * 64
+    # empty text: all space padding, mean 32, 32 >= 32 -> all 1s
+    assert _ahash_one(image_tile_blob("")) == "1" * 64
+    # half low / half high: bits split exactly at the mean
+    txt = ("\x01" * 32) + ("c" * 32)  # codes 1 and 99, mean 50
+    h = _ahash_one(image_tile_blob(txt))
+    assert h == "0" * 32 + "1" * 32
+    # non-ASCII clips at 255 like the oracle's LEAST(unicode, 255)
+    blob_u = image_tile_blob("中" * 64)  # codepoint 20013
+    assert _ahash_one(blob_u) == "1" * 64
+    # corrupt blob -> None, not a crash
+    assert _ahash_one(b"nope") is None
+    assert _ahash_one(None) is None
+
+
+def test_image_ahash_dedup_groups_and_keeper(spark):
+    from hermod_spark.operators.multimodal import (
+        ahash_dedup, fake_image_blob, image_ahash, image_tile_blob,
+    )
+
+    rows = [
+        (1, image_tile_blob("same prefix")),
+        (2, image_tile_blob("same prefix")),
+        (3, image_tile_blob("different!")),
+        (4, fake_image_blob(2, 2, 1, b"x")[:5]),  # truncated -> decode fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+    out = {r["doc_id"]: r for r in ahash_dedup(image_ahash(df)).collect()}
+    assert set(out) == {1, 2, 3}  # corrupt row dropped by decode_ok
+    assert out[1]["ahash"] == out[2]["ahash"] != out[3]["ahash"]
+    assert out[1]["group_size"] == 2 and out[3]["group_size"] == 1
+    assert out[1]["keep"] and not out[2]["keep"] and out[3]["keep"]

@@ -571,3 +571,13 @@ def test_dedup_replay_is_single_exchange_aggregate(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"HashAggregate|SortAggregate", plan) >= 2  # partial+final
     assert count(r"EvalPython", plan) == 0
+
+
+def test_image_ahash_dedup_single_window_exchange(spark):
+    """mm_image_ahash_dedup: two justified Arrow stages (tile synth +
+    hash kernel), then exactly ONE hash exchange (the ahash window);
+    the group stats must not add a second shuffle."""
+    plan = plan_of(spark, "mm_image_ahash_dedup")
+    assert count(r"MapInPandas", plan) == 2
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
