@@ -205,6 +205,33 @@ def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     return ahash_dedup(image_ahash(blobs)).orderBy("doc_id")
 
 
+def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Tile-synth → aHash → pigeonhole-banded near-dup pairs over a
+    documents-shaped frame — shared by the `mm_image_neardup` entry
+    query and bench's 10× probe."""
+    import pandas as _pd
+
+    d = docs.select("doc_id", "text")
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import image_tile_blob
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [image_tile_blob(t) for t in pdf["text"]],
+                }
+            )
+
+    blobs = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+    from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
+
+    return ahash_neardup(image_ahash(blobs), max_hamming).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def dedup_replay_of(msgs: DataFrame) -> DataFrame:
     """The redelivery-heavy dedup workload over a message frame: every
     message once, plus one extra copy for event_id%3 ids and one for
@@ -1715,6 +1742,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_ahash_dedup_of(_t(spark, sf, "documents"))
 
     q["mm_image_ahash_dedup"] = mm_image_ahash_dedup
+
+    def mm_image_neardup(spark, sf):
+        """NEAR-duplicate image pairs (hamming ≤ 4) via pigeonhole
+        banding — 5 contiguous bands of the 64-bit aHash; any pair
+        within hamming 4 shares a whole band, so the self-join is
+        band-keyed, never all-pairs, and the result is EXACT: banding
+        is a complete filter for the ≤ 4 ball, the JVM-native
+        conv/XOR/bit_count verify removes the rest. The oracle runs
+        the honest quadratic join at sf0.01 — identical pair set
+        proves banding lost nothing."""
+        return image_neardup_of(_t(spark, sf, "documents"))
+
+    q["mm_image_neardup"] = mm_image_neardup
 
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
@@ -4141,6 +4181,30 @@ SELECT doc_id, ahash,
   COUNT(*) OVER (PARTITION BY ahash) AS group_size,
   doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
 FROM h ORDER BY doc_id"""
+
+    # the oracle is the honest O(n^2) hamming join over the same hash
+    # CTE — matching the banded op's output exactly proves the
+    # pigeonhole filter is complete for the <= 4 ball
+    o["mm_image_neardup"] = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+ORDER BY doc_a, doc_b"""
 
     o["stream_windowed"] = f"""
 WITH msg AS ({_MSG_SQL})

@@ -134,6 +134,9 @@ BASELINE = {
     "rel_check": 0.66,
     # image aHash dedup: two Arrow map stages + one hash-window exchange
     "mm_image_ahash_dedup": 0.89,
+    # banded near-dup pairs (hamming<=4): checkpointed (id,hash) +
+    # band-keyed self-join + native hamming verify
+    "mm_image_neardup": 2.1,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -435,6 +438,7 @@ HEADLINE = [
     "stream_dedup_replay",
     "rel_check",
     "mm_image_ahash_dedup",
+    "mm_image_neardup",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -495,6 +499,7 @@ SCALE10X = [
     # across copies — group count constant, group size 10x (the
     # duplicate-flood direction of the hash window)
     "mm_image_ahash_dedup",
+    "mm_image_neardup",
 ]
 
 
@@ -591,6 +596,34 @@ def _orders_10x(spark):
     return _stack10(spark, "orders", ["o_orderkey"])
 
 
+def _documents_10x_scrambled(spark):
+    """Disjoint doc_ids + a per-copy SEEDED LETTER PERMUTATION of the
+    text. The near-dup probe needs copies whose aHash tiles are FAR
+    apart across copies: the letter-rotation variant fails that —
+    aHash is shift-invariant (pixel+k shifts the mean by k, bits
+    unchanged), so a rotated copy stays within hamming 4 of its
+    original and cross-copy pairs dominate (measured: 24,959 of
+    25,265 at 10x). A random permutation decorrelates codes entirely
+    (cross-copy tiles land ~32 bits apart) while any 1:1 char map
+    preserves each copy's exact-dup groups — pair count grows ~10x,
+    the honest linear regime."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    letters = string.ascii_lowercase + string.ascii_uppercase
+
+    def scramble(df, i):
+        if i == 0:
+            return df
+        perm = list(letters)
+        random.Random(i).shuffle(perm)
+        return df.withColumn("text", F.translate("text", letters, "".join(perm)))
+
+    return _stack10(spark, "documents", ["doc_id"], scramble)
+
+
 def _customer_10x(spark):
     """Disjoint keys + per-copy digit rotation of the name, so each
     copy's names form their own ER blocks: block count grows 10x at
@@ -638,6 +671,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     # "ratio" was exactly this cold-input artifact; a 32→256 shuffle-
     # partition sweep moved it only 0.81→0.63 s, i.e. fixed cost).
     docs10p, cust10 = _documents_10x_plain(spark), _customer_10x(spark)
+    docs10s = _documents_10x_scrambled(spark)
+    docs10s.count()
     orders10 = _orders_10x(spark)
     orders10.count()
     docs10.count()
@@ -717,6 +752,9 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "dedup_linkage": lambda: _linkage10(),
         "rel_check": lambda: R.validate_constraints(orders10, E.CHECK_RULES),
         "mm_image_ahash_dedup": lambda: E.image_ahash_dedup_of(docs10p),
+        # per-copy letter-permuted docs: cross-copy tiles decorrelate
+        # (see _documents_10x_scrambled), so pairs grow ~10x per-copy
+        "mm_image_neardup": lambda: E.image_neardup_of(docs10s),
         # probes reuse the ENTRY QUERY bodies (frame-parameterized in
         # __spark_entry__) so a query change can never silently leave
         # the linearity probe measuring a stale shape

@@ -194,6 +194,90 @@ def ahash_dedup(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def ahash_neardup(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate image pairs: all (a, b) with a < b whose aHashes
+    differ in ≤ ``max_hamming`` bits — found WITHOUT an all-pairs join.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    contiguous bands; two hashes within hamming d MUST agree on at
+    least one whole band, so a self-join keyed on (band_index,
+    band_bits) finds every qualifying pair and only scans candidates
+    that already share a band. Exact hamming then verifies each
+    candidate JVM-side: four 16-bit ``conv`` chunks, XOR, ``bit_count``
+    — no Python. The result is EXACT (not approximate): banding is a
+    complete filter for the ≤ d ball, the verify step removes the rest.
+
+    Shuffles: one on the band key (candidate join — the explode is
+    (d+1)× the hash table, 64-char strings, not blobs), one pair
+    distinct. A flooded band (thousands of identical tiles) is the
+    LSH-bucket flood; cap with dedup.py's max_bucket pattern if a real
+    corpus shows one — exact-duplicate groups should be collapsed by
+    ``ahash_dedup`` FIRST so near-dup banding only sees group
+    representatives."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    # last band absorbs the remainder — pigeonhole needs contiguous
+    # full coverage, not equal widths
+    bounds = [
+        (k * width + 1, width if k < bands - 1 else 64 - k * width)
+        for k in range(bands)
+    ]
+    h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
+    # materialize (id, hash) ONCE: the band self-join would otherwise
+    # re-execute the upstream decode+hash Python stages on BOTH sides
+    # (plan-gated at 2 MapInPandas, not 4). The checkpoint is tiny —
+    # id + 64-char hash per image, never the blobs.
+    h = h.select(id_col, "ahash").localCheckpoint()
+    banded = h.select(
+        id_col,
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.substring("ahash", s, ln).alias("bits"),
+                    )
+                    for k, (s, ln) in enumerate(bounds)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "ahash", "bk.band", "bk.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()  # a pair can share several bands
+    )
+
+    def _chunk(col: str, k: int):
+        return F.conv(F.substring(col, k * 16 + 1, 16), 2, 10).cast("long")
+
+    hamming = sum(
+        F.bit_count(_chunk("ha", k).bitwiseXOR(_chunk("hb", k)))
+        for k in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def resize_plan(df: DataFrame, max_side: int = 512, id_col: str = "doc_id") -> DataFrame:
     """Resize planning (pure metadata math, native exprs): target dims
     preserving aspect ratio, capped at max_side — the shuffle-free

@@ -238,3 +238,49 @@ def test_image_ahash_dedup_groups_and_keeper(spark):
     assert out[1]["ahash"] == out[2]["ahash"] != out[3]["ahash"]
     assert out[1]["group_size"] == 2 and out[3]["group_size"] == 1
     assert out[1]["keep"] and not out[2]["keep"] and out[3]["keep"]
+
+
+def test_ahash_neardup_exact_vs_bruteforce(spark):
+    """Completeness proof on seeded random hashes: the banded join's
+    pair set must EQUAL the quadratic scan's (pigeonhole: hamming <= d
+    forces a shared band among d+1 bands)."""
+    import random
+
+    from hermod_spark.operators.multimodal import ahash_neardup
+
+    rng = random.Random(11)
+    base = [rng.randrange(2) for _ in range(64)]
+    hashes = []
+    for i in range(40):
+        h = list(base)
+        for _ in range(rng.randrange(0, 9)):  # 0..8 flipped bits
+            p = rng.randrange(64)
+            h[p] ^= 1
+        hashes.append((i, "".join(map(str, h))))
+    df = spark.createDataFrame(
+        [(i, h, True) for i, h in hashes],
+        "doc_id LONG, ahash STRING, decode_ok BOOLEAN",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ahash_neardup(df, max_hamming=4).collect()
+    }
+    want = set()
+    for i, ha in hashes:
+        for j, hb in hashes:
+            if i < j:
+                d = sum(x != y for x, y in zip(ha, hb))
+                if d <= 4:
+                    want.add((i, j, d))
+    assert got == want and want  # non-trivial case
+
+
+def test_ahash_neardup_skips_decode_failures(spark):
+    from hermod_spark.operators.multimodal import ahash_neardup
+
+    df = spark.createDataFrame(
+        [(1, "1" * 64, True), (2, "1" * 64, True), (3, None, False)],
+        "doc_id LONG, ahash STRING, decode_ok BOOLEAN",
+    )
+    got = ahash_neardup(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(1, 2, 0)]

@@ -581,3 +581,20 @@ def test_image_ahash_dedup_single_window_exchange(spark):
     assert count(r"MapInPandas", plan) == 2
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+
+
+def test_image_neardup_band_join_not_all_pairs(spark):
+    """mm_image_neardup: the candidate join must be keyed on the band
+    (hash/sort-merge equi-join), never a nested loop over all pairs.
+    The tile/hash Python stages run ONCE into a localCheckpoint (the
+    self-join would re-execute them per side), so the FINAL plan reads
+    the checkpointed (id, hash) RDD twice, touches parquet zero times,
+    and contains zero Python; hamming verify is native
+    conv/XOR/bit_count."""
+    plan = plan_of(spark, "mm_image_neardup")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
+    assert count(r"MapInPandas", plan) == 0
+    assert count(r"Scan ExistingRDD", plan) == 2
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"bit_count", plan) >= 1
