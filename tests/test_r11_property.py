@@ -126,3 +126,46 @@ def test_ewma_fold_chunking_invariance_property(values, cuts):
 
     assert out == whole
     assert (mean, var, n) == (m1, v1, n1)
+
+
+# --- aHash kernel vs independent arithmetic (late r11) ----------------
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=120,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ahash_matches_oracle_arithmetic(text):
+    """_ahash_one(image_tile_blob(text)) must equal the DuckDB
+    oracle's arithmetic recomputed independently: codes =
+    min(codepoint, 255) space-padded to 64, mean = sum/64 (exact in
+    double), bit = code >= mean. Any drift here silently breaks the
+    bit-for-bit oracle parity of mm_image_ahash_dedup/neardup."""
+    from hermod_spark.operators.multimodal import _ahash_one, image_tile_blob
+
+    got = _ahash_one(image_tile_blob(text))
+    codes = [min(ord(c), 255) for c in text[:64]]
+    codes += [32] * (64 - len(codes))
+    mean = sum(codes) / 64
+    want = "".join("1" if c >= mean else "0" for c in codes)
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 63), min_size=0, max_size=4), st.integers(0, 2**30))
+@settings(max_examples=150, deadline=None)
+def test_ahash_neardup_banding_pigeonhole(flips, seed):
+    """Pure pigeonhole property behind ahash_neardup: flipping <= 4
+    bits of any 64-bit hash always leaves at least one of the 5
+    contiguous bands (12/12/12/12/16) untouched — the banded join can
+    never miss a <= 4 pair."""
+    import random
+
+    rng = random.Random(seed)
+    h = [rng.randrange(2) for _ in range(64)]
+    h2 = list(h)
+    for p in flips:
+        h2[p] ^= 1
+    bounds = [(0, 12), (12, 24), (24, 36), (36, 48), (48, 64)]
+    assert any(h[s:e] == h2[s:e] for s, e in bounds)
