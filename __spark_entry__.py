@@ -180,10 +180,11 @@ def interval_join_of(ev: DataFrame) -> DataFrame:
     )
 
 
-def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
-    """Tile-synth → Arrow aHash → hash-window dedup over a
-    documents-shaped frame — the ONE body behind the
-    `mm_image_ahash_dedup` entry query and bench's 10× probe."""
+def _image_blobs_of(docs: DataFrame) -> DataFrame:
+    """documents-shaped frame → (doc_id, content) tile blobs via ONE
+    Arrow mapInPandas stage — the shared synth stage of both image
+    queries (a drift between them would silently hash different
+    tiles)."""
     import pandas as _pd
 
     d = docs.select("doc_id", "text")
@@ -199,35 +200,25 @@ def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    blobs = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+    return d.mapInPandas(gen, "doc_id LONG, content BINARY")
+
+
+def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
+    """Tile-synth → Arrow aHash → hash-window dedup over a
+    documents-shaped frame — the ONE body behind the
+    `mm_image_ahash_dedup` entry query and bench's 10× probe."""
     from hermod_spark.operators.multimodal import ahash_dedup, image_ahash
 
-    return ahash_dedup(image_ahash(blobs)).orderBy("doc_id")
+    return ahash_dedup(image_ahash(_image_blobs_of(docs))).orderBy("doc_id")
 
 
 def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Tile-synth → aHash → pigeonhole-banded near-dup pairs over a
     documents-shaped frame — shared by the `mm_image_neardup` entry
     query and bench's 10× probe."""
-    import pandas as _pd
-
-    d = docs.select("doc_id", "text")
-
-    def gen(it):
-        from hermod_spark.operators.multimodal import image_tile_blob
-
-        for pdf in it:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "content": [image_tile_blob(t) for t in pdf["text"]],
-                }
-            )
-
-    blobs = d.mapInPandas(gen, "doc_id LONG, content BINARY")
     from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
 
-    return ahash_neardup(image_ahash(blobs), max_hamming).orderBy(
+    return ahash_neardup(image_ahash(_image_blobs_of(docs)), max_hamming).orderBy(
         "doc_a", "doc_b"
     )
 

@@ -138,7 +138,13 @@ def _ahash_one(blob: bytes) -> str | None:
     engines (the DuckDB oracle recomputes the identical hash)."""
     if blob is None or len(blob) < 9 or blob[:4] != _MAGIC:
         return None
-    w, h, _c = struct.unpack("<HHB", blob[4:9])
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    # grayscale-tile contract: a multi-channel blob would hash
+    # interleaved RGB bytes as pixels (silent collisions), and a
+    # zero-area header would divide by zero — both are decode
+    # failures, not aborts
+    if c != 1 or w * h == 0:
+        return None
     px = blob[9 : 9 + w * h]
     if len(px) < w * h:
         return None
@@ -183,10 +189,10 @@ def ahash_dedup(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (dedup.py::simhash band split) — same key-hash shuffle shape."""
     from pyspark.sql import Window
 
+    h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
     w = Window.partitionBy("ahash")
     return (
-        hashed.filter(F.col("decode_ok"))
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        h.withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn(
             "keep", F.col(id_col) == F.min(id_col).over(w)
         )
@@ -198,11 +204,13 @@ def ahash_neardup(
     hashed: DataFrame,
     max_hamming: int = 4,
     id_col: str = "doc_id",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """NEAR-duplicate image pairs: all (a, b) with a < b whose aHashes
     differ in ≤ ``max_hamming`` bits — found WITHOUT an all-pairs join.
 
-    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    Pigeonhole banding: split the ``hash_bits``-bit hash (rows of any
+    other length are dropped like decode failures) into ``max_hamming + 1``
     contiguous bands; two hashes within hamming d MUST agree on at
     least one whole band, so a self-join keyed on (band_index,
     band_bits) finds every qualifying pair and only scans candidates
@@ -219,18 +227,27 @@ def ahash_neardup(
     ``ahash_dedup`` FIRST so near-dup banding only sees group
     representatives."""
     bands = max_hamming + 1
-    width = 64 // bands
+    if hash_bits < bands:
+        raise ValueError(
+            f"ahash_neardup: hash_bits={hash_bits} < {bands} bands — "
+            "pigeonhole needs at least max_hamming+1 bits"
+        )
+    width = hash_bits // bands
     # last band absorbs the remainder — pigeonhole needs contiguous
     # full coverage, not equal widths
     bounds = [
-        (k * width + 1, width if k < bands - 1 else 64 - k * width)
+        (k * width + 1, width if k < bands - 1 else hash_bits - k * width)
         for k in range(bands)
     ]
     h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
+    # banding and the chunked hamming below are sized to ``hash_bits``;
+    # a hash of any other length would band/hamming only a prefix
+    # (silent false pairs) — treat it like a decode failure and drop it
+    h = h.filter(F.length("ahash") == hash_bits)
     # materialize (id, hash) ONCE: the band self-join would otherwise
     # re-execute the upstream decode+hash Python stages on BOTH sides
-    # (plan-gated at 2 MapInPandas, not 4). The checkpoint is tiny —
-    # id + 64-char hash per image, never the blobs.
+    # (plan-gated: 0 MapInPandas in the final plan). The checkpoint is
+    # tiny — id + hash_bits chars per image, never the blobs.
     h = h.select(id_col, "ahash").localCheckpoint()
     banded = h.select(
         id_col,
@@ -248,33 +265,35 @@ def ahash_neardup(
         ).alias("bk"),
     ).select(id_col, "ahash", "bk.band", "bk.bits")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.ahash").alias("ha"),
-            F.col("b.ahash").alias("hb"),
-        )
-        .distinct()  # a pair can share several bands
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.ahash").alias("ha"),
+        F.col("b.ahash").alias("hb"),
     )
 
     def _chunk(col: str, k: int):
-        return F.conv(F.substring(col, k * 16 + 1, 16), 2, 10).cast("long")
+        return F.conv(F.substring(col, k + 1, 16), 2, 10).cast("long")
 
     hamming = sum(
         F.bit_count(_chunk("ha", k).bitwiseXOR(_chunk("hb", k)))
-        for k in range(4)
+        for k in range(0, hash_bits, 16)
     )
+    # hamming + filter BEFORE the pair distinct: a pair sharing
+    # several bands repeats with an identical hamming, so distinct on
+    # the three small output columns is equivalent — and the exchange
+    # ships (id, id, tinyint) for the filtered survivors instead of
+    # two full hash strings per banded candidate
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

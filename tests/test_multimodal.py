@@ -284,3 +284,53 @@ def test_ahash_neardup_skips_decode_failures(spark):
     )
     got = ahash_neardup(df, max_hamming=0).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_ahash_rejects_zero_area_and_multichannel_blobs(spark):
+    """Review fixes: a zero-area header must not divide by zero, and a
+    channels=3 blob must not hash interleaved RGB as grayscale — both
+    are decode FAILURES (decode_ok=false), never aborts."""
+    import struct
+
+    from hermod_spark.operators.multimodal import (
+        _ahash_one, fake_image_blob, image_ahash,
+    )
+
+    zero_area = b"HSPK" + struct.pack("<HHB", 0, 0, 1)
+    rgb = fake_image_blob(8, 8, 3, b"x") + b"\x00" * 200
+    assert _ahash_one(zero_area) is None
+    assert _ahash_one(rgb) is None
+    df = spark.createDataFrame(
+        [(1, zero_area), (2, rgb)], "doc_id LONG, content BINARY"
+    )
+    got = {r["doc_id"]: r["decode_ok"] for r in image_ahash(df).collect()}
+    assert got == {1: False, 2: False}
+
+
+def test_ahash_neardup_drops_wrong_length_hashes_and_validates(spark):
+    import pytest as _pt
+
+    from hermod_spark.operators.multimodal import ahash_neardup
+
+    df = spark.createDataFrame(
+        [(1, "1" * 64), (2, "1" * 64), (3, "1" * 16)],  # 16-bit intruder
+        "doc_id LONG, ahash STRING",
+    )
+    got = ahash_neardup(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    with _pt.raises(ValueError, match="pigeonhole"):
+        ahash_neardup(df, max_hamming=4, hash_bits=3)
+
+
+def test_ahash_dedup_accepts_plain_hash_frame(spark):
+    """ahash_dedup and ahash_neardup must agree on the input contract:
+    a pre-hashed (id, ahash) frame without decode_ok works in both."""
+    from hermod_spark.operators.multimodal import ahash_dedup
+
+    df = spark.createDataFrame(
+        [(1, "1" * 64), (2, "1" * 64)], "doc_id LONG, ahash STRING"
+    )
+    got = ahash_dedup(df).collect()
+    assert {(r["doc_id"], r["group_size"], r["keep"]) for r in got} == {
+        (1, 2, True), (2, 2, False)
+    }
