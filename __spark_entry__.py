@@ -223,6 +223,39 @@ def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
+def video_framedup_of(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Frame-sampled video dedup over a documents-shaped frame: each
+    doc stands in for a video with up to 3 sampled 'frames' — 8×8
+    tiles of consecutive 64-char text blocks (frame f exists only when
+    the text reaches offset 64·f, so padding-only frames can't create
+    false sharing) — hashed per frame, then videos sharing ≥
+    ``min_shared`` distinct frame hashes pair up. Shared by the
+    `mm_video_framedup` entry query and bench's 10× probe."""
+    import pandas as _pd
+
+    d = docs.select("doc_id", "text")
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import image_tile_blob
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                for f in range(3):
+                    if len(t) > 64 * f:
+                        ids.append(i)
+                        blobs.append(image_tile_blob(t[64 * f : 64 * (f + 1)]))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    frames = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+    from hermod_spark.operators.multimodal import frame_dedup_pairs, image_ahash
+
+    return frame_dedup_pairs(image_ahash(frames), min_shared).orderBy(
+        "video_a", "video_b"
+    )
+
+
 def dedup_replay_of(msgs: DataFrame) -> DataFrame:
     """The redelivery-heavy dedup workload over a message frame: every
     message once, plus one extra copy for event_id%3 ids and one for
@@ -1746,6 +1779,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_neardup_of(_t(spark, sf, "documents"))
 
     q["mm_image_neardup"] = mm_image_neardup
+
+    def mm_video_framedup(spark, sf):
+        """Frame-sampling video dedup: sample up to 3 'frames' per
+        video (64-char text blocks as tiles), aHash each, pair videos
+        sharing ≥ 2 distinct frame hashes — the re-encode/trim dedup a
+        video corpus runs. Join keyed on the frame HASH (videos that
+        share no frame never meet); the oracle recomputes the same
+        per-frame hashes and the honest pair count."""
+        return video_framedup_of(_t(spark, sf, "documents"))
+
+    q["mm_video_framedup"] = mm_video_framedup
 
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
@@ -4196,6 +4240,35 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
 ORDER BY doc_a, doc_b"""
+
+    # per-frame tiles: block f = 64-char substring at offset 64*f
+    # (frame exists only when the text reaches the offset), hashed
+    # with the identical aHash arithmetic; videos pair on >= 2 shared
+    # DISTINCT frame hashes
+    o["mm_video_framedup"] = """
+WITH fr AS (
+  SELECT doc_id, substr(text, fi * 64 + 1, 64) AS blk
+  FROM documents, (SELECT unnest([0, 1, 2]) AS fi)
+  WHERE length(text) > fi * 64
+), px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(blk)
+           THEN LEAST(unicode(substr(blk, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM fr
+), h AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+)
+SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+  COUNT(*) AS shared_frames
+FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY video_a, video_b"""
 
     o["stream_windowed"] = f"""
 WITH msg AS ({_MSG_SQL})

@@ -137,6 +137,9 @@ BASELINE = {
     # banded near-dup pairs (hamming<=4): checkpointed (id,hash) +
     # band-keyed self-join + native hamming verify
     "mm_image_neardup": 2.1,
+    # frame-sampled video dedup: distinct (video, frame-hash) into a
+    # hash-keyed pair join
+    "mm_video_framedup": 1.4,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -439,6 +442,7 @@ HEADLINE = [
     "rel_check",
     "mm_image_ahash_dedup",
     "mm_image_neardup",
+    "mm_video_framedup",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -500,6 +504,7 @@ SCALE10X = [
     # duplicate-flood direction of the hash window)
     "mm_image_ahash_dedup",
     "mm_image_neardup",
+    "mm_video_framedup",
 ]
 
 
@@ -755,6 +760,9 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # per-copy letter-permuted docs: cross-copy tiles decorrelate
         # (see _documents_10x_scrambled), so pairs grow ~10x per-copy
         "mm_image_neardup": lambda: E.image_neardup_of(docs10s),
+        # scrambled copies again: frame hashes decorrelate across
+        # copies, pair count grows ~10x per-copy
+        "mm_video_framedup": lambda: E.video_framedup_of(docs10s),
         # probes reuse the ENTRY QUERY bodies (frame-parameterized in
         # __spark_entry__) so a query change can never silently leave
         # the linearity probe measuring a stale shape

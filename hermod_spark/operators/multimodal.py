@@ -297,6 +297,46 @@ def ahash_neardup(
     )
 
 
+def frame_dedup_pairs(
+    hashed: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-level duplicate candidates from per-FRAME hashes: two
+    videos are a pair when they share ≥ ``min_shared`` distinct frame
+    hashes — the frame-sampling dedup a video corpus runs (sample
+    frames → perceptual-hash each → videos sharing enough frames are
+    the same content re-encoded/trimmed).
+
+    Input is an (id, ahash[, decode_ok]) frame-hash table (one row per
+    sampled frame; ``image_ahash`` output composes directly). Shape:
+    distinct (video, hash) → self-join keyed on the HASH (only videos
+    sharing a frame ever meet — never all-pairs) → pair count. The
+    hash join is the LSH-bucket pattern; a viral/black frame shared by
+    thousands of videos floods its bucket — drop hashes whose video
+    count exceeds a cap upstream (dedup.py max_bucket pattern) exactly
+    like stop-shingles in text MinHash."""
+    h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
+    # distinct first: a hash repeating WITHIN one video (still frames)
+    # must count once toward sharing; checkpoint so any Python hashing
+    # upstream runs once, not per join side
+    d = h.select(id_col, "ahash").distinct().localCheckpoint()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("video_a"),
+            F.col(f"b.{id_col}").alias("video_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
 def resize_plan(df: DataFrame, max_side: int = 512, id_col: str = "doc_id") -> DataFrame:
     """Resize planning (pure metadata math, native exprs): target dims
     preserving aspect ratio, capped at max_side — the shuffle-free

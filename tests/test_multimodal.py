@@ -334,3 +334,24 @@ def test_ahash_dedup_accepts_plain_hash_frame(spark):
     assert {(r["doc_id"], r["group_size"], r["keep"]) for r in got} == {
         (1, 2, True), (2, 2, False)
     }
+
+
+def test_frame_dedup_pairs_counts_distinct_shared_hashes(spark):
+    """Repeated hash WITHIN one video counts once; pairs need
+    min_shared distinct shared hashes; decode failures drop."""
+    from hermod_spark.operators.multimodal import frame_dedup_pairs
+
+    rows = [
+        # video 1: frames h1, h1 (repeat), h2
+        (1, "1" * 64, True), (1, "1" * 64, True), (1, "0" * 64, True),
+        # video 2: h1, h2 -> shares 2 with video 1
+        (2, "1" * 64, True), (2, "0" * 64, True),
+        # video 3: h1 only -> shares 1, below threshold
+        (3, "1" * 64, True),
+        # video 4: decode failures only
+        (4, None, False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, ahash STRING, decode_ok BOOLEAN")
+    got = [(r["video_a"], r["video_b"], r["shared_frames"])
+           for r in frame_dedup_pairs(df, min_shared=2).collect()]
+    assert got == [(1, 2, 2)]

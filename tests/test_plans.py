@@ -598,3 +598,16 @@ def test_image_neardup_band_join_not_all_pairs(spark):
     assert count(r"Scan ExistingRDD", plan) == 2
     assert count(r"FileScan parquet", plan) == 0
     assert count(r"bit_count", plan) >= 1
+
+
+def test_video_framedup_hash_join_not_all_pairs(spark):
+    """mm_video_framedup: the pair join must be keyed on the frame
+    HASH (equi-join), never a nested loop; the frame synth+hash Python
+    ran once into the distinct checkpoint, so the final plan is
+    Python-free over two ExistingRDD scans."""
+    plan = plan_of(spark, "mm_video_framedup")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
+    assert count(r"MapInPandas", plan) == 0
+    assert count(r"Scan ExistingRDD", plan) == 2
+    assert count(r"FileScan parquet", plan) == 0
