@@ -960,6 +960,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_asof"] = rel_asof
 
+    def rel_asof_tolerance(spark, sf):
+        """Backward as-of with a pandas-merge_asof tolerance: the
+        nearest at-or-before signup still wins, but a winner farther
+        than 2 days is NULLED (not replaced) — staleness gating for
+        point-in-time feature joins. Same single-shuffle union+window
+        encoding; the bound is one comparison on the carried match
+        time."""
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        signups = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("signup_event_id"))
+            .select("user_id", "ts", F.col("ts").alias("signup_ts"), "signup_event_id")
+        )
+        return R.asof_join(
+            purchases,
+            signups,
+            key="user_id",
+            time_left="ts",
+            time_right="ts",
+            right_cols=["signup_ts", "signup_event_id"],
+            tolerance="2 days",
+        ).select("event_id", "user_id", "ts", "signup_ts_asof", "signup_event_id_asof")
+
+    q["rel_asof_tolerance"] = rel_asof_tolerance
+
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
         (time-to-convert lookup) — same union+window encoding scanning
@@ -2559,6 +2588,21 @@ signups AS (
   FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
 SELECT l.event_id, l.user_id, l.ts,
   r.signup_ts AS signup_ts_asof, r.signup_event_id AS signup_event_id_asof
+FROM purchases l ASOF LEFT JOIN signups r
+  ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    # tolerance = NULL-the-winner-beyond-the-bound (pandas merge_asof
+    # semantics): the post-filter on the ASOF winner, never a re-search
+    o["rel_asof_tolerance"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+signups AS (
+  SELECT user_id, ts AS signup_ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts,
+  CASE WHEN l.ts - r.signup_ts <= INTERVAL 2 DAY
+       THEN r.signup_ts END AS signup_ts_asof,
+  CASE WHEN l.ts - r.signup_ts <= INTERVAL 2 DAY
+       THEN r.signup_event_id END AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
     o["rel_asof_forward"] = """

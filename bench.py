@@ -140,6 +140,8 @@ BASELINE = {
     # frame-sampled video dedup: distinct (video, frame-hash) into a
     # hash-keyed pair join
     "mm_video_framedup": 1.4,
+    # as-of with staleness tolerance (same union+window shuffle shape)
+    "rel_asof_tolerance": 0.48,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -443,6 +445,7 @@ HEADLINE = [
     "mm_image_ahash_dedup",
     "mm_image_neardup",
     "mm_video_framedup",
+    "rel_asof_tolerance",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
