@@ -180,11 +180,17 @@ def interval_join_of(ev: DataFrame) -> DataFrame:
     )
 
 
-def _image_blobs_of(docs: DataFrame) -> DataFrame:
+def _image_blobs_of(
+    docs: DataFrame, frames: int = 1, require_text: bool = False
+) -> DataFrame:
     """documents-shaped frame → (doc_id, content) tile blobs via ONE
-    Arrow mapInPandas stage — the shared synth stage of both image
-    queries (a drift between them would silently hash different
-    tiles)."""
+    Arrow mapInPandas stage — the shared synth stage of ALL image and
+    video queries (a drift between them would silently hash different
+    tiles). Frame f is the tile of the 64-char text block at offset
+    64·f; emitted when the text reaches the offset (padding-only
+    frames can't create false sharing), except frame 0 which is always
+    emitted for the single-frame image queries unless
+    ``require_text``."""
     import pandas as _pd
 
     d = docs.select("doc_id", "text")
@@ -193,12 +199,14 @@ def _image_blobs_of(docs: DataFrame) -> DataFrame:
         from hermod_spark.operators.multimodal import image_tile_blob
 
         for pdf in it:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "content": [image_tile_blob(t) for t in pdf["text"]],
-                }
-            )
+            ids, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                for f in range(frames):
+                    if len(t) > 64 * f or (f == 0 and not require_text):
+                        ids.append(i)
+                        blobs.append(image_tile_blob(t[64 * f : 64 * (f + 1)]))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
 
     return d.mapInPandas(gen, "doc_id LONG, content BINARY")
 
@@ -230,27 +238,12 @@ def video_framedup_of(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     the text reaches offset 64·f, so padding-only frames can't create
     false sharing) — hashed per frame, then videos sharing ≥
     ``min_shared`` distinct frame hashes pair up. Shared by the
-    `mm_video_framedup` entry query and bench's 10× probe."""
-    import pandas as _pd
-
-    d = docs.select("doc_id", "text")
-
-    def gen(it):
-        from hermod_spark.operators.multimodal import image_tile_blob
-
-        for pdf in it:
-            ids, blobs = [], []
-            for i, t in zip(pdf["doc_id"], pdf["text"]):
-                t = t or ""
-                for f in range(3):
-                    if len(t) > 64 * f:
-                        ids.append(i)
-                        blobs.append(image_tile_blob(t[64 * f : 64 * (f + 1)]))
-            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
-
-    frames = d.mapInPandas(gen, "doc_id LONG, content BINARY")
+    `mm_video_framedup` entry query and bench's 10× probe; the frame
+    synth is the SAME ``_image_blobs_of`` stage the image queries use
+    (frames=3, text-gated)."""
     from hermod_spark.operators.multimodal import frame_dedup_pairs, image_ahash
 
+    frames = _image_blobs_of(docs, frames=3, require_text=True)
     return frame_dedup_pairs(image_ahash(frames), min_shared).orderBy(
         "video_a", "video_b"
     )

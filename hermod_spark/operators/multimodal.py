@@ -301,6 +301,7 @@ def frame_dedup_pairs(
     hashed: DataFrame,
     min_shared: int = 2,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Video-level duplicate candidates from per-FRAME hashes: two
     videos are a pair when they share ≥ ``min_shared`` distinct frame
@@ -313,14 +314,24 @@ def frame_dedup_pairs(
     distinct (video, hash) → self-join keyed on the HASH (only videos
     sharing a frame ever meet — never all-pairs) → pair count. The
     hash join is the LSH-bucket pattern; a viral/black frame shared by
-    thousands of videos floods its bucket — drop hashes whose video
-    count exceeds a cap upstream (dedup.py max_bucket pattern) exactly
-    like stop-shingles in text MinHash."""
+    thousands of videos floods its bucket into an O(bucket²) pair
+    expansion — ``max_bucket`` drops hashes whose video count exceeds
+    the cap before the join (dedup.py max_bucket / winnowing
+    max_posting pattern), exactly like stop-shingles in text MinHash:
+    a frame that common carries no duplicate signal anyway."""
     h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
     # distinct first: a hash repeating WITHIN one video (still frames)
     # must count once toward sharing; checkpoint so any Python hashing
     # upstream runs once, not per join side
-    d = h.select(id_col, "ahash").distinct().localCheckpoint()
+    d = h.select(id_col, "ahash").distinct()
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # same key as the join exchange — AQE reuses the partitioning
+        d = d.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("ahash"))
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    d = d.localCheckpoint()
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(

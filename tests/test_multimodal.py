@@ -355,3 +355,27 @@ def test_frame_dedup_pairs_counts_distinct_shared_hashes(spark):
     got = [(r["video_a"], r["video_b"], r["shared_frames"])
            for r in frame_dedup_pairs(df, min_shared=2).collect()]
     assert got == [(1, 2, 2)]
+
+
+def test_frame_dedup_pairs_max_bucket_caps_viral_frame(spark):
+    """A frame hash shared by more videos than max_bucket (the black-
+    frame/intro-card flood) is dropped BEFORE the pair join; genuine
+    sharing through other frames survives."""
+    from hermod_spark.operators.multimodal import frame_dedup_pairs
+
+    viral = "1" * 64
+    rows = []
+    for v in range(1, 7):  # 6 videos all share the viral frame
+        rows.append((v, viral, True))
+    # videos 1 and 2 additionally share two REAL frames
+    rows += [(1, "0" * 64, True), (2, "0" * 64, True),
+             (1, "01" * 32, True), (2, "01" * 32, True)]
+    df = spark.createDataFrame(rows, "doc_id LONG, ahash STRING, decode_ok BOOLEAN")
+    capped = [(r["video_a"], r["video_b"], r["shared_frames"])
+              for r in frame_dedup_pairs(df, min_shared=2, max_bucket=5).collect()]
+    assert capped == [(1, 2, 2)]  # viral frame contributed nothing
+    # without the cap the viral frame alone pairs every video with
+    # every other (6-choose-2 = 15 at min_shared=1) — the O(bucket^2)
+    # expansion the cap exists to stop
+    uncapped = frame_dedup_pairs(df, min_shared=1).collect()
+    assert len(uncapped) == 15
