@@ -237,3 +237,32 @@ def topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def with_ingest_observer(
+    df: DataFrame,
+    time_col: str = "time",
+    payload_col: str = "payload",
+    name: str = "ingest_metrics",
+) -> DataFrame:
+    """Attach per-micro-batch ingest observability via ``observe()``:
+    row count, max event time (watermark-lag numerator — compare to
+    the trigger's wall clock), and null-payload count, computed as
+    accumulator-style aggregates WITH NO extra pass or shuffle over
+    the data. On a stream the metrics surface on every
+    ``QueryProgressEvent.observedMetrics[name]`` (drive dashboards /
+    alerting from the listener); on a batch frame the same plan node
+    feeds a registered ``Observation``.
+
+    This is the operational counterpart of the reference's subscriber
+    logging (cmd/hermod/main.go:119-131 logs drops per message) —
+    Structured Streaming reports the same signals per batch from the
+    engine itself, at zero marginal cost."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col(time_col)).alias("max_event_time"),
+        F.sum(
+            F.when(F.col(payload_col).isNull(), 1).otherwise(0)
+        ).alias("null_payloads"),
+    )

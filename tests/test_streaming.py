@@ -643,3 +643,72 @@ def test_ngram_bloom_decontaminate_stream_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == {d: batch[d]["bloom_contaminated"] for d in got}
+
+
+def test_ingest_observer_batch_observation(spark):
+    """Batch form: the observe() node feeds an Observation at zero
+    extra passes — metrics match a direct recompute."""
+    from pyspark.sql import Observation
+
+    from hermod_spark.streaming.windows import with_ingest_observer
+
+    df = _mk_batch(spark).withColumn(
+        "payload", F.when(F.col("value") > 4.0, None).otherwise(F.lit("x"))
+    )
+    obs = Observation("ingest_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("time").alias("max_event_time"),
+        F.sum(F.when(F.col("payload").isNull(), 1).otherwise(0)).alias("null_payloads"),
+    )
+    assert observed.count() == 4
+    got = obs.get
+    assert got["n_rows"] == 4 and got["null_payloads"] == 2  # values 10 and 5 > 4
+    # Observation returns the session-local naive form
+    assert got["max_event_time"].replace(tzinfo=UTC) == dt.datetime(
+        2024, 1, 1, 11, 5, tzinfo=UTC
+    )
+    # the library helper builds the identical plan node (named form)
+    helper = with_ingest_observer(df)
+    assert "CollectMetrics" in helper._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ingest_observer_stream_progress_metrics(spark, tmp_path):
+    """Streaming form: every micro-batch surfaces the observed metrics
+    in QueryProgressEvent/StreamingQueryProgress.observedMetrics —
+    the engine-side counterpart of the reference's per-message
+    subscriber logging (main.go:119-131), at zero marginal cost."""
+    from hermod_spark.streaming.windows import windowed_agg, with_ingest_observer
+
+    batch = _mk_batch(spark).withColumn(
+        "payload", F.when(F.col("value") > 4.0, None).otherwise(F.lit("x"))
+    )
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = with_ingest_observer(message_stream(spark, src, schema=batch.schema))
+    out = windowed_agg(stream, window="1 hour", watermark="2 hours")
+    sink = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [
+            p.observedMetrics["ingest_metrics"]
+            for p in q.recentProgress
+            if "ingest_metrics" in (p.observedMetrics or {})
+        ]
+    finally:
+        q.stop()
+    assert progress, "no observed metrics surfaced in query progress"
+    assert sum(m["n_rows"] for m in progress) == 4
+    assert sum(m["null_payloads"] for m in progress) == 2
+    # progress JSON serializes the timestamp as a string
+    assert max(str(m["max_event_time"]) for m in progress).startswith(
+        "2024-01-01"
+    )
