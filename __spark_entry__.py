@@ -1813,6 +1813,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_video_framedup"] = mm_video_framedup
 
+    def mm_image_dedup_funnel(spark, sf):
+        """The composed image-dedup funnel ahash_neardup's docstring
+        prescribes: collapse EXACT duplicate groups first (ahash_dedup
+        keepers — distinct hashes by construction), then band only the
+        representatives for near-dups. Banding over reps sees
+        group-count rows, not corpus rows, and every surviving pair
+        has hamming ≥ 1 (reps' hashes are distinct) — the two-stage
+        shape a 100 TB image corpus actually runs."""
+        from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
+
+        hashed = image_ahash(_image_blobs_of(_t(spark, sf, "documents")))
+        from pyspark.sql import Window as _W
+
+        # min-id representative per distinct hash (== ahash_dedup's
+        # keepers, expressed as one window so the funnel needs no
+        # second hash pass)
+        reps = (
+            hashed.filter(F.col("decode_ok"))
+            .withColumn(
+                "_r", F.row_number().over(_W.partitionBy("ahash").orderBy("doc_id"))
+            )
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        return ahash_neardup(reps).orderBy("doc_a", "doc_b")
+
+    q["mm_image_dedup_funnel"] = mm_image_dedup_funnel
+
     # --- streaming-shaped windowed agg (batch-equivalent plan) --------
     def stream_windowed(spark, sf):
         from hermod_spark.streaming.windows import windowed_agg
@@ -4275,6 +4303,32 @@ WITH px AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+ORDER BY doc_a, doc_b"""
+
+    # funnel: exact-dup groups collapse to the min-id representative
+    # (one row per distinct hash), then the quadratic hamming check
+    # runs over representatives only — every pair has hamming >= 1
+    o["mm_image_dedup_funnel"] = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id, ahash FROM h GROUP BY ahash
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
+FROM reps a JOIN reps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
 ORDER BY doc_a, doc_b"""
 

@@ -135,13 +135,18 @@ BASELINE = {
     # image aHash dedup: two Arrow map stages + one hash-window exchange
     "mm_image_ahash_dedup": 0.89,
     # banded near-dup pairs (hamming<=4): checkpointed (id,hash) +
-    # band-keyed self-join + native hamming verify
-    "mm_image_neardup": 2.1,
+    # band-keyed self-join + native hamming verify. Re-pinned late-r11
+    # after a deliberate shape change (interleaved bands + conditional
+    # REPARTITION_BY_NUM — kills the serialized-bucket AQE trap on
+    # small hash sets); isolated median 2.9
+    "mm_image_neardup": 2.9,
     # frame-sampled video dedup: distinct (video, frame-hash) into a
     # hash-keyed pair join
     "mm_video_framedup": 1.4,
     # as-of with staleness tolerance (same union+window shuffle shape)
     "rel_asof_tolerance": 0.48,
+    # composed funnel: exact-dup collapse -> near-dup banding over reps
+    "mm_image_dedup_funnel": 2.8,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -446,6 +451,7 @@ HEADLINE = [
     "mm_image_neardup",
     "mm_video_framedup",
     "rel_asof_tolerance",
+    "mm_image_dedup_funnel",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

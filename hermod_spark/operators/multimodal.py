@@ -211,13 +211,21 @@ def ahash_neardup(
 
     Pigeonhole banding: split the ``hash_bits``-bit hash (rows of any
     other length are dropped like decode failures) into ``max_hamming + 1``
-    contiguous bands; two hashes within hamming d MUST agree on at
-    least one whole band, so a self-join keyed on (band_index,
-    band_bits) finds every qualifying pair and only scans candidates
-    that already share a band. Exact hamming then verifies each
-    candidate JVM-side: four 16-bit ``conv`` chunks, XOR, ``bit_count``
-    — no Python. The result is EXACT (not approximate): banding is a
-    complete filter for the ≤ d ball, the verify step removes the rest.
+    INTERLEAVED bands — band k takes positions k, k+(d+1), k+2(d+1), …
+    Pigeonhole needs any partition of positions into d+1 disjoint
+    groups, not contiguous runs; interleaving matters because real
+    hashes are structurally skewed (the padding-dominated tail bits of
+    short documents are near-constant), and a contiguous tail band
+    would collapse to a handful of values — a flooded join bucket
+    whose quadratic expansion serializes. Spreading every band across
+    the whole hash keeps band values high-entropy and buckets small.
+    Two hashes within hamming d MUST still agree on at least one whole
+    band, so the self-join keyed on (band_index, band_bits) finds
+    every qualifying pair and only scans candidates that already share
+    a band. Exact hamming then verifies each candidate JVM-side:
+    16-bit ``conv`` chunks, XOR, ``bit_count`` — no Python. The result
+    is EXACT (not approximate): banding is a complete filter for the
+    ≤ d ball, the verify step removes the rest.
 
     Shuffles: one on the band key (candidate join — the explode is
     (d+1)× the hash table, 64-char strings, not blobs), one pair
@@ -232,13 +240,9 @@ def ahash_neardup(
             f"ahash_neardup: hash_bits={hash_bits} < {bands} bands — "
             "pigeonhole needs at least max_hamming+1 bits"
         )
-    width = hash_bits // bands
-    # last band absorbs the remainder — pigeonhole needs contiguous
-    # full coverage, not equal widths
-    bounds = [
-        (k * width + 1, width if k < bands - 1 else hash_bits - k * width)
-        for k in range(bands)
-    ]
+    # interleaved position groups (see docstring): band k = positions
+    # k, k+bands, k+2*bands, ... — full disjoint coverage
+    positions = [list(range(k, hash_bits, bands)) for k in range(bands)]
     h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
     # banding and the chunked hamming below are sized to ``hash_bits``;
     # a hash of any other length would band/hamming only a prefix
@@ -257,13 +261,28 @@ def ahash_neardup(
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.substring("ahash", s, ln).alias("bits"),
+                        F.concat(
+                            *[F.substring("ahash", p + 1, 1) for p in pos]
+                        ).alias("bits"),
                     )
-                    for k, (s, ln) in enumerate(bounds)
+                    for k, pos in enumerate(positions)
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "ahash", "bk.band", "bk.bits")
+    # Partitioning strategy for the candidate join (both measured at
+    # sf0.1): on a SMALL hash set AQE's byte-based coalesce sees a
+    # tiny pre-join shuffle and serializes the quadratic in-bucket
+    # expansion onto one task (4.8k reps: 14 s single-task vs 2.8 s
+    # with an explicit-width repartition — the dedup_linkage trap), so
+    # force REPARTITION_BY_NUM, which AQE cannot coalesce. On a BIG
+    # set, leave the exchange to ENSURE_REQUIREMENTS: the bytes keep
+    # AQE from coalescing anyway, and — unlike REPARTITION_BY_NUM —
+    # AQE may skew-SPLIT a flooded bucket (50k rows: 1.9 s vs 3.3 s
+    # forced). The count is free: h is already localCheckpointed.
+    width = banded.sparkSession.sparkContext.defaultParallelism
+    if h.count() * bands < width * 4096:
+        banded = banded.repartition(width, "band", "bits")
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
