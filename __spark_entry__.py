@@ -211,6 +211,55 @@ def _image_blobs_of(
     return d.mapInPandas(gen, "doc_id LONG, content BINARY")
 
 
+def _audio_blobs_of(docs: DataFrame) -> DataFrame:
+    """documents-shaped frame → (doc_id, content) REAL WAV blobs via
+    ONE Arrow mapInPandas stage — the audio counterpart of
+    ``_image_blobs_of``. Sample j of doc d is (code_j - 128)·256 where
+    code_j = min(codepoint of text char j, 255), space(32)-padded to
+    64 samples: 16-bit PCM round-trips bit-exactly through the stdlib
+    RIFF writer/reader, so the DuckDB oracle recomputes the
+    fingerprint straight from the text."""
+    import pandas as _pd
+
+    d = docs.select("doc_id", "text")
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import wav_from_codes
+
+        for pdf in it:
+            blobs = []
+            for t in pdf["text"]:
+                t = (t or "")[:64]
+                codes = [min(ord(ch), 255) for ch in t] + [32] * (64 - len(t))
+                blobs.append(wav_from_codes(codes))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return d.mapInPandas(gen, "doc_id LONG, content BINARY")
+
+
+def audio_fpdedup_of(docs: DataFrame) -> DataFrame:
+    """WAV synth → Arrow energy-sign fingerprint → hash-window dedup
+    over a documents-shaped frame — the ONE body behind the
+    `mm_audio_fpdedup` entry query and bench's 10× probe."""
+    from hermod_spark.operators.multimodal import ahash_dedup, audio_fingerprint
+
+    return ahash_dedup(
+        audio_fingerprint(_audio_blobs_of(docs)), hash_col="afp"
+    ).orderBy("doc_id")
+
+
+def audio_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """WAV synth → fingerprint → pigeonhole-banded near-dup pairs over
+    a documents-shaped frame — shared by the `mm_audio_neardup` entry
+    query and bench's 10× probe. Reuses the image banding machinery
+    verbatim (`ahash_neardup` is hash-source agnostic)."""
+    from hermod_spark.operators.multimodal import ahash_neardup, audio_fingerprint
+
+    return ahash_neardup(
+        audio_fingerprint(_audio_blobs_of(docs)), max_hamming, hash_col="afp"
+    ).orderBy("doc_a", "doc_b")
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -229,6 +278,29 @@ def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     return ahash_neardup(image_ahash(_image_blobs_of(docs)), max_hamming).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def image_dedup_funnel_of(docs: DataFrame) -> DataFrame:
+    """Exact-collapse → near-dup banding over representatives — the
+    ONE body behind the `mm_image_dedup_funnel` entry query and
+    bench's 10× probe. Min-id representative per distinct hash is one
+    window over the single hash pass; banding then sees group-count
+    rows, not corpus rows, and every surviving pair has hamming ≥ 1
+    (reps' hashes are distinct by construction)."""
+    from pyspark.sql import Window as _W
+
+    from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
+
+    hashed = image_ahash(_image_blobs_of(docs))
+    reps = (
+        hashed.filter(F.col("decode_ok"))
+        .withColumn(
+            "_r", F.row_number().over(_W.partitionBy("ahash").orderBy("doc_id"))
+        )
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    return ahash_neardup(reps).orderBy("doc_a", "doc_b")
 
 
 def video_framedup_of(docs: DataFrame, min_shared: int = 2) -> DataFrame:
@@ -1791,16 +1863,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def mm_image_neardup(spark, sf):
         """NEAR-duplicate image pairs (hamming ≤ 4) via pigeonhole
-        banding — 5 contiguous bands of the 64-bit aHash; any pair
-        within hamming 4 shares a whole band, so the self-join is
-        band-keyed, never all-pairs, and the result is EXACT: banding
-        is a complete filter for the ≤ 4 ball, the JVM-native
+        banding — 5 INTERLEAVED bands of the 64-bit aHash (band k =
+        positions k, k+5, k+10, …; interleaving keeps band values
+        high-entropy on structurally skewed hashes); any pair within
+        hamming 4 shares a whole band, so the self-join is band-keyed,
+        never all-pairs, and the result is EXACT: banding is a
+        complete filter for the ≤ 4 ball, the JVM-native
         conv/XOR/bit_count verify removes the rest. The oracle runs
         the honest quadratic join at sf0.01 — identical pair set
         proves banding lost nothing."""
         return image_neardup_of(_t(spark, sf, "documents"))
 
     q["mm_image_neardup"] = mm_image_neardup
+
+    def mm_audio_fpdedup(spark, sf):
+        """Audio dedup by energy-sign fingerprint, end-to-end on REAL
+        WAV bytes: per document a deterministic 64-sample 16-bit PCM
+        blob (text codepoints → samples, stdlib RIFF writer), decoded
+        back by the stdlib reader inside the Arrow-batched
+        `audio_fingerprint` kernel (bit i = sample_i² ≥ mean energy —
+        exact double arithmetic), then the SAME hash-window dedup
+        stage the image queries use (`ahash_dedup`, hash_col='afp').
+        The oracle recomputes the fingerprint straight from the text —
+        a one-frame drift in the encode/decode round trip hashes
+        red."""
+        return audio_fpdedup_of(_t(spark, sf, "documents"))
+
+    q["mm_audio_fpdedup"] = mm_audio_fpdedup
+
+    def mm_audio_neardup(spark, sf):
+        """NEAR-duplicate audio pairs (fingerprint hamming ≤ 4):
+        `ahash_neardup`'s interleaved pigeonhole banding applied to
+        the 64-bit audio fingerprint — the banding/verify machinery is
+        hash-source agnostic, so the audio leg reuses it verbatim
+        (hash_col='afp'). Oracle: honest quadratic hamming join over
+        the recomputed fingerprints."""
+        return audio_neardup_of(_t(spark, sf, "documents"))
+
+    q["mm_audio_neardup"] = mm_audio_neardup
 
     def mm_video_framedup(spark, sf):
         """Frame-sampling video dedup: sample up to 3 'frames' per
@@ -1821,23 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         group-count rows, not corpus rows, and every surviving pair
         has hamming ≥ 1 (reps' hashes are distinct) — the two-stage
         shape a 100 TB image corpus actually runs."""
-        from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
-
-        hashed = image_ahash(_image_blobs_of(_t(spark, sf, "documents")))
-        from pyspark.sql import Window as _W
-
-        # min-id representative per distinct hash (== ahash_dedup's
-        # keepers, expressed as one window so the funnel needs no
-        # second hash pass)
-        reps = (
-            hashed.filter(F.col("decode_ok"))
-            .withColumn(
-                "_r", F.row_number().over(_W.partitionBy("ahash").orderBy("doc_id"))
-            )
-            .filter(F.col("_r") == 1)
-            .drop("_r")
-        )
-        return ahash_neardup(reps).orderBy("doc_a", "doc_b")
+        return image_dedup_funnel_of(_t(spark, sf, "documents"))
 
     q["mm_image_dedup_funnel"] = mm_image_dedup_funnel
 
@@ -4330,6 +4414,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
 FROM reps a JOIN reps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+ORDER BY doc_a, doc_b"""
+
+    # audio fingerprint arithmetic, straight from the text: sample j =
+    # (code_j - 128)·256 (bit-exact through the 16-bit PCM round
+    # trip), energy = sample² (< 2^30, exact double), mean = sum/64
+    # (exact: power-of-two divisor, sum < 2^36), bit = energy >= mean
+    _AFP_CTE = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), en AS (
+  SELECT doc_id,
+    list_transform(codes, c ->
+      CAST((c - 128) * 256 AS DOUBLE) * ((c - 128) * 256)) AS en
+  FROM px
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(en, v ->
+      CASE WHEN v >= list_aggregate(en, 'avg') THEN '1' ELSE '0' END),
+      '') AS afp
+  FROM en
+)"""
+    o["mm_audio_fpdedup"] = _AFP_CTE + """
+SELECT doc_id, afp,
+  COUNT(*) OVER (PARTITION BY afp) AS group_size,
+  doc_id = MIN(doc_id) OVER (PARTITION BY afp) AS keep
+FROM h ORDER BY doc_id"""
+
+    o["mm_audio_neardup"] = _AFP_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.afp::BIT, b.afp::BIT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp::BIT, b.afp::BIT)) <= 4
 ORDER BY doc_a, doc_b"""
 
     # per-frame tiles: block f = 64-char substring at offset 64*f

@@ -147,6 +147,13 @@ BASELINE = {
     "rel_asof_tolerance": 0.48,
     # composed funnel: exact-dup collapse -> near-dup banding over reps
     "mm_image_dedup_funnel": 2.8,
+    # audio energy-sign fingerprint over REAL WAV bytes + hash-window
+    # dedup (the image-dedup shape with a stdlib-codec Python stage)
+    "mm_audio_fpdedup": 1.3,
+    # banded fingerprint near-dup: same machinery as mm_image_neardup
+    # (hash_col='afp'); slower than the image twin only by straggler
+    # placement of the flooded buckets (candidates within 6%)
+    "mm_audio_neardup": 4.5,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -452,6 +459,8 @@ HEADLINE = [
     "mm_video_framedup",
     "rel_asof_tolerance",
     "mm_image_dedup_funnel",
+    "mm_audio_fpdedup",
+    "mm_audio_neardup",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -514,6 +523,14 @@ SCALE10X = [
     "mm_image_ahash_dedup",
     "mm_image_neardup",
     "mm_video_framedup",
+    # late-r11: the composed funnel (scrambled copies — reps grow ~10x,
+    # banding input is rep-count-bounded) and the audio fingerprint
+    # dedup (UNrotated copies — the duplicate-flood direction, same as
+    # the image dedup probe). mm_audio_neardup is deliberately NOT
+    # probed: its plan is ahash_neardup verbatim (hash_col aside),
+    # already covered by the mm_image_neardup probe.
+    "mm_image_dedup_funnel",
+    "mm_audio_fpdedup",
 ]
 
 
@@ -769,6 +786,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # per-copy letter-permuted docs: cross-copy tiles decorrelate
         # (see _documents_10x_scrambled), so pairs grow ~10x per-copy
         "mm_image_neardup": lambda: E.image_neardup_of(docs10s),
+        "mm_image_dedup_funnel": lambda: E.image_dedup_funnel_of(docs10s),
+        "mm_audio_fpdedup": lambda: E.audio_fpdedup_of(docs10p),
         # scrambled copies again: frame hashes decorrelate across
         # copies, pair count grows ~10x per-copy
         "mm_video_framedup": lambda: E.video_framedup_of(docs10s),

@@ -181,22 +181,25 @@ def image_ahash(
     )
 
 
-def ahash_dedup(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact-duplicate-image report over an (id, ahash) frame: one
-    window exchange on the hash gives every row its duplicate-group
-    size and a deterministic keeper flag (min id wins). Near-dup
-    (hamming ≤ d) extends this with the SimHash band-join pattern
-    (dedup.py::simhash band split) — same key-hash shuffle shape."""
+def ahash_dedup(
+    hashed: DataFrame, id_col: str = "doc_id", hash_col: str = "ahash"
+) -> DataFrame:
+    """Exact-duplicate report over an (id, hash) frame: one window
+    exchange on the hash gives every row its duplicate-group size and
+    a deterministic keeper flag (min id wins). Near-dup (hamming ≤ d)
+    extends this with the SimHash band-join pattern (dedup.py::simhash
+    band split) — same key-hash shuffle shape. ``hash_col`` lets any
+    perceptual hash reuse the stage (image aHash, audio fingerprint)."""
     from pyspark.sql import Window
 
     h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
-    w = Window.partitionBy("ahash")
+    w = Window.partitionBy(hash_col)
     return (
         h.withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn(
             "keep", F.col(id_col) == F.min(id_col).over(w)
         )
-        .select(id_col, "ahash", "group_size", "keep")
+        .select(id_col, hash_col, "group_size", "keep")
     )
 
 
@@ -205,6 +208,7 @@ def ahash_neardup(
     max_hamming: int = 4,
     id_col: str = "doc_id",
     hash_bits: int = 64,
+    hash_col: str = "ahash",
 ) -> DataFrame:
     """NEAR-duplicate image pairs: all (a, b) with a < b whose aHashes
     differ in ≤ ``max_hamming`` bits — found WITHOUT an all-pairs join.
@@ -247,29 +251,29 @@ def ahash_neardup(
     # banding and the chunked hamming below are sized to ``hash_bits``;
     # a hash of any other length would band/hamming only a prefix
     # (silent false pairs) — treat it like a decode failure and drop it
-    h = h.filter(F.length("ahash") == hash_bits)
+    h = h.filter(F.length(hash_col) == hash_bits)
     # materialize (id, hash) ONCE: the band self-join would otherwise
     # re-execute the upstream decode+hash Python stages on BOTH sides
     # (plan-gated: 0 MapInPandas in the final plan). The checkpoint is
     # tiny — id + hash_bits chars per image, never the blobs.
-    h = h.select(id_col, "ahash").localCheckpoint()
+    h = h.select(id_col, hash_col).localCheckpoint()
     banded = h.select(
         id_col,
-        "ahash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
                         F.concat(
-                            *[F.substring("ahash", p + 1, 1) for p in pos]
+                            *[F.substring(hash_col, p + 1, 1) for p in pos]
                         ).alias("bits"),
                     )
                     for k, pos in enumerate(positions)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "ahash", "bk.band", "bk.bits")
+    ).select(id_col, hash_col, "bk.band", "bk.bits")
     # Partitioning strategy for the candidate join (both measured at
     # sf0.1): on a SMALL hash set AQE's byte-based coalesce sees a
     # tiny pre-join shuffle and serializes the quadratic in-bucket
@@ -292,8 +296,8 @@ def ahash_neardup(
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
-        F.col("a.ahash").alias("ha"),
-        F.col("b.ahash").alias("hb"),
+        F.col(f"a.{hash_col}").alias("ha"),
+        F.col(f"b.{hash_col}").alias("hb"),
     )
 
     def _chunk(col: str, k: int):
@@ -671,6 +675,108 @@ WAV_DECODED_FIELDS = T.StructType(
         T.StructField("decode_ok", T.BooleanType()),
     ]
 )
+
+
+def wav_from_codes(codes: list[int], sample_rate: int = 8000) -> bytes:
+    """Deterministic REAL WAV bytes whose int16 PCM samples are an
+    exact arithmetic function of small integer codes: sample j =
+    (codes[j] - 128) * 256. 16-bit PCM round-trips bit-exactly through
+    the stdlib RIFF writer/reader, so a SQL oracle can recompute any
+    sample-level statistic straight from the codes — the audio
+    counterpart of ``image_tile_blob``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            ((np.asarray(codes, dtype=np.int64) - 128) * 256)
+            .astype("<i2")
+            .tobytes()
+        )
+    return buf.getvalue()
+
+
+def _audio_fp_one(blob: bytes, n_bits: int = 64) -> str | None:
+    """Energy-sign fingerprint of one REAL WAV blob: decode the int16
+    PCM (stdlib `wave`), take the first ``n_bits`` samples, bit i =
+    energy_i >= mean energy where energy_i = sample_i². The mean is an
+    exact double for n_bits a power of two (integer square-sum
+    < 2^53), so the >= decisions are deterministic across engines —
+    the audio analogue of ``_ahash_one``. Corrupt/foreign/too-short
+    blobs → None (dropped like decode failures, never an abort)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            # mono 16-bit only: interleaved channels would silently
+            # fingerprint a channel mix (the multi-channel-image
+            # rejection in _ahash_one, same contract)
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                return None
+            raw = w.readframes(w.getnframes())
+    except Exception:  # noqa: BLE001 - corrupt/foreign bytes
+        return None
+    samples = np.frombuffer(raw[: (len(raw) // 2) * 2], dtype="<i2").astype(
+        np.int64
+    )
+    if len(samples) < n_bits:
+        return None
+    en = samples[:n_bits] * samples[:n_bits]
+    mean = int(en.sum()) / n_bits
+    return "".join("1" if float(e) >= mean else "0" for e in en)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    n_bits: int = 64,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched audio fingerprint over REAL WAV bytes: (id,
+    content) → (id, afp, decode_ok) where ``afp`` is the
+    ``n_bits``-bit energy-sign fingerprint of the first ``n_bits``
+    samples. Composes with the shared hash-dedup stages exactly like
+    the image hash: ``ahash_dedup(fp, hash_col='afp')`` for exact
+    duplicate groups, ``ahash_neardup(fp, hash_col='afp')`` for
+    hamming-bounded near-dups (the pigeonhole banding is hash-source
+    agnostic). A production pipeline swaps the energy-sign kernel for
+    a chromaprint-style spectral fingerprint; the Spark plumbing —
+    Arrow batching, decode_ok contract, banding, window dedup — is
+    unchanged."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("afp", T.StringType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                fp = (
+                    _audio_fp_one(bytes(blob), n_bits)
+                    if blob is not None
+                    else None
+                )
+                rows.append((i, fp, fp is not None))
+            yield pd.DataFrame(rows, columns=[id_col, "afp", "decode_ok"])
+
+    return (
+        ensure_min_partitions(df)
+        .select(id_col, content_col)
+        .mapInPandas(batches, out_schema)
+    )
 
 
 def decode_audio(

@@ -379,3 +379,92 @@ def test_frame_dedup_pairs_max_bucket_caps_viral_frame(spark):
     # expansion the cap exists to stop
     uncapped = frame_dedup_pairs(df, min_shared=1).collect()
     assert len(uncapped) == 15
+
+
+def test_wav_from_codes_roundtrip_bit_exact():
+    """The oracle contract: 16-bit PCM written by wav_from_codes reads
+    back as exactly (code - 128) * 256 per sample."""
+    import io
+    import wave
+
+    import numpy as np
+
+    codes = [0, 32, 127, 128, 129, 255, 64, 200]
+    blob = MM.wav_from_codes(codes)
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, 8000,
+        )
+        raw = w.readframes(w.getnframes())
+    got = np.frombuffer(raw, dtype="<i2").tolist()
+    assert got == [(c - 128) * 256 for c in codes]
+
+
+def test_audio_fp_matches_independent_arithmetic():
+    """Kernel property: the fingerprint equals the bit string computed
+    by independent integer arithmetic over the codes."""
+    codes = [min(ord(ch), 255) for ch in "Hello, audio fingerprint!"]
+    codes += [32] * (64 - len(codes))
+    fp = MM._audio_fp_one(MM.wav_from_codes(codes))
+    en = [((c - 128) * 256) ** 2 for c in codes]
+    mean = sum(en) / 64
+    want = "".join("1" if e >= mean else "0" for e in en)
+    assert fp == want and len(fp) == 64 and set(fp) <= {"0", "1"}
+
+
+def test_audio_fp_rejects_bad_blobs():
+    """Contract: corrupt bytes, stereo, 8-bit width, and too-short
+    clips all fingerprint to None — dropped, never an abort."""
+    import io
+    import wave
+
+    assert MM._audio_fp_one(b"not a wav") is None
+    assert MM._audio_fp_one(MM.wav_from_codes([32] * 16)) is None  # < 64
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:  # stereo
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 256)
+    assert MM._audio_fp_one(buf.getvalue()) is None
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:  # 8-bit
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 128)
+    assert MM._audio_fp_one(buf.getvalue()) is None
+
+
+def test_audio_fingerprint_dedup_and_neardup_reuse(spark):
+    """e2e over real WAV bytes: identical clips group under
+    ahash_dedup(hash_col='afp'); a 2-bit-perturbed clip pairs with its
+    source under ahash_neardup(hash_col='afp'); corrupt bytes drop."""
+    base = [min(ord(ch), 255) for ch in "the quick brown fox jumps over it"]
+    base += [32] * (64 - len(base))
+    # flip the energy ORDER of two samples far from the mean so
+    # exactly two fingerprint bits change
+    near = list(base)
+    near[0], near[1] = 255, 0  # base[0]='t'(116): below-mean -> above
+    rows = [
+        (1, MM.wav_from_codes(base)),
+        (2, MM.wav_from_codes(base)),
+        (3, MM.wav_from_codes(near)),
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, content BINARY"
+    )
+    fp = MM.audio_fingerprint(df)
+    got = {r["doc_id"]: r for r in MM.ahash_dedup(fp, hash_col="afp").collect()}
+    assert set(got) == {1, 2, 3}  # corrupt row dropped
+    assert got[1]["group_size"] == 2 and got[1]["keep"]
+    assert got[2]["group_size"] == 2 and not got[2]["keep"]
+    assert got[3]["group_size"] == 1
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.ahash_neardup(fp, max_hamming=4, hash_col="afp").collect()
+    }
+    assert (1, 2, 0) in pairs
+    near_pairs = {(a, b) for a, b, _ in pairs}
+    assert (1, 3) in near_pairs and (2, 3) in near_pairs

@@ -611,3 +611,39 @@ def test_video_framedup_hash_join_not_all_pairs(spark):
     assert count(r"MapInPandas", plan) == 0
     assert count(r"Scan ExistingRDD", plan) == 2
     assert count(r"FileScan parquet", plan) == 0
+
+
+def test_audio_fpdedup_single_window_exchange(spark):
+    """mm_audio_fpdedup: two justified Arrow stages (WAV synth +
+    fingerprint kernel), then exactly ONE hash exchange (the afp
+    window) — the image-dedup plan shape with the audio kernel."""
+    plan = plan_of(spark, "mm_audio_fpdedup")
+    assert count(r"MapInPandas", plan) == 2
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+
+
+def test_audio_neardup_band_join_not_all_pairs(spark):
+    """mm_audio_neardup: the shared banding machinery must keep its
+    shape under hash_col='afp' — band-keyed equi-join over the
+    checkpointed (id, fingerprint) RDD, zero Python, zero parquet in
+    the final plan, native bit_count verify."""
+    plan = plan_of(spark, "mm_audio_neardup")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
+    assert count(r"MapInPandas", plan) == 0
+    assert count(r"Scan ExistingRDD", plan) == 2
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"bit_count", plan) >= 1
+
+
+def test_image_dedup_funnel_reps_window_then_band_join(spark):
+    """mm_image_dedup_funnel: the exact-collapse window and the near-
+    dup banding compose without an extra corpus pass — the final plan
+    has the band equi-join over the checkpointed reps, no Python, no
+    parquet, no nested loop."""
+    plan = plan_of(spark, "mm_image_dedup_funnel")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
+    assert count(r"MapInPandas", plan) == 0
+    assert count(r"FileScan parquet", plan) == 0
