@@ -468,3 +468,35 @@ def test_audio_fingerprint_dedup_and_neardup_reuse(spark):
     assert (1, 2, 0) in pairs
     near_pairs = {(a, b) for a, b, _ in pairs}
     assert (1, 3) in near_pairs and (2, 3) in near_pairs
+
+
+def test_ahash_neardup_partitioning_strategy_by_size(spark):
+    """The candidate-join exchange strategy is size-conditional (both
+    regimes measured at sf0.1 — see ahash_neardup): a SMALL hash set
+    forces an explicit-width repartition (AQE's byte-based coalesce
+    would serialize the quadratic in-bucket expansion onto one task);
+    a BIG set leaves the exchange to the planner so AQE keeps its
+    skew-split option. Pin both branches via the physical plan."""
+    import random
+
+    from hermod_spark.operators.multimodal import ahash_neardup
+
+    rng = random.Random(7)
+
+    def frame(n):
+        rows = [
+            (i, "".join(str(rng.randrange(2)) for _ in range(64)), True)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id LONG, ahash STRING, decode_ok BOOLEAN"
+        )
+
+    width = spark.sparkContext.defaultParallelism
+    small_n = 50
+    big_n = (width * 4096) // 5 + 100  # count*bands >= width*4096
+    assert small_n * 5 < width * 4096 <= big_n * 5
+    small_plan = ahash_neardup(frame(small_n))._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in small_plan
+    big_plan = ahash_neardup(frame(big_n))._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" not in big_plan
