@@ -1463,3 +1463,101 @@ def ivf_recall_curve(
         .select("n_probe", "n_truth", "n_hits", "n_scanned", "n_corpus")
         .orderBy("n_probe")
     )
+
+
+# --------------------------------------------------- model persistence
+#
+# Train-once / serve-many: at 100 TB the k-means, PQ, and PCA models
+# are trained from a bounded sample ONCE, persisted, and reused by
+# every serving query (and every round of an incremental corpus) —
+# retraining per query both wastes the sample collect and silently
+# changes the index when the corpus grows. Models are tiny (KBs of
+# float lists), so the artifact is a single parquet written through
+# Spark: readable on any cluster, schema-checked on load, exact —
+# Python floats are IEEE doubles and parquet DOUBLE round-trips them
+# bit-for-bit.
+
+_MODEL_SCHEMA = "component STRING, i INT, j INT, vals ARRAY<DOUBLE>"
+
+
+def save_ann_model(
+    spark,
+    path: str,
+    *,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    pca: tuple[list[float], list[list[float]]] | None = None,
+) -> None:
+    """Persist any subset of the ANN model family to ONE parquet at
+    ``path`` (overwrite). Rows are (component, i, j, vals):
+    centroids → ('centroids', i, 0, centroid_i); codebooks →
+    ('codebook', subspace, code, codeword); PCA → ('pca_mean', 0, 0,
+    mean) + ('pca_component', i, 0, component_i)."""
+    rows: list[tuple[str, int, int, list[float]]] = []
+    if centroids is not None:
+        rows += [("centroids", i, 0, [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+    if codebooks is not None:
+        rows += [
+            ("codebook", mi, ci, [float(x) for x in cw])
+            for mi, book in enumerate(codebooks)
+            for ci, cw in enumerate(book)
+        ]
+    if pca is not None:
+        mean, comps = pca
+        rows.append(("pca_mean", 0, 0, [float(x) for x in mean]))
+        rows += [("pca_component", i, 0, [float(x) for x in c])
+                 for i, c in enumerate(comps)]
+    if not rows:
+        raise ValueError("save_ann_model: nothing to save")
+    spark.createDataFrame(rows, _MODEL_SCHEMA).coalesce(1).write.parquet(
+        path, mode="overwrite"
+    )
+
+
+def load_ann_model(spark, path: str) -> dict:
+    """Load a :func:`save_ann_model` artifact. Returns a dict with any
+    of 'centroids', 'codebooks', 'pca' — shaped exactly as the train_*
+    functions return them, so they drop into ivf_topk/ivfpq_topk/
+    project_embeddings unchanged. Unknown component kinds raise (a
+    truncated or foreign parquet must not silently serve a partial
+    model)."""
+    rows = spark.read.schema(_MODEL_SCHEMA).parquet(path).collect()
+    known = {"centroids", "codebook", "pca_mean", "pca_component"}
+    bad = {r["component"] for r in rows} - known
+    if bad:
+        raise ValueError(f"load_ann_model: unknown components {sorted(bad)}")
+    out: dict = {}
+    cents = sorted(
+        (r for r in rows if r["component"] == "centroids"),
+        key=lambda r: r["i"],
+    )
+    if cents:
+        if [r["i"] for r in cents] != list(range(len(cents))):
+            raise ValueError("load_ann_model: centroid indices not dense")
+        out["centroids"] = [[float(x) for x in r["vals"]] for r in cents]
+    cw = [r for r in rows if r["component"] == "codebook"]
+    if cw:
+        m = max(r["i"] for r in cw) + 1
+        n_codes = max(r["j"] for r in cw) + 1
+        if len(cw) != m * n_codes:
+            raise ValueError("load_ann_model: codebook grid not dense")
+        books: list[list[list[float]]] = [
+            [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+        ]
+        for r in cw:
+            books[r["i"]][r["j"]] = [float(x) for x in r["vals"]]
+        out["codebooks"] = books
+    mean = [r for r in rows if r["component"] == "pca_mean"]
+    comps = sorted(
+        (r for r in rows if r["component"] == "pca_component"),
+        key=lambda r: r["i"],
+    )
+    if mean or comps:
+        if len(mean) != 1 or not comps:
+            raise ValueError("load_ann_model: incomplete PCA model")
+        out["pca"] = (
+            [float(x) for x in mean[0]["vals"]],
+            [[float(x) for x in r["vals"]] for r in comps],
+        )
+    return out

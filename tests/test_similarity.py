@@ -522,3 +522,69 @@ def test_ivfpq_rerank_beats_raw_adc_and_is_exact_on_candidates(spark):
     adc_recall = mean(S.pq_recall_check(emb, k=5, n_queries=10, codebooks=books))
     assert rerank_recall >= adc_recall
     assert rerank_recall >= 0.2  # absolute floor at this SF (measured 0.34)
+
+
+def test_ann_model_save_load_roundtrip_exact(spark, tmp_path):
+    """Train-once/serve-many: every model kind round-trips through the
+    parquet artifact bit-for-bit (Python floats are IEEE doubles;
+    parquet DOUBLE preserves them), and a served query over the loaded
+    model equals the same query over the in-memory model."""
+    from hermod_spark.data import table
+    from hermod_spark.operators import similarity as S
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S.train_centroids_kmeans(emb, n_centroids=4, sample_size=256)
+    books = S.train_pq_codebooks(emb, m=4, n_codes=8, sample_size=256)
+    pca = S.train_pca(emb, k=3, sample_size=256)
+    path = str(tmp_path / "ann_model")
+    S.save_ann_model(spark, path, centroids=cents, codebooks=books, pca=pca)
+    loaded = S.load_ann_model(spark, path)
+    assert loaded["centroids"] == cents
+    assert loaded["codebooks"] == books
+    assert loaded["pca"] == pca
+    served_mem = S.ivfpq_topk(
+        emb, k=3, n_queries=2, centroids=cents, codebooks=books
+    ).collect()
+    served_disk = S.ivfpq_topk(
+        emb, k=3, n_queries=2,
+        centroids=loaded["centroids"], codebooks=loaded["codebooks"],
+    ).collect()
+    assert served_mem == served_disk
+
+
+def test_ann_model_save_load_partial_and_errors(spark, tmp_path):
+    """Partial artifacts load only what they hold; foreign/truncated
+    parquet raises instead of serving a partial model."""
+    from hermod_spark.operators import similarity as S
+
+    p1 = str(tmp_path / "cents_only")
+    S.save_ann_model(spark, p1, centroids=[[1.0, 2.0], [3.0, 4.0]])
+    loaded = S.load_ann_model(spark, p1)
+    assert loaded == {"centroids": [[1.0, 2.0], [3.0, 4.0]]}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nothing to save"):
+        S.save_ann_model(spark, str(tmp_path / "empty"))
+
+    p2 = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [("mystery", 0, 0, [1.0])], S._MODEL_SCHEMA
+    ).write.parquet(p2)
+    with _pytest.raises(ValueError, match="unknown components"):
+        S.load_ann_model(spark, p2)
+
+    p3 = str(tmp_path / "sparse_grid")
+    spark.createDataFrame(
+        [("codebook", 0, 0, [1.0]), ("codebook", 1, 1, [2.0])],
+        S._MODEL_SCHEMA,
+    ).write.parquet(p3)
+    with _pytest.raises(ValueError, match="grid not dense"):
+        S.load_ann_model(spark, p3)
+
+    p4 = str(tmp_path / "pca_no_mean")
+    spark.createDataFrame(
+        [("pca_component", 0, 0, [1.0])], S._MODEL_SCHEMA
+    ).write.parquet(p4)
+    with _pytest.raises(ValueError, match="incomplete PCA"):
+        S.load_ann_model(spark, p4)
