@@ -689,16 +689,21 @@ def wav_from_codes(codes: list[int], sample_rate: int = 8000) -> bytes:
 
     import numpy as np
 
+    arr = np.asarray(codes, dtype=np.int64)
+    # (c-128)*256 fits int16 only for c in [0, 383]; a wider code would
+    # silently wrap in the astype and break the oracle's arithmetic —
+    # refuse loudly instead
+    if arr.size and (arr.min() < 0 or arr.max() > 383):
+        raise ValueError(
+            "wav_from_codes: codes must be in [0, 383] so samples fit "
+            "16-bit PCM exactly"
+        )
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(
-            ((np.asarray(codes, dtype=np.int64) - 128) * 256)
-            .astype("<i2")
-            .tobytes()
-        )
+        w.writeframes(((arr - 128) * 256).astype("<i2").tobytes())
     return buf.getvalue()
 
 

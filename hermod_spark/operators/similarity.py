@@ -1540,7 +1540,11 @@ def load_ann_model(spark, path: str) -> dict:
     if cw:
         m = max(r["i"] for r in cw) + 1
         n_codes = max(r["j"] for r in cw) + 1
-        if len(cw) != m * n_codes:
+        # the count check alone passes a duplicated cell + a missing
+        # one — verify every grid cell is present exactly once
+        if {(r["i"], r["j"]) for r in cw} != {
+            (i, j) for i in range(m) for j in range(n_codes)
+        } or len(cw) != m * n_codes:
             raise ValueError("load_ann_model: codebook grid not dense")
         books: list[list[list[float]]] = [
             [None] * n_codes for _ in range(m)  # type: ignore[list-item]

@@ -157,11 +157,17 @@ def _rendered_lines(frame: DataFrame) -> DataFrame:
 
 
 def render_replay_spool_sharded(
-    spark: SparkSession, sf_dir: str, dir_path: str, shards: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    dir_path: str,
+    shards: int = 4,
+    compress: bool = False,
 ) -> int:
     """Render the events table as an N-SHARD spool directory
-    (``shard-0000.jsonl`` … each with its own ``.idx`` sidecar) and
-    return the total line count.
+    (``shard-0000.jsonl`` … each with its own ``.idx`` sidecar; with
+    ``compress=True``, deterministic ``shard-0000.jsonl.gz`` shards
+    with no sidecar — the archived-backfill form the reader
+    chunk-decompresses) and return the total line count.
 
     The single-file render funnels the whole corpus through one
     ``coalesce(1)`` task and leaves the reader one seekable log; at
@@ -206,9 +212,25 @@ def render_replay_spool_sharded(
         rendered.repartition(shards).write.mode("overwrite").text(tmp)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
         for i, part in enumerate(parts):
-            dst = os.path.join(stage, f"shard-{i:04d}.jsonl")
-            shutil.move(part, dst)
-            total += write_spool_index(dst)
+            if compress:
+                # archived-backfill form: `.jsonl.gz` shards, no
+                # sidecar index (gz shards stream whole-file and are
+                # chunk-decompressed by the reader). mtime=0 + no
+                # embedded name keeps the bytes deterministic.
+                import gzip as _gzip
+
+                dst = os.path.join(stage, f"shard-{i:04d}.jsonl.gz")
+                with open(part, "rb") as fin, open(dst, "wb") as fraw:
+                    with _gzip.GzipFile(
+                        fileobj=fraw, mode="wb", mtime=0
+                    ) as fout:
+                        for line in fin:
+                            fout.write(line)
+                            total += 1
+            else:
+                dst = os.path.join(stage, f"shard-{i:04d}.jsonl")
+                shutil.move(part, dst)
+                total += write_spool_index(dst)
         # mkdtemp creates 0700; the spool must be listable by whoever
         # runs the executors
         os.chmod(stage, 0o755)

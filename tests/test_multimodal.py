@@ -500,3 +500,15 @@ def test_ahash_neardup_partitioning_strategy_by_size(spark):
     assert "REPARTITION_BY_NUM" in small_plan
     big_plan = ahash_neardup(frame(big_n))._jdf.queryExecution().toString()
     assert "REPARTITION_BY_NUM" not in big_plan
+
+
+def test_wav_from_codes_rejects_out_of_range():
+    """Codes outside [0, 383] would wrap in int16 and silently break
+    the oracle arithmetic — the synth refuses them loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[0, 383\]"):
+        MM.wav_from_codes([400])
+    with _pytest.raises(ValueError, match=r"\[0, 383\]"):
+        MM.wav_from_codes([-1])
+    assert MM.wav_from_codes([0, 383])  # boundary values encode fine

@@ -588,3 +588,24 @@ def test_ann_model_save_load_partial_and_errors(spark, tmp_path):
     ).write.parquet(p4)
     with _pytest.raises(ValueError, match="incomplete PCA"):
         S.load_ann_model(spark, p4)
+
+
+def test_ann_model_load_rejects_duplicated_codebook_cell(spark, tmp_path):
+    """A duplicated grid cell + a missing one passes the count check
+    alone — the exact-cell-set check must still raise."""
+    from hermod_spark.operators import similarity as S
+
+    p = str(tmp_path / "dup_cell")
+    spark.createDataFrame(
+        [
+            ("codebook", 0, 0, [1.0]),
+            ("codebook", 0, 0, [2.0]),
+            ("codebook", 0, 1, [3.0]),
+            ("codebook", 1, 1, [4.0]),
+        ],
+        S._MODEL_SCHEMA,
+    ).write.parquet(p)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid not dense"):
+        S.load_ann_model(spark, p)
