@@ -171,3 +171,30 @@ def test_ahash_neardup_banding_pigeonhole(flips, seed):
         h2[p] ^= 1
     groups = [list(range(k, 64, 5)) for k in range(5)]
     assert any(all(h[p] == h2[p] for p in g) for g in groups)
+
+
+# --- audio fingerprint kernel vs independent arithmetic (late r11) ----
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=120,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_audio_fp_matches_oracle_arithmetic(text):
+    """_audio_fp_one over wav_from_codes(text codes) must equal the
+    DuckDB oracle's arithmetic recomputed independently: sample =
+    (min(codepoint,255) - 128)·256 space(32)-padded to 64, energy =
+    sample² (exact double), mean = sum/64, bit = energy >= mean. The
+    16-bit PCM encode/decode round trip must never perturb a sample —
+    any drift silently breaks mm_audio_fpdedup/neardup parity."""
+    from hermod_spark.operators.multimodal import _audio_fp_one, wav_from_codes
+
+    codes = [min(ord(c), 255) for c in text[:64]]
+    codes += [32] * (64 - len(codes))
+    got = _audio_fp_one(wav_from_codes(codes))
+    en = [((c - 128) * 256) ** 2 for c in codes]
+    mean = sum(en) / 64
+    want = "".join("1" if e >= mean else "0" for e in en)
+    assert got == want
