@@ -282,23 +282,20 @@ def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
 
 def image_dedup_funnel_of(docs: DataFrame) -> DataFrame:
     """Exact-collapse → near-dup banding over representatives — the
-    ONE body behind the `mm_image_dedup_funnel` entry query and
-    bench's 10× probe. Min-id representative per distinct hash is one
-    window over the single hash pass; banding then sees group-count
-    rows, not corpus rows, and every surviving pair has hamming ≥ 1
-    (reps' hashes are distinct by construction)."""
-    from pyspark.sql import Window as _W
-
+    ONE body behind the `mm_image_dedup_report` leg, the
+    `mm_image_dedup_funnel` entry query, and bench's 10× probe.
+    Min-id representative per distinct hash is a groupBy over the
+    single hash pass (map-side combinable — cheaper than a window at
+    scale, identical reps); banding then sees group-count rows, not
+    corpus rows, and every surviving pair has hamming ≥ 1 (reps'
+    hashes are distinct by construction)."""
     from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
 
     hashed = image_ahash(_image_blobs_of(docs))
     reps = (
         hashed.filter(F.col("decode_ok"))
-        .withColumn(
-            "_r", F.row_number().over(_W.partitionBy("ahash").orderBy("doc_id"))
-        )
-        .filter(F.col("_r") == 1)
-        .drop("_r")
+        .groupBy("ahash")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
     return ahash_neardup(reps).orderBy("doc_a", "doc_b")
 
@@ -1901,6 +1898,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_neardup_of(_t(spark, sf, "documents"))
 
     q["mm_audio_neardup"] = mm_audio_neardup
+
+    def mm_dedup_report(spark, sf):
+        """Composed MULTIMODAL dedup report — the dedup_report pattern
+        over the three blob families: per modality (image tiles, WAV
+        audio) the exact-removable count and the funnel's banded
+        near-dup pair count from ONE checkpointed hash pass each
+        (multimodal.py::hash_dedup_metrics), plus the video
+        shared-frame pair count and n_docs. One (metric, value) frame
+        — what a curation run reads before choosing thresholds."""
+        from hermod_spark.operators.multimodal import (
+            audio_fingerprint,
+            frame_dedup_pairs,
+            hash_dedup_metrics,
+            image_ahash,
+        )
+
+        docs = _t(spark, sf, "documents")
+        parts = [
+            docs.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+                F.lit("n_docs").alias("metric"), "value"
+            )
+        ]
+        parts += hash_dedup_metrics(
+            image_ahash(_image_blobs_of(docs)), "image"
+        )
+        parts += hash_dedup_metrics(
+            audio_fingerprint(_audio_blobs_of(docs)), "audio", hash_col="afp"
+        )
+        vid = frame_dedup_pairs(
+            image_ahash(_image_blobs_of(docs, frames=3, require_text=True)),
+            min_shared=2,
+        )
+        parts.append(
+            vid.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+                F.lit("video_dup_pairs").alias("metric"), "value"
+            )
+        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.orderBy("metric")
+
+    q["mm_dedup_report"] = mm_dedup_report
 
     def mm_video_framedup(spark, sf):
         """Frame-sampling video dedup: sample up to 3 'frames' per
@@ -4452,6 +4492,72 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.afp::BIT, b.afp::BIT)) <= 4
 ORDER BY doc_a, doc_b"""
+
+    # composed multimodal report: every leg reuses the per-modality
+    # hash arithmetic above; near-pair counts run over the min-id
+    # representatives (the funnel's second stage), video over the
+    # per-frame distinct hashes
+    o["mm_dedup_report"] = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), hi AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+), ea AS (
+  SELECT doc_id,
+    list_transform(codes, c ->
+      CAST((c - 128) * 256 AS DOUBLE) * ((c - 128) * 256)) AS en
+  FROM px
+), ha AS (
+  SELECT doc_id,
+    array_to_string(list_transform(en, v ->
+      CASE WHEN v >= list_aggregate(en, 'avg') THEN '1' ELSE '0' END),
+      '') AS afp
+  FROM ea
+), fr AS (
+  SELECT doc_id, substr(text, fi * 64 + 1, 64) AS blk
+  FROM documents, (SELECT unnest([0, 1, 2]) AS fi)
+  WHERE length(text) > fi * 64
+), pxv AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(blk)
+           THEN LEAST(unicode(substr(blk, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM fr
+), hv AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM pxv
+), ri AS (SELECT MIN(doc_id) AS doc_id, ahash FROM hi GROUP BY ahash),
+ra AS (SELECT MIN(doc_id) AS doc_id, afp FROM ha GROUP BY afp)
+SELECT metric, value FROM (
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL SELECT 'image_exact_removable',
+  CAST(COUNT(*) - COUNT(DISTINCT ahash) AS BIGINT) FROM hi
+UNION ALL SELECT 'image_near_pairs', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT 1 FROM ri a JOIN ri b ON a.doc_id < b.doc_id
+   WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4)
+UNION ALL SELECT 'audio_exact_removable',
+  CAST(COUNT(*) - COUNT(DISTINCT afp) AS BIGINT) FROM ha
+UNION ALL SELECT 'audio_near_pairs', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT 1 FROM ra a JOIN ra b ON a.doc_id < b.doc_id
+   WHERE bit_count(xor(a.afp::BIT, b.afp::BIT)) <= 4)
+UNION ALL SELECT 'video_dup_pairs', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT 1 FROM hv a JOIN hv b
+     ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+   GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)
+) ORDER BY metric"""
 
     # per-frame tiles: block f = 64-char substring at offset 64*f
     # (frame exists only when the text reaches the offset), hashed

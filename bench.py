@@ -147,6 +147,10 @@ BASELINE = {
     "rel_asof_tolerance": 0.48,
     # composed funnel: exact-dup collapse -> near-dup banding over reps
     "mm_image_dedup_funnel": 2.8,
+    # composed MULTIMODAL dedup report: 3 checkpointed hash passes
+    # (image/audio/video synth+kernel), 2 banded rep joins, 1 frame
+    # pair join, 6 metric aggs -- the sum of its legs, measured 8.6
+    "mm_dedup_report": 9.0,
     # audio energy-sign fingerprint over REAL WAV bytes + hash-window
     # dedup (the image-dedup shape with a stdlib-codec Python stage)
     "mm_audio_fpdedup": 1.3,
@@ -461,6 +465,7 @@ HEADLINE = [
     "mm_image_dedup_funnel",
     "mm_audio_fpdedup",
     "mm_audio_neardup",
+    "mm_dedup_report",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

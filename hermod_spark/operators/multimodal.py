@@ -816,3 +816,34 @@ def decode_audio(
         .select(id_col, content_col)
         .mapInPandas(batches, out_schema)
     )
+
+
+def hash_dedup_metrics(
+    hashed: DataFrame,
+    modality: str,
+    hash_col: str = "ahash",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> list[DataFrame]:
+    """(metric, value) rows for one perceptual-hash frame — the shared
+    leg of :func:`multimodal dedup reports <ahash_dedup>`:
+    ``<modality>_exact_removable`` (rows minus distinct hashes — what
+    exact collapse deletes) and ``<modality>_near_pairs`` (banded
+    hamming ≤ d pairs over the min-id representatives, i.e. the
+    funnel's second stage). The hash pass is checkpointed ONCE and
+    shared by both metrics and by the rep collapse — the composed
+    report never recomputes a Python stage."""
+    h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
+    h = h.select(id_col, hash_col).localCheckpoint()
+    exact = h.agg(
+        (F.count(F.lit(1)) - F.count_distinct(hash_col))
+        .cast("long")
+        .alias("value")
+    ).select(F.lit(f"{modality}_exact_removable").alias("metric"), "value")
+    reps = h.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    near = (
+        ahash_neardup(reps, max_hamming, id_col=id_col, hash_col=hash_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+        .select(F.lit(f"{modality}_near_pairs").alias("metric"), "value")
+    )
+    return [exact, near]

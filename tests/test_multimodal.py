@@ -512,3 +512,25 @@ def test_wav_from_codes_rejects_out_of_range():
     with _pytest.raises(ValueError, match=r"\[0, 383\]"):
         MM.wav_from_codes([-1])
     assert MM.wav_from_codes([0, 383])  # boundary values encode fine
+
+
+def test_hash_dedup_metrics_values(spark):
+    """The composed report leg: exact_removable = rows - distinct
+    hashes; near_pairs counts banded hamming<=4 pairs over min-id
+    representatives only (the funnel's second stage)."""
+    rows = [
+        (1, "0" * 64, True),
+        (2, "0" * 64, True),        # exact dup of 1 -> removable
+        (3, "0" * 63 + "1", True),  # hamming 1 from the rep of {1,2}
+        (4, None, False),           # decode failure drops
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, ahash STRING, decode_ok BOOLEAN"
+    )
+    parts = MM.hash_dedup_metrics(df, "image")
+    got = {
+        r["metric"]: r["value"]
+        for p in parts
+        for r in p.collect()
+    }
+    assert got == {"image_exact_removable": 1, "image_near_pairs": 1}

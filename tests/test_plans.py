@@ -647,3 +647,16 @@ def test_image_dedup_funnel_reps_window_then_band_join(spark):
     assert count(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan) >= 1
     assert count(r"MapInPandas", plan) == 0
     assert count(r"FileScan parquet", plan) == 0
+
+
+def test_mm_dedup_report_no_cartesian_all_python_checkpointed(spark):
+    """mm_dedup_report: six metric legs over three modalities compose
+    without a nested loop anywhere, and every Python synth/hash stage
+    ran ONCE into its checkpoint — the video leg's two distinct-side
+    Arrow stages are the only MapInPandas left in the final plan."""
+    plan = plan_of(spark, "mm_dedup_report")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    # image + audio legs are checkpointed (0 Python); the video leg's
+    # synth+hash pair feeds a distinct that is not checkpointed at the
+    # report level (frame_dedup_pairs checkpoints internally)
+    assert count(r"MapInPandas", plan) <= 2
