@@ -1942,6 +1942,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_dedup_report"] = mm_dedup_report
 
+    def sketch_kmv_overlap(spark, sf):
+        """Pairwise cross-source SHINGLE-overlap estimates from
+        per-source KMV sketches (Beyer et al. 2007) — the sketch
+        counterpart of `dedup_source_overlap`'s exact near-dup matrix:
+        the value universe is each source's word-3-gram set, J(A,B) =
+        both-membership fraction of the merged k-minimum sketch,
+        union ≈ (k-1)/x_k, intersection ≈ J·union. At 100 TB the
+        corpus leg is one shingle distinct + one per-source rank
+        window; every pair comparison runs on ≤ sources·k hash rows.
+        The md5 hash is engine-reproducible, so the DuckDB oracle
+        recomputes the identical estimates."""
+        from hermod_spark.functions import text as X
+        from hermod_spark.operators.sketches import kmv_pairwise_overlap
+
+        sh = _t(spark, sf, "documents").select(
+            "source", F.explode(X.ngrams("text", 3)).alias("shingle")
+        )
+        return kmv_pairwise_overlap(sh, "source", "shingle", k=64).orderBy(
+            "source_a", "source_b"
+        )
+
+    q["sketch_kmv_overlap"] = sketch_kmv_overlap
+
     def mm_video_framedup(spark, sf):
         """Frame-sampling video dedup: sample up to 3 'frames' per
         video (64-char text blocks as tiles), aHash each, pair videos
@@ -4558,6 +4581,48 @@ UNION ALL SELECT 'video_dup_pairs', CAST(COUNT(*) AS BIGINT) FROM
      ON a.ahash = b.ahash AND a.doc_id < b.doc_id
    GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)
 ) ORDER BY metric"""
+
+    # KMV pairwise overlap: identical shingling (lowered whitespace
+    # tokens, 3-gram join), identical md5 hash, identical merged-
+    # sketch arithmetic (both-membership fraction, (k-1)/x_k union)
+    o["sketch_kmv_overlap"] = f"""
+WITH t AS (SELECT source, {_toks_sql("text")} AS tk FROM documents),
+g AS (
+  SELECT source,
+    unnest(CASE WHEN len(tk) < 3 THEN []
+           ELSE list_transform(range(1, len(tk) - 1),
+                               i -> array_to_string(tk[i:i+2], ' ')) END)
+      AS shingle
+  FROM t),
+h AS (
+  SELECT DISTINCT source AS s,
+    CAST(('0x' || substring(md5(shingle), 1, 8)) AS UBIGINT)
+      / 4294967296.0 AS hv
+  FROM g),
+r AS (SELECT s, hv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY hv) AS rn
+      FROM h),
+ks AS (SELECT s, hv FROM r WHERE rn <= 64),
+ss AS (SELECT DISTINCT s FROM ks),
+p AS (SELECT a.s AS sa, b.s AS sb FROM ss a JOIN ss b ON a.s < b.s),
+m AS (
+  SELECT sa, sb, hv,
+    MAX(CASE WHEN ks.s = p.sa THEN 1 ELSE 0 END) AS in_a,
+    MAX(CASE WHEN ks.s = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN ks ON ks.s IN (p.sa, p.sb)
+  GROUP BY sa, sb, hv),
+mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+       FROM m),
+kept AS (SELECT * FROM mr WHERE rn <= 64)
+SELECT sa AS source_a, sb AS source_b,
+  ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 4) AS est_jaccard,
+  ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE 63 / MAX(CASE WHEN rn = 64 THEN hv END) END, 4)
+    AS est_union,
+  ROUND((CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*))
+        * (CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63 / MAX(CASE WHEN rn = 64 THEN hv END) END), 4)
+    AS est_intersection
+FROM kept GROUP BY sa, sb ORDER BY sa, sb"""
 
     # per-frame tiles: block f = 64-char substring at offset 64*f
     # (frame exists only when the text reaches the offset), hashed

@@ -147,6 +147,9 @@ BASELINE = {
     "rel_asof_tolerance": 0.48,
     # composed funnel: exact-dup collapse -> near-dup banding over reps
     "mm_image_dedup_funnel": 2.8,
+    # KMV pairwise source-overlap estimates: one shingle distinct +
+    # one rank window bound the corpus leg; pairs run on sets*k rows
+    "sketch_kmv_overlap": 3.0,
     # composed MULTIMODAL dedup report: 3 checkpointed hash passes
     # (image/audio/video synth+kernel), 2 banded rep joins, 1 frame
     # pair join, 6 metric aggs -- the sum of its legs, measured 8.6
@@ -466,6 +469,7 @@ HEADLINE = [
     "mm_audio_fpdedup",
     "mm_audio_neardup",
     "mm_dedup_report",
+    "sketch_kmv_overlap",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -536,6 +540,10 @@ SCALE10X = [
     # already covered by the mm_image_neardup probe.
     "mm_image_dedup_funnel",
     "mm_audio_fpdedup",
+    # KMV overlap on UNrotated copies: the shingle universe is copy-
+    # invariant, so the distinct and every sketch are size-constant —
+    # only the pre-distinct scan grows; strongly sublinear by design
+    "sketch_kmv_overlap",
 ]
 
 
@@ -793,6 +801,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "mm_image_neardup": lambda: E.image_neardup_of(docs10s),
         "mm_image_dedup_funnel": lambda: E.image_dedup_funnel_of(docs10s),
         "mm_audio_fpdedup": lambda: E.audio_fpdedup_of(docs10p),
+        "sketch_kmv_overlap": lambda: _kmv_overlap10(docs10p),
         # scrambled copies again: frame hashes decorrelate across
         # copies, pair count grows ~10x per-copy
         "mm_video_framedup": lambda: E.video_framedup_of(docs10s),
@@ -807,6 +816,17 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         from hermod_spark.sources.messages import message_frame_of
 
         return E.dedup_replay_of(message_frame_of(ev, keep=["event_id"]))
+
+    def _kmv_overlap10(docs):
+        from pyspark.sql import functions as F
+
+        from hermod_spark.functions import text as X
+        from hermod_spark.operators.sketches import kmv_pairwise_overlap
+
+        sh = docs.select(
+            "source", F.explode(X.ngrams("text", 3)).alias("shingle")
+        )
+        return kmv_pairwise_overlap(sh, "source", "shingle", k=64)
 
     def _bm25_10():
         from hermod_spark.operators.textops import bm25_topk

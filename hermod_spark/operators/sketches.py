@@ -630,3 +630,86 @@ def bloom_merge_check(
         "direct_bits",
         (F.col("n_sym_diff") == 0).alias("merge_exact"),
     )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard / union / intersection ESTIMATES between the
+    ``value_col`` sets of every pair of ``set_col`` groups, from
+    per-group KMV sketches (Beyer et al., "On synopses for distinct-
+    value estimation under multiset operations", SIGMOD 2007) — the
+    sketch counterpart of the exact ``source_overlap_matrix``: at
+    100 TB the exact form shuffles every distinct (set, value) pair
+    twice, while this one reduces each group to k hashes and compares
+    O(sets² · k) rows.
+
+    Estimator: merge each pair's two k-sets, keep the k smallest of
+    the union (= the KMV sketch of A∪B); ρ = fraction of kept hashes
+    present in BOTH k-sets estimates J(A,B); union ≈ (k-1)/x_k (exact
+    when the merged set has < k hashes); intersection ≈ ρ · union.
+    Deterministic md5 hashing makes every estimate a pure function of
+    the data — bit-reproducible in the DuckDB oracle.
+
+    Shape: one distinct + one per-group rank window bound the corpus
+    leg; everything after runs on ≤ sets·k rows (pair expansion via a
+    broadcast equi-join, never a nested loop)."""
+    hashes = (
+        df.select(F.col(set_col).alias("s"), uniform_hash(value_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    ksets = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("s", "h")
+        .localCheckpoint()
+    )
+    sets = ksets.select("s").distinct()
+    pairs = (
+        sets.alias("x")
+        .join(sets.alias("y"), F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("sa"), F.col("y.s").alias("sb"))
+    )
+    # equi-join on the member set (each pair explodes to its two
+    # members) so the tiny pair table broadcasts — no nested loop
+    members = pairs.select(
+        "sa", "sb", F.explode(F.array("sa", "sb")).alias("s")
+    )
+    merged = (
+        F.broadcast(members)
+        .join(ksets, "s")
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max((F.col("s") == F.col("sa")).cast("int")).alias("in_a"),
+            F.max((F.col("s") == F.col("sb")).cast("int")).alias("in_b"),
+        )
+    )
+    w2 = Window.partitionBy("sa", "sb").orderBy("h")
+    kept = merged.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    jac = F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.count(
+        F.lit(1)
+    )
+    uni = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise((k - 1) / F.max(F.when(F.col("rn") == k, F.col("h"))))
+    return (
+        kept.groupBy("sa", "sb")
+        .agg(
+            F.round(jac, 4).alias("est_jaccard"),
+            F.round(uni, 4).alias("est_union"),
+            F.round(jac * uni, 4).alias("est_intersection"),
+        )
+        .select(
+            F.col("sa").alias(f"{set_col}_a"),
+            F.col("sb").alias(f"{set_col}_b"),
+            "est_jaccard",
+            "est_union",
+            "est_intersection",
+        )
+    )

@@ -660,3 +660,16 @@ def test_mm_dedup_report_no_cartesian_all_python_checkpointed(spark):
     # synth+hash pair feeds a distinct that is not checkpointed at the
     # report level (frame_dedup_pairs checkpoints internally)
     assert count(r"MapInPandas", plan) <= 2
+
+
+def test_kmv_overlap_broadcast_pairs_no_nested_loop(spark):
+    """sketch_kmv_overlap: the pair expansion must reach the k-sets
+    via a broadcast EQUI-join (the exploded member table), never a
+    nested loop; the corpus leg is exactly one distinct + one rank
+    window over the checkpointed k-sets."""
+    plan = plan_of(spark, "sketch_kmv_overlap")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    # the only BNLJ allowed is the tiny sets x sets pair builder —
+    # that one joins two ≤n_sources-row sides, bounded by set count
+    assert count(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan) == 0
