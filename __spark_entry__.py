@@ -260,6 +260,21 @@ def audio_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def kmv_overlap_of(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Word-3-gram shingles → per-source KMV sketches → pairwise
+    Jaccard/union/intersection estimates — the ONE body behind the
+    `sketch_kmv_overlap` entry query and bench's 10× probe (a drift
+    between them would leave the linearity probe measuring a stale
+    pipeline)."""
+    from hermod_spark.functions import text as X
+    from hermod_spark.operators.sketches import kmv_pairwise_overlap
+
+    sh = docs.select(
+        "source", F.explode(X.ngrams("text", 3)).alias("shingle")
+    )
+    return kmv_pairwise_overlap(sh, "source", "shingle", k=k)
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -1953,13 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         window; every pair comparison runs on ≤ sources·k hash rows.
         The md5 hash is engine-reproducible, so the DuckDB oracle
         recomputes the identical estimates."""
-        from hermod_spark.functions import text as X
-        from hermod_spark.operators.sketches import kmv_pairwise_overlap
-
-        sh = _t(spark, sf, "documents").select(
-            "source", F.explode(X.ngrams("text", 3)).alias("shingle")
-        )
-        return kmv_pairwise_overlap(sh, "source", "shingle", k=64).orderBy(
+        return kmv_overlap_of(_t(spark, sf, "documents")).orderBy(
             "source_a", "source_b"
         )
 

@@ -801,7 +801,7 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "mm_image_neardup": lambda: E.image_neardup_of(docs10s),
         "mm_image_dedup_funnel": lambda: E.image_dedup_funnel_of(docs10s),
         "mm_audio_fpdedup": lambda: E.audio_fpdedup_of(docs10p),
-        "sketch_kmv_overlap": lambda: _kmv_overlap10(docs10p),
+        "sketch_kmv_overlap": lambda: E.kmv_overlap_of(docs10p),
         # scrambled copies again: frame hashes decorrelate across
         # copies, pair count grows ~10x per-copy
         "mm_video_framedup": lambda: E.video_framedup_of(docs10s),
@@ -817,16 +817,6 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
 
         return E.dedup_replay_of(message_frame_of(ev, keep=["event_id"]))
 
-    def _kmv_overlap10(docs):
-        from pyspark.sql import functions as F
-
-        from hermod_spark.functions import text as X
-        from hermod_spark.operators.sketches import kmv_pairwise_overlap
-
-        sh = docs.select(
-            "source", F.explode(X.ngrams("text", 3)).alias("shingle")
-        )
-        return kmv_pairwise_overlap(sh, "source", "shingle", k=64)
 
     def _bm25_10():
         from hermod_spark.operators.textops import bm25_topk

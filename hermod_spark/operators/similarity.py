@@ -1560,6 +1560,13 @@ def load_ann_model(spark, path: str) -> dict:
     if mean or comps:
         if len(mean) != 1 or not comps:
             raise ValueError("load_ann_model: incomplete PCA model")
+        # same dense-index contract as centroids/codebooks: a
+        # truncated artifact (missing component i) or a duplicated row
+        # must not silently serve a garbled projection model
+        if [r["i"] for r in comps] != list(range(len(comps))):
+            raise ValueError(
+                "load_ann_model: pca_component indices not dense"
+            )
         out["pca"] = (
             [float(x) for x in mean[0]["vals"]],
             [[float(x) for x in r["vals"]] for r in comps],

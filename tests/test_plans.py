@@ -637,10 +637,11 @@ def test_audio_neardup_band_join_not_all_pairs(spark):
     assert count(r"bit_count", plan) >= 1
 
 
-def test_image_dedup_funnel_reps_window_then_band_join(spark):
-    """mm_image_dedup_funnel: the exact-collapse window and the near-
-    dup banding compose without an extra corpus pass — the final plan
-    has the band equi-join over the checkpointed reps, no Python, no
+def test_image_dedup_funnel_reps_collapse_then_band_join(spark):
+    """mm_image_dedup_funnel: the exact collapse (groupBy-min reps —
+    map-side combinable, deliberately NOT a window) and the near-dup
+    banding compose without an extra corpus pass — the final plan has
+    the band equi-join over the checkpointed reps, no Python, no
     parquet, no nested loop."""
     plan = plan_of(spark, "mm_image_dedup_funnel")
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0

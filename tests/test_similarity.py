@@ -609,3 +609,23 @@ def test_ann_model_load_rejects_duplicated_codebook_cell(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="grid not dense"):
         S.load_ann_model(spark, p)
+
+
+def test_ann_model_load_rejects_sparse_pca_components(spark, tmp_path):
+    """A truncated artifact missing pca_component i=1 (or carrying a
+    duplicate index) must raise, same dense contract as codebooks."""
+    from hermod_spark.operators import similarity as S
+
+    p = str(tmp_path / "pca_gap")
+    spark.createDataFrame(
+        [
+            ("pca_mean", 0, 0, [0.0]),
+            ("pca_component", 0, 0, [1.0]),
+            ("pca_component", 2, 0, [2.0]),
+        ],
+        S._MODEL_SCHEMA,
+    ).write.parquet(p)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pca_component indices"):
+        S.load_ann_model(spark, p)
