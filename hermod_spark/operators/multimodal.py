@@ -284,9 +284,20 @@ def ahash_neardup(
     # AQE from coalescing anyway, and — unlike REPARTITION_BY_NUM —
     # AQE may skew-SPLIT a flooded bucket (50k rows: 1.9 s vs 3.3 s
     # forced). The count is free: h is already localCheckpointed.
-    width = banded.sparkSession.sparkContext.defaultParallelism
-    if h.count() * bands < width * 4096:
-        banded = banded.repartition(width, "band", "bits")
+    # Spread the forced exchange 8× wider than the core count: the
+    # critical path is the task holding the hottest (band, bits)
+    # buckets, and hashing into more partitions keeps large buckets
+    # from COLLIDING onto one core (measured on the audio fingerprint
+    # set, join leg only: ×1 3.09 s, ×2 2.25 s, ×8 1.89 s). The
+    # one-bucket floor remains — a single flooded bucket is
+    # irreducible under bucket-keyed hashing; collapse exact dups
+    # first (ahash_dedup) so buckets hold representatives.
+    cores = banded.sparkSession.sparkContext.defaultParallelism
+    n = h.count()
+    if n * bands < cores * 4096:
+        banded = banded.repartition(
+            min(cores * 8, max(n * bands, 1)), "band", "bits"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
