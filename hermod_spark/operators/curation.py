@@ -162,10 +162,24 @@ def contamination_check(
     """Benchmark-contamination scan: documents containing ANY probe
     n-gram. The probe set is a literal array (broadcast by
     construction); membership is `arrays_overlap` against the doc's
-    n-gram array — one scan, no join, no shuffle."""
+    n-gram array — one scan, no join, no shuffle.
+
+    Probes are validated up front: doc-side grams are exactly-n-word
+    single-space-joined lowercase strings, so a probe with a
+    different word count (or stray whitespace) could never match ANY
+    document — the leak would silently pass the gate. Probes are
+    whitespace-normalized here; a wrong word count raises."""
     from hermod_spark.functions.text import ngrams
 
-    probes = F.array(*[F.lit(p.lower()) for p in probe_ngrams])
+    norm = [" ".join(p.lower().split()) for p in probe_ngrams]
+    bad = [p for p in norm if len(p.split(" ")) != n]
+    if bad:
+        raise ValueError(
+            f"contamination_check: probes must be exactly {n} words "
+            f"(doc n-grams are {n}-word strings; these can never "
+            f"match): {bad[:3]}"
+        )
+    probes = F.array(*[F.lit(p) for p in norm])
     return df.filter(F.arrays_overlap(ngrams(text_col, n), probes)).select(id_col)
 
 
@@ -642,23 +656,25 @@ def source_report(
     operators (token count, quality logit) with one corpus-wide
     duplicate count; the final rollup groups by source.
 
-    Scale shape: per-doc metrics are pure projection; the duplicate
-    flag is ONE shuffle on the content hash (≈uniform md5 keys, the
-    exact-dedup shape); the rollup is a map-side-combinable agg over
-    #sources groups."""
+    Scale shape: per-doc metrics are pure projection — the text rides
+    quality_logistic's ``passthrough`` so token count and content hash
+    compute scan-side on the SAME pass (joining them back by id would
+    scan the corpus twice and add a corpus-sized id shuffle); the
+    duplicate flag is ONE shuffle on the content hash (≈uniform md5
+    keys, the exact-dedup shape); the rollup is a map-side-combinable
+    agg over #sources groups."""
     from pyspark.sql import Window
 
     from hermod_spark.functions.text import token_count
 
-    keyed = quality_logistic(
-        df, text_col=text_col, id_col=id_col, passthrough=(source_col,)
-    ).join(
-        df.select(
-            F.col(id_col),
-            token_count(F.col(text_col)).alias("_nt"),
-            F.md5(F.col(text_col)).alias("_k"),
-        ),
-        id_col,
+    keyed = (
+        quality_logistic(
+            df, text_col=text_col, id_col=id_col,
+            passthrough=(source_col, text_col),
+        )
+        .withColumn("_nt", token_count(F.col(text_col)))
+        .withColumn("_k", F.md5(F.col(text_col)))
+        .drop(text_col)
     )
     dup = F.count(F.lit(1)).over(Window.partitionBy("_k")) > 1
     flagged = keyed.withColumn("_dup", dup)
@@ -707,8 +723,16 @@ def write_training_shards(
     training job checks before consuming)."""
     addressed = df.join(shard_shuffle(df, id_col, n_shards, seed), id_col)
     (
+        # sort by (shard, pos), not pos alone: partitionBy('shard')
+        # REQUIRES an ordering on the partition column, and a
+        # pos-only sort makes the writer insert its own sort-by-shard
+        # on top — which is not guaranteed stable on pos when it
+        # spills, silently breaking the shard-shuffle row order (and
+        # always paying a redundant re-sort). Leading with shard
+        # satisfies the writer's requirement; pos then orders rows
+        # within each shard file.
         addressed.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
@@ -716,6 +740,41 @@ def write_training_shards(
     spark = df.sparkSession
     back = spark.read.parquet(path).groupBy("shard").count().collect()
     return {int(r["shard"]): r["count"] for r in back}
+
+
+def _per_source_share(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float] | None,
+    text_col: str,
+    source_col: str,
+) -> tuple[DataFrame, Column]:
+    """Shared planning core of mixture_plan / epoch_plan (and
+    sample_mixture's weight chain): ONE map-side-combinable agg to
+    (source, n_docs, available_tokens) plus the per-source budgeted
+    token share (uniform over present sources when weights is None —
+    the window runs over the #sources-row aggregate, not the corpus).
+    A fix to rate/weight semantics lands in both planners at once."""
+    from hermod_spark.functions.text import token_count
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias(
+            "available_tokens"
+        ),
+    )
+    if weights is None:
+        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+        share = (F.lit(float(budget_tokens)) / n_sources).cast("double")
+    else:
+        w: Column | None = None
+        for s, r in sorted(weights.items()):
+            cond = F.col(source_col) == s
+            w = F.when(cond, F.lit(r)) if w is None else w.when(cond, F.lit(r))
+        share = F.lit(float(budget_tokens)) * (
+            F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
+        )
+    return per, share
 
 
 def mixture_plan(
@@ -736,29 +795,9 @@ def mixture_plan(
     Uniform weights by default. One map-side-combinable agg (#sources
     groups); token counts are exact long sums, the rate a single
     double division — partitioning-independent, oracle-replayable."""
-    from hermod_spark.functions.text import token_count
-
-    per = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col)).cast("bigint")).alias(
-            "available_tokens"
-        ),
+    per, share = _per_source_share(
+        df, budget_tokens, weights, text_col, source_col
     )
-    if weights is None:
-        from pyspark.sql import Window
-
-        # uniform split over however many sources exist — the window
-        # runs over the #sources-row AGGREGATE, not the corpus
-        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
-        share = (F.lit(float(budget_tokens)) / n_sources).cast("double")
-    else:
-        w: Column | None = None
-        for s, r in sorted(weights.items()):
-            cond = F.col(source_col) == s
-            w = F.when(cond, F.lit(r)) if w is None else w.when(cond, F.lit(r))
-        share = F.lit(float(budget_tokens)) * (
-            F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
-        )
     return per.select(
         source_col,
         "n_docs",
@@ -793,25 +832,9 @@ def epoch_plan(
     Same scale shape as mixture_plan: ONE map-side-combinable
     aggregation to #sources rows; ratios are single double divisions
     of exact long sums — partitioning-independent, oracle-replayable."""
-    from hermod_spark.functions.text import token_count
-
-    per = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col)).cast("bigint")).alias(
-            "available_tokens"
-        ),
+    per, share = _per_source_share(
+        df, budget_tokens, weights, text_col, source_col
     )
-    if weights is None:
-        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
-        share = (F.lit(float(budget_tokens)) / n_sources).cast("double")
-    else:
-        w: Column | None = None
-        for s, r in sorted(weights.items()):
-            cond = F.col(source_col) == s
-            w = F.when(cond, F.lit(r)) if w is None else w.when(cond, F.lit(r))
-        share = F.lit(float(budget_tokens)) * (
-            F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
-        )
     ratio = share / F.greatest(F.col("available_tokens"), F.lit(1)).cast(
         "double"
     )
@@ -881,6 +904,7 @@ def split_leakage(
     text_col: str = "text",
     id_col: str = "doc_id",
     weights: dict[str, float] | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Eval-hygiene audit: near-duplicate pairs that STRADDLE the
     train/val/test boundary — the leakage a hash split cannot prevent
@@ -895,7 +919,7 @@ def split_leakage(
     rollup is ≤ |splits|² rows."""
     from hermod_spark.operators.dedup import near_dup_candidates
 
-    pairs = near_dup_candidates(df, text_col, id_col)
+    pairs = near_dup_candidates(df, text_col, id_col, max_bucket=max_bucket)
     labeled = split_assign(df.select(id_col), id_col, weights).select(
         F.col(id_col), F.col("split")
     )
@@ -921,6 +945,7 @@ def split_leakage(
 def pack_efficiency(
     packed: DataFrame,
     budget: int = 512,
+    len_col: str = "chunk_len",
 ) -> DataFrame:
     """Packing-efficiency report over :func:`pack_chunks` output — the
     number a training job actually pays for: per (shard, bin) token
@@ -933,7 +958,9 @@ def pack_efficiency(
     map-side-combinable; exact long sums and single divisions keep the
     doubles oracle-replayable."""
     bins = packed.groupBy("shard", "bin_id").agg(
-        F.sum(F.col("chunk_len").cast("bigint")).alias("_fill")
+        # len_col mirrors pack_chunks' parameter — a non-default name
+        # there must not break the report stage here
+        F.sum(F.col(len_col).cast("bigint")).alias("_fill")
     )
     return (
         bins.groupBy("shard")

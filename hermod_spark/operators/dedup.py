@@ -168,6 +168,15 @@ def minhash_bands(
     shuffle, and no expression tree is duplicated (the nested-transform
     alternative re-inlines the tokenizer 16× under projection collapse
     and takes minutes to codegen on even small inputs)."""
+    # bands > num_hashes would make every band key md5('') — one
+    # global bucket, a silent O(n²) pair explosion; a non-divisible
+    # split would silently discard trailing signatures (recall change
+    # with no diagnostic). Both are config bugs: refuse loudly.
+    if num_hashes % bands != 0 or num_hashes < bands:
+        raise ValueError(
+            f"minhash_bands: num_hashes={num_hashes} must be a positive "
+            f"multiple of bands={bands}"
+        )
     rows = num_hashes // bands
     # explode_outer + null filter, NOT plain explode: explode adds an
     # implicit size(arr)>0 filter whose predicate re-evaluates the whole
@@ -309,17 +318,21 @@ def near_dup_pairs(
     bands: int = 4,
     w: int = 3,
     candidates: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
 
     The expensive exact scorer touches only LSH survivors — the
     bucket join did the pruning, so verification cost is O(candidates),
     not O(n²). ``candidates=`` injects a precomputed candidate frame
-    so a composed pipeline runs the LSH pass once."""
+    so a composed pipeline runs the LSH pass once. ``max_bucket``
+    forwards the flooded-bucket cap to the candidate stage (ignored
+    when ``candidates=`` is injected — cap where they're built)."""
     cands = candidates
     if cands is None:
         cands = near_dup_candidates(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w,
+            max_bucket=max_bucket,
         )
     sh = df.select(F.col(id_col).alias("_sid"), shingles(text_col, w).alias("_sh"))
     return (
@@ -364,6 +377,7 @@ def min_label_propagation(
         "label", F.col("node")
     )
     rounds = 0
+    changed = 0
     for _ in range(max_iterations):
         rounds += 1
         nb_min = (
@@ -388,6 +402,18 @@ def min_label_propagation(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        if changed:
+            # exhausted max_iterations with updates still flowing: the
+            # labels are a TRUNCATED propagation (one logical cluster
+            # reported as several, silently) — refuse rather than hand
+            # keep-best dedup a wrong cluster map. Near-dup chains are
+            # shallow; hitting this means a pathological diameter.
+            raise ValueError(
+                f"min_label_propagation: not converged after "
+                f"{max_iterations} rounds (component diameter exceeds "
+                f"the cap) — raise max_iterations"
+            )
     return labels, rounds
 
 
@@ -444,13 +470,25 @@ def connected_components(
     pairs = pairs.localCheckpoint(eager=False)
     n = pairs.count()
     if n <= driver_max_edges:
+        from pyspark.sql import types as _T
+
         spark = pairs.sparkSession
+        # node/label type follows the edge id type (string doc ids
+        # work identically on both paths — the hardcoded LONG here
+        # used to make behavior diverge by data volume)
+        id_type = pairs.schema["id_a"].dataType
+        schema = _T.StructType(
+            [
+                _T.StructField("node", id_type),
+                _T.StructField("label", id_type),
+            ]
+        )
         edges = [
             (r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()
         ]
         labels = _driver_union_find(edges)
         if not labels:
-            return spark.createDataFrame([], "node LONG, label LONG")
+            return spark.createDataFrame([], schema)
         # parallelize, don't createDataFrame(list): a pickled local
         # relation embeds every label tuple in the PLAN payload (at
         # the 200k cap that is tens of MB shipped with every task);
@@ -459,7 +497,7 @@ def connected_components(
         sc = spark.sparkContext
         n_slices = max(2, min(32, len(labels) // 25_000 + 1))
         return spark.createDataFrame(
-            sc.parallelize(labels, n_slices), "node LONG, label LONG"
+            sc.parallelize(labels, n_slices), schema
         )
     labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
     return labels
@@ -476,6 +514,7 @@ def near_dup_clusters(
     w: int = 3,
     max_iterations: int = 20,
     pairs: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup graph: every
     document labeled with the min doc id reachable through near-dup
@@ -499,6 +538,7 @@ def near_dup_clusters(
         pairs = near_dup_pairs(
             df, text_col, id_col, threshold=threshold,
             num_hashes=num_hashes, bands=bands, w=w,
+            max_bucket=max_bucket,
         )
     pairs = pairs.select("id_a", "id_b")
     labels = connected_components(pairs, max_iterations=max_iterations)
@@ -640,6 +680,7 @@ def source_overlap_matrix(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-DATASET near-duplicate overlap matrix: banded candidate
     pairs rolled up per unordered (source_a, source_b) — the
@@ -654,7 +695,8 @@ def source_overlap_matrix(
     the rollup is ≤ |sources|² rows. `is_cross` marks inter-dataset
     rows (the redundancy double-count a mixture must discount)."""
     pairs = near_dup_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w,
+        max_bucket=max_bucket,
     )
     labels = df.select(F.col(id_col), F.col(source_col))
     a = labels.select(
@@ -685,6 +727,7 @@ def redundancy_profile(
     bands: int = 4,
     w: int = 3,
     pairs: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus redundancy profile: the histogram of near-dup DEGREES —
     for each document, how many LSH candidate partners it has; rolled
@@ -700,7 +743,8 @@ def redundancy_profile(
     frame so a composed report shares one LSH pass."""
     if pairs is None:
         pairs = near_dup_candidates(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w,
+            max_bucket=max_bucket,
         )
     pairs = pairs.localCheckpoint(eager=False)  # computed once though referenced
     # by both the histogram and the degree-0 subtree; lazy so building
@@ -738,6 +782,7 @@ def cluster_keep_best(
     bands: int = 4,
     w: int = 3,
     clusters: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup with a quality-aware survivor: label clusters via
     `near_dup_clusters` (LSH candidates → exact-Jaccard verify →
@@ -764,6 +809,7 @@ def cluster_keep_best(
         clusters = near_dup_clusters(
             df, text_col, id_col,
             threshold=threshold, num_hashes=num_hashes, bands=bands, w=w,
+            max_bucket=max_bucket,
         )
     scored = df.select(id_col, quality_score(text_col).alias("_q")).join(
         clusters, id_col
@@ -1057,6 +1103,7 @@ def dedup_report(
     num_hashes: int = 16,
     bands: int = 4,
     w: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """One-pass dedup REPORT: candidates, verified pairs, clusters, and
     survivor counts derived from a SINGLE MinHash/LSH computation — the
@@ -1076,7 +1123,8 @@ def dedup_report(
     materializes; the only additions over `near_dup_clusters` alone
     are O(pairs) aggregations."""
     cand = near_dup_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, w=w,
+        max_bucket=max_bucket,
     ).localCheckpoint(eager=False)
     ver = near_dup_pairs(
         df, text_col, id_col, threshold=threshold, w=w, candidates=cand
@@ -1173,12 +1221,29 @@ def remove_duplicated_spans(
             & (i + 1 <= s.getField("span_end")),
         )
 
-    kept = F.filter(toks, lambda t, i: ~_covered(i))
-    return joined.select(
+    # nested let-binding (single-element-array transform, the shingles
+    # discipline): `toks` and the filtered `kept` are each bound ONCE.
+    # Referencing them directly from the three output columns would
+    # re-inline the tokenizer up to 3× and — worse — run the
+    # O(tokens × spans) exists-filter TWICE per row (subexpression
+    # elimination skips lambda-bearing expressions).
+    def _result(t: Column) -> Column:
+        k_arr = F.filter(t, lambda tok, i: ~_covered(i))
+        return F.transform(
+            F.array(k_arr),
+            lambda k: F.struct(
+                F.size(t).cast("long").alias("n_tokens"),
+                (F.size(t) - F.size(k)).cast("long").alias("n_removed"),
+                F.concat_ws(" ", k).alias("clean_text"),
+            ),
+        )[0]
+
+    res = F.transform(F.array(toks), _result)[0]
+    return joined.select(id_col, res.alias("_r")).select(
         id_col,
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_removed").alias("n_removed"),
+        F.col("_r.clean_text").alias("clean_text"),
     )
 
 

@@ -485,6 +485,13 @@ def _lsh_banded(
     shape would be a stateful aggregation here)."""
     from hermod_spark.operators.dedup import lsh_band_keys, minhash_signature
 
+    # same config guard as minhash_bands: bands must split num_hashes
+    # exactly, or banding silently degenerates/discards signatures
+    if num_hashes % bands != 0 or num_hashes < bands:
+        raise ValueError(
+            f"_lsh_banded: num_hashes={num_hashes} must be a positive "
+            f"multiple of bands={bands}"
+        )
     rows = num_hashes // bands
     # bind the signature ONCE: lsh_band_keys references it rows×bands
     # times (element_at per slot), and projection collapse would

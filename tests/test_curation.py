@@ -733,3 +733,30 @@ def test_materialize_epochs_repeats_and_tail(spark):
     # determinism
     again = materialize_epochs(docs, budget_tokens=180).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_contamination_probe_validation(spark):
+    """Wrong-word-count probes can never match any doc n-gram — they
+    must raise, not silently pass the gate; stray whitespace in a
+    valid probe is normalized so it still matches."""
+    df = spark.createDataFrame(
+        [(1, "The quick  Brown fox jumps")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="exactly 3 words"):
+        CUR.contamination_check(df, ["the quick brown fox jumps"], n=3)
+    # double space + case normalize away; the probe still hits
+    got = CUR.contamination_check(df, ["quick  BROWN   fox"], n=3).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_pack_efficiency_custom_len_col(spark):
+    """pack_efficiency must honor pack_chunks' len_col parameter."""
+    chunks = spark.createDataFrame(
+        [(1, 0, "a b", 2), (1, 1, "c d", 2), (2, 0, "e", 1)],
+        "doc_id LONG, chunk_id INT, chunk_text STRING, tok_len INT",
+    )
+    packed = CUR.pack_chunks(
+        chunks, budget=3, n_shards=2, len_col="tok_len"
+    )
+    rep = CUR.pack_efficiency(packed, budget=3, len_col="tok_len").collect()
+    assert sum(r["total_tokens"] for r in rep) == 5

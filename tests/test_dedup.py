@@ -654,3 +654,44 @@ class TestBlockedLinkage:
     def test_no_self_or_reversed_pairs(self, spark):
         got = dedup.blocked_linkage(self._people(spark), block_len=4).collect()
         assert got and all(r["id_a"] < r["id_b"] for r in got)
+
+
+def test_minhash_bands_rejects_bad_band_split(spark):
+    """bands > num_hashes would degenerate to one global bucket (an
+    O(n²) explosion); a non-divisible split silently drops trailing
+    signatures — both must raise."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_bands(df, num_hashes=4, bands=8).collect()
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_bands(df, num_hashes=16, bands=5).collect()
+
+
+def test_connected_components_driver_path_string_ids(spark):
+    """The driver union-find path must handle non-integer ids exactly
+    like the distributed path (the hardcoded LONG schema used to make
+    behavior diverge by edge volume)."""
+    pairs = spark.createDataFrame(
+        [("urlA", "urlB"), ("urlB", "urlC"), ("urlX", "urlY")],
+        "id_a STRING, id_b STRING",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("urlA", "urlA"), ("urlB", "urlA"), ("urlC", "urlA"),
+        ("urlX", "urlX"), ("urlY", "urlX"),
+    }
+
+
+def test_min_label_propagation_raises_on_truncation(spark):
+    """Exhausting max_iterations with updates still flowing must raise
+    (truncated labels silently split one cluster into several)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        dedup.min_label_propagation(chain, max_iterations=2)
+    labels, _ = dedup.min_label_propagation(chain, max_iterations=10)
+    assert {r["label"] for r in labels.collect()} == {1}
