@@ -2907,6 +2907,8 @@ SELECT CAST(date_part('dow', ts) AS INT) AS dow,
   ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(value), 6)
     AS avg_value
 FROM events GROUP BY 1, 2"""
+    # RANGE frame on the integer epoch-hour (not ROWS): a missing hour
+    # must shrink the trailing window, not widen its wall-clock span
     o["rel_moving_avg"] = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
@@ -2915,8 +2917,9 @@ WITH hourly AS (
 SELECT event_type, hour, n,
   ROUND(CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS avg_3h
 FROM hourly
-WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(epoch(hour) AS BIGINT) // 3600 ASC
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)"""
     o["rel_outliers"] = """
 WITH ranked AS (
   SELECT event_type, value, event_id,
@@ -3727,7 +3730,8 @@ FROM documents"""
 SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(len({_toks_sql("text")})) AS BIGINT) AS total_tokens,
   ROUND(AVG(len({_toks_sql("text")})), 6) AS avg_tokens,
-  ROUND(SUM({_quality_sql("text")}) / COUNT(*), 6) AS avg_quality
+  ROUND(CAST(SUM(CAST({_quality_sql("text")} AS DECIMAL(18,9)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_quality
 FROM documents GROUP BY source"""
     o["text_lang_confusion"] = f"""
 SELECT lang AS lang_declared, {_lang_id_sql("text")} AS lang_pred, COUNT(*) AS n_docs
@@ -4371,14 +4375,17 @@ r AS (
   SELECT e.label,
     CAST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
          AS DECIMAL(18,9)) AS nrm,
-    CAST(list_dot_product(e.embedding::DOUBLE[], c.centroid)
+    CAST(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) = 0
+              OR list_dot_product(c.centroid, c.centroid) = 0 THEN NULL
+         ELSE list_dot_product(e.embedding::DOUBLE[], c.centroid)
          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(c.centroid, c.centroid)))
+            * sqrt(list_dot_product(c.centroid, c.centroid))) END
          AS DECIMAL(18,9)) AS cosd
   FROM embeddings e JOIN c USING (label))
 SELECT label, COUNT(*) AS n_vectors,
   ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
-  ROUND(CAST(SUM(cosd) AS DOUBLE) / COUNT(*), 6) AS avg_cos_centroid
+  ROUND(CAST(SUM(cosd) AS DOUBLE) / COUNT(cosd), 6) AS avg_cos_centroid
 FROM r GROUP BY label"""
 
     o["mm_resize_plan"] = """

@@ -52,10 +52,15 @@ def dbl(decimal_col):
     Casting a high-scale decimal (e.g. the (28,12) charge sum) straight
     to double is correctly-rounded in the JVM but not in every engine —
     DuckDB converts int128/10^s with two roundings, off by 1 ulp. At
-    scale 4 the unscaled value fits in 2^53, so int→double is exact and
-    the single division rounds identically everywhere: bit-reproducible
-    results."""
-    return F.round(decimal_col, 4).cast("decimal(18,4)").cast("double")
+    scale 4 the unscaled value fits in 2^53 for any test-scale sum, so
+    int→double is exact and the single division rounds identically
+    everywhere: bit-reproducible results.
+
+    Width is (38,4), NOT (18,4): a returnflag-group charge sum at the
+    100 TB design point exceeds 10^14, and a (18,4) cast would
+    silently overflow to NULL (or throw under ANSI) even though the
+    upstream (38,12) sum was fine. Same values wherever (18,4) fit."""
+    return F.round(decimal_col, 4).cast("decimal(38,4)").cast("double")
 
 
 def one_minus(rate_col: str):
@@ -627,10 +632,16 @@ def hourly_moving_avg(events: DataFrame, hours: int = 3) -> DataFrame:
             F.sum(dec("value")).alias("_sum"),
         )
     )
+    # RANGE frame on the integer epoch-hour, NOT a rows frame: with a
+    # rows frame an hour with no events makes the "trailing N hours"
+    # silently span more than N wall-clock hours (rows are only the
+    # POPULATED buckets). The integer range frame skips the gap
+    # instead — same semantics in any engine's window RANGE.
+    eh = (F.unix_timestamp("hour") / 3600).cast("long")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.col("hour").asc())
-        .rowsBetween(-(hours - 1), 0)
+        .orderBy(eh.asc())
+        .rangeBetween(-(hours - 1), 0)
     )
     # decimal sums keep the rolling numerator exact (order-independent);
     # one double divide at the end
@@ -953,15 +964,26 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r)
-    rt = F.when(F.col("_side") == 0, F.col("_t"))
+    # the matched right row travels as ONE struct (non-null exactly on
+    # right rows): per-column last(_r_c, ignorenulls) would SKIP a
+    # genuine NULL value in the nearest row and serve a staler row's
+    # value while the match time still reported the nearest row —
+    # under tolerance, an arbitrarily old value gated by the wrong
+    # timestamp. The struct keeps (time, values) atomic, matching
+    # pandas merge_asof (the nearest row's value, even when NULL).
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_t").alias("_mt"),
+            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        ),
+    )
 
     def _match(w, tag: str):
+        m = F.last(rrow, ignorenulls=True).over(w)
         return [
-            *[
-                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m{tag}_{c}")
-                for c in right_cols
-            ],
-            F.last(rt, ignorenulls=True).over(w).alias(f"_m{tag}_t"),
+            *[m.getField(c).alias(f"_m{tag}_{c}") for c in right_cols],
+            m.getField("_mt").alias(f"_m{tag}_t"),
         ]
 
     cols = []

@@ -47,6 +47,23 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_dist2(a: Column | str, b: Column | str) -> Column:
+    """Exact squared L2 distance, JVM-side — the shared fold behind
+    l2_brute_force_topk's ground truth AND ivfpq_rerank_topk's exact
+    re-score (one definition so the two legs of a recall comparison
+    can never drift in fold order)."""
+    return F.aggregate(
+        F.zip_with(
+            _vec(a),
+            _vec(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -327,11 +344,18 @@ def train_centroids_kmeans(
         sims = X @ C.T
         assign = np.argmax(sims, axis=1)
         newC = np.zeros_like(C)
+        # worst-served sample points, worst first: when SEVERAL
+        # clusters empty in the same iteration each takes the NEXT
+        # point off this list — a shared argmin would reseed them all
+        # to the same point, and the tie-broken reassignment would
+        # empty the duplicates again forever (a permanently collapsed
+        # model)
+        worst_order = iter(np.argsort(np.max(sims, axis=1)))
         for j in range(k):
             members = X[assign == j]
             if len(members) == 0:
-                # reseed: the sample point worst-served by its centroid
-                newC[j] = X[np.argmin(np.max(sims, axis=1))]
+                # reseed: the next-worst-served sample point
+                newC[j] = X[next(worst_order)]
             else:
                 m = members.mean(axis=0)
                 nm = np.linalg.norm(m)
@@ -515,12 +539,26 @@ def class_stats(
     joined = embeddings.join(
         F.broadcast(cents), F.col(label_col) == F.col("grp")
     )
-    cos_d = cosine(F.col(vec_col), F.col("centroid")).cast("decimal(18,9)")
+    # explicit zero-norm guard (NULL cosine), not a bare division: a
+    # zero vector's 0/0 returns NULL in legacy mode but THROWS under
+    # ANSI (Spark 4 default) — one zero vector would abort the whole
+    # diagnostic pass
+    _na, _nb = norm(F.col(vec_col)), norm(F.col("centroid"))
+    cos_d = (
+        F.when(
+            (_na > 0) & (_nb > 0),
+            dot(F.col(vec_col), F.col("centroid")) / (_na * _nb),
+        )
+    ).cast("decimal(18,9)")
     norm_d = norm(F.col(vec_col)).cast("decimal(18,9)")
     agg = joined.groupBy(F.col(label_col)).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(norm_d).alias("_sn"),
         F.sum(cos_d).alias("_sc"),
+        # cosine is NULL for a zero vector (0/0): averaging over
+        # n_vectors would silently bias cohesion downward for classes
+        # containing zero vectors — divide by the DEFINED count
+        F.count(cos_d).alias("_nc"),
     )
     return agg.select(
         label_col,
@@ -528,7 +566,7 @@ def class_stats(
         F.round(F.col("_sn").cast("double") / F.col("n_vectors"), 6).alias(
             "avg_norm"
         ),
-        F.round(F.col("_sc").cast("double") / F.col("n_vectors"), 6).alias(
+        F.round(F.col("_sc").cast("double") / F.col("_nc"), 6).alias(
             "avg_cos_centroid"
         ),
     )
@@ -696,17 +734,10 @@ def pq_codes(
     bound = ensure_min_partitions(embeddings).select(
         F.col(id_col), F.col(vec_col).alias("_v"), codes.alias("codes")
     )
-    sub = len(books[0][0])
-    terms = []
-    for b, book in enumerate(books):
-        book_arr = "array(" + ", ".join(_sql_darr(c) for c in book) + ")"
-        cw = f"element_at({book_arr}, element_at(codes, {b + 1}) + 1)"
-        terms.append(
-            f"aggregate(zip_with(slice(_v, {b * sub + 1}, {sub}), {cw}, "
-            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            f"0.0D, (acc, v) -> acc + v)"
-        )
-    recon = " + ".join(terms)
+    # the reconstruction error IS the asymmetric distance of a vector
+    # to its own codes — reuse the shared ADC fold (hand-rebuilding it
+    # here risked silently diverging recon_error from est_dist)
+    recon = _adc_sql(books, "_v", "codes")
     return bound.select(
         id_col, "codes", F.expr(f"round(sqrt({recon}), 6)").alias("recon_error")
     )
@@ -877,16 +908,7 @@ def ivfpq_rerank_topk(
     qv = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("c_vec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+    d2 = l2_dist2("q_vec", "c_vec")
     exact = (
         nb.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -1262,16 +1284,7 @@ def l2_brute_force_topk(
     c = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("c_vec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+    d2 = l2_dist2("q_vec", "c_vec")
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).withColumn("dist2", F.round(d2, 6))
@@ -1456,6 +1469,20 @@ def ivf_recall_curve(
     )
     n_truth = truth.groupBy().agg(F.count(F.lit(1)).alias("n_truth"))
     n_corpus = embeddings.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
+    # spine of requested probe settings: a probe whose candidate set
+    # is EMPTY must still report (n_hits=0, n_scanned=0), not vanish
+    # from the curve (hits/scanned are groupBys over surviving rows)
+    spine = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(int(p),) for p in probes], "n_probe INT"
+        )
+    )
+    hits = spine.join(hits, "n_probe", "left").select(
+        "n_probe", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    )
+    scanned = spine.join(scanned, "n_probe", "left").select(
+        "n_probe", F.coalesce("n_scanned", F.lit(0)).alias("n_scanned")
+    )
     return (
         hits.join(scanned, "n_probe")
         .crossJoin(F.broadcast(n_truth))

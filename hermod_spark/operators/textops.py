@@ -34,14 +34,24 @@ def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> D
     """Per-group corpus rollup: doc counts, token totals, mean quality.
     groupBy → partial aggregation; sums are longs (exact)."""
     n_tok = X.token_count(text_col)
+    # quality sums ride an exact decimal, not a raw double: double
+    # summation is partition-order-dependent and can flip the 6dp
+    # rounding on a boundary between runs/engines (the determinism
+    # discipline class_stats and unigram_surprisal already follow)
     return (
-        df.select(F.col(by), n_tok.alias("_nt"), X.quality_score(text_col).alias("_q"))
+        df.select(
+            F.col(by),
+            n_tok.alias("_nt"),
+            X.quality_score(text_col).cast("decimal(18,9)").alias("_q"),
+        )
         .groupBy(by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_nt").alias("total_tokens"),
             F.round(F.avg("_nt"), 6).alias("avg_tokens"),
-            F.round(F.sum("_q") / F.count(F.lit(1)), 6).alias("avg_quality"),
+            F.round(
+                F.sum("_q").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
         )
         .orderBy(by)
     )

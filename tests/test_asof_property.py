@@ -158,3 +158,33 @@ def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows):
             assert got[row["event_id"]] == want, (
                 direction, left_rows, right_rows, row["event_id"],
             )
+
+
+def test_asof_null_value_in_nearest_row_is_served(spark):
+    """pandas merge_asof contract: the NEAREST row's value is served
+    even when that value is NULL — per-column last(ignorenulls) used
+    to skip it and serve a STALER row's value while reporting the
+    nearest row's time (under tolerance, an arbitrarily old value
+    gated by the wrong timestamp)."""
+    import datetime as _dt
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", t(3))], "key STRING, lt TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [("k", t(1), 5.0), ("k", t(2), None)],
+        "key STRING, rt TIMESTAMP, v DOUBLE",
+    )
+    got = asof_join(
+        left, right, key="key", time_left="lt", time_right="rt",
+        right_cols=["v"],
+    ).collect()
+    assert len(got) == 1 and got[0]["v_asof"] is None  # nearest row (t=2)
+    # pandas agrees
+    pd_got = pd.merge_asof(
+        left.toPandas().sort_values("lt"),
+        right.toPandas().sort_values("rt"),
+        left_on="lt", right_on="rt", by="key",
+    )
+    assert pd_got["v"].isna().all()

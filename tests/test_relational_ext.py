@@ -362,9 +362,11 @@ def test_hourly_moving_avg_trailing_buckets(spark):
     rows = {r["hour"].hour: r for r in R.hourly_moving_avg(events, hours=3).collect()}
     assert rows[10]["avg_3h"] == 3.0
     assert rows[11]["avg_3h"] == 4.0  # (2+4+6)/3
-    # trailing window is BUCKET-based (rows), not wall-clock: hour 13
-    # averages over buckets {10, 11, 13}
-    assert rows[13]["avg_3h"] == 6.0  # (2+4+6+12)/4
+    # trailing window is WALL-CLOCK (integer range frame on the epoch
+    # hour), not bucket-rows: hour 13's trailing 3 hours are 11-13, so
+    # the empty hour 12 SHRINKS the window instead of letting hour 10
+    # leak in (the rows-frame bug this pins against)
+    assert rows[13]["avg_3h"] == 9.0  # (6+12)/2
 
 
 def test_hll_distinct_within_rsd(spark):

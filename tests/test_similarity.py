@@ -629,3 +629,44 @@ def test_ann_model_load_rejects_sparse_pca_components(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="pca_component indices"):
         S.load_ann_model(spark, p)
+
+
+def test_class_stats_zero_vector_does_not_bias_cohesion(spark):
+    """A zero vector has undefined cosine (NULL): the cohesion average
+    must divide by the DEFINED count, not n_vectors — averaging NULL-
+    as-zero silently biased classes containing zero vectors."""
+    from hermod_spark.operators.similarity import class_stats
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [(9, [0.0, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    got = class_stats(df).collect()[0]
+    assert got["n_vectors"] == 5
+    # centroid = (0.8, 0.0); all four unit vectors have cosine 1.0 —
+    # the zero vector must not drag the average to 0.8
+    assert got["avg_cos_centroid"] == 1.0
+
+
+def test_ivf_recall_curve_reports_empty_probe_settings(spark):
+    """A probe setting whose candidate set is empty must still appear
+    in the curve with zero counters, not vanish (the groupBy-join
+    shape silently dropped it)."""
+    from hermod_spark.operators.similarity import ivf_recall_curve
+
+    # two vectors, one per centroid: each query's rank-0 list holds
+    # only itself (self-pairs filtered), so probe 1 scores NOTHING
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["n_probe"]: r
+        for r in ivf_recall_curve(
+            df, k=1, n_queries=2, probes=(1, 2),
+            centroids=[[1.0, 0.0], [0.0, 1.0]],
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_hits"] == 0 and got[1]["n_scanned"] == 0
+    assert got[2]["n_scanned"] == 2
