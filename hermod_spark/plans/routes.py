@@ -147,7 +147,14 @@ class RoutePlanner:
         topic = F.col(topic_col)
         prior: Column | None = None
         for r in self.routes:
-            m = topic_matches(r.filter, topic)
+            # null-safe match: topic_matches(NULL topic) is NULL, and a
+            # NULL predicate excludes the row from BOTH the branch
+            # filter and the ~prior remainder — the row would vanish
+            # from apply() entirely while label() routes it to the
+            # default table. Coalescing to False keeps the two shapes
+            # equivalent and honors the no-match→passthrough guarantee
+            # (router.go:344-363).
+            m = F.coalesce(topic_matches(r.filter, topic), F.lit(False))
             pred = m if prior is None else (m & ~prior)
             out.append((r, df.filter(pred)))
             prior = m if prior is None else (prior | m)

@@ -140,6 +140,14 @@ def sql_type_to_ddl(declared: str, dialect: str | None = None) -> str:
     return _SQL_TO_DDL.get(key)
 
 
+# SQL type-string shape: word(s), optionally one (n) / (n,m) length
+# suffix — 'text', 'double precision', 'varchar(255)', 'decimal(18,4)'
+_TYPE_RE = re.compile(
+    r"^[A-Za-z][A-Za-z0-9_]*(\s+[A-Za-z][A-Za-z0-9_]*)*"
+    r"(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?$"
+)
+
+
 @dataclass
 class TableSchema:
     """One declared table: column name → declared SQL type string."""
@@ -149,8 +157,19 @@ class TableSchema:
 
     def __post_init__(self) -> None:
         validate_identifier(self.name, strict=False)
-        for col in self.columns:
+        for col, typ in self.columns.items():
             validate_identifier(col, strict=False)
+            # declared TYPES reach CREATE TABLE text verbatim, so they
+            # need the same injection gate as identifiers (the threat
+            # model of storage_test.go:7-126 — identifiers alone were
+            # only half the surface). Shape, not whitelist: unknown
+            # dialect types stay declarable, but quotes/semicolons/
+            # parens-with-non-numerics cannot ride into SQL text.
+            if not _TYPE_RE.match((typ or "").strip()):
+                raise SchemaValidationError(
+                    f"invalid declared type {typ!r} for column "
+                    f"'{col}' in table '{self.name}'"
+                )
 
     def validate_record(self, columns: dict | list | set) -> None:
         """Extra (undeclared) column → SchemaValidationError; subset OK;
@@ -193,9 +212,10 @@ class TableSchema:
         undeclared columns are left to the writer's default type
         mapping. None when nothing is declared."""
         parts = [
-            f"{c} {sql_type_to_ddl(self.columns[c], dialect)}"
+            f"{c} {ddl}"
             for c in columns
-            if c in self.columns and sql_type_to_ddl(self.columns[c], dialect)
+            if c in self.columns
+            and (ddl := sql_type_to_ddl(self.columns[c], dialect))
         ]
         return ", ".join(parts) or None
 

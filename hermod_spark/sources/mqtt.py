@@ -497,8 +497,12 @@ class MqttReplayBatchReader(DataSourceReader):
 
 
 class MqttReplayStreamReader(DataSourceStreamReader):
-    """Micro-batch replay: each trigger admits up to
-    ``maxMessagesPerBatch`` recorded messages, in order.
+    """Micro-batch replay, in order. ``maxMessagesPerBatch`` (alias
+    ``partitionSize``) sets the per-PARTITION line count within a
+    batch; the optional ``maxMessagesPerTrigger`` rate-limits how far
+    ``latestOffset`` advances per trigger (per shard on a directory
+    spool) — leave it unset for Trigger.AvailableNow full drains,
+    which snapshot latestOffset once at stream start.
 
     Offset model: a single-file spool keeps the original
     ``{"index": N}`` (checkpoint-compatible across versions); a SHARD
@@ -511,7 +515,25 @@ class MqttReplayStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.path = options["path"]
+        # partition granularity within a batch (the historical knob)
         self.max_per_batch = int(options.get("maxMessagesPerBatch", 1000))
+        self.partition_size = int(
+            options.get("partitionSize", self.max_per_batch)
+        )
+        # OPTIONAL per-trigger admission cap (Kafka's
+        # maxOffsetsPerTrigger analogue): latestOffset advances at most
+        # this many lines (PER SHARD on a directory spool) past the
+        # anchor, so a continuous stream is rate-limited instead of
+        # swallowing the whole backlog in one giant micro-batch.
+        # Default OFF: Trigger.AvailableNow snapshots latestOffset ONCE
+        # at stream start, so a capped reader under an availableNow
+        # drain stops at the first reported offset — full-drain replays
+        # (the engine's run_stream pattern) must leave this unset.
+        mpt = options.get("maxMessagesPerTrigger")
+        self.max_per_trigger = int(mpt) if mpt is not None else None
+        # anchor = highest offset this reader has planned (healed from
+        # the checkpointed start in partitions() after a restart)
+        self._anchor: dict | int | None = None
 
     def _is_dir(self) -> bool:
         return os.path.isdir(self.path)
@@ -530,13 +552,24 @@ class MqttReplayStreamReader(DataSourceStreamReader):
         # Spark calls this per trigger, so progress is monotone and
         # bounded.
         if self._is_dir():
-            return {
-                "shards": {
-                    os.path.basename(f): _line_count(f)
-                    for f in _spool_files(self.path)
-                }
+            counts = {
+                os.path.basename(f): _line_count(f)
+                for f in _spool_files(self.path)
             }
-        return {"index": _line_count(self.path)}
+            if self.max_per_trigger is not None:
+                base = self._anchor if isinstance(self._anchor, dict) else {}
+                counts = {
+                    name: min(c, base.get(name, 0) + self.max_per_trigger)
+                    for name, c in counts.items()
+                }
+                self._anchor = counts
+            return {"shards": counts}
+        n = _line_count(self.path)
+        if self.max_per_trigger is not None:
+            base_i = self._anchor if isinstance(self._anchor, int) else 0
+            n = min(n, base_i + self.max_per_trigger)
+            self._anchor = n
+        return {"index": n}
 
     def _ranges(self, path: str, lo: int, hi: int) -> list[_RangePartition]:
         if hi <= lo:
@@ -546,7 +579,7 @@ class MqttReplayStreamReader(DataSourceStreamReader):
             # and skip from line 0 — quadratic. ONE partition per gz
             # shard per trigger; the chunked reader bounds its memory.
             return [_RangePartition(path, lo, hi)]
-        step = self.max_per_batch
+        step = self.partition_size
         return [
             _RangePartition(path, i, min(i + step, hi))
             for i in range(lo, hi, step)
@@ -566,6 +599,15 @@ class MqttReplayStreamReader(DataSourceStreamReader):
                     "with a fresh checkpoint to replay a sharded spool"
                 )
             start_shards = start.get("shards", {})
+            # restart healing: after a checkpoint restore the in-memory
+            # anchor restarts at 0 while the true start is far ahead —
+            # re-anchor so the next latestOffset caps from the real
+            # position (this batch may be empty; progress resumes on
+            # the following trigger)
+            if isinstance(self._anchor, dict):
+                for name, lo in start_shards.items():
+                    if lo > self._anchor.get(name, 0):
+                        self._anchor[name] = lo
             parts: list[_RangePartition] = []
             for name in sorted(end["shards"]):
                 lo = start_shards.get(name, 0)
@@ -585,6 +627,8 @@ class MqttReplayStreamReader(DataSourceStreamReader):
                 "fresh checkpoint to replay it"
             )
         lo, hi = start.get("index", 0), end["index"]
+        if isinstance(self._anchor, int) and lo > self._anchor:
+            self._anchor = lo  # restart healing (see shard branch)
         if hi <= lo:
             return [_RangePartition(self.path, lo, lo)]
         return self._ranges(self.path, lo, hi)
@@ -736,6 +780,10 @@ class MqttLiveStreamReader(DataSourceStreamReader):
             or options.get("maxmessagesperbatch")
             or 1000
         )
+        mpt = options.get("maxMessagesPerTrigger") or options.get(
+            "maxmessagespertrigger"
+        )
+        self.max_per_trigger = int(mpt) if mpt is not None else None
         factory = _CLIENT_FACTORY
         if factory is None:
             # pluggable transport by import path ("module:function",
@@ -793,10 +841,17 @@ class MqttLiveStreamReader(DataSourceStreamReader):
         self._ensure_subscribed()
         with open(self.spool, encoding="utf-8") as fh:
             n = sum(1 for _ in fh)
+        # optional per-trigger cap, same contract as the replay reader
+        if self.max_per_trigger is not None:
+            base = getattr(self, "_anchor", 0)
+            n = min(n, base + self.max_per_trigger)
+            self._anchor = n
         return {"index": n}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]
+        if lo > getattr(self, "_anchor", 0):
+            self._anchor = lo  # restart healing (see replay reader)
         if hi <= lo:
             return [_RangePartition(self.spool, lo, lo)]
         step = self.max_per_batch

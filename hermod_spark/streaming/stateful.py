@@ -53,18 +53,38 @@ def running_counts(
     key_col: str = "topic",
     time_col: str = "time",
     watermark: str = "1 hour",
+    idle_timeout_ms: int = 86_400_000,
 ) -> DataFrame:
     """Per-key running message count across micro-batches — custom
     state via applyInPandasWithState (Arrow-batched per group). Emits
-    one updated (key, n) row per key per batch."""
+    one updated (key, n) row per key per batch.
+
+    State lifecycle: a key idle (in EVENT time) longer than
+    ``idle_timeout_ms`` past its last message is EVICTED — without a
+    timeout the state store grows O(keys over stream history), not
+    O(active keys), on churning key populations (retired devices,
+    rotated topics). Eviction means the count RESTARTS if the key
+    returns after the idle window; deadlines derive from the key's own
+    max event time (a watermark-based deadline would evict fresh
+    first-batch keys — the watermark lags a batch behind)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = state.get[0] if state.exists else 0
+        max_t_ms = 0
         for pdf in pdfs:
             n += len(pdf)
+            if len(pdf):
+                max_t_ms = max(
+                    max_t_ms, int(pdf[time_col].max().value // 1_000_000)
+                )
         state.update((n,))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_t_ms + idle_timeout_ms, wm + 1))
         yield pd.DataFrame({"key": [key[0]], "n": [n]})
 
     return (
@@ -75,7 +95,7 @@ def running_counts(
             outputStructType="key STRING, n BIGINT",
             stateStructType="n BIGINT",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -125,8 +145,16 @@ def ewma_anomalies(
             alpha=alpha, threshold=threshold, warmup=warmup,
         )
         state.update((float(mean), float(var), int(n)))
+        # idle deadline from the key's own MAX EVENT TIME, not the
+        # watermark: on the first batch the watermark is still 0, so a
+        # watermark-based deadline (epoch + timeout) would fall behind
+        # the post-batch watermark jump and evict every first-batch
+        # key on the next trigger (seconds of idleness, not
+        # idle_timeout_ms). Spark requires the deadline > watermark,
+        # hence the wm+1 floor for late-data groups.
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(wm + idle_timeout_ms, wm + 1))
+        max_t_ms = int(rows[time_col].max().value // 1_000_000)
+        state.setTimeoutTimestamp(max(max_t_ms + idle_timeout_ms, wm + 1))
         if out:
             yield pd.DataFrame(
                 out, columns=["key", "event_time", "value", "ewma", "sigma"]
@@ -331,11 +359,24 @@ def kmv_distinct_stream(
     property that makes the sketch exact-once-replayable from a
     checkpoint. Emits one updated (key, n_distinct_est, exact) row per
     key per batch; ``exact`` is true while the key has seen < k
-    distinct values (the estimate is exact there)."""
+    distinct values (the estimate is exact there).
+
+    NULL values are dropped BEFORE the stateful op: uniform_hash(NULL)
+    is NULL → NaN in pandas, and NaN fails the seen-set dedup every
+    batch (NaN != NaN) while corrupting the sorted k-min prefix — one
+    NULL payload would poison the persisted sketch. State is O(k)
+    doubles per key with NO eviction on purpose — a distinct-count
+    sketch must remember the key's full history (evicting would reset
+    the estimate); the watermark only bounds lateness bookkeeping."""
     from hermod_spark.operators.sketches import uniform_hash
 
-    hashed = messages.withWatermark(time_col, watermark).select(
-        F.col(key_col).alias("key"), uniform_hash(F.col(value_col)).alias("h")
+    hashed = (
+        messages.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            uniform_hash(F.col(value_col)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
     )
 
     def update(
@@ -414,7 +455,7 @@ def kmv_state_replay(
         F.col(key_col).alias("key"),
         F.col(time_col).alias("_t"),
         uniform_hash(F.col(value_col)).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())  # NULL→NaN would poison the fold
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_t", "h"], ignore_index=True)

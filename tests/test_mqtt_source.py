@@ -187,9 +187,11 @@ def test_live_reader_offsets_partitions_read(fake_broker, tmp_path):
         fake_broker.publish("sensors/b/2", "plain text")
         fake_broker.publish("elsewhere/x", "filtered out")  # no match
         fake_broker.publish("sensors/c/3", b"third", retain=True)
+        # uncapped (no maxMessagesPerTrigger): the whole backlog is
+        # visible at once; maxMessagesPerBatch only chunks partitions
         assert reader.latestOffset() == {"index": 3}
 
-        # partitions chunk by maxMessagesPerBatch
+        # partitions chunk by maxMessagesPerBatch within a range
         parts = reader.partitions({"index": 0}, {"index": 3})
         assert [(p.start, p.end) for p in parts] == [(0, 2), (2, 3)]
         rows = [r for p in parts for r in reader.read(p)]
@@ -576,20 +578,24 @@ def test_sharded_spool_stream_parity(spark, sharded_spools, tmp_path):
 def test_sharded_stream_offsets_per_shard_and_append_safe(tmp_path):
     """Offset model unit surface: {"shards": {name: idx}}, per-shard
     ranges, and an append to ONE shard only advances THAT shard —
-    already-served lines of other shards are never renumbered."""
+    already-served lines of other shards are never renumbered.
+    maxMessagesPerTrigger is a PER-TRIGGER admission cap (per shard):
+    cap=1 means each trigger advances every shard by at most one."""
     d = tmp_path / "dir_spool"
     d.mkdir()
     (d / "shard-0000.jsonl").write_text(
         '{"topic": "a", "payload": "1"}\n{"topic": "a", "payload": "2"}\n'
     )
     (d / "shard-0001.jsonl").write_text('{"topic": "b", "payload": "3"}\n')
-    r = M.MqttReplayStreamReader({"path": str(d), "maxMessagesPerBatch": "1"})
+    r = M.MqttReplayStreamReader(
+        {"path": str(d), "maxMessagesPerTrigger": "1"}
+    )
     assert r.initialOffset() == {
         "shards": {"shard-0000.jsonl": 0, "shard-0001.jsonl": 0}
     }
     end = r.latestOffset()
     assert end == {
-        "shards": {"shard-0000.jsonl": 2, "shard-0001.jsonl": 1}
+        "shards": {"shard-0000.jsonl": 1, "shard-0001.jsonl": 1}
     }
     parts = r.partitions(r.initialOffset(), end)
     got = sorted(
@@ -597,11 +603,17 @@ def test_sharded_stream_offsets_per_shard_and_append_safe(tmp_path):
     )
     assert got == [
         ("shard-0000.jsonl", 0, 1),
-        ("shard-0000.jsonl", 1, 2),
         ("shard-0001.jsonl", 0, 1),
     ]
     rows = [row for p in parts for row in _drain(r, p)]
-    assert sorted(_payload_of(x) for x in rows) == ["1", "2", "3"]
+    assert sorted(_payload_of(x) for x in rows) == ["1", "3"]
+    # second trigger reaches shard-0000's tail
+    end_b = r.latestOffset()
+    assert end_b["shards"]["shard-0000.jsonl"] == 2
+    parts_b = r.partitions(end, end_b)
+    rows_b = [row for p in parts_b for row in _drain(r, p)]
+    assert [_payload_of(x) for x in rows_b] == ["2"]
+    end = end_b
 
     # append to shard-0001 only
     with open(d / "shard-0001.jsonl", "a") as fh:
@@ -803,10 +815,32 @@ def test_gz_stream_single_partition_per_shard(tmp_path):
     with _gzip.open(d / "shard-0000.jsonl.gz", "wt") as fh:
         for i in range(30):
             fh.write(_json.dumps({"topic": "t", "payload": f"p{i}"}) + "\n")
-    r = M.MqttReplayStreamReader({"path": str(d), "maxMessagesPerBatch": "5"})
-    parts = r.partitions(r.initialOffset(), r.latestOffset())
-    assert len(parts) == 1  # not 6 slices
-    assert (parts[0].start, parts[0].end) == (0, 30)
+    r = M.MqttReplayStreamReader(
+        {"path": str(d), "maxMessagesPerTrigger": "5"}
+    )
+    # the cap admits 5 lines per trigger; EACH trigger must be one
+    # whole-range partition over the gz shard, never sub-slices —
+    # drain and check every trigger's shape plus exactly-once delivery
+    start, rows, triggers = r.initialOffset(), [], 0
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        assert len(parts) == 1  # one partition per gz shard per trigger
+        assert parts[0].end - parts[0].start == 5
+        rows += [x for p in parts for x in _drain(r, p)]
+        start = end
+        triggers += 1
+    assert triggers == 6 and [_payload_of(x) for x in rows] == [
+        f"p{i}" for i in range(30)
+    ]
+    # without a cap (one big trigger) the shard is STILL one partition
+    r2 = M.MqttReplayStreamReader(
+        {"path": str(d), "maxMessagesPerBatch": "1000"}
+    )
+    parts = r2.partitions(r2.initialOffset(), r2.latestOffset())
+    assert len(parts) == 1 and (parts[0].start, parts[0].end) == (0, 30)
 
 
 def test_shard_checkpoint_rejected_on_single_file(tmp_path):

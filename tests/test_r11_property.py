@@ -80,7 +80,14 @@ def test_sharded_offsets_exactly_once_any_interleaving(
                 appended.setdefault(name, []).append(payload)
         if draws_after[i % len(draws_after)]:
             draw()
-    draw()
+    # final DRAIN loop: maxMessagesPerBatch is a per-trigger admission
+    # cap (per shard), so one draw may not reach the tail — keep
+    # triggering until the offset stops advancing, like a real stream
+    while True:
+        before = start
+        draw()
+        if start == before:
+            break
 
     assert got == appended  # exactly once, per-shard append order
 

@@ -254,3 +254,19 @@ def test_ddl_overrides_oracle_db2():
     # mysql / mssql render TEXT / NVARCHAR(MAX) from STRING — no override
     assert S.sql_type_to_ddl("text", "mysql") == "STRING"
     assert S.sql_type_to_ddl("text", "sqlserver") == "STRING"
+
+
+def test_declared_type_injection_rejected():
+    """Identifiers were injection-gated but TYPES reached CREATE TABLE
+    text verbatim — a declared type carrying SQL metacharacters must
+    raise at declaration, not ride into the DDL."""
+    with pytest.raises(S.SchemaValidationError, match="invalid declared type"):
+        S.TableSchema("t", {"col": "text); DROP TABLE users;--"})
+    with pytest.raises(S.SchemaValidationError, match="invalid declared type"):
+        S.TableSchema("t", {"col": "text'"})
+    # benign shapes — known, multi-word, and parameterized — all pass
+    S.TableSchema(
+        "t",
+        {"a": "text", "b": "double precision", "c": "varchar(255)",
+         "d": "decimal(18,4)"},
+    )
