@@ -539,26 +539,40 @@ def class_stats(
     joined = embeddings.join(
         F.broadcast(cents), F.col(label_col) == F.col("grp")
     )
-    # explicit zero-norm guard (NULL cosine), not a bare division: a
-    # zero vector's 0/0 returns NULL in legacy mode but THROWS under
-    # ANSI (Spark 4 default) — one zero vector would abort the whole
-    # diagnostic pass
-    _na, _nb = norm(F.col(vec_col)), norm(F.col("centroid"))
-    cos_d = (
-        F.when(
-            (_na > 0) & (_nb > 0),
-            dot(F.col(vec_col), F.col("centroid")) / (_na * _nb),
-        )
-    ).cast("decimal(18,9)")
-    norm_d = norm(F.col(vec_col)).cast("decimal(18,9)")
-    agg = joined.groupBy(F.col(label_col)).agg(
+    # ONE O(dim) pass per row: the norms/dot fold into a struct in a
+    # PROJECTION below the aggregate, and every agg column reads a
+    # field of that struct. Referencing the folds from each agg column
+    # directly would re-run them per column (aggregate expressions
+    # don't share subtrees, and lambda-bearing expressions skip
+    # subexpression elimination — measured ~2× on this query). The
+    # zero-norm guard makes the cosine NULL explicitly: a zero
+    # vector's 0/0 returns NULL in legacy mode but THROWS under ANSI
+    # (Spark 4 default) — one zero vector would abort the whole pass.
+    per_row = F.transform(
+        F.array(
+            F.struct(
+                norm(F.col(vec_col)).alias("na"),
+                norm(F.col("centroid")).alias("nb"),
+                dot(F.col(vec_col), F.col("centroid")).alias("d"),
+            )
+        ),
+        lambda s: F.struct(
+            s.getField("na").cast("decimal(18,9)").alias("norm_d"),
+            F.when(
+                (s.getField("na") > 0) & (s.getField("nb") > 0),
+                s.getField("d") / (s.getField("na") * s.getField("nb")),
+            ).cast("decimal(18,9)").alias("cos_d"),
+        ),
+    )[0]
+    pre = joined.select(F.col(label_col), per_row.alias("_r"))
+    agg = pre.groupBy(F.col(label_col)).agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(norm_d).alias("_sn"),
-        F.sum(cos_d).alias("_sc"),
+        F.sum("_r.norm_d").alias("_sn"),
+        F.sum("_r.cos_d").alias("_sc"),
         # cosine is NULL for a zero vector (0/0): averaging over
         # n_vectors would silently bias cohesion downward for classes
         # containing zero vectors — divide by the DEFINED count
-        F.count(cos_d).alias("_nc"),
+        F.count("_r.cos_d").alias("_nc"),
     )
     return agg.select(
         label_col,
