@@ -372,9 +372,14 @@ BM25_QUERIES = [
 
 def _toks_sql(col: str) -> str:
     """DuckDB mirror of functions.text.tokens (lowered): blank -> []."""
+    # regexp strip of ANY whitespace, mirroring functions.text.tokens:
+    # plain trim() removes only spaces, leaving empty edge tokens on
+    # tab/newline-edged text in BOTH engines
     return (
-        f"CASE WHEN length(trim(lower({col}))) = 0 THEN []"
-        f" ELSE string_split_regex(trim(lower({col})), '\\s+') END"
+        f"CASE WHEN length(regexp_replace(lower({col}),"
+        f" '^\\s+|\\s+$', '', 'g')) = 0 THEN []"
+        f" ELSE string_split_regex(regexp_replace(lower({col}),"
+        f" '^\\s+|\\s+$', '', 'g'), '\\s+') END"
     )
 
 
@@ -420,7 +425,8 @@ def _quality_sql(col: str) -> str:
 def _fingerprint_sql(col: str) -> str:
     return (
         f"md5(array_to_string(list_sort(list_distinct("
-        f"string_split_regex(trim(lower({col})), '\\s+'))), ' '))"
+        f"string_split_regex(regexp_replace(lower({col}),"
+        f" '^\\s+|\\s+$', '', 'g'), '\\s+'))), ' '))"
     )
 
 
@@ -3298,8 +3304,10 @@ FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id"""
     _removal_tail = """,
 otoks AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(text), '\\s+') END AS wo
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+         THEN []
+         ELSE string_split_regex(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS wo
   FROM documents),
 pos2 AS (
   SELECT doc_id, unnest(wo) AS tok, unnest(range(1, len(wo) + 1)) AS p
@@ -3806,7 +3814,8 @@ FROM f GROUP BY source"""
     o["text_bm25"] = f"""
 WITH q(query_id, qtext) AS (VALUES {_bm25_vals}),
 qt AS (SELECT DISTINCT CAST(query_id AS INTEGER) AS query_id,
-         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term
+         unnest(string_split_regex(regexp_replace(lower(qtext),
+           '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term
        FROM q),
 tok AS (SELECT doc_id, len({_toks_sql('text')}) AS dl,
           unnest({_toks_sql('text')}) AS tok FROM documents),
@@ -5036,7 +5045,7 @@ SELECT doc_id,
       (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
       * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)),
     (a, t) -> a + t)
-  ELSE 0.0 END, 6) AS char_entropy
+  WHEN cs IS NOT NULL THEN 0.0 END, 6) AS char_entropy
 FROM d"""
 
     o["cur_dedup_keep_best"] = f"""

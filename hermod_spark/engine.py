@@ -24,6 +24,23 @@ from hermod_spark.sinks.writer import MultiTableWriter
 TransformFn = Callable[[DataFrame], DataFrame]
 
 
+
+def _merge_branches(branches) -> dict:
+    """Ordered (table, DataFrame) pairs → {table: DataFrame}, UNIONING
+    frames that target the same table. A plain dict(branches) keeps
+    only the LAST frame per table — two routes writing one table (or a
+    route targeting the passthrough default) silently lost every row
+    of the earlier branch."""
+    out: dict = {}
+    for table, df in branches:
+        out[table] = (
+            df
+            if table not in out
+            else out[table].unionByName(df, allowMissingColumns=True)
+        )
+    return out
+
+
 class Engine:
     """config + transform registry + declared schemas → runnable plans.
 
@@ -151,7 +168,7 @@ class Engine:
         w = self.writer(base_path)
         branches, cached = self.plan_cached(msgs, quarantine=True)
         try:
-            return w.write(dict(branches))
+            return w.write(_merge_branches(branches))
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -179,7 +196,7 @@ class Engine:
         w = self.writer(base_path)
         branches, cached = self.plan_cached(messages, quarantine)
         try:
-            return w.write(dict(branches))
+            return w.write(_merge_branches(branches))
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -210,7 +227,7 @@ class Engine:
                 branches, cached = self.plan_cached(batch_df, quarantine)
                 if cached is not None:
                     _pending.append(cached)
-                return dict(branches)
+                return _merge_branches(branches)
 
             inner = w.idempotent_foreach_batch(
                 _plan_fn, commit_dir=exactly_once_commit_dir
@@ -228,7 +245,7 @@ class Engine:
             def handle(batch_df: DataFrame, _batch_id: int) -> None:
                 branches, cached = self.plan_cached(batch_df, quarantine)
                 try:
-                    w.write(dict(branches))
+                    w.write(_merge_branches(branches))
                 finally:
                     if cached is not None:
                         cached.unpersist()

@@ -20,12 +20,18 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; trims so no empty edge tokens; blank or
-    whitespace-only input yields an empty array (not [''])."""
+    """Whitespace tokenization; strips BOTH ends of ANY whitespace so
+    no empty edge tokens; blank or whitespace-only input yields an
+    empty array (not ['']). The strip is regexp-based, not trim():
+    trim() removes only ASCII spaces, so 'hello\n' would split to
+    ['hello', ''] — an empty token that inflates token counts and
+    changes fingerprints/shingles on virtually every real document
+    (they end in newlines)."""
     c = _c(col)
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(
-        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+        F.length(stripped) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:
@@ -198,9 +204,15 @@ def char_entropy(col: Column | str) -> Column:
             return F.get(F.transform(F.array(p0), lambda p: p * F.log2(p)), 0)
 
         terms = F.transform(F.array_sort(F.array_distinct(cs)), term)
-        return F.when(
-            F.size(cs) > 0,
-            -F.aggregate(terms, F.lit(0.0), lambda a, x: a + x),
-        ).otherwise(F.lit(0.0))
+        # NULL text propagates NULL (unscored), like every other
+        # function here — 0.0 would classify null documents as
+        # repeated-char spam; empty text is genuinely entropy 0
+        return (
+            F.when(
+                F.size(cs) > 0,
+                -F.aggregate(terms, F.lit(0.0), lambda a, x: a + x),
+            )
+            .when(cs.isNotNull(), F.lit(0.0))
+        )
 
     return F.get(F.transform(F.array(chars), _entropy), 0)

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hermod_spark.data import ensure_min_partitions
-from hermod_spark.plans.schema import IDENT_RE, Schema
+from hermod_spark.plans.schema import IDENT_RE, Schema, SchemaValidationError
 
 
 def c2f(celsius: Column | str) -> Column:
@@ -150,8 +150,11 @@ def record_transform(
     - missing ``table`` → ``default_table`` (router.go:222-228);
     - column names failing the identifier gate are SILENTLY skipped
       (router.go:330-332);
-    - a declared ``schema`` rejects undeclared columns per record
-      (router.go:230-237);
+    - a declared ``schema`` drops records with undeclared columns —
+      the offending RECORD is skipped, the job continues
+      (router.go:230-237; one poisoned row must not abort a 100 TB
+      run — route suspect traffic through the quarantine plan to keep
+      the rejects);
     - a non-list return raises TransformError (router.go:291-305).
 
     Output: ``(table STRING, columns MAP<STRING,STRING>)`` — dynamic
@@ -188,7 +191,10 @@ def record_transform(
                 msg = {
                     "topic": topic,
                     "payload": payload,
-                    "ts": ts.isoformat() if ts is not None else None,
+                    # pd.notna, not `is not None`: a null timestamp
+                    # arrives as pandas NaT, which is not None and
+                    # isoformat()s to the literal string 'NaT'
+                    "ts": ts.isoformat() if pd.notna(ts) else None,
                     "json": parsed,
                 }
                 recs = fn(msg)
@@ -206,7 +212,16 @@ def record_transform(
                         if isinstance(k, str) and IDENT_RE.match(k)
                     }
                     if schema is not None:
-                        schema.validate_record(table, cols)
+                        try:
+                            schema.validate_record(table, cols)
+                        except SchemaValidationError:
+                            # reference semantics (router.go:230-237):
+                            # an invalid record errors THAT message and
+                            # the router continues — raising here would
+                            # abort the whole job for one poisoned row
+                            # (the failure mode the quarantine
+                            # machinery exists to avoid)
+                            continue
                     tables.append(table)
                     columns.append(cols)
             # dtype=object even when empty: an empty float64 column
@@ -221,7 +236,11 @@ def record_transform(
     # dict -> MAP<STRING,STRING> conversion in the Python worker needs
     # the Arrow pandas converter; the bare NumPy path raises
     # ArrowNotImplementedError. Set it here — the engine cannot assume
-    # the caller's session is configured.
+    # the caller's session is configured. NOTE: this is a session-wide
+    # conf (Spark has no per-query scope for it) — building this plan
+    # also enables Arrow for the session's other toPandas /
+    # createDataFrame conversions, a documented prerequisite rather
+    # than a silent assumption.
     df.sparkSession.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Python stage parallelism = partition count: a single-file scan
     # would serialize every batch through ONE worker (measured: the

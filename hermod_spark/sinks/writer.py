@@ -128,12 +128,22 @@ class MultiTableWriter:
     def write_labeled(self, df: DataFrame, label_col: str = "_table") -> list[dict]:
         """Single labeled frame → per-table filtered appends
         (router.go:222-242's loop, as N column-pruned branches over one
-        cached scan)."""
-        tables = [r[0] for r in df.select(label_col).distinct().collect()]
-        return [
-            self._write_one(t, df.filter(F.col(label_col) == t).drop(label_col))
-            for t in sorted(tables)
-        ]
+        cached scan). The frame is persisted across the distinct-probe
+        and the N branch writes — without it the (possibly expensive)
+        upstream plan re-executes N+1 times — and unpersisted after."""
+        cached = df.persist()
+        try:
+            tables = [
+                r[0] for r in cached.select(label_col).distinct().collect()
+            ]
+            return [
+                self._write_one(
+                    t, cached.filter(F.col(label_col) == t).drop(label_col)
+                )
+                for t in sorted(tables)
+            ]
+        finally:
+            cached.unpersist()
 
     def manifest(self, df: DataFrame, label_col: str = "_table") -> DataFrame:
         """Dry-run as a QUERY: the per-table write manifest — (table,
@@ -174,15 +184,29 @@ class MultiTableWriter:
         or natively a Delta/Iceberg txn id."""
         os.makedirs(commit_dir, exist_ok=True)
 
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            marker = os.path.join(commit_dir, f"batch-{batch_id}")
-            if os.path.exists(marker):
-                return  # replayed batch: already fully written
-            self.write(branches_of(batch_df))
-            tmp = marker + ".tmp"
+        def _mark(name: str) -> None:
+            tmp = os.path.join(commit_dir, name + ".tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("committed")
-            os.replace(tmp, marker)
+            os.replace(tmp, os.path.join(commit_dir, name))
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            marker = f"batch-{batch_id}"
+            if os.path.exists(os.path.join(commit_dir, marker)):
+                return  # replayed batch: already fully written
+            # PER-TABLE markers close the partial-failure window: if
+            # table A's append succeeds and table B's throws, the
+            # batch replays — without the table markers A would
+            # receive every row a second time. A table whose marker
+            # exists is skipped on replay; the batch marker lands only
+            # after all tables committed.
+            for t, df in branches_of(batch_df).items():
+                tmark = f"batch-{batch_id}.{t}"
+                if os.path.exists(os.path.join(commit_dir, tmark)):
+                    continue  # this table already committed pre-crash
+                self._write_one(t, df)
+                _mark(tmark)
+            _mark(marker)
 
         return _fn
 
@@ -248,6 +272,10 @@ def ensure_bucketed_table(
     (re)written once per session; a real deployment has a persistent
     metastore and writes once ever.
     """
+    # `name` reaches DROP TABLE sql text AND the warehouse path used
+    # for rmtree — gate it like every other identifier (a dotted or
+    # slashed name could drop a foreign table or escape the warehouse)
+    validate_identifier(name, strict=True)
     validate_identifier(bucket_col, strict=True)
     import shutil
     from urllib.parse import urlparse
@@ -327,12 +355,20 @@ def ensure_partitioned_copy(
     # a complete parquet dataset with NO owner marker is someone
     # else's data — mode('overwrite') here would silently destroy it.
     # Only a marker that exists and mismatches means "our stale copy".
-    if complete and owner is None:
+    building = path.rstrip("/") + "._hermod_building"
+    if complete and owner is None and not os.path.exists(building):
         raise RuntimeError(
             f"refusing to overwrite {path}: complete parquet dataset with "
             f"no {_OWNER_MARKER} marker — not a hermod-derived copy. "
             "Remove it manually or pick a different path."
         )
+    # the sibling "building" marker closes the crash window between
+    # the overwrite (which deletes the old owner marker) and
+    # _write_owner: a kill in that window used to leave a complete,
+    # ownerless dataset that every future call refused forever
+    with open(building, "w", encoding="utf-8") as fh:
+        fh.write(fp)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     _write_owner(path, fp)
+    os.remove(building)
     return spark.read.parquet(path)

@@ -92,12 +92,21 @@ def test_non_list_return_errors(spark):
 
 
 def test_schema_validation_rejects_undeclared(spark):
-    df = _msgs(spark, [(T0, "t", "{}")])
-    sch = Schema.declare({"t": {"a": "int"}})
-    with pytest.raises(PythonException, match="SchemaValidationError"):
-        record_transform(
-            df, lambda m: [{"columns": {"zzz": 1}}], default_table="t", schema=sch
-        ).collect()
+    """An undeclared column drops THAT record and the job continues
+    (router.go:230-237) — one poisoned row must not abort the run."""
+    sch = Schema.declare({"t": {"ok": "text"}})
+    df = _msgs(spark, [(T0, "a/b", "1"), (T0, "a/c", "2")])
+    out = record_transform(
+        df,
+        lambda m: [
+            {"columns": {"zzz": 1}},   # undeclared -> dropped
+            {"columns": {"ok": m["payload"]}},
+        ],
+        default_table="t",
+        schema=sch,
+    ).collect()
+    assert len(out) == 2  # one surviving record per message
+    assert all(set(r["columns"]) == {"ok"} for r in out)
 
 
 def test_value_stringification(spark):

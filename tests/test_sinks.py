@@ -156,3 +156,93 @@ def test_write_reports_observed_row_counts(spark, tmp_path):
     assert res["ta"]["n_rows"] == 3
     assert res["tb"]["n_rows"] == 1
     assert spark.read.parquet(str(tmp_path / "ta")).count() == 3
+
+
+def test_merge_branches_unions_same_table(spark):
+    """dict(branches) used to keep only the LAST frame per table —
+    two routes targeting one table silently lost the earlier branch's
+    rows. _merge_branches unions them."""
+    from hermod_spark.engine import _merge_branches
+
+    a = spark.createDataFrame([(1,)], "x INT")
+    b = spark.createDataFrame([(2,)], "x INT")
+    c = spark.createDataFrame([(3,)], "y INT")
+    merged = _merge_branches([("t", a), ("t", b), ("u", c)])
+    assert sorted(r["x"] for r in merged["t"].collect()) == [1, 2]
+    assert [r["y"] for r in merged["u"].collect()] == [3]
+
+
+def test_ensure_bucketed_table_rejects_bad_name(spark):
+    from hermod_spark.data import table
+    from hermod_spark.plans.schema import SchemaValidationError
+    from hermod_spark.sinks.writer import ensure_bucketed_table
+
+    df = table(spark, "/root/testdata/sf0.001", "region")
+    import pytest as _pytest
+
+    for bad in ("other.victim", "x; DROP TABLE y", "../escape"):
+        with _pytest.raises((SchemaValidationError, ValueError)):
+            ensure_bucketed_table(spark, df, bad, "r_regionkey", 2)
+
+
+def test_partitioned_copy_survives_crash_window(spark, tmp_path):
+    """A kill between the overwrite and the owner-marker write used to
+    brick the path forever (complete dataset, no owner) — the sibling
+    'building' marker lets the next call rebuild."""
+    import os
+
+    from hermod_spark.data import table
+    from hermod_spark.sinks.writer import (
+        _OWNER_MARKER, ensure_partitioned_copy,
+    )
+
+    df = table(spark, "/root/testdata/sf0.001", "region")
+    path = str(tmp_path / "part_copy")
+    ensure_partitioned_copy(spark, df, path, "r_regionkey")
+    # simulate the crash window: owner marker gone, building marker on
+    os.remove(os.path.join(path, _OWNER_MARKER))
+    with open(path + "._hermod_building", "w") as fh:
+        fh.write("stale")
+    got = ensure_partitioned_copy(spark, df, path, "r_regionkey")
+    assert got.count() == df.count()
+    assert os.path.exists(os.path.join(path, _OWNER_MARKER))
+    assert not os.path.exists(path + "._hermod_building")
+    # a genuinely foreign complete dataset (no building marker) still
+    # refuses
+    os.remove(os.path.join(path, _OWNER_MARKER))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="refusing to overwrite"):
+        ensure_partitioned_copy(spark, df, path, "r_regionkey")
+
+
+def test_idempotent_foreach_batch_partial_failure_no_duplicates(spark, tmp_path):
+    """Per-table markers: if table A commits and table B fails, the
+    replayed batch must skip A — without the markers A received every
+    row twice."""
+    from hermod_spark.sinks.writer import MultiTableWriter
+
+    base = str(tmp_path / "sink")
+    commit = str(tmp_path / "commits")
+    w = MultiTableWriter(base_path=base)
+    calls = {"n": 0}
+
+    def branches_of(batch_df):
+        calls["n"] += 1
+        fail_b = calls["n"] == 1
+        b = batch_df if not fail_b else batch_df.select(
+            (F.lit(1) / F.lit(0)).alias("boom")  # ANSI: throws on write
+        )
+        return {"a": batch_df, "b": b}
+
+    fn = w.idempotent_foreach_batch(branches_of, commit_dir=commit)
+    df = spark.createDataFrame([(1,), (2,)], "x INT")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fn(df, 0)  # b's write throws AFTER a committed
+    fn(df, 0)  # replay: a skipped, b written
+    assert spark.read.parquet(f"{base}/a").count() == 2  # NOT 4
+    assert spark.read.parquet(f"{base}/b").count() == 2
+    fn(df, 0)  # fully replayed batch: no-op
+    assert spark.read.parquet(f"{base}/a").count() == 2

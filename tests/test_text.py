@@ -691,3 +691,34 @@ class TestBM25:
     def test_rejects_empty_queries(self, spark):
         with pytest.raises(ValueError, match="non-empty"):
             textops.bm25_topk(self._docs(spark), [])
+
+
+def test_tokens_strip_any_whitespace(spark):
+    """trim() strips only ASCII spaces — tabs/newlines used to leave
+    empty edge tokens, inflating token counts and changing
+    fingerprints on any text that ends in a newline."""
+    df = spark.createDataFrame(
+        [(1, "hello\n"), (2, "\tworld"), (3, "\t\n "), (4, "a\tb\nc"),
+         (5, None)],
+        "i INT, t STRING",
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", X.token_count("t").alias("n")).collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 3, 5: None}
+    fp = df.select("i", X.fingerprint("t").alias("f")).collect()
+    fps = {r["i"]: r["f"] for r in fp}
+    base = spark.createDataFrame([(0, "hello")], "i INT, t STRING")
+    clean = base.select(X.fingerprint("t").alias("f")).collect()[0]["f"]
+    assert fps[1] == clean  # trailing newline no longer changes the fp
+
+
+def test_char_entropy_null_propagates(spark):
+    """NULL text is unscored (NULL), not 0.0 — 0.0 would classify null
+    documents as repeated-char spam; empty text is genuinely 0."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "aaaa")], "i INT, t STRING"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select("i", X.char_entropy("t").alias("e")).collect()
+    }
+    assert got[1] is None and got[2] == 0.0 and got[3] == 0.0
