@@ -275,6 +275,56 @@ def kmv_overlap_of(docs: DataFrame, k: int = 64) -> DataFrame:
     return kmv_pairwise_overlap(sh, "source", "shingle", k=k)
 
 
+# Persisted LSH corpus indexes are process-lifetime artifacts: build
+# once per (corpus identity) under a temp dir, serve every snapshot /
+# probe against the same files — exactly the train-once/serve-many
+# shape the operator exists for (rebuilding per call would time the
+# corpus pass into every serve measurement).
+_DEDUP_INDEX_CACHE: dict[str, str] = {}
+
+
+def dedup_index_path_of(corpus: DataFrame, key: str) -> str:
+    """Build-or-reuse the persisted LSH index for ``corpus`` under a
+    process-lifetime temp path, keyed by the caller's corpus identity
+    (the sf dir, or a probe tag)."""
+    import tempfile
+
+    from hermod_spark.operators import dedup
+
+    if key not in _DEDUP_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
+        dedup.save_dedup_index(corpus, path)
+        _DEDUP_INDEX_CACHE[key] = path
+    return _DEDUP_INDEX_CACHE[key]
+
+
+def incremental_neardups_of(
+    corpus: DataFrame, new: DataFrame, key: str, threshold: float = 0.5
+) -> DataFrame:
+    """Snapshot-vs-corpus near-dup matches through the persisted index
+    — the ONE body behind the `dedup_incremental_index` entry query
+    and bench's 10× probe."""
+    from hermod_spark.operators import dedup
+
+    idx = dedup.load_dedup_index(
+        new.sparkSession, dedup_index_path_of(corpus, key)
+    )
+    return dedup.incremental_near_dups(new, idx, threshold=threshold)
+
+
+def dedup_against_corpus_of(
+    corpus: DataFrame, new: DataFrame, key: str, threshold: float = 0.5
+) -> DataFrame:
+    """The filter form: snapshot docs that near-dup nothing in the
+    persisted corpus index (the rows worth adding)."""
+    from hermod_spark.operators import dedup
+
+    idx = dedup.load_dedup_index(
+        new.sparkSession, dedup_index_path_of(corpus, key)
+    )
+    return dedup.dedup_against_corpus(new, idx, threshold=threshold)
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -445,12 +495,16 @@ def _minhash_banded_sql(
     bands: int = 4,
     w: int = 3,
     source: str = "documents",
+    prefix: str = "",
 ) -> str:
     """(doc_id, band_id, band_key) rows mirroring minhash_bands: one
     32-bit md5-prefix base hash per shingle, then the same fixed-seed
-    universal-hash family (a_i * h + b_i) mod P as the Spark side."""
+    universal-hash family (a_i * h + b_i) mod P as the Spark side.
+    ``prefix`` namespaces the CTEs so two instances (corpus + snapshot
+    for the incremental-index oracle) can share one WITH clause."""
     from hermod_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
+    p = prefix
     rows = num_hashes // bands
     base = "CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)"
     mins = ", ".join(
@@ -459,8 +513,9 @@ def _minhash_banded_sql(
         for i in range(num_hashes)
     )
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {j} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM sig".format(
+        "SELECT doc_id, {j} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM {p}sig".format(
             j=j,
+            p=p,
             cols=", ".join(
                 f"CAST(m{j * rows + r} AS VARCHAR)" for r in range(rows)
             ),
@@ -468,10 +523,10 @@ def _minhash_banded_sql(
         for j in range(bands)
     )
     return (
-        f"WITH sh AS (SELECT doc_id, {_shingles_sql('text', w)} AS s FROM {source}),"
-        f" hb AS (SELECT doc_id, list_transform(s, x -> {base}) AS hs FROM sh),"
-        f" sig AS (SELECT doc_id, {mins} FROM hb),"
-        f" banded AS ({band_rows})"
+        f"WITH {p}sh AS (SELECT doc_id, {_shingles_sql('text', w)} AS s FROM {source}),"
+        f" {p}hb AS (SELECT doc_id, list_transform(s, x -> {base}) AS hs FROM {p}sh),"
+        f" {p}sig AS (SELECT doc_id, {mins} FROM {p}hb),"
+        f" {p}banded AS ({band_rows})"
     )
 
 
@@ -1256,6 +1311,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.near_dup_candidates(_t(spark, sf, "documents"))
 
     q["dedup_minhash_cand"] = dedup_minhash_cand
+
+    # persisted LSH corpus index (build once / serve snapshots): the
+    # corpus is docs with doc_id % 10 != 7, the incoming snapshot the
+    # % 10 == 7 slice; matches are signature-estimate >= 0.5 — the
+    # whole pipeline (shingle → universal-hash mins → band join →
+    # component-match estimate) replays exactly in the DuckDB oracle
+    def dedup_incremental_index(spark, sf):
+        d = _t(spark, sf, "documents")
+        return incremental_neardups_of(
+            d.filter(F.col("doc_id") % 10 != 7),
+            d.filter(F.col("doc_id") % 10 == 7),
+            key=sf,
+        )
+
+    q["dedup_incremental_index"] = dedup_incremental_index
+
+    def cur_dedup_incremental(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup_against_corpus_of(
+            d.filter(F.col("doc_id") % 10 != 7),
+            d.filter(F.col("doc_id") % 10 == 7),
+            key=sf,
+        ).select("doc_id", "source")
+
+    q["cur_dedup_incremental"] = cur_dedup_incremental
 
     def dedup_minhash_hot(spark, sf):
         """Hot-band-bucket probe (r10, VERDICT r9 #5): half the docs
@@ -3141,6 +3221,48 @@ FROM banded a JOIN banded b
     # (no bucket saturates at the default uncapped replay), so the
     # incremental operator shares the banded-join oracle
     o["dedup_lsh_incremental"] = o["dedup_minhash_cand"]
+    # persisted-index serve: corpus and snapshot banded separately
+    # (prefixed CTEs), candidates from the band equi-join, verdicts
+    # from the per-component signature match — the exact arithmetic
+    # the Spark side runs against the parquet index
+    _inc_nmatch = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    _inc_ctes = (
+        _minhash_banded_sql(
+            source="(SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7)",
+            prefix="c_",
+        )
+        + ","
+        + _minhash_banded_sql(
+            source="(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7)",
+            prefix="n_",
+        ).removeprefix("WITH")
+        + f""",
+inc_cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM n_banded n JOIN c_banded c
+    ON n.band_id = c.band_id AND n.band_key = c.band_key),
+inc_m AS (
+  SELECT inc_cand.new_id, inc_cand.corpus_id, ({_inc_nmatch}) AS nm
+  FROM inc_cand
+  JOIN n_sig a ON a.doc_id = inc_cand.new_id
+  JOIN c_sig b ON b.doc_id = inc_cand.corpus_id)"""
+    )
+    o["dedup_incremental_index"] = (
+        _inc_ctes
+        + """
+SELECT new_id, corpus_id, CAST(nm AS INTEGER) AS n_match,
+  nm / 16.0 AS est_jaccard
+FROM inc_m WHERE nm / 16.0 >= 0.5"""
+    )
+    o["cur_dedup_incremental"] = (
+        _inc_ctes
+        + """
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 10 = 7 AND d.doc_id NOT IN (
+  SELECT new_id FROM inc_m WHERE nm / 16.0 >= 0.5)"""
+    )
     # hot-band-bucket probe (r10): same banding over the boilerplate-
     # flooded corpus; buckets over the cap (or singleton) contribute
     # no pairs — the cap semantics the Spark side applies pre-expansion

@@ -161,6 +161,11 @@ BASELINE = {
     # (hash_col='afp'); slower than the image twin only by straggler
     # placement of the flooded buckets (candidates within 6%)
     "mm_audio_neardup": 4.5,
+    # persisted-LSH-index serve (build amortized by best-of-3 via the
+    # entry cache): snapshot minhash + band join + signature estimate
+    "dedup_incremental_index": 1.96,
+    # the anti-join filter form over the same serve
+    "cur_dedup_incremental": 1.82,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -470,6 +475,8 @@ HEADLINE = [
     "mm_audio_neardup",
     "mm_dedup_report",
     "sketch_kmv_overlap",
+    "dedup_incremental_index",
+    "cur_dedup_incremental",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -544,6 +551,9 @@ SCALE10X = [
     # invariant, so the distinct and every sketch are size-constant —
     # only the pre-distinct scan grows; strongly sublinear by design
     "sketch_kmv_overlap",
+    # index serve with a FIXED sf0.1 corpus index and a 10× snapshot
+    # (rotated copies): serve cost must scale with the snapshot only
+    "dedup_incremental_index",
 ]
 
 
@@ -810,7 +820,21 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # the linearity probe measuring a stale shape
         "stream_interval_join": lambda: E.interval_join_of(events10),
         "stream_dedup_replay": lambda: _dedup_replay10(events10),
+        # FIXED corpus index (key=SF_DIR — already built by the 1×
+        # entry runs above), 10× snapshot side: copies are letter-
+        # rotated so match counts stay ~1×; the measured growth is the
+        # snapshot minhash + band join, the serve path's scale claim
+        "dedup_incremental_index": lambda: E.incremental_neardups_of(
+            _docs_sf(spark).filter(F.col("doc_id") % 10 != 7),
+            docs10.filter(F.col("doc_id") % 10 == 7),
+            key=SF_DIR,
+        ),
     }
+
+    def _docs_sf(spark):
+        from hermod_spark.data import table
+
+        return table(spark, SF_DIR, "documents")
 
     def _dedup_replay10(ev):
         from hermod_spark.sources.messages import message_frame_of

@@ -177,26 +177,41 @@ def minhash_bands(
             f"minhash_bands: num_hashes={num_hashes} must be a positive "
             f"multiple of bands={bands}"
         )
-    rows = num_hashes // bands
-    # explode_outer + null filter, NOT plain explode: explode adds an
-    # implicit size(arr)>0 filter whose predicate re-evaluates the whole
-    # shingle expression a second time per row (and can sink below
-    # exchanges) — see cdc_chunks. The null filter only sees the output
-    # column, so the array is computed once.
+    mins = _minhash_mins(df, text_col, id_col, num_hashes=num_hashes, w=w)
+    band_keys = _band_key_array(num_hashes, bands)
+    return mins.select("_id", F.posexplode(band_keys)).toDF("_id", "band_id", "band_key")
+
+
+def _minhash_mins(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int, w: int
+) -> DataFrame:
+    """(_id, m0..m{N-1}) min-hash components — ONE explode of the
+    shingle array into a single groupBy with map-side combine.
+
+    explode_outer + null filter, NOT plain explode: explode adds an
+    implicit size(arr)>0 filter whose predicate re-evaluates the whole
+    shingle expression a second time per row (and can sink below
+    exchanges) — see cdc_chunks. The null filter only sees the output
+    column, so the array is computed once."""
     exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
         F.explode_outer(shingles(text_col, w)).alias("_s"),
     ).filter(F.col("_s").isNotNull())
-    mins = exploded.select("_id", _base_hash(F.col("_s")).alias("_h")).groupBy("_id").agg(
+    return exploded.select("_id", _base_hash(F.col("_s")).alias("_h")).groupBy("_id").agg(
         *[F.min(_affine(F.col("_h"), i)).alias(f"m{i}") for i in range(num_hashes)]
     )
-    band_keys = F.array(
+
+
+def _band_key_array(num_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` band keys over the m0..m{N-1} min columns —
+    band j = md5 of its rows/band consecutive components."""
+    rows = num_hashes // bands
+    return F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"m{j * rows + r}") for r in range(rows)]))
             for j in range(bands)
         ]
     )
-    return mins.select("_id", F.posexplode(band_keys)).toDF("_id", "band_id", "band_key")
 
 
 def near_dup_candidates(
@@ -1306,3 +1321,187 @@ def blocked_linkage(
         .filter(F.col("distance") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH corpus index: build once over the existing corpus, serve
+# every incoming crawl snapshot against it without re-banding the corpus.
+# At 100 TB the corpus-side minhash pass is the dominant cost of near-dup
+# dedup; a re-crawl pipeline that pays it per snapshot is quadratic over
+# the corpus's lifetime. The index persists (band buckets + signatures)
+# as parquet; serving shuffles only the snapshot side.
+
+DEDUP_INDEX_VERSION = 1
+
+
+def save_dedup_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    w: int = 3,
+) -> None:
+    """Persist the LSH index of ``df`` under ``path`` (overwrite):
+
+    - ``bands/``: (band_id, band_key, corpus_id, n_bucket) — one row
+      per (doc, band). ``n_bucket`` is the bucket's membership count,
+      computed at BUILD time so a serve-time ``max_bucket`` cap is a
+      plain scan predicate (parquet pushdown) instead of a full
+      count-pass over the index per snapshot.
+    - ``sigs/``: (corpus_id, sig array<bigint>) — the full min-hash
+      signature, for the serve-side similarity estimate (the corpus
+      TEXT is deliberately not in the index).
+    - ``meta/``: one row (version, num_hashes, bands, w, n_docs).
+      Written LAST: a crashed build leaves no meta and
+      :func:`load_dedup_index` refuses the partial directory.
+
+    Hash config lives in meta and drives the serve side — config drift
+    between build and serve silently destroys recall, so serving never
+    takes its own num_hashes/bands/w.
+    """
+    if num_hashes % bands != 0 or num_hashes < bands:
+        raise ValueError(
+            f"save_dedup_index: num_hashes={num_hashes} must be a positive "
+            f"multiple of bands={bands}"
+        )
+    spark = df.sparkSession
+    mins = _minhash_mins(df, text_col, id_col, num_hashes=num_hashes, w=w)
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    banded = mins.select(
+        F.col("_id").alias("corpus_id"),
+        sig.alias("sig"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    # ONE minhash pass feeds both components: localCheckpoint cuts the
+    # lineage so the sigs projection does not re-run the shingle
+    # pipeline (the dedup_report pattern).
+    banded = banded.localCheckpoint()
+    n_bucket = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    banded.withColumn("n_bucket", n_bucket).write.parquet(
+        f"{path}/bands", mode="overwrite"
+    )
+    banded.select("corpus_id", "sig").dropDuplicates(["corpus_id"]).write.parquet(
+        f"{path}/sigs", mode="overwrite"
+    )
+    n_docs = banded.select("corpus_id").distinct().count()
+    spark.createDataFrame(
+        [(DEDUP_INDEX_VERSION, num_hashes, bands, w, n_docs)],
+        "version int, num_hashes int, bands int, w int, n_docs bigint",
+    ).coalesce(1).write.parquet(f"{path}/meta", mode="overwrite")
+
+
+def load_dedup_index(spark, path: str) -> dict:
+    """Open a :func:`save_dedup_index` artifact: {'meta': dict,
+    'bands': DataFrame, 'sigs': DataFrame}. Raises on a missing or
+    foreign meta (a partial build must not serve)."""
+    try:
+        meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception as exc:  # AnalysisException: path missing
+        raise ValueError(
+            f"load_dedup_index: no readable meta under {path!r} "
+            f"(partial or foreign directory?): {exc}"
+        ) from None
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"load_dedup_index: expected exactly 1 meta row, got {len(meta_rows)}"
+        )
+    meta = meta_rows[0].asDict()
+    if meta.get("version") != DEDUP_INDEX_VERSION:
+        raise ValueError(
+            f"load_dedup_index: version {meta.get('version')!r} != "
+            f"{DEDUP_INDEX_VERSION} (rebuild the index)"
+        )
+    return {
+        "meta": meta,
+        "bands": spark.read.parquet(f"{path}/bands"),
+        "sigs": spark.read.parquet(f"{path}/sigs"),
+    }
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    index: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup matches of an incoming snapshot against a persisted
+    corpus index: (new_id, corpus_id, n_match, est_jaccard), where
+    est_jaccard = matching-signature-component fraction (the unbiased
+    MinHash Jaccard estimator) and n_match its integer numerator.
+
+    Plan shape (the snapshot is the ONLY side that pays a minhash
+    pass): one explode→groupBy over the snapshot producing (sig, band
+    keys) in a single projection, an equi-join against the index's
+    band buckets on (band_id, band_key), pair dedup, then one join
+    against the index signatures for the estimate. ``max_bucket``
+    filters the index's precomputed n_bucket scan-side (parquet
+    pushdown) — a viral boilerplate bucket never reaches the join.
+
+    Verification is signature-based, not exact-text Jaccard, by
+    design: the index carries no corpus text, and at 16+ hashes the
+    estimator's error is below any sane dedup threshold's margin.
+    """
+    meta = index["meta"]
+    num_hashes, bands, w = meta["num_hashes"], meta["bands"], meta["w"]
+    mins = _minhash_mins(new_df, text_col, id_col, num_hashes=num_hashes, w=w)
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    new_bands = mins.select(
+        F.col("_id").alias("new_id"),
+        sig.alias("_new_sig"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    idx_bands = index["bands"]
+    if max_bucket is not None:
+        idx_bands = idx_bands.filter(F.col("n_bucket") <= max_bucket)
+    cand = (
+        new_bands.join(idx_bands, ["band_id", "band_key"])
+        .select("new_id", "_new_sig", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("_new_sig", "sig", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return (
+        cand.join(index["sigs"], "corpus_id")
+        .withColumn("n_match", n_match)
+        .withColumn(
+            "est_jaccard", F.col("n_match") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "corpus_id", "n_match", "est_jaccard")
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    index: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The actionable filter form: snapshot rows that near-dup NOTHING
+    in the corpus index survive (the docs worth adding). One anti-join
+    on the matched new-ids over :func:`incremental_near_dups`."""
+    matches = incremental_near_dups(
+        new_df,
+        index,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    ).select(F.col("new_id").alias(id_col))
+    return new_df.join(matches, id_col, "left_anti")

@@ -1,0 +1,177 @@
+"""Persisted LSH corpus index: build once, serve snapshots.
+
+The 100 TB workload this exists for: a re-crawl pipeline must near-dup
+each incoming snapshot against the EXISTING corpus without re-banding
+100 TB per snapshot. The index persists band buckets (+ build-time
+bucket sizes for serve-side pushdown caps) and signatures; serving
+minhashes only the snapshot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup-idx") / "index")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    dedup.save_dedup_index(corpus, path)
+    return path, corpus
+
+
+def test_round_trip_meta(spark, built, docs):
+    path, corpus = built
+    idx = dedup.load_dedup_index(spark, path)
+    assert idx["meta"]["num_hashes"] == 16
+    assert idx["meta"]["bands"] == 4
+    assert idx["meta"]["w"] == 3
+    assert idx["meta"]["n_docs"] == corpus.count()
+    # one row per (doc, band); one signature per doc
+    assert idx["bands"].count() == idx["meta"]["n_docs"] * 4
+    assert idx["sigs"].count() == idx["meta"]["n_docs"]
+
+
+def test_partial_index_refused(spark, built, tmp_path):
+    # a crashed build writes components but no meta — must not serve
+    with pytest.raises(ValueError, match="no readable meta"):
+        dedup.load_dedup_index(spark, str(tmp_path / "nothing-here"))
+
+
+def test_bad_config_refused(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.save_dedup_index(docs, str(tmp_path / "x"), num_hashes=16, bands=5)
+
+
+def test_parity_with_direct_banding(spark, built, docs):
+    """Index-served candidates == the direct two-sided banding join,
+    and est_jaccard == the per-component signature match fraction —
+    the persisted artifact must change WHERE the corpus pass runs,
+    never WHAT it computes."""
+    path, corpus = built
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = dedup.load_dedup_index(spark, path)
+    got = {
+        (r["new_id"], r["corpus_id"], r["n_match"])
+        for r in dedup.incremental_near_dups(new, idx, threshold=0.0).collect()
+    }
+
+    nb = dedup.minhash_bands(new).withColumnRenamed("_id", "new_id")
+    cb = dedup.minhash_bands(corpus).withColumnRenamed("_id", "corpus_id")
+    cand = {
+        (r["new_id"], r["corpus_id"])
+        for r in nb.join(cb, ["band_id", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .collect()
+    }
+    assert {(a, b) for a, b, _ in got} == cand
+    assert len(cand) > 0
+
+    sig_new = {
+        r["_id"]: r["sig"]
+        for r in new.select(
+            F.col("doc_id").alias("_id"),
+            dedup.minhash_signature("text").alias("sig"),
+        ).collect()
+    }
+    sig_corp = {
+        r["corpus_id"]: r["sig"]
+        for r in idx["sigs"].collect()
+    }
+    for a, b, nm in got:
+        expect = sum(x == y for x, y in zip(sig_new[a], sig_corp[b]))
+        assert nm == expect
+
+
+def test_threshold_filters(spark, built, docs):
+    path, _ = built
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = dedup.load_dedup_index(spark, path)
+    all_rows = dedup.incremental_near_dups(new, idx, threshold=0.0).collect()
+    half = dedup.incremental_near_dups(new, idx, threshold=0.5).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in half} == {
+        (r["new_id"], r["corpus_id"]) for r in all_rows if r["n_match"] >= 8
+    }
+    assert all(r["est_jaccard"] >= 0.5 for r in half)
+
+
+def test_against_corpus_anti_form(spark, built, docs):
+    path, _ = built
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = dedup.load_dedup_index(spark, path)
+    matched = {
+        r["new_id"]
+        for r in dedup.incremental_near_dups(new, idx, threshold=0.5).collect()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(new, idx, threshold=0.5).collect()
+    }
+    all_new = {r["doc_id"] for r in new.collect()}
+    assert survivors == all_new - matched
+    assert matched, "fixture must exercise a non-empty match set"
+
+
+def test_max_bucket_cap_is_pushed_and_applied(spark, docs, tmp_path):
+    """A viral boilerplate bucket in the corpus must be excludable at
+    serve time via the BUILD-time n_bucket column — and the cap must
+    reach the parquet scan as a pushed filter, not a post-join one."""
+    boiler = "the same viral boilerplate text repeated everywhere verbatim"
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    path = str(tmp_path / "hotidx")
+    dedup.save_dedup_index(corpus, path)
+    idx = dedup.load_dedup_index(spark, path)
+    # every even corpus doc shares one bucket per band
+    flood = idx["bands"].agg(F.max("n_bucket")).first()[0]
+    assert flood > 64
+
+    new = docs.filter(F.col("doc_id") % 10 == 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    capped = dedup.incremental_near_dups(new, idx, threshold=0.5, max_bucket=64)
+    uncapped = dedup.incremental_near_dups(new, idx, threshold=0.5)
+    got_capped = {(r["new_id"], r["corpus_id"]) for r in capped.collect()}
+    got_all = {(r["new_id"], r["corpus_id"]) for r in uncapped.collect()}
+    # the boilerplate snapshot doc floods against every even corpus doc
+    # without the cap, and against nothing with it
+    assert all(a != 7 for a, _ in got_capped)
+    assert sum(a == 7 for a, _ in got_all) == corpus.filter(
+        F.col("doc_id") % 2 == 0
+    ).count()
+    assert got_capped <= got_all
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scan_lines = [
+        ln for ln in plan.split("\n") if "FileScan" in ln and "n_bucket" in ln
+    ]
+    assert scan_lines, plan
+    # the cap reaches the bands scan as a data filter (toString
+    # truncates the PushedFilters list, so assert on DataFilters)
+    assert re.search(r"DataFilters: \[[^]]*\(n_bucket#\d+L <= 64\)", scan_lines[0]), (
+        scan_lines[0][:600]
+    )
+
+
+def test_empty_snapshot(spark, built, docs):
+    path, _ = built
+    idx = dedup.load_dedup_index(spark, path)
+    empty = docs.filter(F.lit(False))
+    out = dedup.incremental_near_dups(empty, idx)
+    assert out.count() == 0
+    assert out.columns == ["new_id", "corpus_id", "n_match", "est_jaccard"]
