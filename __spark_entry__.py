@@ -325,6 +325,25 @@ def dedup_against_corpus_of(
     return dedup.dedup_against_corpus(new, idx, threshold=threshold)
 
 
+def dedup_index_extended_path_of(
+    corpus_a: DataFrame, corpus_b: DataFrame, key: str
+) -> str:
+    """Build-then-extend variant of :func:`dedup_index_path_of`: index
+    corpus_a, admit corpus_b via extend_dedup_index — the maintenance
+    path the `dedup_index_extend` query proves equivalent to indexing
+    a∪b directly (they share one oracle)."""
+    import tempfile
+
+    from hermod_spark.operators import dedup
+
+    if key not in _DEDUP_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
+        dedup.save_dedup_index(corpus_a, path)
+        dedup.extend_dedup_index(corpus_b, path)
+        _DEDUP_INDEX_CACHE[key] = path
+    return _DEDUP_INDEX_CACHE[key]
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -1336,6 +1355,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source")
 
     q["cur_dedup_incremental"] = cur_dedup_incremental
+
+    # index MAINTENANCE parity: index 80% of the corpus, ADMIT the
+    # %10==3 slice via extend_dedup_index (no corpus-text re-minhash,
+    # n_bucket recomputed globally), serve the snapshot — must equal
+    # serving against a direct index of the union, so it shares
+    # dedup_incremental_index's oracle verbatim
+    def dedup_index_extend(spark, sf):
+        d = _t(spark, sf, "documents")
+        rem = F.col("doc_id") % 10
+        from hermod_spark.operators import dedup as _dd
+
+        path = dedup_index_extended_path_of(
+            d.filter((rem != 7) & (rem != 3)),
+            d.filter(rem == 3),
+            key=f"{sf}#ext",
+        )
+        idx = _dd.load_dedup_index(spark, path)
+        return _dd.incremental_near_dups(
+            d.filter(rem == 7), idx, threshold=0.5
+        )
+
+    q["dedup_index_extend"] = dedup_index_extend
+
+    # scan-side serve (per-row signature fold, NO aggregation — the
+    # plan a readStream snapshot can run as stream-static joins);
+    # output identical to the agg form, same oracle
+    def dedup_incremental_scan(spark, sf):
+        d = _t(spark, sf, "documents")
+        from hermod_spark.operators import dedup as _dd
+
+        idx = _dd.load_dedup_index(
+            spark,
+            dedup_index_path_of(d.filter(F.col("doc_id") % 10 != 7), key=sf),
+        )
+        return _dd.incremental_near_dups_scan(
+            d.filter(F.col("doc_id") % 10 == 7), idx, threshold=0.5
+        )
+
+    q["dedup_incremental_scan"] = dedup_incremental_scan
 
     def dedup_minhash_hot(spark, sf):
         """Hot-band-bucket probe (r10, VERDICT r9 #5): half the docs
@@ -3263,6 +3321,11 @@ SELECT d.doc_id, d.source FROM documents d
 WHERE d.doc_id % 10 = 7 AND d.doc_id NOT IN (
   SELECT new_id FROM inc_m WHERE nm / 16.0 >= 0.5)"""
     )
+    # build-on-80%-then-extend ≡ direct index of the union, and the
+    # scan-side signature fold ≡ the explode→groupBy form: both serve
+    # paths must reproduce the SAME matches, so they share the oracle
+    o["dedup_index_extend"] = o["dedup_incremental_index"]
+    o["dedup_incremental_scan"] = o["dedup_incremental_index"]
     # hot-band-bucket probe (r10): same banding over the boilerplate-
     # flooded corpus; buckets over the cap (or singleton) contribute
     # no pairs — the cap semantics the Spark side applies pre-expansion

@@ -166,6 +166,12 @@ BASELINE = {
     "dedup_incremental_index": 1.96,
     # the anti-join filter form over the same serve
     "cur_dedup_incremental": 1.82,
+    # serve after save(80%) + extend(admitted slice) — extend cost
+    # amortized by the entry cache like the builds
+    "dedup_index_extend": 1.38,
+    # scan-side signature fold (streamable plan): no agg shuffle, so
+    # faster than the agg serve at thin-snapshot scale
+    "dedup_incremental_scan": 0.97,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -477,6 +483,8 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "dedup_incremental_index",
     "cur_dedup_incremental",
+    "dedup_index_extend",
+    "dedup_incremental_scan",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

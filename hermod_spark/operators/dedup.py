@@ -1505,3 +1505,164 @@ def dedup_against_corpus(
         max_bucket=max_bucket,
     ).select(F.col("new_id").alias(id_col))
     return new_df.join(matches, id_col, "left_anti")
+
+
+def _snapshot_band_rows(
+    new_df: DataFrame, meta: dict, text_col: str, id_col: str
+) -> DataFrame:
+    """(new_id, _new_sig, band_id, band_key) computed entirely
+    SCAN-SIDE (per-row nested fold, no aggregation) with the index's
+    hash config — the form a streaming snapshot can run, since a
+    micro-batch cannot host the explode→groupBy signature shape
+    without an aggregation output mode."""
+    num_hashes, bands, w = meta["num_hashes"], meta["bands"], meta["w"]
+    sig = minhash_signature(text_col, num_hashes=num_hashes, w=w)
+    rows = num_hashes // bands
+    return new_df.select(
+        F.col(id_col).alias("new_id"), sig.alias("_new_sig")
+    ).select(
+        "new_id",
+        "_new_sig",
+        F.posexplode(
+            lsh_band_keys(F.col("_new_sig"), bands, rows)
+        ).alias("band_id", "band_key"),
+    )
+
+
+def incremental_near_dups_scan(
+    new_df: DataFrame,
+    index: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_near_dups` with the snapshot's signatures
+    computed scan-side (per-row fold) instead of explode→groupBy —
+    identical output (the two signature forms are the same min over
+    the same affine hashes), but the plan has NO aggregation, so it
+    runs unchanged on a STREAMING snapshot: band join and signature
+    join become stream-static joins, and the pair dedup is
+    dropDuplicates keyed on (new_id, corpus_id).
+
+    Streaming state note: the dropDuplicates state is O(matches) for
+    the life of the stream — scope one stream per crawl snapshot (the
+    workload's natural unit) or swap in dropDuplicatesWithinWatermark
+    when the snapshot carries event time.
+
+    Batch trade-off vs the agg form: the per-row fold re-hashes every
+    shingle num_hashes times inside one projection (no shuffle),
+    where the agg form hashes once and shuffles — prefer this form
+    for streams and thin snapshots, the agg form for bulk batch.
+    """
+    meta = index["meta"]
+    num_hashes = meta["num_hashes"]
+    new_bands = _snapshot_band_rows(new_df, meta, text_col, id_col)
+    idx_bands = index["bands"]
+    if max_bucket is not None:
+        idx_bands = idx_bands.filter(F.col("n_bucket") <= max_bucket)
+    cand = (
+        new_bands.join(idx_bands, ["band_id", "band_key"])
+        .select("new_id", "_new_sig", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("_new_sig", "sig", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return (
+        cand.join(index["sigs"], "corpus_id")
+        .withColumn("n_match", n_match)
+        .withColumn(
+            "est_jaccard", F.col("n_match") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "corpus_id", "n_match", "est_jaccard")
+    )
+
+
+def extend_dedup_index(
+    new_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Admit ``new_df`` into the persisted index at ``path`` — the
+    workflow step after :func:`dedup_against_corpus` accepts a
+    snapshot's survivors. Returns the number of docs added.
+
+    Only the ADMITTED docs' text is minhashed; the existing corpus
+    contributes its already-persisted bands/sigs columns. n_bucket is
+    recomputed globally over the merged bands (one window over ~4
+    rows/doc of longs+strings — index-sized, never corpus-text-sized)
+    so the serve-side cap predicate stays current, not build-time
+    stale.
+
+    Idempotent: ids already present in the index are skipped, so
+    re-running a crashed or duplicated extend cannot double-insert.
+    Crash-safe: the merged index is written to a staging directory
+    and swapped in with the rename-aside pattern (local/HDFS rename
+    semantics; an object store would need a manifest pointer
+    instead). The live index stays readable until the final swap;
+    stale ``.extend-*``/``.old-*`` orphans from crashed runs are
+    swept on the next extend.
+    """
+    import os
+    import shutil
+
+    spark = new_df.sparkSession
+    index = load_dedup_index(spark, path)
+    meta = index["meta"]
+    num_hashes, bands, w = meta["num_hashes"], meta["bands"], meta["w"]
+
+    parent, name = os.path.split(os.path.abspath(path))
+    for entry in os.listdir(parent):
+        if entry.startswith((f".extend-{name}-", f".old-{name}-")):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+    fresh = new_df.join(
+        index["sigs"].select(F.col("corpus_id").alias(id_col)), id_col, "left_anti"
+    )
+    mins = _minhash_mins(fresh, text_col, id_col, num_hashes=num_hashes, w=w)
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    added_banded = mins.select(
+        F.col("_id").alias("corpus_id"),
+        sig.alias("sig"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        ),
+    ).localCheckpoint()
+    n_added = added_banded.select("corpus_id").distinct().count()
+
+    stage = os.path.join(parent, f".extend-{name}-{os.getpid()}")
+    merged_bands = index["bands"].select(
+        "corpus_id", "sig", "band_id", "band_key"
+    ).unionByName(added_banded)
+    n_bucket = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    merged_bands.withColumn("n_bucket", n_bucket).write.parquet(
+        f"{stage}/bands", mode="overwrite"
+    )
+    index["sigs"].unionByName(
+        added_banded.select("corpus_id", "sig").dropDuplicates(["corpus_id"])
+    ).write.parquet(f"{stage}/sigs", mode="overwrite")
+    spark.createDataFrame(
+        [
+            (
+                DEDUP_INDEX_VERSION,
+                num_hashes,
+                bands,
+                w,
+                meta["n_docs"] + n_added,
+            )
+        ],
+        "version int, num_hashes int, bands int, w int, n_docs bigint",
+    ).coalesce(1).write.parquet(f"{stage}/meta", mode="overwrite")
+
+    old = os.path.join(parent, f".old-{name}-{os.getpid()}")
+    os.rename(os.path.abspath(path), old)
+    os.rename(stage, os.path.abspath(path))
+    shutil.rmtree(old, ignore_errors=True)
+    return n_added

@@ -175,3 +175,127 @@ def test_empty_snapshot(spark, built, docs):
     out = dedup.incremental_near_dups(empty, idx)
     assert out.count() == 0
     assert out.columns == ["new_id", "corpus_id", "n_match", "est_jaccard"]
+
+
+def test_extend_equals_direct_build(spark, docs, tmp_path):
+    """save(A) + extend(B) must serve EXACTLY like save(A∪B): same
+    meta, same matches — the maintenance path may change where the
+    corpus pass ran, never what the index answers."""
+    rem = F.col("doc_id") % 10
+    a = docs.filter((rem != 7) & (rem != 3))
+    b = docs.filter(rem == 3)
+    c = docs.filter(rem == 7)
+    p_ext = str(tmp_path / "ext")
+    p_dir = str(tmp_path / "direct")
+    dedup.save_dedup_index(a, p_ext)
+    added = dedup.extend_dedup_index(b, p_ext)
+    assert added == b.count()
+    dedup.save_dedup_index(docs.filter(rem != 7), p_dir)
+    i_ext = dedup.load_dedup_index(spark, p_ext)
+    i_dir = dedup.load_dedup_index(spark, p_dir)
+    assert i_ext["meta"] == i_dir["meta"]
+    got = {
+        tuple(r)
+        for r in dedup.incremental_near_dups(c, i_ext, threshold=0.5).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dedup.incremental_near_dups(c, i_dir, threshold=0.5).collect()
+    }
+    assert got == want and got
+
+
+def test_extend_is_idempotent_and_sweeps_orphans(spark, docs, tmp_path):
+    import os
+
+    rem = F.col("doc_id") % 10
+    p = str(tmp_path / "idx")
+    dedup.save_dedup_index(docs.filter((rem != 7) & (rem != 3)), p)
+    # a crashed prior extend leaves staging/aside orphans next to the
+    # index — the next extend must sweep them
+    orphan = tmp_path / ".extend-idx-99999"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    n1 = dedup.extend_dedup_index(docs.filter(rem == 3), p)
+    assert n1 > 0
+    assert not orphan.exists()
+    # already-admitted ids are skipped: re-running a duplicated extend
+    # cannot double-insert signatures or bands
+    assert dedup.extend_dedup_index(docs.filter(rem == 3), p) == 0
+    idx = dedup.load_dedup_index(spark, p)
+    assert idx["sigs"].count() == idx["meta"]["n_docs"]
+    assert idx["bands"].count() == idx["meta"]["n_docs"] * idx["meta"]["bands"]
+
+
+def test_extend_recomputes_bucket_sizes_globally(spark, docs, tmp_path):
+    """A bucket that becomes viral only AFTER an extend must be
+    cap-excludable: n_bucket is recomputed over the merged bands, not
+    frozen at each row's write time."""
+    boiler = "the same viral boilerplate text repeated everywhere verbatim"
+    rem = F.col("doc_id") % 10
+    p = str(tmp_path / "idx")
+    base = docs.filter((rem != 7) & (rem != 3))
+    dedup.save_dedup_index(base, p)
+    before = dedup.load_dedup_index(spark, p)
+    flood_free_max = before["bands"].agg(F.max("n_bucket")).first()[0]
+    dedup.extend_dedup_index(
+        docs.filter(rem == 3).withColumn("text", F.lit(boiler)), p
+    )
+    after = dedup.load_dedup_index(spark, p)
+    flooded_max = after["bands"].agg(F.max("n_bucket")).first()[0]
+    assert flooded_max >= docs.filter(rem == 3).count() > flood_free_max
+
+
+def test_scan_serve_matches_agg_serve(spark, built, docs):
+    path, _ = built
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = dedup.load_dedup_index(spark, path)
+    agg = {
+        tuple(r)
+        for r in dedup.incremental_near_dups(new, idx, threshold=0.0).collect()
+    }
+    scan = {
+        tuple(r)
+        for r in dedup.incremental_near_dups_scan(
+            new, idx, threshold=0.0
+        ).collect()
+    }
+    assert scan == agg and scan
+
+
+def test_scan_serve_runs_on_a_stream(spark, built, docs, tmp_path):
+    """The scan-side serve must run as a readStream plan (stream-static
+    band + signature joins, dropDuplicates pair dedup) and emit the
+    batch result exactly."""
+    import uuid
+
+    path, _ = built
+    idx = dedup.load_dedup_index(spark, path)
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    src = str(tmp_path / "snap")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    out = dedup.incremental_near_dups_scan(stream, idx, threshold=0.5)
+    assert out.isStreaming
+    sink = f"incdedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+    finally:
+        query.stop()
+    want = {
+        tuple(r)
+        for r in dedup.incremental_near_dups_scan(
+            new, idx, threshold=0.5
+        ).collect()
+    }
+    assert got == want and got
