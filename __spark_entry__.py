@@ -1146,6 +1146,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_asof_tolerance"] = rel_asof_tolerance
 
+    def rel_scd2_enrich(spark, sf):
+        """Point-in-time-correct SCD2 enrichment: every order picks
+        the dimension VERSION valid at its order date (latest
+        valid_from <= o_orderdate; orders before a customer's first
+        version get NULLs). Versions are synthesized deterministically
+        from customer (3 per key, key-dependent validity offsets) so
+        the DuckDB oracle replays them and joins with native ASOF
+        LEFT JOIN — no range-join row blowup on either engine."""
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        v = cust.select(
+            "c_custkey",
+            "c_acctbal",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"),
+        ).select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("v").cast("int").alias("version"),
+            F.date_add(
+                F.to_date(F.lit("1992-01-01")),
+                (
+                    F.col("c_custkey") % 400
+                    + F.col("v") * (F.col("c_custkey") % 700 + 30)
+                ).cast("int"),
+            ).alias("valid_from"),
+            (F.col("c_acctbal") + F.col("v") * 1000).alias("credit_limit"),
+        )
+        facts = orders.select(
+            "o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderdate"
+        )
+        return R.point_in_time_join(
+            facts,
+            v,
+            key="custkey",
+            time_fact="o_orderdate",
+            valid_from="valid_from",
+            attrs=["version", "credit_limit"],
+        )
+
+    q["rel_scd2_enrich"] = rel_scd2_enrich
+
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
         (time-to-convert lookup) — same union+window encoding scanning
@@ -2926,6 +2966,22 @@ SELECT l.event_id, l.user_id, l.ts,
        THEN r.signup_event_id END AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    # SCD2 point-in-time enrichment: the synthesized version table is
+    # replayed verbatim, then DuckDB's native ASOF picks the same
+    # latest-valid_from-at-or-before row the union+window shape does
+    o["rel_scd2_enrich"] = """
+WITH v AS (
+  SELECT c_custkey AS custkey,
+    CAST(gs.v AS INTEGER) AS version,
+    DATE '1992-01-01'
+      + CAST(c_custkey % 400 + gs.v * (c_custkey % 700 + 30) AS INTEGER)
+      AS valid_from,
+    c_acctbal + gs.v * 1000 AS credit_limit
+  FROM customer CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS v) gs)
+SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_orderdate,
+  r.version AS version_asof, r.credit_limit AS credit_limit_asof
+FROM orders o ASOF LEFT JOIN v r
+  ON o.o_custkey = r.custkey AND o.o_orderdate >= r.valid_from"""
     o["rel_asof_forward"] = """
 WITH signups AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),

@@ -172,6 +172,9 @@ BASELINE = {
     # scan-side signature fold (streamable plan): no agg shuffle, so
     # faster than the agg serve at thin-snapshot scale
     "dedup_incremental_scan": 0.97,
+    # SCD2 point-in-time enrichment: one asof union+window exchange
+    # over |orders|+3|customers| rows, no join node, no range blowup
+    "rel_scd2_enrich": 0.61,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -485,6 +488,7 @@ HEADLINE = [
     "cur_dedup_incremental",
     "dedup_index_extend",
     "dedup_incremental_scan",
+    "rel_scd2_enrich",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

@@ -1802,3 +1802,37 @@ def gapfill_interpolate(
         F.round(prev_v, 6).alias("locf_value"),
         F.round(interp, 6).alias("interp_value"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    *,
+    key: str,
+    time_fact: str,
+    valid_from: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Point-in-time-correct enrichment against a slowly-changing
+    (SCD2-style) dimension: each fact row gets the version whose
+    ``valid_from`` is the LATEST at or before the fact's time — the
+    as-of semantics every feature-store / warehouse "temporal join"
+    needs, with no valid_to bookkeeping required (a version ends where
+    the next one starts; facts before the first version get NULLs).
+
+    The naive encodings are a BETWEEN-range join (row blowup ∝
+    versions/key, then a dedup) or a correlated subquery per fact. This
+    delegates to :func:`asof_join`'s union + running-window shape: ONE
+    shuffle on the key for |facts|+|versions| rows, no join node, no
+    blowup — at 100 TB the version side is dimension-sized and rides
+    the same exchange. Output: fact columns + ``{attr}_asof``.
+    """
+    return asof_join(
+        facts,
+        versions,
+        key=key,
+        time_left=time_fact,
+        time_right=valid_from,
+        right_cols=attrs,
+        direction="backward",
+    )

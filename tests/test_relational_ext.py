@@ -1236,3 +1236,52 @@ def test_validate_constraints_single_aggregate_no_expand_in_approx(spark):
     ev = [r["passed"] for r in R.validate_constraints(df, rules).orderBy("rule").collect()]
     av = [r["passed"] for r in approx.orderBy("rule").collect()]
     assert ev == av
+
+
+def test_point_in_time_join_scd2(spark):
+    """SCD2 enrichment: each fact picks the version with the latest
+    valid_from at or before its time; pre-first-version facts get
+    NULLs; the plan is the as-of union+window (no join node, one
+    exchange)."""
+    from hermod_spark.operators.relational import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [
+            (1, 0, "2024-01-01", "bronze"),
+            (1, 1, "2024-02-01", "silver"),
+            (1, 2, "2024-03-01", "gold"),
+            (2, 0, "2024-02-15", "bronze"),
+        ],
+        "key int, version int, valid_from string, tier string",
+    ).withColumn("valid_from", F.to_date("valid_from"))
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-15"),  # between v0 and v1 -> bronze
+            (101, 1, "2024-02-01"),  # ON v1's start (inclusive) -> silver
+            (102, 1, "2024-12-31"),  # after all -> gold
+            (103, 2, "2024-01-01"),  # before key 2's first version -> NULL
+            (104, 3, "2024-06-01"),  # key with no versions -> NULL
+        ],
+        "fact_id int, key int, ts string",
+    ).withColumn("ts", F.to_date("ts"))
+    out = point_in_time_join(
+        facts,
+        versions,
+        key="key",
+        time_fact="ts",
+        valid_from="valid_from",
+        attrs=["version", "tier"],
+    )
+    # plan BEFORE the collect: post-run AQE stringifies Final+Initial
+    # sections and double-counts the exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + running window, never a join
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {r["fact_id"]: (r["version_asof"], r["tier_asof"]) for r in out.collect()}
+    assert got == {
+        100: (0, "bronze"),
+        101: (1, "silver"),
+        102: (2, "gold"),
+        103: (None, None),
+        104: (None, None),
+    }
