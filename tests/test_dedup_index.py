@@ -299,3 +299,99 @@ def test_scan_serve_runs_on_a_stream(spark, built, docs, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_continuous_corpus_build_foreachbatch(spark, docs, tmp_path):
+    """The full lifecycle under streaming: each micro-batch of an
+    incoming snapshot is served against the CURRENT index, its
+    survivors are written to the corpus sink and admitted via
+    extend_dedup_index, so later micro-batches dedup against earlier
+    ones. End state must equal the sequential batch run of the same
+    chunks — the composition proof for serve → filter → admit."""
+    import os
+
+    rem = F.col("doc_id") % 10
+    seed = docs.filter((rem != 7) & (rem != 3))
+    incoming = docs.filter((rem == 7) | (rem == 3))
+
+    # make the cross-batch dedup observable: chunk 2 re-delivers a
+    # DETERMINISTIC chunk-1 doc verbatim under a fresh id (collected
+    # once by smallest id — a bare limit(1) is unstable across
+    # evaluations and could pick different rows at write vs assert)
+    orig = incoming.filter(rem == 7).orderBy("doc_id").first()
+    redelivered = spark.createDataFrame(
+        [tuple(999_999 if c == "doc_id" else orig[c] for c in docs.columns)],
+        docs.schema,
+    )
+    incoming = incoming.unionByName(redelivered)
+
+    p_idx = str(tmp_path / "idx")
+    dedup.save_dedup_index(seed, p_idx)
+    sink = str(tmp_path / "accepted")
+    os.makedirs(sink)
+
+    # two file-source micro-batches (maxFilesPerTrigger=1): the file
+    # source triggers per FILE, so flatten each chunk's parquet part
+    # into one ordered file under a single source directory
+    src = str(tmp_path / "snap")
+    incoming.filter(rem == 7).coalesce(1).write.parquet(src + "/part1")
+    incoming.filter((rem == 3) | (F.col("doc_id") == 999_999)).coalesce(
+        1
+    ).write.parquet(src + "/part2")
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ["part1", "part2"]:
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{n:03d}.parquet"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                # the file source orders micro-batches by modification
+                # time; same-second copies tie and can invert the
+                # chunks — pin strictly increasing mtimes
+                os.utime(dst, (1_700_000_000 + n, 1_700_000_000 + n))
+                n += 1
+    assert n >= 2
+
+    def admit(batch_df, batch_id):
+        idx = dedup.load_dedup_index(batch_df.sparkSession, p_idx)
+        survivors = dedup.dedup_against_corpus(
+            batch_df, idx, threshold=0.5
+        ).localCheckpoint()
+        survivors.write.mode("append").parquet(sink)
+        dedup.extend_dedup_index(survivors, p_idx)
+
+    stream = spark.readStream.schema(incoming.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain in 120s"
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    final = dedup.load_dedup_index(spark, p_idx)
+    assert final["meta"]["n_docs"] == seed.count() + len(accepted)
+
+    # sequential batch replay over the same chunk order
+    p_ref = str(tmp_path / "ref")
+    dedup.save_dedup_index(seed, p_ref)
+    want = set()
+    chunks = sorted(os.listdir(flat))
+    for c in chunks:
+        chunk = spark.read.parquet(f"{flat}/{c}")
+        idx = dedup.load_dedup_index(spark, p_ref)
+        surv = dedup.dedup_against_corpus(chunk, idx, threshold=0.5).localCheckpoint()
+        want |= {r["doc_id"] for r in surv.collect()}
+        dedup.extend_dedup_index(surv, p_ref)
+    assert accepted == want
+    # the cross-batch dedup actually fired: if the original survived
+    # chunk 1 (i.e. was admitted), its verbatim re-delivery in chunk 2
+    # must have been rejected against the EXTENDED index
+    if orig["doc_id"] in accepted:
+        assert 999_999 not in accepted
