@@ -344,6 +344,30 @@ def dedup_index_extended_path_of(
     return _DEDUP_INDEX_CACHE[key]
 
 
+def pagerank_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer–supplier purchase-graph PageRank (symmetrized edges,
+    8 fixed-point iterations) — the ONE body behind the `rel_pagerank`
+    entry query and bench's 10× probe."""
+    from hermod_spark.operators.graph import pagerank
+
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank(edges, iterations=8)
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -1185,6 +1209,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rel_scd2_enrich"] = rel_scd2_enrich
+
+    def rel_pagerank(spark, sf):
+        """PageRank over the customer–supplier purchase graph (nodes
+        custkey·2 / suppkey·2+1, edges symmetrized so the bipartite
+        graph has no dangling sinks), 8 power iterations. Each
+        iteration is one rank⋈edges join + one groupBy(dst) with the
+        per-edge contribution cast to DECIMAL(27,18) before the sum —
+        partition-order-independent, so the DuckDB oracle (the same 8
+        iterations unrolled as CTEs) reproduces every rank
+        bit-for-bit."""
+        return pagerank_of(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+
+    q["rel_pagerank"] = rel_pagerank
 
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
@@ -2966,6 +3005,48 @@ SELECT l.event_id, l.user_id, l.ts,
        THEN r.signup_event_id END AS signup_event_id_asof
 FROM purchases l ASOF LEFT JOIN signups r
   ON l.user_id = r.user_id AND l.ts >= r.signup_ts"""
+    # PageRank: the SAME 8 power iterations unrolled as CTEs — every
+    # arithmetic step mirrored (explicit DOUBLE casts so DuckDB's
+    # decimal literals don't diverge from Spark's double literals;
+    # per-edge contributions summed in DECIMAL(27,18) exactly as the
+    # Spark side does)
+    _pr_base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n"
+    _pr_iters = "".join(
+        f""",
+r{i} AS (
+  SELECT n.node,
+    {_pr_base} + CAST(0.85 AS DOUBLE)
+      * COALESCE(CAST(s.m AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+  FROM pr_nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT a.dst AS node,
+      SUM(CAST(CAST(r.rank / a.deg AS VARCHAR) AS DECIMAL(27,18))) AS m
+    FROM r{i - 1} r JOIN pr_adj a ON a.src = r.node GROUP BY a.dst) s
+  ON n.node = s.node)"""
+        for i in range(1, 9)
+    )
+    o["rel_pagerank"] = (
+        """
+WITH pr_pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pr_edges AS (
+  SELECT c AS src, s AS dst FROM pr_pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pr_pairs),
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)),
+pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+pr_adj AS (
+  SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src),
+nn AS (SELECT COUNT(*) AS n FROM pr_nodes),
+r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+  FROM pr_nodes CROSS JOIN nn)"""
+        + _pr_iters
+        + """
+SELECT node, rank FROM r8"""
+    )
     # SCD2 point-in-time enrichment: the synthesized version table is
     # replayed verbatim, then DuckDB's native ASOF picks the same
     # latest-valid_from-at-or-before row the union+window shape does

