@@ -344,12 +344,11 @@ def dedup_index_extended_path_of(
     return _DEDUP_INDEX_CACHE[key]
 
 
-def pagerank_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
-    """Customer–supplier purchase-graph PageRank (symmetrized edges,
-    8 fixed-point iterations) — the ONE body behind the `rel_pagerank`
-    entry query and bench's 10× probe."""
-    from hermod_spark.operators.graph import pagerank
-
+def _purchase_graph(lineitem: DataFrame, orders: DataFrame):
+    """(pairs, symmetrized edges) of the customer–supplier purchase
+    graph: node ids custkey·2 / suppkey·2+1, one distinct edge per
+    (customer, supplier) that ever traded — the shared input of the
+    graph queries (`rel_pagerank`, `rel_bfs_reach`)."""
     pairs = (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(
@@ -365,7 +364,30 @@ def pagerank_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pairs, edges
+
+
+def pagerank_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer–supplier purchase-graph PageRank (symmetrized edges,
+    8 fixed-point iterations) — the ONE body behind the `rel_pagerank`
+    entry query and bench's 10× probe."""
+    from hermod_spark.operators.graph import pagerank
+
+    _, edges = _purchase_graph(lineitem, orders)
     return pagerank(edges, iterations=8)
+
+
+def bfs_reach_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Multi-source BFS over the purchase graph from every customer
+    with custkey % 100 == 0 (node % 200 == 0), 4 hops — the ONE body
+    behind the `rel_bfs_reach` entry query and bench's 10× probe."""
+    from hermod_spark.operators.graph import bfs_distances
+
+    pairs, edges = _purchase_graph(lineitem, orders)
+    seeds = pairs.select(F.col("c").alias("node")).filter(
+        F.col("node") % 200 == 0
+    ).distinct()
+    return bfs_distances(edges, seeds, max_hops=4)
 
 
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
@@ -1224,6 +1246,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rel_pagerank"] = rel_pagerank
+
+    def rel_bfs_reach(spark, sf):
+        """Multi-source BFS distances (graph-feature extraction: how
+        far is every node from the seed customer set) — integer
+        arithmetic only, so the unrolled-CTE oracle is exact with no
+        decimal discipline."""
+        return bfs_reach_of(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+
+    q["rel_bfs_reach"] = rel_bfs_reach
 
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
@@ -3025,14 +3058,16 @@ r{i} AS (
   ON n.node = s.node)"""
         for i in range(1, 9)
     )
-    o["rel_pagerank"] = (
-        """
+    _pr_graph_ctes = """
 WITH pr_pairs AS (
   SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
 pr_edges AS (
   SELECT c AS src, s AS dst FROM pr_pairs
-  UNION ALL SELECT s AS src, c AS dst FROM pr_pairs),
+  UNION ALL SELECT s AS src, c AS dst FROM pr_pairs)"""
+    o["rel_pagerank"] = (
+        _pr_graph_ctes
+        + """,
 pr_nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)),
@@ -3046,6 +3081,28 @@ r0 AS (
         + _pr_iters
         + """
 SELECT node, rank FROM r8"""
+    )
+    # BFS: 4 hops unrolled; each hop = frontier⋈edges + MIN per node —
+    # pure integer arithmetic, exact by construction
+    _bfs_hops = "".join(
+        f""",
+d{i} AS (
+  SELECT node, CAST(MIN(distance) AS INTEGER) AS distance FROM (
+    SELECT node, distance FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.distance + 1 AS distance
+    FROM d{i - 1} d JOIN pr_edges e ON e.src = d.node) GROUP BY node)"""
+        for i in range(1, 5)
+    )
+    o["rel_bfs_reach"] = (
+        _pr_graph_ctes
+        + """,
+d0 AS (
+  SELECT DISTINCT c AS node, CAST(0 AS INTEGER) AS distance
+  FROM pr_pairs WHERE c % 200 = 0)"""
+        + _bfs_hops
+        + """
+SELECT node, distance FROM d4"""
     )
     # SCD2 point-in-time enrichment: the synthesized version table is
     # replayed verbatim, then DuckDB's native ASOF picks the same

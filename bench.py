@@ -178,6 +178,8 @@ BASELINE = {
     # purchase-graph PageRank: 8 fixed-point iterations as ONE chained
     # AQE job (per-iteration localCheckpoint measured 6-8x slower)
     "rel_pagerank": 3.1,
+    # multi-source BFS, 4 chained hops (frontier join + MIN per hop)
+    "rel_bfs_reach": 4.0,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -493,6 +495,7 @@ HEADLINE = [
     "dedup_incremental_scan",
     "rel_scd2_enrich",
     "rel_pagerank",
+    "rel_bfs_reach",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -574,6 +577,7 @@ SCALE10X = [
     # edges grow ~10×, iteration count FIXED — cost must stay linear
     # in edges
     "rel_pagerank",
+    "rel_bfs_reach",
 ]
 
 
@@ -854,6 +858,11 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # sides (every order carries lineitems, so both tables share
         # the same max orderkey and _stack10's offsets align)
         "rel_pagerank": lambda: E.pagerank_of(
+            lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
+        ),
+        # same 10× graph; the seed set keeps its ~1/100 density across
+        # shifted copies, so frontier work grows with the graph
+        "rel_bfs_reach": lambda: E.bfs_reach_of(
             lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
         ),
     }

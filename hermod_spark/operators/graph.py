@@ -102,3 +102,56 @@ def pagerank(
         ):
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_hops: int = 6,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS: (node, distance) for every node within
+    ``max_hops`` of ANY source node (distance = fewest edges, sources
+    at 0). Unreached nodes are absent from the output.
+
+    Each hop is one frontier⋈edges join + one groupBy(node) MIN — the
+    standard DataFrame BFS; all arithmetic is integer, so results are
+    exact at any parallelism with no decimal discipline needed. Like
+    :func:`pagerank`, hops chain into one lazy plan (the distance
+    frame is key-deduplicated each hop, so the per-hop frame is
+    node-bounded, never frontier-cumulative).
+
+    The hop loop always runs ``max_hops`` rounds: convergence is a
+    data-dependent property the caller bounds by the graph's expected
+    diameter (a driver-side emptiness check per hop would serialize an
+    action into every round — the fixed bound keeps the whole search
+    one job).
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances: max_hops={max_hops} must be >= 0")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e = e.localCheckpoint()
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0).cast("int").alias("distance")
+    ).distinct()
+    for h in range(max_hops):
+        step = dist.join(e, dist["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"),
+            (F.col("distance") + F.lit(1)).cast("int").alias("distance"),
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+        )
+        if (
+            checkpoint_every
+            and (h + 1) % checkpoint_every == 0
+            and h + 1 < max_hops
+        ):
+            dist = dist.localCheckpoint()
+    return dist

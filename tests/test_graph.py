@@ -106,3 +106,46 @@ def test_pagerank_single_chained_plan(spark):
     out = pagerank(df, iterations=8)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 16  # 8 contrib joins + 8 join-backs
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path 1-2-3-4-5 plus offshoot 2-9; sources {1}: exact hop
+    counts, nodes beyond max_hops absent."""
+    from hermod_spark.operators.graph import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 9)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 9: 2, 4: 3}  # 5 is 4 hops out
+
+
+def test_bfs_multi_source_min_and_seed_wins(spark):
+    """A node reachable from two sources gets the SHORTER distance;
+    a seed that is also someone's neighbor stays at 0."""
+    from hermod_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3), (3, 1)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node int")
+    got = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(e, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}
+
+
+def test_bfs_validation_and_zero_hops(spark):
+    from hermod_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    seeds = spark.createDataFrame([(1,), (1,)], "node int")
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(e, seeds, max_hops=-1)
+    # 0 hops = the deduped seed set itself
+    rows = bfs_distances(e, seeds, max_hops=0).collect()
+    assert [(r["node"], r["distance"]) for r in rows] == [(1, 0)]
