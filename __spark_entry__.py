@@ -1258,6 +1258,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_bfs_reach"] = rel_bfs_reach
 
+    def rel_cooccurrence(spark, sf):
+        """Supplier co-occurrence: pairwise Jaccard of customer sets
+        over distinct (customer, supplier) purchase edges — candidate
+        pairs only from the shared-customer self-join (never
+        all-pairs), hot customers capped at 200 suppliers, pairs with
+        < 3 shared customers pruned pre-join."""
+        from hermod_spark.operators.graph import neighbor_jaccard
+
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        e = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        return neighbor_jaccard(e, min_shared=3, max_src_degree=200)
+
+    q["rel_cooccurrence"] = rel_cooccurrence
+
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
         (time-to-convert lookup) — same union+window encoding scanning
@@ -3104,6 +3123,22 @@ d0 AS (
         + """
 SELECT node, distance FROM d4"""
     )
+    # co-occurrence Jaccard: distinct purchase edges, hot customers
+    # capped pre-join, degrees on the UNCAPPED set (true denominators)
+    o["rel_cooccurrence"] = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+ok AS (SELECT c FROM e GROUP BY c HAVING COUNT(*) <= 200),
+ee AS (SELECT e.c, e.s FROM e JOIN ok ON e.c = ok.c),
+p AS (
+  SELECT a.s AS node_a, b.s AS node_b, COUNT(*) AS shared
+  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.node_a, p.node_b, CAST(p.shared AS BIGINT) AS shared,
+  CAST(p.shared AS DOUBLE) / (da.d + db.d - p.shared) AS jaccard
+FROM p JOIN deg da ON da.s = p.node_a JOIN deg db ON db.s = p.node_b"""
     # SCD2 point-in-time enrichment: the synthesized version table is
     # replayed verbatim, then DuckDB's native ASOF picks the same
     # latest-valid_from-at-or-before row the union+window shape does

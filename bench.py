@@ -180,6 +180,9 @@ BASELINE = {
     "rel_pagerank": 3.1,
     # multi-source BFS, 4 chained hops (frontier join + MIN per hop)
     "rel_bfs_reach": 4.0,
+    # co-occurrence Jaccard: shared-src self-join (hot srcs capped),
+    # degrees joined from the uncapped edge set
+    "rel_cooccurrence": 2.6,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -496,6 +499,7 @@ HEADLINE = [
     "rel_scd2_enrich",
     "rel_pagerank",
     "rel_bfs_reach",
+    "rel_cooccurrence",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -578,6 +582,10 @@ SCALE10X = [
     # in edges
     "rel_pagerank",
     "rel_bfs_reach",
+    # 10× customers, SAME suppliers: the supplier-pair universe is
+    # constant, only the shared-customer join input grows — strongly
+    # sublinear by design
+    "rel_cooccurrence",
 ]
 
 
@@ -865,7 +873,20 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "rel_bfs_reach": lambda: E.bfs_reach_of(
             lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
         ),
+        "rel_cooccurrence": lambda: _cooccurrence10(),
     }
+
+    def _cooccurrence10():
+        from hermod_spark.operators.graph import neighbor_jaccard
+
+        o10 = _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
+        e = lineitem10.select("l_orderkey", "l_suppkey").join(
+            o10.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        return neighbor_jaccard(e, min_shared=3, max_src_degree=200)
 
     def _docs_sf(spark):
         from hermod_spark.data import table

@@ -155,3 +155,69 @@ def bfs_distances(
         ):
             dist = dist.localCheckpoint()
     return dist
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_shared: int = 1,
+    max_src_degree: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard similarity of dst-nodes' src-neighborhoods —
+    the co-occurrence / link-prediction feature ("suppliers who share
+    customers", "items bought together"). Output (node_a, node_b,
+    shared, jaccard) with node_a < node_b, jaccard =
+    shared / (deg_a + deg_b − shared) over DISTINCT edges.
+
+    Scale shape: candidate pairs come ONLY from a self-equi-join on
+    the src key (two dsts sharing ≥1 src) — never an all-pairs cross
+    of the dst universe. The quadratic risk is a hot src (a customer
+    connected to thousands of suppliers emits deg² pair rows);
+    ``max_src_degree`` drops such srcs before the join, the LSH
+    max_bucket remedy. Degrees stay computed on the UNCAPPED edge set,
+    so denominators remain true neighborhood sizes and capping only
+    undercounts `shared` for pairs whose overlap hides in hot srcs.
+
+    ``min_shared`` prunes the long tail of single-co-occurrence pairs
+    before the degree joins (at 100 TB the shared==1 mass dominates
+    the pair list and is rarely wanted).
+    """
+    if min_shared < 1:
+        raise ValueError(f"neighbor_jaccard: min_shared={min_shared} must be >= 1")
+    e = edges.select(F.col(src).alias("_c"), F.col(dst).alias("_s")).distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    joined = e
+    if max_src_degree is not None:
+        ok = (
+            e.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_src_degree)
+            .select("_c")
+        )
+        joined = e.join(ok, "_c")
+    a = joined.select(F.col("_c"), F.col("_s").alias("node_a"))
+    b = joined.select(F.col("_c"), F.col("_s").alias("node_b"))
+    shared = (
+        a.join(b, "_c")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    da = deg.select(F.col("_s").alias("node_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_s").alias("node_b"), F.col("_deg").alias("_db"))
+    return (
+        shared.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )

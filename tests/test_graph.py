@@ -149,3 +149,45 @@ def test_bfs_validation_and_zero_hops(spark):
     # 0 hops = the deduped seed set itself
     rows = bfs_distances(e, seeds, max_hops=0).collect()
     assert [(r["node"], r["distance"]) for r in rows] == [(1, 0)]
+
+
+def test_neighbor_jaccard_hand_graph(spark):
+    """Suppliers A,B share customers {1,2}; A,C share {1}; B,C share
+    {1} — exact shared counts and Jaccard denominators from UNCAPPED
+    degrees."""
+    from hermod_spark.operators.graph import neighbor_jaccard
+
+    e = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "C"),
+         (2, "A")],  # duplicate edge must collapse
+        "src int, dst string",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+        for r in neighbor_jaccard(e).collect()
+    }
+    # deg A=2 {1,2}, B=2 {1,2}, C=2 {1,3}
+    assert got[("A", "B")] == (2, 2 / (2 + 2 - 2))
+    assert got[("A", "C")] == (1, 1 / (2 + 2 - 1))
+    assert got[("B", "C")] == (1, 1 / 3)
+
+
+def test_neighbor_jaccard_min_shared_and_cap(spark):
+    from hermod_spark.operators.graph import neighbor_jaccard
+
+    e = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")],
+        "src int, dst string",
+    )
+    only_strong = {
+        (r["node_a"], r["node_b"])
+        for r in neighbor_jaccard(e, min_shared=2).collect()
+    }
+    assert only_strong == {("A", "B")}
+    # customer 1 and 2 connect A,B; capping src degree at 1 removes
+    # them from the join, so no pair reaches min_shared — but degrees
+    # (denominators) would still be the uncapped truth for survivors
+    capped = neighbor_jaccard(e, max_src_degree=1).collect()
+    assert capped == []
+    with pytest.raises(ValueError, match="min_shared"):
+        neighbor_jaccard(e, min_shared=0)
