@@ -2984,7 +2984,9 @@ FROM events GROUP BY 1, 2"""
     o["rel_gapfill"] = """
 WITH hourly AS (
   SELECT event_type AS k, date_trunc('hour', ts) AS hr,
-    COUNT(*) AS n_events, AVG(value) AS avg_value
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      AS avg_value
   FROM events GROUP BY 1, 2),
 b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
 spine AS (

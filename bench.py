@@ -761,6 +761,13 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     docs10s.count()
     orders10 = _orders_10x(spark)
     orders10.count()
+    # graph probes: customers disjoint per copy, orderkeys shifted
+    # identically on both join sides (every order carries lineitems,
+    # so both tables share the same max orderkey and the offsets
+    # align); built + warmed ONCE — three probes share it, and the
+    # stack build must not bill into the timed linearity ratios
+    orders10g = _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
+    orders10g.count()
     docs10.count()
     events10.count()
     lineitem10.count()
@@ -861,27 +868,20 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
             docs10.filter(F.col("doc_id") % 10 == 7),
             key=SF_DIR,
         ),
-        # custkeys disjoint per copy (graph grows 10× in customer
-        # nodes and edges), orderkeys shifted identically on both
-        # sides (every order carries lineitems, so both tables share
-        # the same max orderkey and _stack10's offsets align)
-        "rel_pagerank": lambda: E.pagerank_of(
-            lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
-        ),
+        # 10× customer nodes and edges over the pre-warmed orders10g
+        # (see its build comment above)
+        "rel_pagerank": lambda: E.pagerank_of(lineitem10, orders10g),
         # same 10× graph; the seed set keeps its ~1/100 density across
         # shifted copies, so frontier work grows with the graph
-        "rel_bfs_reach": lambda: E.bfs_reach_of(
-            lineitem10, _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
-        ),
+        "rel_bfs_reach": lambda: E.bfs_reach_of(lineitem10, orders10g),
         "rel_cooccurrence": lambda: _cooccurrence10(),
     }
 
     def _cooccurrence10():
         from hermod_spark.operators.graph import neighbor_jaccard
 
-        o10 = _stack10(spark, "orders", ["o_orderkey", "o_custkey"])
         e = lineitem10.select("l_orderkey", "l_suppkey").join(
-            o10.select("o_orderkey", "o_custkey"),
+            orders10g.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         ).select(
             F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")

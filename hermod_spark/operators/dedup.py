@@ -1346,14 +1346,15 @@ def save_dedup_index(
 ) -> None:
     """Persist the LSH index of ``df`` under ``path`` (overwrite):
 
-    - ``bands/``: (band_id, band_key, corpus_id, n_bucket) — one row
+    - ``bands/``: (corpus_id, band_id, band_key, n_bucket) — one row
       per (doc, band). ``n_bucket`` is the bucket's membership count,
       computed at BUILD time so a serve-time ``max_bucket`` cap is a
       plain scan predicate (parquet pushdown) instead of a full
-      count-pass over the index per snapshot.
+      count-pass over the index per snapshot. Signatures are NOT
+      duplicated into this (bands× larger) component.
     - ``sigs/``: (corpus_id, sig array<bigint>) — the full min-hash
-      signature, for the serve-side similarity estimate (the corpus
-      TEXT is deliberately not in the index).
+      signature, once per doc, for the serve-side similarity estimate
+      (the corpus TEXT is deliberately not in the index).
     - ``meta/``: one row (version, num_hashes, bands, w, n_docs).
       Written LAST: a crashed build leaves no meta and
       :func:`load_dedup_index` refuses the partial directory.
@@ -1370,41 +1371,81 @@ def save_dedup_index(
     spark = df.sparkSession
     mins = _minhash_mins(df, text_col, id_col, num_hashes=num_hashes, w=w)
     sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-    banded = mins.select(
-        F.col("_id").alias("corpus_id"),
-        sig.alias("sig"),
-        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+    # ONE minhash pass feeds both components: localCheckpoint at the
+    # per-doc level cuts the lineage so neither projection re-runs the
+    # shingle pipeline (the dedup_report pattern).
+    docs = mins.select(F.col("_id").alias("corpus_id"), sig.alias("sig"))
+    docs = docs.localCheckpoint()
+    _write_index_components(spark, docs, path, num_hashes, bands, w)
+
+
+def _write_index_components(
+    spark, docs: DataFrame, path: str, num_hashes: int, bands: int, w: int
+) -> int:
+    """Write bands/ + sigs/ + meta/ under ``path`` from a materialized
+    (corpus_id, sig) frame; returns n_docs. Shared by save and extend
+    (extend points it at a staging dir)."""
+    banded = docs.select(
+        "corpus_id",
+        F.posexplode(_band_key_array_from_sig(num_hashes, bands)).alias(
             "band_id", "band_key"
         ),
     )
-    # ONE minhash pass feeds both components: localCheckpoint cuts the
-    # lineage so the sigs projection does not re-run the shingle
-    # pipeline (the dedup_report pattern).
-    banded = banded.localCheckpoint()
     n_bucket = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
     banded.withColumn("n_bucket", n_bucket).write.parquet(
         f"{path}/bands", mode="overwrite"
     )
-    banded.select("corpus_id", "sig").dropDuplicates(["corpus_id"]).write.parquet(
-        f"{path}/sigs", mode="overwrite"
-    )
-    n_docs = banded.select("corpus_id").distinct().count()
+    docs.write.parquet(f"{path}/sigs", mode="overwrite")
+    n_docs = docs.count()
     spark.createDataFrame(
         [(DEDUP_INDEX_VERSION, num_hashes, bands, w, n_docs)],
         "version int, num_hashes int, bands int, w int, n_docs bigint",
     ).coalesce(1).write.parquet(f"{path}/meta", mode="overwrite")
+    return n_docs
+
+
+def _band_key_array_from_sig(num_hashes: int, bands: int) -> Column:
+    """Band keys computed from the ``sig`` array column (vs the m0..mN
+    min columns `_band_key_array` reads) — same md5-of-components."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", j * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
 
 
 def load_dedup_index(spark, path: str) -> dict:
     """Open a :func:`save_dedup_index` artifact: {'meta': dict,
     'bands': DataFrame, 'sigs': DataFrame}. Raises on a missing or
-    foreign meta (a partial build must not serve)."""
+    foreign meta (a partial build must not serve). Only
+    path-missing/corrupt errors are rebranded — transient IO or
+    permission failures propagate as themselves, so an outage is
+    never misdiagnosed as a partial index needing a rebuild."""
+    from pyspark.errors import AnalysisException
+
     try:
         meta_rows = spark.read.parquet(f"{path}/meta").collect()
-    except Exception as exc:  # AnalysisException: path missing
+    except AnalysisException as exc:
+        hint = ""
+        recovery = _index_recovery_candidates(spark, path)
+        if recovery:
+            hint = (
+                " A crashed extend left the previous index at "
+                f"{recovery} — rename it back to {path!r} to recover."
+            )
         raise ValueError(
             f"load_dedup_index: no readable meta under {path!r} "
-            f"(partial or foreign directory?): {exc}"
+            f"(partial or foreign directory?): {exc}{hint}"
         ) from None
     if len(meta_rows) != 1:
         raise ValueError(
@@ -1603,66 +1644,93 @@ def extend_dedup_index(
 
     Idempotent: ids already present in the index are skipped, so
     re-running a crashed or duplicated extend cannot double-insert.
-    Crash-safe: the merged index is written to a staging directory
-    and swapped in with the rename-aside pattern (local/HDFS rename
-    semantics; an object store would need a manifest pointer
-    instead). The live index stays readable until the final swap;
-    stale ``.extend-*``/``.old-*`` orphans from crashed runs are
-    swept on the next extend.
-    """
-    import os
-    import shutil
+    SINGLE WRITER: run one extend at a time per index (the standard
+    contract for table maintenance); concurrent extends race the
+    directory swap. All directory manipulation goes through the
+    Hadoop FileSystem API resolved from the index path, so the same
+    code maintains a local, HDFS, or s3a:// index (object-store
+    renames are copies — slower, and the swap window below widens).
 
+    Crash behavior: the merged index is written to a staging
+    directory, then swapped in via rename-aside + rename-in. The live
+    index stays readable until the first rename; a crash INSIDE the
+    two-rename window leaves the previous index intact under
+    ``.old-<name>-<pid>`` and :func:`load_dedup_index` names it in
+    its error for one-rename recovery. Orphans (``.extend-*`` /
+    ``.old-*``) older than one hour are swept at the start of the
+    next extend — the age gate keeps a sweep from destroying a
+    concurrent extend's live staging directory.
+    """
     spark = new_df.sparkSession
     index = load_dedup_index(spark, path)
     meta = index["meta"]
     num_hashes, bands, w = meta["num_hashes"], meta["bands"], meta["w"]
 
-    parent, name = os.path.split(os.path.abspath(path))
-    for entry in os.listdir(parent):
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    name = jpath.getName()
+    parent = jpath.getParent()
+    now_ms = spark._jvm.java.lang.System.currentTimeMillis()
+    for status in fs.listStatus(parent):
+        entry = status.getPath().getName()
         if entry.startswith((f".extend-{name}-", f".old-{name}-")):
-            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+            if now_ms - status.getModificationTime() > 3_600_000:
+                fs.delete(status.getPath(), True)
 
     fresh = new_df.join(
         index["sigs"].select(F.col("corpus_id").alias(id_col)), id_col, "left_anti"
     )
     mins = _minhash_mins(fresh, text_col, id_col, num_hashes=num_hashes, w=w)
     sig = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-    added_banded = mins.select(
-        F.col("_id").alias("corpus_id"),
-        sig.alias("sig"),
-        F.posexplode(_band_key_array(num_hashes, bands)).alias(
-            "band_id", "band_key"
-        ),
+    added = mins.select(
+        F.col("_id").alias("corpus_id"), sig.alias("sig")
     ).localCheckpoint()
-    n_added = added_banded.select("corpus_id").distinct().count()
+    n_added = added.count()
 
-    stage = os.path.join(parent, f".extend-{name}-{os.getpid()}")
-    merged_bands = index["bands"].select(
-        "corpus_id", "sig", "band_id", "band_key"
-    ).unionByName(added_banded)
-    n_bucket = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
-    merged_bands.withColumn("n_bucket", n_bucket).write.parquet(
-        f"{stage}/bands", mode="overwrite"
+    import os
+
+    stage_name = f".extend-{name}-{os.getpid()}"
+    stage = jvm.org.apache.hadoop.fs.Path(parent, stage_name)
+    merged = index["sigs"].unionByName(added)
+    _write_index_components(
+        spark, merged, str(stage.toString()), num_hashes, bands, w
     )
-    index["sigs"].unionByName(
-        added_banded.select("corpus_id", "sig").dropDuplicates(["corpus_id"])
-    ).write.parquet(f"{stage}/sigs", mode="overwrite")
-    spark.createDataFrame(
-        [
-            (
-                DEDUP_INDEX_VERSION,
-                num_hashes,
-                bands,
-                w,
-                meta["n_docs"] + n_added,
-            )
-        ],
-        "version int, num_hashes int, bands int, w int, n_docs bigint",
-    ).coalesce(1).write.parquet(f"{stage}/meta", mode="overwrite")
 
-    old = os.path.join(parent, f".old-{name}-{os.getpid()}")
-    os.rename(os.path.abspath(path), old)
-    os.rename(stage, os.path.abspath(path))
-    shutil.rmtree(old, ignore_errors=True)
+    old = jvm.org.apache.hadoop.fs.Path(parent, f".old-{name}-{os.getpid()}")
+    if not fs.rename(jpath, old):
+        raise IOError(f"extend_dedup_index: rename-aside of {path!r} failed")
+    if not fs.rename(stage, jpath):
+        raise IOError(
+            f"extend_dedup_index: swap-in failed; previous index preserved "
+            f"at {old.toString()!r} — rename it back to recover"
+        )
+    fs.delete(old, True)
     return n_added
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` via the session's Hadoop
+    conf — directory maintenance must use the SAME filesystem Spark
+    writes to (driver-local os.* silently targets the wrong FS on a
+    cluster)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(jpath), jvm
+
+
+def _index_recovery_candidates(spark, path: str) -> list[str]:
+    """`.old-<name>-*` siblings of a missing index — the previous
+    index a crashed extend swap left aside (see extend_dedup_index)."""
+    try:
+        fs, jpath, _ = _hadoop_fs(spark, path)
+        name = jpath.getName()
+        parent = jpath.getParent()
+        if parent is None or not fs.exists(parent):
+            return []
+        return [
+            str(s.getPath().toString())
+            for s in fs.listStatus(parent)
+            if s.getPath().getName().startswith(f".old-{name}-")
+        ]
+    except Exception:  # recovery hinting must never mask the real error
+        return []

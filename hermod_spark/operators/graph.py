@@ -112,7 +112,7 @@ def bfs_distances(
     dst: str = "dst",
     source_col: str = "node",
     max_hops: int = 6,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None = 4,
 ) -> DataFrame:
     """Multi-source BFS: (node, distance) for every node within
     ``max_hops`` of ANY source node (distance = fewest edges, sources
@@ -120,10 +120,14 @@ def bfs_distances(
 
     Each hop is one frontier⋈edges join + one groupBy(node) MIN — the
     standard DataFrame BFS; all arithmetic is integer, so results are
-    exact at any parallelism with no decimal discipline needed. Like
-    :func:`pagerank`, hops chain into one lazy plan (the distance
-    frame is key-deduplicated each hop, so the per-hop frame is
-    node-bounded, never frontier-cumulative).
+    exact at any parallelism with no decimal discipline needed. Hops
+    chain into one lazy plan (the distance frame is key-deduplicated
+    each hop, so the per-hop ROW count is node-bounded) — but unlike
+    :func:`pagerank`'s chain, each hop references the previous
+    distance frame TWICE (join + union), so the LOGICAL plan doubles
+    per hop; ``checkpoint_every`` therefore defaults ON (every 4 hops,
+    ≤16 leaves between cuts) instead of None — a deep unchecked loop
+    would hang the optimizer before any job starts.
 
     The hop loop always runs ``max_hops`` rounds: convergence is a
     data-dependent property the caller bounds by the graph's expected

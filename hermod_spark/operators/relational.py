@@ -1747,12 +1747,18 @@ def gapfill_interpolate(
     key; bounds are a 1-row broadcast.
     """
     hr = F.date_trunc("hour", F.col(ts_col))
+    # decimal-sum average, NOT F.avg: a double sum is partition-order-
+    # dependent, and at sf0.1 a 32-event bucket landed a 6dp rounding
+    # boundary differently than the oracle's own summation order (the
+    # r11 sf0.1 sweep catch). (38,4) keeps the cast-to-double exact
+    # (see dbl()) and survives 100 TB bucket sums.
     hourly = (
         events.select(F.col(key_col).alias("k"), hr.alias("hr"),
                       F.col(val_col).alias("v"))
         .groupBy("k", "hr")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.avg("v").alias("avg_value"))
+             (F.sum(dec("v", "decimal(38,4)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_value"))
         # three consumers (bounds, key list, densify join) — checkpoint
         # the bounded rollup so the raw-event scan + shuffle run ONCE
         .localCheckpoint(eager=False)

@@ -212,13 +212,19 @@ def test_extend_is_idempotent_and_sweeps_orphans(spark, docs, tmp_path):
     p = str(tmp_path / "idx")
     dedup.save_dedup_index(docs.filter((rem != 7) & (rem != 3)), p)
     # a crashed prior extend leaves staging/aside orphans next to the
-    # index — the next extend must sweep them
-    orphan = tmp_path / ".extend-idx-99999"
-    orphan.mkdir()
-    (orphan / "junk").write_text("x")
+    # index — the next extend must sweep STALE ones (>1h old) but
+    # must NOT touch a fresh one (it could be a live concurrent
+    # extend's staging directory)
+    stale = tmp_path / ".extend-idx-99999"
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    os.utime(stale, (1_000_000, 1_000_000))
+    fresh = tmp_path / ".extend-idx-88888"
+    fresh.mkdir()
     n1 = dedup.extend_dedup_index(docs.filter(rem == 3), p)
     assert n1 > 0
-    assert not orphan.exists()
+    assert not stale.exists()
+    assert fresh.exists()
     # already-admitted ids are skipped: re-running a duplicated extend
     # cannot double-insert signatures or bands
     assert dedup.extend_dedup_index(docs.filter(rem == 3), p) == 0
