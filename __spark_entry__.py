@@ -1277,6 +1277,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_cooccurrence"] = rel_cooccurrence
 
+    def rel_rollup_merge(spark, sf):
+        """Continuous-aggregate MAINTENANCE: three independent ingest
+        slices rolled up separately (count/decimal-sum/min/max
+        partials), merged, then served — must equal the from-scratch
+        rollup bit-for-bit (the mergeable-state property sketches
+        prove, here for plain stats). The oracle computes the direct
+        rollup; equality IS the merge proof."""
+        ev = _t(spark, sf, "events")
+        slices = [
+            R.rollup_partials(ev.filter(F.col("event_id") % 3 == i))
+            for i in range(3)
+        ]
+        return R.serve_rollup(R.merge_rollups(*slices))
+
+    q["rel_rollup_merge"] = rel_rollup_merge
+
+    def rel_communities(spark, sf):
+        """Label-propagation communities over the symmetrized purchase
+        graph, 4 synchronous rounds — deterministic (most-common
+        neighbor label, ties to the smallest), so the unrolled-CTE
+        oracle reproduces every (node, label) exactly."""
+        from hermod_spark.operators.graph import label_propagation
+
+        _, edges = _purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        return label_propagation(edges, iterations=4)
+
+    q["rel_communities"] = rel_communities
+
     def rel_asof_forward(spark, sf):
         """FORWARD as-of: each signup's first purchase at-or-after it
         (time-to-convert lookup) — same union+window encoding scanning
@@ -3125,6 +3155,47 @@ d0 AS (
         + """
 SELECT node, distance FROM d4"""
     )
+    # LPA communities: the same 4 synchronous rounds unrolled — per
+    # round, votes are neighbor-label counts and the winner is
+    # ROW_NUMBER over (count DESC, label ASC); nodes with no
+    # in-neighbors carry their previous label
+    _lpa_rounds = "".join(
+        f""",
+l{i} AS (
+  SELECT prev.node, COALESCE(w.new_label, prev.label) AS label
+  FROM l{i - 1} prev
+  LEFT JOIN (
+    SELECT node, label AS new_label FROM (
+      SELECT e.dst AS node, p.label, COUNT(*) AS cnt,
+        ROW_NUMBER() OVER (PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM l{i - 1} p JOIN pr_edges e ON e.src = p.node
+      GROUP BY e.dst, p.label)
+    WHERE rn = 1) w
+  ON w.node = prev.node)"""
+        for i in range(1, 5)
+    )
+    o["rel_communities"] = (
+        _pr_graph_ctes
+        + """,
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)),
+l0 AS (SELECT node, node AS label FROM pr_nodes)"""
+        + _lpa_rounds
+        + """
+SELECT node, label FROM l4"""
+    )
+    # mergeable rollup: the oracle is the DIRECT rollup over all
+    # events — slice/merge/serve equals it exactly because every
+    # component is a monoid and the sum rides exact decimal
+    o["rel_rollup_merge"] = """
+SELECT date_trunc('hour', ts) AS bucket, event_type AS topic,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)
+    AS avg_value,
+  MIN(value) AS min_value, MAX(value) AS max_value,
+  COUNT(value) AS value_count
+FROM events GROUP BY 1, 2"""
     # co-occurrence Jaccard: distinct purchase edges, hot customers
     # capped pre-join, degrees on the UNCAPPED set (true denominators)
     o["rel_cooccurrence"] = """

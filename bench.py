@@ -183,6 +183,10 @@ BASELINE = {
     # co-occurrence Jaccard: shared-src self-join (hot srcs capped),
     # degrees joined from the uncapped edge set
     "rel_cooccurrence": 2.6,
+    # mergeable-rollup maintenance: 3 sliced partials merged + served
+    "rel_rollup_merge": 0.81,
+    # LPA communities, 4 rounds (join + vote agg + window + join-back)
+    "rel_communities": 6.0,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -500,6 +504,8 @@ HEADLINE = [
     "rel_pagerank",
     "rel_bfs_reach",
     "rel_cooccurrence",
+    "rel_rollup_merge",
+    "rel_communities",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -586,6 +592,9 @@ SCALE10X = [
     # constant, only the shared-customer join input grows — strongly
     # sublinear by design
     "rel_cooccurrence",
+    # LPA on the 10× graph: per-round vote volume grows with edges,
+    # rounds fixed — linear like pagerank
+    "rel_communities",
 ]
 
 
@@ -875,7 +884,14 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # shifted copies, so frontier work grows with the graph
         "rel_bfs_reach": lambda: E.bfs_reach_of(lineitem10, orders10g),
         "rel_cooccurrence": lambda: _cooccurrence10(),
+        "rel_communities": lambda: _communities10(),
     }
+
+    def _communities10():
+        from hermod_spark.operators.graph import label_propagation
+
+        _, edges = E._purchase_graph(lineitem10, orders10g)
+        return label_propagation(edges, iterations=4)
 
     def _cooccurrence10():
         from hermod_spark.operators.graph import neighbor_jaccard

@@ -225,3 +225,72 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection: every node
+    starts as its own label; each round a node adopts the most common
+    label among its in-neighbors, ties broken by the SMALLEST label —
+    fully deterministic, so a fixed iteration count yields one exact
+    answer any engine (and the unrolled-CTE oracle) reproduces.
+    Returns (node, label); nodes sharing a label are one community.
+
+    Per round: one labels⋈edges join, one (dst, label) vote count
+    with map-side combine, one per-dst window picking the winner,
+    one label join-back — all state node- or vote-bounded. Feed a
+    symmetrized edge list for undirected communities (votes flow
+    src→dst). Like :func:`bfs_distances`, each round references the
+    previous label frame twice (votes + carry-forward), so
+    ``checkpoint_every`` defaults ON to stop per-round doubling of
+    the logical plan.
+
+    Sync LPA can oscillate on bipartite structure; the fixed
+    iteration count makes that a defined, reproducible output rather
+    than a termination hazard.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations={iterations} must be >= 1"
+        )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        votes = (
+            labels.join(e, labels["node"] == e["_src"])
+            .groupBy(F.col("_dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = labels.join(winner, "node", "left").select(
+            "node", F.coalesce("_new", "label").alias("label")
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            labels = labels.localCheckpoint()
+    return labels

@@ -1842,3 +1842,64 @@ def point_in_time_join(
         right_cols=attrs,
         direction="backward",
     )
+
+
+def rollup_partials(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Mergeable partial state of the hourly rollup: (bucket, topic,
+    value_count, _sum decimal, min_value, max_value). Every component
+    is a commutative monoid, so partials computed independently — per
+    executor, per day, per ingest batch — merge exactly via
+    :func:`merge_rollups`; the decimal sum keeps the merge
+    order-independent (the sketch-merge property, for plain stats)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("topic"),
+        )
+        .agg(
+            F.count(F.col(val_col)).alias("value_count"),
+            F.sum(dec(val_col, "decimal(38,4)")).alias("_sum"),
+            F.min(val_col).alias("min_value"),
+            F.max(val_col).alias("max_value"),
+        )
+    )
+
+
+def merge_rollups(*partials: DataFrame) -> DataFrame:
+    """Merge :func:`rollup_partials` frames into one — the
+    continuous-aggregate MAINTENANCE step: history stays rolled up,
+    each new ingest batch contributes only its own partials, and the
+    merge touches rollup-sized state (buckets × keys), never raw
+    history. Serve with :func:`serve_rollup`."""
+    if not partials:
+        raise ValueError("merge_rollups: need at least one partials frame")
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("bucket", "topic").agg(
+        F.sum("value_count").alias("value_count"),
+        F.sum("_sum").alias("_sum"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def serve_rollup(partials: DataFrame) -> DataFrame:
+    """Finalize partials into the hourly_event_rollup serving shape
+    (avg from the exact decimal sum; identical arithmetic to the
+    direct rollup, so merged-then-served == computed-from-scratch
+    bit-for-bit)."""
+    return partials.select(
+        "bucket",
+        "topic",
+        (F.col("_sum").cast("double") / F.col("value_count")).alias("avg_value"),
+        "min_value",
+        "max_value",
+        "value_count",
+    )

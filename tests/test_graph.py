@@ -191,3 +191,55 @@ def test_neighbor_jaccard_min_shared_and_cap(spark):
     assert capped == []
     with pytest.raises(ValueError, match="min_shared"):
         neighbor_jaccard(e, min_shared=0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: each triangle
+    converges to its own min-node label; the tie-break is the
+    SMALLEST label."""
+    from hermod_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(7, 8), (8, 9), (9, 7)]
+    bridge = [(3, 7)]
+    directed = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        directed + [(b, a) for a, b in directed], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[8] == got[9] == got[7]
+    assert got[7] != 1 or got[8] != 1  # second clique keeps its own
+
+
+def test_label_propagation_deterministic_and_validated(spark):
+    from hermod_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src int, dst int"
+    )
+    # node 3 sees labels {1, 2} once each — tie goes to the SMALLEST
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert got[3] == 1
+    assert got[1] == 1 and got[2] == 2  # no in-edges: keep own label
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, iterations=0)
+    # checkpoint cadence must not change the answer
+    a = sorted(
+        map(tuple, label_propagation(edges, iterations=6).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(
+                edges, iterations=6, checkpoint_every=2
+            ).collect(),
+        )
+    )
+    assert a == b
