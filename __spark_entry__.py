@@ -390,6 +390,15 @@ def bfs_reach_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=4)
 
 
+def communities_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """4-round LPA over the symmetrized purchase graph — the ONE body
+    behind the `rel_communities` entry query and bench's 10× probe."""
+    from hermod_spark.operators.graph import label_propagation
+
+    _, edges = _purchase_graph(lineitem, orders)
+    return label_propagation(edges, iterations=4)
+
+
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
     """Tile-synth → Arrow aHash → hash-window dedup over a
     documents-shaped frame — the ONE body behind the
@@ -1298,12 +1307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph, 4 synchronous rounds — deterministic (most-common
         neighbor label, ties to the smallest), so the unrolled-CTE
         oracle reproduces every (node, label) exactly."""
-        from hermod_spark.operators.graph import label_propagation
-
-        _, edges = _purchase_graph(
+        return communities_of(
             _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
         )
-        return label_propagation(edges, iterations=4)
 
     q["rel_communities"] = rel_communities
 

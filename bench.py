@@ -884,14 +884,8 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # shifted copies, so frontier work grows with the graph
         "rel_bfs_reach": lambda: E.bfs_reach_of(lineitem10, orders10g),
         "rel_cooccurrence": lambda: _cooccurrence10(),
-        "rel_communities": lambda: _communities10(),
+        "rel_communities": lambda: E.communities_of(lineitem10, orders10g),
     }
-
-    def _communities10():
-        from hermod_spark.operators.graph import label_propagation
-
-        _, edges = E._purchase_graph(lineitem10, orders10g)
-        return label_propagation(edges, iterations=4)
 
     def _cooccurrence10():
         from hermod_spark.operators.graph import neighbor_jaccard

@@ -194,9 +194,12 @@ def test_neighbor_jaccard_min_shared_and_cap(spark):
 
 
 def test_label_propagation_two_cliques(spark):
-    """Two triangles joined by one bridge edge: each triangle
-    converges to its own min-node label; the tie-break is the
-    SMALLEST label."""
+    """Two triangles joined by one bridge edge: each triangle ends up
+    internally uniform, and the two communities stay distinct. (The
+    second triangle's label is NOT its own min node id: round 2 ties
+    node 8/9's votes between {3, 7} and the smallest-label rule leaks
+    bridge label 3 across — so the assertions check community
+    structure, not specific label values.)"""
     from hermod_spark.operators.graph import label_propagation
 
     tri1 = [(1, 2), (2, 3), (3, 1)]
