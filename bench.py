@@ -1169,7 +1169,23 @@ def main() -> None:
             for f in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
             if (m := _re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
         ]
-        rnd = (max(rounds) + 1) if rounds else 1
+        # Round inference (VERDICT r11 #7: the driver runs bench AFTER
+        # writing CORRECTNESS_rN, so a naive max+1 stamps the artifact
+        # N+1). If the newest correctness round already has its driver
+        # bench artifact, we are mid-round N+1 (a builder run); if not,
+        # bench is running at round N's close — stamp N. SPARK_GRAFT_ROUND
+        # overrides both when set.
+        env_rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_rnd and env_rnd.isdigit():
+            rnd = int(env_rnd)
+        elif rounds:
+            mx = max(rounds)
+            has_bench = os.path.exists(
+                os.path.join(here, f"BENCH_r{mx:02d}.json")
+            )
+            rnd = mx + 1 if has_bench else mx
+        else:
+            rnd = 1
         with open(os.path.join(here, f"BENCH_local_r{rnd:02d}.json"), "w",
                   encoding="utf-8") as fh:
             json.dump(payload, fh, indent=1)
