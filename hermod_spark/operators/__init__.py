@@ -1,6 +1,7 @@
 from hermod_spark.operators import (  # noqa: F401
     curation,
     dedup,
+    graph,
     joins,
     multimodal,
     relational,

@@ -432,6 +432,138 @@ def min_label_propagation(
     return labels, rounds
 
 
+def star_contraction_components(
+    pairs: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) over an undirected edge list ``(id_a,
+    id_b)``. Returns ``(labels, rounds)`` — labels is (node, label =
+    min node id in the component) for every node appearing in
+    ``pairs``, bit-identical to :func:`min_label_propagation`'s
+    converged output.
+
+    Why this exists (VERDICT r11 #1): min-label propagation needs
+    O(component diameter) rounds — a chain-shaped near-dup component
+    (crawl snapshots of one evolving page) of depth d needs d rounds,
+    and past the cap the loop must refuse. Star contraction converges
+    in O(log d) rounds: each large-star hangs every
+    larger-than-local-min neighbor directly off the local minimum,
+    halving chain depth per alternation, so a 10k-hop path closes in
+    ~15 rounds where min-label would need 10k.
+
+    Per half-round cost matches one min-label round — ONE groupBy(u)
+    min over the symmetrized edge list + ONE join back to re-emit
+    edges + a distinct to keep the edge multiset bounded; no driver
+    graph, no collect. Each half-round is eagerly checkpointed (the
+    emitted edge set is node-bounded after the first contraction) and
+    the convergence probe is a limit(1) count on the checkpointed
+    frame — bounded regardless of graph size.
+
+    large_star(u): emit (v, m) for every neighbor v > u, where
+      m = min(Γ(u) ∪ {u}) — larger neighbors re-hang off the local min.
+    small_star(u): with edges oriented larger→smaller, emit (v, m)
+      for every smaller neighbor v != m plus (u, m), where m = the
+      smallest neighbor — smaller siblings collapse onto the min.
+    Both preserve connectivity and never emit self-loops; the fixpoint
+    is a union of stars centered at each component's minimum id.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Node universe fixed up front from the ORIGINAL pairs (self-loop
+    # -only nodes drop out of the contraction but must still label
+    # themselves, matching min_label_propagation's node coverage).
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym  # symmetric view; each half-round rebuilds it
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        # ---- large-star: neighbors v > u re-hang off m(u) ----------
+        mins = edges.groupBy("u").agg(F.min("v").alias("_mn"))
+        ls = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("big"),
+                F.least(F.col("u"), F.col("_mn")).alias("small"),
+                # an emitted edge differs from the original (u, v)
+                # exactly when the local min beat u itself
+                (F.least(F.col("u"), F.col("_mn")) != F.col("u")).alias(
+                    "_chg"
+                ),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        chg_ls = ls.filter(F.col("_chg")).limit(1).count()
+        # ---- small-star: smaller siblings collapse onto min(N) -----
+        # ls edges are already oriented big→small, the orientation
+        # small-star wants; group by the big endpoint.
+        smin = ls.groupBy("big").agg(F.min("small").alias("_mn"))
+        sib = (
+            ls.join(smin, "big")
+            .filter(F.col("small") != F.col("_mn"))
+            .select(
+                F.col("small").alias("big"),
+                F.col("_mn").alias("small"),
+                F.lit(True).alias("_chg"),
+            )
+        )
+        own = smin.select(
+            F.col("big"),
+            F.col("_mn").alias("small"),
+            F.lit(False).alias("_chg"),
+        )
+        ss = sib.unionByName(own).distinct().localCheckpoint(eager=True)
+        chg_ss = ss.filter(F.col("_chg")).limit(1).count()
+        star = ss.drop("_chg")
+        if chg_ls == 0 and chg_ss == 0:
+            converged = True
+            edges = star
+            break
+        # rebuild the symmetric view for the next large-star
+        edges = star.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).union(
+            star.select(
+                F.col("small").alias("u"), F.col("big").alias("v")
+            )
+        ).distinct()
+    if not converged:
+        raise ValueError(
+            f"star_contraction_components: not converged after "
+            f"{max_rounds} rounds — with O(log d) convergence this "
+            f"indicates a degenerate input, not a deep component"
+        )
+    # stars: every big hangs off its component min; mins label themselves;
+    # nodes absent from the contraction (self-loop-only) also label
+    # themselves via the left join.
+    star_labels = edges.select(
+        F.col("big").alias("node"), F.col("small").alias("label")
+    ).union(
+        edges.select(
+            F.col("small").alias("node"), F.col("small").alias("label")
+        )
+    ).distinct()
+    labels = nodes.join(star_labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
+    return labels, rounds
+
+
 def _driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """(node, min-reachable-node) labels via union-find — bit-identical
     to converged min-label propagation (the component label IS the
@@ -476,8 +608,14 @@ def connected_components(
     id in the component. Hybrid execution (VERDICT r8 #9): bounded
     edge sets collect to a driver union-find (the train-small house
     pattern — the edge list is the 'model'); larger ones run the
-    distributed `min_label_propagation` loop. Identical labels either
-    way, pinned by the threshold=0 parity test."""
+    distributed :func:`star_contraction_components` loop (O(log d)
+    rounds — VERDICT r11 #1 replaced the diameter-capped min-label
+    loop here). Identical labels either way, pinned by the
+    threshold=0 parity test and the path-graph cross-path test.
+
+    ``max_iterations`` bounds the contraction rounds; with O(log d)
+    convergence the default comfortably covers any real component
+    (2^20-hop diameters do not occur in verified near-dup graphs)."""
     # lazy local checkpoint: the count() decides the execution path and
     # materializes the (possibly LSH-verify-shaped) edge pipeline ONCE;
     # the collect / min-label loop then reads the checkpoint instead of
@@ -514,7 +652,7 @@ def connected_components(
         return spark.createDataFrame(
             sc.parallelize(labels, n_slices), schema
         )
-    labels, _rounds = min_label_propagation(pairs, max_iterations=max_iterations)
+    labels, _rounds = star_contraction_components(pairs, max_rounds=max_iterations)
     return labels
 
 

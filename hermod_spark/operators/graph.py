@@ -36,9 +36,17 @@ def pagerank(
     iterations: int = 8,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed ``iterations`` of the
     power method: rank'(v) = (1-d)/N + d · Σ_{u→v} rank(u)/outdeg(u).
+    With ``weight`` (an edge-weight column — link frequencies,
+    co-purchase counts), contributions become
+    rank(u) · w(u→v) / Σ w(u→*): each node splits its rank across
+    out-edges proportionally to weight instead of uniformly. The
+    per-edge share w/Σw is computed row-wise in double then cast to
+    DECIMAL(27,18) before the SUM — the same exact-aggregation
+    discipline as the unweighted form.
 
     Scale shape: each iteration is ONE equi-join of the rank vector
     (N rows) against the edge list on src plus ONE groupBy(dst) with
@@ -59,7 +67,10 @@ def pagerank(
         raise ValueError(f"pagerank: iterations={iterations} must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping={damping} must be in (0, 1)")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    cols = [F.col(src).alias("_src"), F.col(dst).alias("_dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("_w"))
+    e = edges.select(*cols)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -70,8 +81,19 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    # (src, dst, deg) resolved once — the per-iteration join then
+    if weight is not None:
+        deg = e.groupBy("_src").agg(
+            F.sum(F.col("_w").cast(PAGERANK_SUM_DECIMAL))
+            .cast("double")
+            .alias("_deg")
+        )
+        # w/Σw first, then ×rank — mirrors the unweighted rank/deg
+        # operation order (a/b then ×) for cross-engine determinism
+        contrib_expr = F.col("rank") * (F.col("_w") / F.col("_deg"))
+    else:
+        deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+        contrib_expr = F.col("rank") / F.col("_deg")
+    # (src, dst, deg[, w]) resolved once — the per-iteration join then
     # carries only the rank column across
     adj = e.join(deg, "_src").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -80,9 +102,7 @@ def pagerank(
             ranks.join(adj, ranks["node"] == adj["_src"])
             .select(
                 F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("_deg"))
-                .cast(PAGERANK_SUM_DECIMAL)
-                .alias("_c"),
+                contrib_expr.cast(PAGERANK_SUM_DECIMAL).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_m"))
@@ -168,12 +188,27 @@ def neighbor_jaccard(
     dst: str = "dst",
     min_shared: int = 1,
     max_src_degree: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard similarity of dst-nodes' src-neighborhoods —
     the co-occurrence / link-prediction feature ("suppliers who share
     customers", "items bought together"). Output (node_a, node_b,
     shared, jaccard) with node_a < node_b, jaccard =
     shared / (deg_a + deg_b − shared) over DISTINCT edges.
+
+    With ``weight`` (edge-weight column — purchase quantities, link
+    frequencies), jaccard becomes WEIGHTED Jaccard
+    Σ min(w_a(c), w_b(c)) / Σ max(w_a(c), w_b(c)) over the
+    neighborhood union, computed via the identity
+    Σ max = W_a + W_b − Σ min — so the shape stays identical to the
+    unweighted form (shared-src self-join for Σ min, per-node weight
+    totals for W), never an all-pairs union walk. Duplicate (src,
+    dst) edges collapse by SUMMING their weights (the unweighted form
+    distincts them); all weight sums run in DECIMAL(27,18) so results
+    are exact and partition-order-independent, with the final ratio
+    in double. ``shared`` stays the distinct shared-src COUNT in both
+    modes (``min_shared`` thresholds co-occurrence support, not
+    weight mass).
 
     Scale shape: candidate pairs come ONLY from a self-equi-join on
     the src key (two dsts sharing ≥1 src) — never an all-pairs cross
@@ -190,8 +225,22 @@ def neighbor_jaccard(
     """
     if min_shared < 1:
         raise ValueError(f"neighbor_jaccard: min_shared={min_shared} must be >= 1")
-    e = edges.select(F.col(src).alias("_c"), F.col(dst).alias("_s")).distinct()
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("_c"), F.col(dst).alias("_s")
+        ).distinct()
+        deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("_c"),
+                F.col(dst).alias("_s"),
+                F.col(weight).cast(PAGERANK_SUM_DECIMAL).alias("_w"),
+            )
+            .groupBy("_c", "_s")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        deg = e.groupBy("_s").agg(F.sum("_w").alias("_deg"))
     joined = e
     if max_src_degree is not None:
         ok = (
@@ -201,15 +250,35 @@ def neighbor_jaccard(
             .select("_c")
         )
         joined = e.join(ok, "_c")
-    a = joined.select(F.col("_c"), F.col("_s").alias("node_a"))
-    b = joined.select(F.col("_c"), F.col("_s").alias("node_b"))
-    shared = (
-        a.join(b, "_c")
-        .filter(F.col("node_a") < F.col("node_b"))
-        .groupBy("node_a", "node_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
+    if weight is None:
+        a = joined.select(F.col("_c"), F.col("_s").alias("node_a"))
+        b = joined.select(F.col("_c"), F.col("_s").alias("node_b"))
+        shared = (
+            a.join(b, "_c")
+            .filter(F.col("node_a") < F.col("node_b"))
+            .groupBy("node_a", "node_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+        )
+        overlap = F.col("shared")  # Σ min ≡ shared count when w ≡ 1
+    else:
+        a = joined.select(
+            F.col("_c"), F.col("_s").alias("node_a"), F.col("_w").alias("_wa")
+        )
+        b = joined.select(
+            F.col("_c"), F.col("_s").alias("node_b"), F.col("_w").alias("_wb")
+        )
+        shared = (
+            a.join(b, "_c")
+            .filter(F.col("node_a") < F.col("node_b"))
+            .groupBy("node_a", "node_b")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.sum(F.least("_wa", "_wb")).alias("_minsum"),
+            )
+            .filter(F.col("shared") >= min_shared)
+        )
+        overlap = F.col("_minsum")
     da = deg.select(F.col("_s").alias("node_a"), F.col("_deg").alias("_da"))
     db = deg.select(F.col("_s").alias("node_b"), F.col("_deg").alias("_db"))
     return (
@@ -220,8 +289,8 @@ def neighbor_jaccard(
             "node_b",
             "shared",
             (
-                F.col("shared").cast("double")
-                / (F.col("_da") + F.col("_db") - F.col("shared"))
+                overlap.cast("double")
+                / (F.col("_da") + F.col("_db") - overlap).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -234,6 +303,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 4,
     checkpoint_every: int | None = 4,
+    weight: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection: every node
     starts as its own label; each round a node adopts the most common
@@ -242,26 +312,40 @@ def label_propagation(
     answer any engine (and the unrolled-CTE oracle) reproduces.
     Returns (node, label); nodes sharing a label are one community.
 
-    Per round: one labels⋈edges join, one (dst, label) vote count
-    with map-side combine, one per-dst window picking the winner,
-    one label join-back — all state node- or vote-bounded. Feed a
-    symmetrized edge list for undirected communities (votes flow
-    src→dst). Like :func:`bfs_distances`, each round references the
-    previous label frame twice (votes + carry-forward), so
-    ``checkpoint_every`` defaults ON to stop per-round doubling of
-    the logical plan.
+    Per round: one labels⋈edges join, one (dst, label) vote
+    aggregate, one per-node winner aggregate (``min_by`` over a
+    (−votes, label) struct — lexicographic struct ordering encodes
+    "most votes, then smallest label" without a sort window; VERDICT
+    r11 #2 folded the former row_number window into this
+    map-side-combinable hash aggregate, removing one sort exchange
+    per round), one label join-back — all state node- or
+    vote-bounded. Feed a symmetrized edge list for undirected
+    communities (votes flow src→dst). Like :func:`bfs_distances`,
+    each round references the previous label frame twice (votes +
+    carry-forward), so ``checkpoint_every`` defaults ON to stop
+    per-round doubling of the logical plan.
+
+    Duplicate (src, dst) edges are NOT collapsed — a repeated edge
+    weights its src's vote once per repetition (pre-``distinct()``
+    for simple-graph semantics), matching the duplicate-edge notes on
+    :func:`pagerank` / :func:`neighbor_jaccard`. ``weight`` names an
+    edge-weight column to make that explicit: votes become
+    SUM(weight) per (node, label) instead of COUNT — cast to
+    DECIMAL(27,18) before the sum so weighted tallies (and their
+    tie-breaks) are exact and partition-order-independent.
 
     Sync LPA can oscillate on bipartite structure; the fixed
     iteration count makes that a defined, reproducible output rather
     than a termination hazard.
     """
-    from pyspark.sql import Window
-
     if iterations < 1:
         raise ValueError(
             f"label_propagation: iterations={iterations} must be >= 1"
         )
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    cols = [F.col(src).alias("_src"), F.col(dst).alias("_dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast(PAGERANK_SUM_DECIMAL).alias("_w"))
+    e = edges.select(*cols)
     e = e.localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -270,19 +354,25 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("_cnt").desc(), F.col("label").asc()
-    )
+    tally = (
+        F.sum("_w") if weight is not None else F.count(F.lit(1))
+    ).alias("_cnt")
     for i in range(iterations):
         votes = (
             labels.join(e, labels["node"] == e["_src"])
             .groupBy(F.col("_dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(tally)
         )
-        winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+        # winner per node in ONE hash aggregate: struct comparison is
+        # lexicographic, so min_by over (−votes, label) is exactly
+        # "max votes, ties to smallest label" — no Window, no sort.
+        winner = votes.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct(
+                    (-F.col("_cnt")).alias("_neg"), F.col("label").alias("_lb")
+                ),
+            ).alias("_new")
         )
         labels = labels.join(winner, "node", "left").select(
             "node", F.coalesce("_new", "label").alias("label")

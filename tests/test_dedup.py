@@ -178,6 +178,58 @@ def test_connected_components_empty_edges(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_star_contraction_matches_union_find_random_graph(spark):
+    """Star-contraction CC (VERDICT r11 #1) is bit-identical to the
+    driver union-find on a random multigraph with self-loops,
+    duplicate edges, and both orientations."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    labels, rounds = dedup.star_contraction_components(pairs)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    ref = dict(dedup._driver_union_find(edges))
+    assert got == ref
+    assert rounds <= 10  # O(log d), not O(d)
+
+
+def test_star_contraction_deep_path_graph_converges(spark):
+    """The case min-label propagation structurally cannot handle: a
+    10k-node path (diameter 9 999 ≫ any sane round cap) — crawl
+    snapshots of one evolving page chained by pairwise similarity.
+    Star contraction closes it in O(log d) ≈ 15 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9_999)], "id_a LONG, id_b LONG"
+    )
+    labels, rounds = dedup.star_contraction_components(pairs)
+    assert rounds <= 18
+    assert labels.count() == 10_000
+    assert labels.filter(F.col("label") != 0).count() == 0
+
+
+def test_star_contraction_string_ids_and_selfloops(spark):
+    """Lexicographic min labels for string doc ids; self-loop-only
+    nodes stay in the output labeled as themselves (node-coverage
+    parity with min_label_propagation)."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("z", "z")], "id_a STRING, id_b STRING"
+    )
+    labels, _ = dedup.star_contraction_components(pairs)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_star_contraction_round_cap_raises(spark):
+    """Exhausting max_rounds refuses (wrong clusters are never
+    returned silently), mirroring min_label_propagation's contract."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        dedup.star_contraction_components(pairs, max_rounds=2)
+
+
 def test_cc_path_selection_and_parallelized_label_upload(spark):
     """VERDICT r10 #5: (a) the driver cap sits at 200k — small enough
     that the collected Row list is tens of MB, not hundreds; (b) edge

@@ -246,3 +246,86 @@ def test_label_propagation_deterministic_and_validated(spark):
         )
     )
     assert a == b
+
+
+def test_label_propagation_plan_has_no_window(spark):
+    """VERDICT r11 #2: the per-round winner is a min_by hash
+    aggregate, not a row_number sort window — the executed plan must
+    contain ZERO Window nodes (and therefore no per-round sort
+    exchange of the vote table)."""
+    from hermod_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src int, dst int"
+    )
+    out = label_propagation(edges, iterations=4, checkpoint_every=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "min_by" in plan or "minBy" in plan or "min_by" in plan.lower()
+
+
+def test_label_propagation_weighted_votes(spark):
+    """One heavy edge outvotes two light ones; with unit weights the
+    weighted form reproduces the unweighted answer exactly."""
+    from hermod_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 3, 5.0), (2, 3, 1.0), (4, 3, 1.0)],
+        "src int, dst int, w double",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1, weight="w").collect()
+    }
+    assert got[3] == 1  # 5.0 beats 1.0 + 1.0 split across two labels
+    unit = edges.withColumn("w", F.lit(1.0))
+    a = sorted(
+        map(tuple, label_propagation(unit, iterations=3, weight="w").collect())
+    )
+    b = sorted(
+        map(tuple, label_propagation(unit, iterations=3).collect())
+    )
+    assert a == b
+
+
+def test_pagerank_weighted_splits_by_weight(spark):
+    """Node 1 splits rank 9:1 between 2 and 3; with equal weights the
+    weighted form is value-identical to the unweighted one."""
+    from hermod_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src int, dst int, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=4, weight="w").collect()
+    }
+    assert got[2] > got[3]
+    # 9:1 split after one round from uniform 1/3: contribution ratio
+    # to 2 vs 3 is exactly 9× each round
+    eq = edges.withColumn("w", F.lit(2.5))
+    a = {r["node"]: r["rank"] for r in pagerank(eq, iterations=4, weight="w").collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(eq, iterations=4).collect()}
+    for n in a:
+        assert a[n] == pytest.approx(b[n], abs=1e-15)
+
+
+def test_neighbor_jaccard_weighted(spark):
+    """Weighted Jaccard Σmin/Σmax via the W_a + W_b − Σmin identity:
+    hand-checked values, duplicate edges summing their weights, and
+    `shared` staying the distinct co-occurrence count."""
+    from hermod_spark.operators.graph import neighbor_jaccard
+
+    e = spark.createDataFrame(
+        [(1, "A", 4.0), (1, "B", 1.0), (2, "A", 2.0), (2, "B", 2.0),
+         (3, "B", 5.0), (1, "A", 1.0)],  # dup edge (1,A): weights sum to 5
+        "src int, dst string, w double",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+        for r in neighbor_jaccard(e, weight="w").collect()
+    }
+    # A: {1: 5, 2: 2} W=7 ; B: {1: 1, 2: 2, 3: 5} W=8
+    # Σmin = min(5,1) + min(2,2) = 3 ; Σmax = 7 + 8 − 3 = 12
+    assert got[("A", "B")] == (2, 3 / 12)
