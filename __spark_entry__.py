@@ -367,6 +367,36 @@ def _purchase_graph(lineitem: DataFrame, orders: DataFrame):
     return pairs, edges
 
 
+def _weighted_purchase_graph(lineitem: DataFrame, orders: DataFrame):
+    """Symmetrized customer–supplier edges CARRYING WEIGHT = total
+    quantity ever traded on the edge (decimal-sum of l_quantity, cast
+    to double) — the shared input of the weighted graph variants
+    (VERDICT r11 #6: real corpora are weighted; unweighted forms
+    quantize away signal). Node ids match :func:`_purchase_graph`."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_quantity")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    return pairs, edges
+
+
 def pagerank_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Customer–supplier purchase-graph PageRank (symmetrized edges,
     8 fixed-point iterations) — the ONE body behind the `rel_pagerank`
@@ -1285,6 +1315,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neighbor_jaccard(e, min_shared=3, max_src_degree=200)
 
     q["rel_cooccurrence"] = rel_cooccurrence
+
+    def rel_pagerank_weighted(spark, sf):
+        """Weighted PageRank: each node splits rank across out-edges
+        proportionally to traded quantity instead of uniformly (the
+        edge-weight column comes from decimal-summed l_quantity).
+        Same decimal-before-sum contribution discipline, so the
+        weight-unrolled oracle reproduces every rank bit-for-bit."""
+        from hermod_spark.operators.graph import pagerank
+
+        _, edges = _weighted_purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        return pagerank(edges, iterations=8, weight="w")
+
+    q["rel_pagerank_weighted"] = rel_pagerank_weighted
+
+    def rel_communities_weighted(spark, sf):
+        """Weighted LPA communities: votes carry edge quantity (cast
+        to DECIMAL(27,18) before the tally) instead of counting 1 per
+        edge — heavy trading relationships dominate community
+        assignment. Winner per node stays a min_by hash aggregate
+        (max weighted votes, ties to smallest label), no Window."""
+        from hermod_spark.operators.graph import label_propagation
+
+        _, edges = _weighted_purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        return label_propagation(edges, iterations=4, weight="w")
+
+    q["rel_communities_weighted"] = rel_communities_weighted
+
+    def rel_cooccurrence_weighted(spark, sf):
+        """Weighted supplier co-occurrence: Σmin/Σmax weighted Jaccard
+        over per-(customer, supplier) quantity totals via the
+        W_a + W_b − Σmin identity — same shared-src-only candidate
+        shape and caps as the unweighted form, decimal weight sums."""
+        from hermod_spark.operators.graph import neighbor_jaccard
+
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        e = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+            F.col("l_quantity").alias("w"),
+        )
+        return neighbor_jaccard(
+            e, min_shared=3, max_src_degree=200, weight="w"
+        )
+
+    q["rel_cooccurrence_weighted"] = rel_cooccurrence_weighted
 
     def rel_rollup_merge(spark, sf):
         """Continuous-aggregate MAINTENANCE: three independent ingest
@@ -3192,6 +3276,115 @@ l0 AS (SELECT node, node AS label FROM pr_nodes)"""
         + """
 SELECT node, label FROM l4"""
     )
+    # weighted graph variants (VERDICT r11 #6): edge weight = per-
+    # (customer, supplier) decimal-summed quantity cast to double;
+    # every double→DECIMAL(27,18) cast goes through VARCHAR so DuckDB
+    # rounds the shortest decimal repr exactly like Spark's
+    # BigDecimal(double.toString)
+    _wpr_graph_ctes = """
+WITH w_pairs AS (
+  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+w_edges AS (
+  SELECT c AS src, s AS dst, w FROM w_pairs
+  UNION ALL SELECT s AS src, c AS dst, w FROM w_pairs)"""
+    _wpr_iters = "".join(
+        f""",
+r{i} AS (
+  SELECT n.node,
+    {_pr_base} + CAST(0.85 AS DOUBLE)
+      * COALESCE(CAST(CAST(s.m AS VARCHAR) AS DOUBLE),
+                 CAST(0 AS DOUBLE)) AS rank
+  FROM w_nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT a.dst AS node,
+      SUM(CAST(CAST(r.rank * (a.w / a.deg) AS VARCHAR)
+               AS DECIMAL(27,18))) AS m
+    FROM r{i - 1} r JOIN w_adj a ON a.src = r.node GROUP BY a.dst) s
+  ON n.node = s.node)"""
+        for i in range(1, 9)
+    )
+    o["rel_pagerank_weighted"] = (
+        _wpr_graph_ctes
+        + """,
+w_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM w_edges UNION ALL SELECT dst FROM w_edges)),
+w_deg AS (
+  -- decimal→double via VARCHAR: DuckDB's direct cast double-rounds
+  -- once the scaled int128 exceeds 2^53 (deg ~15k at scale 18 does);
+  -- parsing the exact decimal string is correctly rounded, matching
+  -- Spark's BigDecimal.doubleValue
+  SELECT src,
+    CAST(CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(27,18)))
+              AS VARCHAR) AS DOUBLE) AS deg
+  FROM w_edges GROUP BY src),
+w_adj AS (
+  SELECT e.src, e.dst, e.w, d.deg
+  FROM w_edges e JOIN w_deg d ON e.src = d.src),
+nn AS (SELECT COUNT(*) AS n FROM w_nodes),
+r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+  FROM w_nodes CROSS JOIN nn)"""
+        + _wpr_iters
+        + """
+SELECT node, rank FROM r8"""
+    )
+    _wlpa_rounds = "".join(
+        f""",
+l{i} AS (
+  SELECT prev.node, COALESCE(w.new_label, prev.label) AS label
+  FROM l{i - 1} prev
+  LEFT JOIN (
+    SELECT node, label AS new_label FROM (
+      SELECT e.dst AS node, p.label,
+        SUM(CAST(CAST(e.w AS VARCHAR) AS DECIMAL(27,18))) AS cnt,
+        ROW_NUMBER() OVER (
+          PARTITION BY e.dst
+          ORDER BY SUM(CAST(CAST(e.w AS VARCHAR) AS DECIMAL(27,18))) DESC,
+                   p.label ASC) AS rn
+      FROM l{i - 1} p JOIN w_edges e ON e.src = p.node
+      GROUP BY e.dst, p.label)
+    WHERE rn = 1) w
+  ON w.node = prev.node)"""
+        for i in range(1, 5)
+    )
+    o["rel_communities_weighted"] = (
+        _wpr_graph_ctes
+        + """,
+w_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM w_edges UNION ALL SELECT dst FROM w_edges)),
+l0 AS (SELECT node, node AS label FROM w_nodes)"""
+        + _wlpa_rounds
+        + """
+SELECT node, label FROM l4"""
+    )
+    # weighted Jaccard via Σmax = W_a + W_b − Σmin; per-edge weights
+    # are per-row DECIMAL(27,18) casts of quantity summed per
+    # (customer, supplier), exactly as the Spark operator does
+    o["rel_cooccurrence_weighted"] = """
+WITH e AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+    SUM(CAST(CAST(l.l_quantity AS VARCHAR) AS DECIMAL(27,18))) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+deg AS (SELECT s, SUM(w) AS d FROM e GROUP BY s),
+ok AS (SELECT c FROM e GROUP BY c HAVING COUNT(*) <= 200),
+ee AS (SELECT e.c, e.s, e.w FROM e JOIN ok ON e.c = ok.c),
+p AS (
+  -- CASE, not LEAST: DuckDB's LEAST over decimals degrades to
+  -- DOUBLE, poisoning the exact Σmin with float addition
+  SELECT a.s AS node_a, b.s AS node_b, COUNT(*) AS shared,
+    SUM(CASE WHEN a.w <= b.w THEN a.w ELSE b.w END) AS minsum
+  FROM ee a JOIN ee b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.node_a, p.node_b, CAST(p.shared AS BIGINT) AS shared,
+  CAST(CAST(p.minsum AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(da.d + db.d - p.minsum AS VARCHAR) AS DOUBLE) AS jaccard
+FROM p JOIN deg da ON da.s = p.node_a JOIN deg db ON db.s = p.node_b"""
     # mergeable rollup: the oracle is the DIRECT rollup over all
     # events — slice/merge/serve equals it exactly because every
     # component is a monoid and the sum rides exact decimal

@@ -185,8 +185,17 @@ BASELINE = {
     "rel_cooccurrence": 2.6,
     # mergeable-rollup maintenance: 3 sliced partials merged + served
     "rel_rollup_merge": 0.81,
-    # LPA communities, 4 rounds (join + vote agg + window + join-back)
-    "rel_communities": 6.0,
+    # LPA communities, 4 rounds — re-pinned r12 (clean isolated
+    # best-of-3: 1.60 s, from 6.0) after the winner window folded into
+    # a min_by hash aggregate (VERDICT r11 #2: one sort exchange per
+    # round removed)
+    "rel_communities": 1.7,
+    # weighted graph variants (r12): quantity-weighted rank splits /
+    # votes / Σmin Jaccard — same shapes as their unweighted siblings
+    # plus the weight column through the shuffle
+    "rel_pagerank_weighted": 3.0,
+    "rel_communities_weighted": 2.7,
+    "rel_cooccurrence_weighted": 2.9,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -506,6 +515,9 @@ HEADLINE = [
     "rel_cooccurrence",
     "rel_rollup_merge",
     "rel_communities",
+    "rel_pagerank_weighted",
+    "rel_communities_weighted",
+    "rel_cooccurrence_weighted",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
