@@ -279,7 +279,12 @@ def kmv_overlap_of(docs: DataFrame, k: int = 64) -> DataFrame:
 # once per (corpus identity) under a temp dir, serve every snapshot /
 # probe against the same files — exactly the train-once/serve-many
 # shape the operator exists for (rebuilding per call would time the
-# corpus pass into every serve measurement).
+# corpus pass into every serve measurement). STALENESS ASSUMPTION
+# (ADVICE r11): the key is the sf dir PATH, and the fixture parquet
+# under a given path is immutable for a driver/bench process's
+# lifetime — a harness that regenerated fixtures in-place mid-process
+# would serve against the old corpus. Regeneration happens between
+# processes here; anything else must evict the key first.
 _DEDUP_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1385,6 +1390,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.serve_rollup(R.merge_rollups(*slices))
 
     q["rel_rollup_merge"] = rel_rollup_merge
+
+    def rel_rollup_stream(spark, sf):
+        """Continuous-aggregate maintenance under STREAMING delivery
+        semantics (VERDICT r11 #3): the events table arrives as three
+        micro-batches through `rollup_maintenance_sink` — with batch 1
+        REDELIVERED, the at-least-once hazard foreachBatch has — and
+        the served result comes from the persisted versioned state.
+        The oracle is the direct from-scratch rollup: equality proves
+        both the monoid merge AND the exactly-once commit protocol
+        (a double-merge of the redelivered batch would double
+        value_count and shift avg)."""
+        import tempfile
+
+        from hermod_spark.streaming.rollup import (
+            rollup_maintenance_sink,
+            serve_rollup_state,
+        )
+
+        ev = _t(spark, sf, "events")
+        state = tempfile.mkdtemp(prefix="hermod-rollup-state-") + "/state"
+        fn = rollup_maintenance_sink(state)
+        for i in range(3):
+            fn(ev.filter(F.col("event_id") % 3 == i), i)
+            if i == 1:
+                fn(ev.filter(F.col("event_id") % 3 == 1), 1)  # redelivery
+        return serve_rollup_state(spark, state)
+
+    q["rel_rollup_stream"] = rel_rollup_stream
 
     def rel_communities(spark, sf):
         """Label-propagation communities over the symmetrized purchase
@@ -3395,6 +3428,10 @@ SELECT date_trunc('hour', ts) AS bucket, event_type AS topic,
   MIN(value) AS min_value, MAX(value) AS max_value,
   COUNT(value) AS value_count
 FROM events GROUP BY 1, 2"""
+    # streaming maintenance serves the SAME rollup: the oracle is the
+    # identical direct rollup — exactly-once through the redelivered
+    # micro-batch is what equality proves
+    o["rel_rollup_stream"] = o["rel_rollup_merge"]
     # co-occurrence Jaccard: distinct purchase edges, hot customers
     # capped pre-join, degrees on the UNCAPPED set (true denominators)
     o["rel_cooccurrence"] = """

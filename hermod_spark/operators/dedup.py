@@ -1806,6 +1806,17 @@ def extend_dedup_index(
     ``.old-*``) older than one hour are swept at the start of the
     next extend — the age gate keeps a sweep from destroying a
     concurrent extend's live staging directory.
+
+    READER-VISIBLE OUTAGE (ADVICE r11): between the two renames the
+    index path does not exist, so a concurrent
+    :func:`load_dedup_index` — or an in-flight serve lazily re-reading
+    the parquet — fails for that instant (seconds on HDFS, longer on
+    object stores where rename is a copy). Schedule extends off the
+    serve path, or retry loads once on failure; a serve fleet that
+    cannot tolerate the blip should read through a versioned-pointer
+    layout instead (see ``streaming/rollup.py`` for that pattern —
+    generations + an atomic meta pointer keep the previous snapshot
+    readable through every commit).
     """
     spark = new_df.sparkSession
     index = load_dedup_index(spark, path)
