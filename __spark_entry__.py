@@ -653,6 +653,7 @@ _N_QUERIES = 10
 _TOPK = 5
 _PLANES_TOPK = S.hyperplanes(_EMB_DIM, 4, seed=42)
 _PLANES_DUP = S.hyperplanes(_EMB_DIM, 8, seed=42)
+_KNN_BANDS = S.band_hyperplanes(_EMB_DIM, 4, 8, seed=42)
 
 
 def _plane_sql(p: list[float]) -> str:
@@ -1810,6 +1811,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_embedding_neardups"] = lambda spark, sf: S.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.3, n_planes=8, dim=_EMB_DIM
     )
+
+    def sim_knn_join(spark, sf):
+        """Approximate KNN SELF-join (every vector's top-5 neighbors,
+        VERDICT r11 #4): banded sign-LSH candidates (4 planes × 8
+        OR'd bands — this corpus is structure-free uniform noise, so
+        single-band LSH recall collapses and the OR-construction is
+        what buys it back; see sim_knn_recall), bare-id-pair distinct,
+        exact cosine rerank, rank-window top-k. Never all-pairs, no
+        cartesian (plan-gated in tests)."""
+        return S.knn_join(
+            _t(spark, sf, "embeddings"), k=_TOPK,
+            n_planes=4, n_bands=8, dim=_EMB_DIM,
+        )
+
+    q["sim_knn_join"] = sim_knn_join
+
+    def sim_knn_recall(spark, sf):
+        """Recall@5 of the KNN self-join vs exact cosine truth on 25
+        audit queries — the banding tuning loop; both sides seeded, so
+        the oracle value-checks the recall itself (0.76 on this
+        uniform-noise corpus at sf0.01; the floor test pins ≥ 0.7)."""
+        return S.knn_join_recall_check(
+            _t(spark, sf, "embeddings"), k=_TOPK, n_check=25,
+            n_planes=4, n_bands=8, dim=_EMB_DIM,
+        )
+
+    q["sim_knn_recall"] = sim_knn_recall
     # conformance pair: centroids pinned to the first-n-by-id model the
     # DuckDB oracle replays verbatim; the TRAINED path is sim_ivf_trained.
     # Models are memoized per sf dir: they are tiny deterministic
@@ -4312,6 +4340,61 @@ approx AS (
 qt AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
        WHERE vec_id < {_N_QUERIES}),
 ct AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+st AS (SELECT query_id, neighbor_id, {cos} AS sim
+       FROM ct, qt WHERE query_id <> neighbor_id),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM st) WHERE rnk <= {_TOPK})
+SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY t.query_id"""
+    # KNN self-join: the 8 band buckets replayed as 8 scans UNION'd
+    # into (vec_id, band_id, bucket); candidates from the per-band
+    # equi-join; distinct bare id pairs; exact cosine rerank + rank
+    # window — the same plan the Spark operator runs
+    _knn_bands_sql = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"{_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket "
+        f"FROM embeddings"
+        for b, planes in enumerate(_KNN_BANDS)
+    )
+    _knn_core_sql = f"""
+kb AS ({_knn_bands_sql}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM kb a JOIN kb b USING (band_id, bucket)
+  WHERE a.vec_id <> b.vec_id),
+qe AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings),
+ne AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT p.query_id, p.neighbor_id, {cos} AS sim
+  FROM pairs p
+  JOIN qe ON qe.vec_id = p.query_id
+  JOIN ne ON ne.vec_id = p.neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM s)"""
+    o["sim_knn_join"] = f"""
+WITH {_knn_core_sql}
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk
+FROM r WHERE rnk <= {_TOPK}"""
+    o["sim_knn_recall"] = f"""
+WITH {_knn_core_sql},
+approx AS (
+  SELECT query_id, neighbor_id FROM r
+  WHERE rnk <= {_TOPK} AND query_id < 25),
+qt AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 25),
+ct AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       FROM embeddings),
 st AS (SELECT query_id, neighbor_id, {cos} AS sim
        FROM ct, qt WHERE query_id <> neighbor_id),
 truth AS (

@@ -196,6 +196,11 @@ BASELINE = {
     "rel_pagerank_weighted": 3.0,
     "rel_communities_weighted": 2.7,
     "rel_cooccurrence_weighted": 2.9,
+    # KNN self-join (r12): banded sign-LSH candidates (bare-id-pair
+    # distinct), single-fold dot rerank with scan-side norms (3 folds
+    # → 1 measured 10.3 → 7.4 s), rank-window top-k per query
+    "sim_knn_join": 7.5,
+    "sim_knn_recall": 4.2,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -518,6 +523,8 @@ HEADLINE = [
     "rel_pagerank_weighted",
     "rel_communities_weighted",
     "rel_cooccurrence_weighted",
+    "sim_knn_join",
+    "sim_knn_recall",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -607,6 +614,10 @@ SCALE10X = [
     # LPA on the 10× graph: per-round vote volume grows with edges,
     # rounds fixed — linear like pagerank
     "rel_communities",
+    # KNN self-join with the log-scaled banding (see the big{} entry):
+    # the claim is that candidate volume per query stays flat when
+    # n_planes tracks log2(N)
+    "sim_knn_join",
 ]
 
 
@@ -897,6 +908,14 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         "rel_bfs_reach": lambda: E.bfs_reach_of(lineitem10, orders10g),
         "rel_cooccurrence": lambda: _cooccurrence10(),
         "rel_communities": lambda: E.communities_of(lineitem10, orders10g),
+        # KNN self-join at 10×: FIXED banding is per-bucket quadratic
+        # (bucket count constant while N grows), so the scale path —
+        # demonstrated here, like the reference pattern of growing
+        # LSH bands with corpus size — grows n_planes with log2(N):
+        # 4 → 7 planes holds per-bucket occupancy ~constant
+        # (5000/16 ≈ 312 → 50000/128 ≈ 390), keeping candidates/query
+        # flat while the query count grows 10×
+        "sim_knn_join": lambda: _knn10(emb10),
     }
 
     def _cooccurrence10():
@@ -928,6 +947,11 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
 
     def _linkage10():
         return dedup.blocked_linkage(cust10)
+
+    def _knn10(emb):
+        from hermod_spark.operators import similarity as S
+
+        return S.knn_join(emb, k=5, n_planes=7, n_bands=8, dim=64)
 
     def _rerank10(emb):
         from hermod_spark.data import table

@@ -670,3 +670,115 @@ def test_ivf_recall_curve_reports_empty_probe_settings(spark):
     assert set(got) == {1, 2}
     assert got[1]["n_hits"] == 0 and got[1]["n_scanned"] == 0
     assert got[2]["n_scanned"] == 2
+
+
+def test_knn_join_finds_cluster_neighbors_exactly(spark):
+    """Two tight clusters + deterministic tie-breaks: with generous
+    banding every vector's top-k comes back exactly (recall 1 on
+    clustered data — the regime the operator exists for)."""
+    from hermod_spark.operators.similarity import knn_join
+
+    rows = [
+        # cluster A around (1, 0, 0)
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.98, -0.01, 0.0]),
+        # cluster B around (0, 1, 0)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.01, 0.99, 0.0]),
+        (12, [-0.01, 0.98, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in knn_join(df, k=2, n_planes=2, n_bands=6, dim=3).collect()
+    }
+    # every A member's 2-NN stay inside A, B's inside B
+    for q in (0, 1, 2):
+        assert {got[(q, 1)], got[(q, 2)]} <= {0, 1, 2} - {q}
+    for q in (10, 11, 12):
+        assert {got[(q, 1)], got[(q, 2)]} <= {10, 11, 12} - {q}
+
+
+def test_knn_join_plan_has_no_cartesian_and_ships_bare_ids(spark):
+    """Plan gate: every join is equi-keyed (bucket or id) — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere; and the
+    candidate distinct runs BEFORE vectors are joined back (the
+    HashAggregate for pair-dedup must sit below the embedding joins,
+    i.e. its output carries only the two id columns)."""
+    from hermod_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = knn_join(df, k=3, n_planes=2, n_bands=2, dim=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # the pair-dedup stage is checkpointed carrying EXACTLY the bare
+    # id pair — vectors must not ride the candidate exchange
+    pairs_rows = [
+        ln for ln in opt.splitlines() if "LogicalRDD [query_id" in ln
+    ]
+    assert pairs_rows, "checkpointed bare-id pairs stage missing from plan"
+    assert "neighbor_id#" in pairs_rows[0]
+    assert "embedding" not in pairs_rows[0] and "_v" not in pairs_rows[0]
+
+
+def test_knn_join_k_and_validation(spark):
+    from hermod_spark.operators.similarity import knn_join
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 3) * 0.01]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = knn_join(df, k=3, n_planes=1, n_bands=2, dim=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for q, rows in per_q.items():
+        assert len(rows) <= 3
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+    with _pytest.raises(ValueError, match="k="):
+        knn_join(df, k=0, dim=2)
+    with _pytest.raises(ValueError, match="n_bands"):
+        knn_join(df, k=1, n_bands=0, dim=2)
+
+
+def test_knn_join_max_bucket_caps_hot_buckets(spark):
+    """A degenerate corpus (all vectors identical ⇒ one bucket per
+    band) with max_bucket set produces NO pairs — the hot bucket is
+    dropped whole, the LSH max_bucket semantics."""
+    from hermod_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(50)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    assert knn_join(df, k=2, n_planes=2, n_bands=2, dim=2,
+                    max_bucket=10).count() == 0
+    assert knn_join(df, k=2, n_planes=2, n_bands=2, dim=2).count() == 100
+
+
+def test_knn_recall_floor_on_fixture_corpus(spark):
+    """Pinned recall floor (VERDICT r11 #4): the registry's banding
+    (4 planes × 8 bands) must hold mean recall@5 ≥ 0.6 against exact
+    truth on the sf0.01 embeddings fixture — uniform-noise vectors,
+    the WORST case for sign-LSH (neighbors barely beat random, so
+    bucket collisions carry little signal); measured 0.76 here and
+    0.69 on the sf0.001 fixture. Clustered real corpora only do
+    better; the floor guards against a banding/seed regression, not
+    noise."""
+    from hermod_spark.operators.similarity import knn_join_recall_check
+    from hermod_spark.data import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    rc = knn_join_recall_check(
+        emb, k=5, n_check=25, n_planes=4, n_bands=8, dim=64
+    )
+    mean = rc.agg(F.avg("recall")).first()[0]
+    assert mean >= 0.6
