@@ -1337,6 +1337,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_pagerank_weighted"] = rel_pagerank_weighted
 
+    def rel_components(spark, sf):
+        """DISTRIBUTED connected components over the purchase graph —
+        the star-contraction path directly (VERDICT r11 #1; the
+        hybrid `connected_components` would route this edge count to
+        the driver union-find, which the threshold=0 parity test
+        already pins): alternating large-star/small-star rounds,
+        O(log d) convergence, label = component-min node id. Oracle =
+        recursive-CTE reachability with MIN aggregation."""
+        from hermod_spark.operators.dedup import star_contraction_components
+
+        pairs, _ = _purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        labels, _rounds = star_contraction_components(
+            pairs.select(
+                F.col("c").alias("id_a"), F.col("s").alias("id_b")
+            )
+        )
+        return labels
+
+    q["rel_components"] = rel_components
+
     def rel_communities_weighted(spark, sf):
         """Weighted LPA communities: votes carry edge quantity (cast
         to DECIMAL(27,18) before the tally) instead of counting 1 per
@@ -1351,6 +1373,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(edges, iterations=4, weight="w")
 
     q["rel_communities_weighted"] = rel_communities_weighted
+
+    def rel_sssp(spark, sf):
+        """Hop-bounded weighted shortest paths (Bellman-Ford, 4
+        relaxations) from the same seed customers rel_bfs_reach uses,
+        edge cost = traded quantity — the weighted complement of the
+        BFS feature. Double path-cost arithmetic is deterministic
+        (left-to-right adds per path, MIN order-independent), so the
+        unrolled-CTE oracle is bit-exact."""
+        from hermod_spark.operators.graph import weighted_sssp
+
+        pairs, edges = _weighted_purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        seeds = pairs.select(F.col("c").alias("node")).filter(
+            F.col("node") % 200 == 0
+        ).distinct()
+        return weighted_sssp(edges, seeds, weight="w", max_hops=4)
+
+    q["rel_sssp"] = rel_sssp
 
     def rel_cooccurrence_weighted(spark, sf):
         """Weighted supplier co-occurrence: Σmin/Σmax weighted Jaccard
@@ -3337,6 +3378,19 @@ l0 AS (SELECT node, node AS label FROM pr_nodes)"""
         + """
 SELECT node, label FROM l4"""
     )
+    # distributed star-contraction CC: label = min reachable node id,
+    # oracle = recursive reachability closure + MIN (exact integers)
+    o["rel_components"] = (
+        _pr_graph_ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+cc_nodes AS (
+  SELECT DISTINCT src AS n FROM pr_edges),
+reach(a, b) AS (
+  SELECT n, n FROM cc_nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN pr_edges e ON r.b = e.src)
+SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a"""
+    )
     # weighted graph variants (VERDICT r11 #6): edge weight = per-
     # (customer, supplier) decimal-summed quantity cast to double;
     # every double→DECIMAL(27,18) cast goes through VARCHAR so DuckDB
@@ -3392,6 +3446,28 @@ r0 AS (
         + _wpr_iters
         + """
 SELECT node, rank FROM r8"""
+    )
+    # weighted SSSP: 4 Bellman-Ford relaxations unrolled; per-path
+    # double adds replay identically, MIN is order-independent
+    _sssp_hops = "".join(
+        f""",
+d{i} AS (
+  SELECT node, MIN(distance) AS distance FROM (
+    SELECT node, distance FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.distance + e.w AS distance
+    FROM d{i - 1} d JOIN w_edges e ON e.src = d.node) GROUP BY node)"""
+        for i in range(1, 5)
+    )
+    o["rel_sssp"] = (
+        _wpr_graph_ctes
+        + """,
+d0 AS (
+  SELECT DISTINCT c AS node, CAST(0 AS DOUBLE) AS distance
+  FROM w_pairs WHERE c % 200 = 0)"""
+        + _sssp_hops
+        + """
+SELECT node, distance FROM d4"""
     )
     _wlpa_rounds = "".join(
         f""",

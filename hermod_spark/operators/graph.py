@@ -384,3 +384,71 @@ def label_propagation(
         ):
             labels = labels.localCheckpoint()
     return labels
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    source_col: str = "node",
+    max_hops: int = 6,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, hop-bounded Bellman-Ford:
+    (node, distance) where distance = the cheapest ≤``max_hops``-edge
+    path cost from ANY source (sources at 0.0). The weighted
+    complement of :func:`bfs_distances` — travel cost, latency, or
+    inverse-affinity graphs where hop count quantizes away the
+    signal. Unreached nodes are absent; negative weights are rejected
+    (a hop-bounded relaxation would silently miss longer-but-cheaper
+    paths through negative edges — refuse rather than mislead).
+
+    Per hop: ONE frontier⋈edges join + ONE groupBy(node) MIN, state
+    node-bounded — exactly the BFS shape with `dist + w` replacing
+    `dist + 1`. Double arithmetic is deterministic here: each path's
+    cost accumulates left-to-right as the loop unrolls and MIN is
+    order-independent, so any parallelism (and the unrolled-CTE
+    oracle) reproduces distances bit-for-bit — no decimal discipline
+    needed, matching :func:`bfs_distances`'s exactness note. Like BFS,
+    each hop references the previous frame twice, so
+    ``checkpoint_every`` defaults ON against logical-plan doubling.
+    """
+    if max_hops < 0:
+        raise ValueError(f"weighted_sssp: max_hops={max_hops} must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    e = e.localCheckpoint()
+    # one bounded aggregate guards the no-negative-weights contract
+    neg = e.agg(F.min("_w").alias("m")).first()["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(
+            f"weighted_sssp: negative edge weight {neg} — hop-bounded "
+            f"relaxation is only correct for non-negative weights"
+        )
+    dist = sources.select(
+        F.col(source_col).alias("node"),
+        F.lit(0.0).cast("double").alias("distance"),
+    ).distinct()
+    for h in range(max_hops):
+        step = dist.join(e, dist["node"] == e["_src"]).select(
+            F.col("_dst").alias("node"),
+            (F.col("distance") + F.col("_w")).alias("distance"),
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+        )
+        if (
+            checkpoint_every
+            and (h + 1) % checkpoint_every == 0
+            and h + 1 < max_hops
+        ):
+            dist = dist.localCheckpoint()
+    return dist

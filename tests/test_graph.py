@@ -329,3 +329,77 @@ def test_neighbor_jaccard_weighted(spark):
     # A: {1: 5, 2: 2} W=7 ; B: {1: 1, 2: 2, 3: 5} W=8
     # Σmin = min(5,1) + min(2,2) = 3 ; Σmax = 7 + 8 − 3 = 12
     assert got[("A", "B")] == (2, 3 / 12)
+
+
+def test_weighted_sssp_hand_graph(spark):
+    """Cheapest-path semantics: the 2-hop route 1→2→3 (cost 2.0)
+    beats the direct 1→3 edge (cost 5.0); and the hop bound is a
+    REAL constraint — node 5's cheapest path (1→2→3→4→5, cost 4)
+    needs 4 hops, so within 3 hops it costs 7 through the expensive
+    direct edge; seeds at 0."""
+    from hermod_spark.operators.graph import weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0), (4, 5, 1.0)],
+        "src int, dst int, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["distance"]
+        for r in weighted_sssp(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0, 5: 7.0}
+    relaxed = {
+        r["node"]: r["distance"]
+        for r in weighted_sssp(e, seeds, max_hops=4).collect()
+    }
+    assert relaxed[5] == 4.0  # one more relaxation finds the cheap path
+
+
+def test_weighted_sssp_multi_source_and_validation(spark):
+    """A node reachable from two seeds takes the cheaper cost;
+    negative weights are refused; 0 hops = the deduped seed set."""
+    from hermod_spark.operators.graph import weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 3, 4.0), (10, 3, 1.5)], "src int, dst int, weight double"
+    )
+    seeds = spark.createDataFrame([(1,), (10,), (10,)], "node int")
+    got = {
+        r["node"]: r["distance"]
+        for r in weighted_sssp(e, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0.0, 10: 0.0, 3: 1.5}
+    zero = weighted_sssp(e, seeds, max_hops=0).collect()
+    assert sorted((r["node"], r["distance"]) for r in zero) == [
+        (1, 0.0), (10, 0.0),
+    ]
+    neg = spark.createDataFrame(
+        [(1, 2, -0.5)], "src int, dst int, weight double"
+    )
+    with pytest.raises(ValueError, match="negative edge weight"):
+        weighted_sssp(neg, seeds, max_hops=2)
+    with pytest.raises(ValueError, match="max_hops"):
+        weighted_sssp(e, seeds, max_hops=-1)
+
+
+def test_weighted_sssp_unit_weights_match_bfs(spark):
+    """With all weights 1.0 the distances equal bfs_distances' hop
+    counts exactly (double-encoded)."""
+    from hermod_spark.operators.graph import bfs_distances, weighted_sssp
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 9), (9, 4)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    ew = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src int, dst int, weight double"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    bfs = {
+        r["node"]: r["distance"]
+        for r in bfs_distances(e, seeds, max_hops=4).collect()
+    }
+    sssp = {
+        r["node"]: r["distance"]
+        for r in weighted_sssp(ew, seeds, max_hops=4).collect()
+    }
+    assert {k: float(v) for k, v in bfs.items()} == sssp
