@@ -1359,6 +1359,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_components"] = rel_components
 
+    def dedup_triangles(spark, sf):
+        """Per-document triangle counts over the VERIFIED near-dup
+        pair graph — triangle-dense neighborhoods are template floods
+        (clusters that near-dup each other pairwise), the signal that
+        separates a boilerplate block from a chain of drifting
+        revisions. Oriented wedge join (each triangle found once as
+        low-id wedge + closing edge), never all-pairs."""
+        from hermod_spark.operators.graph import triangle_counts
+
+        pairs = dedup.near_dup_pairs(
+            _t(spark, sf, "documents"), threshold=0.5
+        )
+        return triangle_counts(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+
+    q["dedup_triangles"] = dedup_triangles
+
     def rel_communities_weighted(spark, sf):
         """Weighted LPA communities: votes carry edge quantity (cast
         to DECIMAL(27,18) before the tally) instead of counting 1 per
@@ -4013,6 +4031,32 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
 SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"""
+    )
+    # triangle counts over the same verified near-dup pairs: oriented
+    # wedge (lo-id anchor, b < c) closed by the third edge — each
+    # triangle found exactly once, three corner credits
+    o["dedup_triangles"] = (
+        _minhash_banded_sql()
+        + f""",
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE ROUND({_jaccard_sql("sa.s", "sb.s")}, 6) >= 0.5),
+tri AS (
+  SELECT w1.id_a AS a, w1.id_b AS b, w2.id_b AS c
+  FROM ver w1 JOIN ver w2
+    ON w1.id_a = w2.id_a AND w1.id_b < w2.id_b
+  JOIN ver e3 ON e3.id_a = w1.id_b AND e3.id_b = w2.id_b),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node"""
     )
     # same recursive-CC prefix, then the quality-argmax survivor window.
     # The prefix is spliced by replacing the dedup_clusters final SELECT;

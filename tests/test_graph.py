@@ -403,3 +403,69 @@ def test_weighted_sssp_unit_weights_match_bfs(spark):
         for r in weighted_sssp(ew, seeds, max_hops=4).collect()
     }
     assert {k: float(v) for k, v in bfs.items()} == sssp
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Triangle {1,2,3} + a pendant edge: corner credits exact,
+    pendant nodes absent; duplicate / reversed / self-loop edges
+    collapse to the simple graph."""
+    from hermod_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 3), (3, 4), (2, 1)],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_k4_and_degree_cap(spark):
+    """K4 has 4 triangles, each node in 3; capping oriented degree at
+    1 drops every wedge anchored at a capped node."""
+    from hermod_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4, "src int, dst int")
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(e).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # oriented out-degrees in K4: node1=3, node2=2, node3=1, node4=0;
+    # cap 1 keeps only node 3's wedges — no wedge has 2 edges → none
+    capped = triangle_counts(e, max_degree=1).collect()
+    assert capped == []
+    # cap 2 keeps node 2 (wedge 2-3,2-4 closed by 3-4) and node 3
+    got2 = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(e, max_degree=2).collect()
+    }
+    assert got2 == {2: 1, 3: 1, 4: 1}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Random graph vs itertools brute force — exact equality."""
+    import itertools
+    import random
+
+    from hermod_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(30), rng.randrange(30))
+                          for _ in range(120)) if a != b}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
