@@ -1338,23 +1338,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_pagerank_weighted"] = rel_pagerank_weighted
 
     def rel_components(spark, sf):
-        """DISTRIBUTED connected components over the purchase graph —
-        the star-contraction path directly (VERDICT r11 #1; the
-        hybrid `connected_components` would route this edge count to
-        the driver union-find, which the threshold=0 parity test
-        already pins): alternating large-star/small-star rounds,
-        O(log d) convergence, label = component-min node id. Oracle =
-        recursive-CTE reachability with MIN aggregation."""
+        """DISTRIBUTED connected components over the VERIFIED near-dup
+        pair graph — the star-contraction path exercised directly
+        (VERDICT r11 #1; the hybrid `connected_components` would route
+        this edge count to the driver union-find, which the
+        threshold=0 parity test already pins): alternating
+        large-star/small-star rounds, O(log d) convergence, label =
+        component-min node id. The near-dup graph (not the purchase
+        graph) keeps components dup-cluster-sized, so the
+        recursive-CTE reachability oracle stays tractable at every
+        scale factor — the purchase graph is ONE giant component and
+        its closure is |V|² (the r12 sf0.1 sweep caught exactly
+        that)."""
         from hermod_spark.operators.dedup import star_contraction_components
 
-        pairs, _ = _purchase_graph(
-            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
-        )
-        labels, _rounds = star_contraction_components(
-            pairs.select(
-                F.col("c").alias("id_a"), F.col("s").alias("id_b")
-            )
-        )
+        pairs = dedup.near_dup_pairs(
+            _t(spark, sf, "documents"), threshold=0.5
+        ).select("id_a", "id_b")
+        labels, _rounds = star_contraction_components(pairs)
         return labels
 
     q["rel_components"] = rel_components
@@ -3396,17 +3397,28 @@ l0 AS (SELECT node, node AS label FROM pr_nodes)"""
         + """
 SELECT node, label FROM l4"""
     )
-    # distributed star-contraction CC: label = min reachable node id,
-    # oracle = recursive reachability closure + MIN (exact integers)
+    # distributed star-contraction CC over the verified near-dup
+    # graph: label = min reachable node id, oracle = recursive
+    # reachability closure + MIN (exact integers; components are
+    # dup-cluster-sized so the closure stays bounded at any sf)
     o["rel_components"] = (
-        _pr_graph_ctes.replace("WITH ", "WITH RECURSIVE ", 1)
-        + """,
-cc_nodes AS (
-  SELECT DISTINCT src AS n FROM pr_edges),
+        _minhash_banded_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE ROUND({_jaccard_sql("sa.s", "sb.s")}, 6) >= 0.5),
+cc_edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+             UNION ALL SELECT id_b, id_a FROM ver),
+cc_nodes AS (SELECT DISTINCT src AS n FROM cc_edges),
 reach(a, b) AS (
   SELECT n, n FROM cc_nodes
   UNION
-  SELECT r.a, e.dst FROM reach r JOIN pr_edges e ON r.b = e.src)
+  SELECT r.a, e.dst FROM reach r JOIN cc_edges e ON r.b = e.src)
 SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a"""
     )
     # weighted graph variants (VERDICT r11 #6): edge weight = per-

@@ -951,7 +951,11 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     def _knn10(emb):
         from hermod_spark.operators import similarity as S
 
-        return S.knn_join(emb, k=5, n_planes=7, n_bands=8, dim=64)
+        # 8 planes, not 7: log2(10) ≈ 3.3 extra planes over the 1×'s 4,
+        # and the occupancy math wants the CEILING — 7 planes leaves
+        # per-bucket occupancy above 1× (390 vs 312) and the probe read
+        # 2.27×/row; 8 planes (195/bucket) reads 0.85×/row
+        return S.knn_join(emb, k=5, n_planes=8, n_bands=8, dim=64)
 
     def _rerank10(emb):
         from hermod_spark.data import table

@@ -468,6 +468,10 @@ def star_contraction_components(
     Both preserve connectivity and never emit self-loops; the fixpoint
     is a union of stars centered at each component's minimum id.
     """
+    # lazy checkpoint: sym and nodes BOTH read pairs — without the cut
+    # each would re-run the (possibly LSH-verify-shaped) upstream
+    # pipeline; the first eager checkpoint below materializes it once
+    pairs = pairs.localCheckpoint(eager=False)
     sym = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(
