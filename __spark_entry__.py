@@ -1337,6 +1337,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_pagerank_weighted"] = rel_pagerank_weighted
 
+    def rel_pagerank_personal(spark, sf):
+        """PERSONALIZED PageRank: teleport mass returns to the seed
+        customer cohort (custkey % 100 == 0 — the same seeds
+        rel_bfs_reach walks from) instead of all nodes — importance
+        relative to the cohort, the related-entities primitive. Same
+        decimal contribution discipline; oracle = the 8 iterations
+        unrolled with the seed-indicator teleport vector."""
+        from hermod_spark.operators.graph import pagerank
+
+        pairs, edges = _purchase_graph(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        )
+        seeds = pairs.select(F.col("c").alias("node")).filter(
+            F.col("node") % 200 == 0
+        )
+        return pagerank(edges, iterations=8, sources=seeds)
+
+    q["rel_pagerank_personal"] = rel_pagerank_personal
+
     def rel_components(spark, sf):
         """DISTRIBUTED connected components over the VERIFIED near-dup
         pair graph — the star-contraction path exercised directly
@@ -1898,6 +1917,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_knn_recall"] = sim_knn_recall
+
+    def sim_knn_classify(spark, sf):
+        """KNN-vote label prediction for every vector (top-5
+        neighbors through the same banded self-join; majority label,
+        ties to the smallest — the window-free min_by winner idiom).
+        Disagreement between own_label and predicted_label is the
+        mislabel-candidate audit."""
+        return S.knn_classify(
+            _t(spark, sf, "embeddings"), k=_TOPK,
+            n_planes=4, n_bands=8, dim=_EMB_DIM,
+        )
+
+    q["sim_knn_classify"] = sim_knn_classify
     # conformance pair: centroids pinned to the first-n-by-id model the
     # DuckDB oracle replays verbatim; the TRAINED path is sim_ivf_trained.
     # Models are memoized per sf dir: they are tiny deterministic
@@ -3397,6 +3429,49 @@ l0 AS (SELECT node, node AS label FROM pr_nodes)"""
         + """
 SELECT node, label FROM l4"""
     )
+    # personalized PageRank: teleport to the seed cohort; the base
+    # and init vectors ride a per-node CTE; contribution sums via the
+    # VARCHAR-mediated decimal→double cast (seed concentration pushes
+    # m past the 2^53/10^18 direct-cast boundary)
+    _ppr_iters = "".join(
+        f""",
+r{i} AS (
+  SELECT n.node,
+    n.b + CAST(0.85 AS DOUBLE)
+      * COALESCE(CAST(CAST(s.m AS VARCHAR) AS DOUBLE),
+                 CAST(0 AS DOUBLE)) AS rank
+  FROM pr_base n
+  LEFT JOIN (
+    SELECT a.dst AS node,
+      SUM(CAST(CAST(r.rank / a.deg AS VARCHAR) AS DECIMAL(27,18))) AS m
+    FROM r{i - 1} r JOIN pr_adj a ON a.src = r.node GROUP BY a.dst) s
+  ON n.node = s.node)"""
+        for i in range(1, 9)
+    )
+    o["rel_pagerank_personal"] = (
+        _pr_graph_ctes
+        + """,
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)),
+pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+pr_adj AS (
+  SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src),
+sd AS (SELECT DISTINCT c AS node FROM pr_pairs WHERE c % 200 = 0),
+ns AS (SELECT COUNT(*) AS s FROM sd),
+pr_base AS (
+  SELECT n.node,
+    CASE WHEN sd.node IS NOT NULL
+      THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns.s
+      ELSE CAST(0 AS DOUBLE) END AS b,
+    CASE WHEN sd.node IS NOT NULL
+      THEN CAST(1 AS DOUBLE) / ns.s ELSE CAST(0 AS DOUBLE) END AS r0i
+  FROM pr_nodes n CROSS JOIN ns LEFT JOIN sd ON sd.node = n.node),
+r0 AS (SELECT node, r0i AS rank FROM pr_base)"""
+        + _ppr_iters
+        + """
+SELECT node, rank FROM r8"""
+    )
     # distributed star-contraction CC over the verified near-dup
     # graph: label = min reachable node id, oracle = recursive
     # reachability closure + MIN (exact integers; components are
@@ -4518,6 +4593,24 @@ r AS (
 WITH {_knn_core_sql}
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk
 FROM r WHERE rnk <= {_TOPK}"""
+    o["sim_knn_classify"] = f"""
+WITH {_knn_core_sql},
+nn AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {_TOPK}),
+votes AS (
+  SELECT nn.query_id AS qid, e.label AS nl, COUNT(*) AS cnt
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2),
+winner AS (
+  SELECT qid, nl AS predicted_label,
+    MAX(cnt) OVER (PARTITION BY qid) AS votes,
+    SUM(cnt) OVER (PARTITION BY qid) AS k_found,
+    ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cnt DESC, nl ASC) AS rn
+  FROM votes)
+SELECT w.qid AS vec_id, e.label AS own_label, w.predicted_label,
+  CAST(w.votes AS BIGINT) AS votes, CAST(w.k_found AS BIGINT) AS k_found
+FROM winner w JOIN embeddings e ON e.vec_id = w.qid
+WHERE w.rn = 1"""
     o["sim_knn_recall"] = f"""
 WITH {_knn_core_sql},
 approx AS (

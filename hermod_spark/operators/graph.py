@@ -40,9 +40,18 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int | None = None,
     weight: str | None = None,
+    sources: DataFrame | None = None,
+    source_col: str = "node",
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed ``iterations`` of the
     power method: rank'(v) = (1-d)/N + d · Σ_{u→v} rank(u)/outdeg(u).
+    With ``sources`` (a seed-node frame), this becomes PERSONALIZED
+    PageRank: the teleport mass (1-d) returns uniformly to the SEED
+    set instead of all nodes — rank'(v) = (1-d)·[v∈S]/|S| + d·Σ…,
+    initialized from the same seed-uniform vector. The
+    recommendation / related-entities primitive ("importance relative
+    to THIS cohort"); seeds outside the edge list are ignored (they
+    have no edges to propagate through).
     With ``weight`` (an edge-weight column — link frequencies,
     co-purchase counts), contributions become
     rank(u) · w(u→v) / Σ w(u→*): each node splits its rank across
@@ -83,7 +92,38 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    base = (1.0 - damping) / n
+    # _base (teleport share) and _r0 (initial rank) ride the node
+    # frame as columns so the loop body is identical for the global
+    # and personalized forms
+    if sources is not None:
+        seeds = (
+            sources.select(F.col(source_col).alias("node"))
+            .distinct()
+            .join(nodes, "node")  # seeds must exist in the graph
+            .localCheckpoint()
+        )
+        s = seeds.count()
+        if s == 0:
+            raise ValueError(
+                "pagerank: sources share no nodes with the edge list"
+            )
+        nodes = nodes.join(
+            seeds.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_seed"), F.lit((1.0 - damping) / s))
+            .otherwise(F.lit(0.0))
+            .alias("_base"),
+            F.when(F.col("_seed"), F.lit(1.0 / s))
+            .otherwise(F.lit(0.0))
+            .alias("_r0"),
+        ).localCheckpoint()
+    else:
+        nodes = nodes.select(
+            "node",
+            F.lit((1.0 - damping) / n).alias("_base"),
+            F.lit(1.0 / n).alias("_r0"),
+        )
     if weight is not None:
         deg = e.groupBy("_src").agg(
             F.sum(F.col("_w").cast(PAGERANK_SUM_DECIMAL))
@@ -99,7 +139,7 @@ def pagerank(
     # (src, dst, deg[, w]) resolved once — the per-iteration join then
     # carries only the rank column across
     adj = e.join(deg, "_src").localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.select("node", F.col("_r0").alias("rank"))
     for i in range(iterations):
         contrib = (
             ranks.join(adj, ranks["node"] == adj["_src"])
@@ -113,7 +153,7 @@ def pagerank(
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                F.col("_base")
                 + F.lit(damping)
                 * F.coalesce(F.col("_m").cast("double"), F.lit(0.0))
             ).alias("rank"),

@@ -1797,3 +1797,59 @@ def knn_join_recall_check(
             F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
         )
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    k: int = 5,
+    *,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """KNN-vote label prediction for EVERY vector from its
+    :func:`knn_join` neighborhood — the semi-supervised labeling /
+    label-noise-audit pass (a vector whose predicted label disagrees
+    with its own is a mislabel candidate). Output (id, own label,
+    predicted label, votes for the winner, k_found).
+
+    One labels join onto the KNN output (neighbor side), then ONE
+    hash aggregate per (id, label) and ONE `max_by` winner aggregate —
+    the same window-free winner idiom as `label_propagation` (most
+    votes, ties to the SMALLEST label, fully deterministic). No new
+    shuffle shapes beyond the KNN join itself."""
+    nn = knn_join(
+        embeddings, k, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col=id_col, vec_col=vec_col, dim=dim, max_bucket=max_bucket,
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy(F.col("query_id").alias("_qid"), "_nl")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    winner = votes.groupBy("_qid").agg(
+        F.min_by(
+            "_nl",
+            F.struct((-F.col("_cnt")).alias("_neg"), F.col("_nl").alias("_l")),
+        ).alias("predicted_label"),
+        F.max("_cnt").alias("votes"),
+        F.sum("_cnt").alias("k_found"),
+    )
+    own = embeddings.select(
+        F.col(id_col).alias("_qid"), F.col(label_col).alias("own_label")
+    )
+    return winner.join(own, "_qid").select(
+        F.col("_qid").alias(id_col),
+        "own_label",
+        "predicted_label",
+        F.col("votes").cast("bigint").alias("votes"),
+        F.col("k_found").cast("bigint").alias("k_found"),
+    )

@@ -469,3 +469,30 @@ def test_triangle_counts_matches_bruteforce_random(spark):
         r["node"]: r["triangles"] for r in triangle_counts(df).collect()
     }
     assert got == want
+
+
+def test_personalized_pagerank_semantics(spark):
+    """Seeds-only teleport: (a) with seeds = ALL nodes, PPR equals
+    global PageRank exactly; (b) with one seed on a symmetrized graph,
+    total mass conserves and the seed outranks symmetric non-seeds;
+    (c) seeds sharing no nodes with the graph refuse."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    allseeds = spark.createDataFrame([(1,), (2,), (3,)], "node int")
+    g = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    p = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5, sources=allseeds).collect()
+    }
+    assert g == p  # uniform seed set degenerates to global PageRank
+    one = spark.createDataFrame([(1,)], "node int")
+    pp = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=5, sources=one).collect()
+    }
+    assert sum(pp.values()) == pytest.approx(1.0, abs=1e-9)
+    assert pp[1] > pp[2] and pp[1] > pp[3]
+    assert pp[2] == pp[3]  # symmetric w.r.t. the seed
+    stranger = spark.createDataFrame([(99,)], "node int")
+    with pytest.raises(ValueError, match="share no nodes"):
+        pagerank(df, iterations=2, sources=stranger)
