@@ -1930,6 +1930,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_knn_classify"] = sim_knn_classify
+
+    def emb_split_leakage(spark, sf):
+        """Semantic split-leakage audit: undirected KNN pairs that
+        straddle the train/val/test hash split — the leakage the TEXT
+        near-dup audit (cur_split_leakage) cannot see (paraphrases
+        share no shingles but sit adjacent in embedding space). Same
+        md5-fraction split as curation.split_assign."""
+        return S.knn_split_leakage(
+            _t(spark, sf, "embeddings"), k=_TOPK,
+            n_planes=4, n_bands=8, dim=_EMB_DIM,
+        )
+
+    q["emb_split_leakage"] = emb_split_leakage
     # conformance pair: centroids pinned to the first-n-by-id model the
     # DuckDB oracle replays verbatim; the TRAINED path is sim_ivf_trained.
     # Models are memoized per sf dir: they are tiny deterministic
@@ -4611,6 +4624,27 @@ SELECT w.qid AS vec_id, e.label AS own_label, w.predicted_label,
   CAST(w.votes AS BIGINT) AS votes, CAST(w.k_found AS BIGINT) AS k_found
 FROM winner w JOIN embeddings e ON e.vec_id = w.qid
 WHERE w.rn = 1"""
+    _b_train, _b_val = repr(0.8), repr(0.8 + 0.1)
+    o["emb_split_leakage"] = f"""
+WITH {_knn_core_sql},
+nn AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS pa,
+    greatest(query_id, neighbor_id) AS pb
+  FROM r WHERE rnk <= {_TOPK}),
+sp AS (
+  SELECT vec_id,
+    CASE WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 < {_b_train} THEN 'train'
+         WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 < {_b_val} THEN 'val'
+         ELSE 'test' END AS split
+  FROM embeddings)
+SELECT least(sa.split, sb.split) AS split_a,
+  greatest(sa.split, sb.split) AS split_b,
+  COUNT(*) AS n_pairs,
+  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
+FROM nn JOIN sp sa ON sa.vec_id = nn.pa JOIN sp sb ON sb.vec_id = nn.pb
+GROUP BY 1, 2, 4"""
     o["sim_knn_recall"] = f"""
 WITH {_knn_core_sql},
 approx AS (

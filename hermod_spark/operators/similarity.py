@@ -1853,3 +1853,69 @@ def knn_classify(
         F.col("votes").cast("bigint").alias("votes"),
         F.col("k_found").cast("bigint").alias("k_found"),
     )
+
+
+def knn_split_leakage(
+    embeddings: DataFrame,
+    k: int = 5,
+    *,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    weights: dict[str, float] | None = None,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SEMANTIC eval-hygiene audit: k-nearest-neighbor pairs that
+    straddle the train/val/test boundary — the leakage
+    `curation.split_leakage`'s TEXT near-dup candidates cannot see
+    (paraphrases and translations share no shingles but sit adjacent
+    in embedding space; they leak eval answers just the same). Output
+    one row per (split_a, split_b) with the undirected pair count,
+    same-split pairs included as the baseline, `is_leak` on
+    cross-split rows.
+
+    Scale shape: pairs come from :func:`knn_join` (banded sign-LSH +
+    exact rerank, never all-pairs), de-duplicated to undirected form
+    scan-side (query < neighbor); split labels are the SAME
+    deterministic md5-fraction hash `curation.split_assign` uses, so
+    this audit and the text audit disagree only where the MODALITY
+    disagrees; the rollup is ≤ |splits|² rows."""
+    from hermod_spark.operators.curation import split_assign
+
+    # undirected adjacency: a pair leaks if EITHER side lists the
+    # other in its top-k — least/greatest + distinct (a bare
+    # query<neighbor filter would drop pairs only the higher id sees)
+    nn = (
+        knn_join(
+            embeddings, k, n_planes=n_planes, n_bands=n_bands, seed=seed,
+            id_col=id_col, vec_col=vec_col, dim=dim, max_bucket=max_bucket,
+        )
+        .select(
+            F.least("query_id", "neighbor_id").alias("_pa"),
+            F.greatest("query_id", "neighbor_id").alias("_pb"),
+        )
+        .distinct()
+    )
+    labeled = split_assign(
+        embeddings.select(id_col), id_col, weights
+    ).select(F.col(id_col), F.col("split"))
+    a = labeled.select(
+        F.col(id_col).alias("_pa"), F.col("split").alias("_sa")
+    )
+    b = labeled.select(
+        F.col(id_col).alias("_pb"), F.col("split").alias("_sb")
+    )
+    return (
+        nn.join(a, "_pa")
+        .join(b, "_pb")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )

@@ -782,3 +782,39 @@ def test_knn_recall_floor_on_fixture_corpus(spark):
     )
     mean = rc.agg(F.avg("recall")).first()[0]
     assert mean >= 0.6
+
+
+def test_knn_split_leakage_counts_undirected_pairs(spark):
+    """The audit counts each undirected KNN adjacency ONCE (including
+    pairs only the higher id lists), splits sum to the distinct pair
+    count, and is_leak flags exactly the cross-split rows."""
+    from hermod_spark.operators.curation import split_assign
+    from hermod_spark.operators.similarity import (
+        knn_join,
+        knn_split_leakage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) * 0.05]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    kw = dict(k=3, n_planes=2, n_bands=4, dim=2)
+    out = knn_split_leakage(df, **kw).collect()
+    pairs = {
+        (min(r["query_id"], r["neighbor_id"]),
+         max(r["query_id"], r["neighbor_id"]))
+        for r in knn_join(df, **kw).collect()
+    }
+    assert sum(r["n_pairs"] for r in out) == len(pairs)
+    splits = {
+        r["vec_id"]: r["split"]
+        for r in split_assign(df.select("vec_id"), "vec_id").collect()
+    }
+    want = {}
+    for a, b in pairs:
+        key = tuple(sorted((splits[a], splits[b])))
+        want[key] = want.get(key, 0) + 1
+    got = {(r["split_a"], r["split_b"]): r["n_pairs"] for r in out}
+    assert got == want
+    for r in out:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
