@@ -201,6 +201,14 @@ BASELINE = {
     # → 1 measured 10.3 → 7.4 s), rank-window top-k per query
     "sim_knn_join": 7.5,
     "sim_knn_recall": 4.2,
+    # r12 graph family additions: hop-bounded Bellman-Ford, oriented
+    # wedge triangles over the near-dup graph, seed-teleport pagerank,
+    # and the distributed star-contraction CC (O(log d) rounds, eager
+    # per-half-round checkpoints dominate at this edge volume)
+    "rel_sssp": 5.1,
+    "dedup_triangles": 2.1,
+    "rel_pagerank_personal": 4.0,
+    "rel_components": 5.6,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -525,6 +533,10 @@ HEADLINE = [
     "rel_cooccurrence_weighted",
     "sim_knn_join",
     "sim_knn_recall",
+    "rel_sssp",
+    "dedup_triangles",
+    "rel_pagerank_personal",
+    "rel_components",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
