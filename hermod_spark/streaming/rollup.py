@@ -112,6 +112,14 @@ def _write_meta(spark: SparkSession, state_dir: str, meta: dict) -> None:
     fs, jroot, jvm = _hadoop_fs(spark, state_dir)
     fs.mkdirs(jroot)
     pid = os.getpid()
+    # sweep dead staging files from crashed prior writers — under the
+    # SINGLE-WRITER contract any pre-existing stage is an orphan (a
+    # live writer's stage only exists between its create and rename,
+    # and there is exactly one writer: this one)
+    for status in fs.listStatus(jroot):
+        nm = str(status.getPath().getName())
+        if nm.startswith(f".stage-{_META}-"):
+            fs.delete(status.getPath(), False)
     stage = _jpath(jvm, jroot, f".stage-{_META}-{pid}")
     out = fs.create(stage, True)
     try:
