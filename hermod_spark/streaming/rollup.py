@@ -223,7 +223,9 @@ def rollup_maintenance_sink(
             },
         )
         # prune generations beyond the keep window (newest first);
-        # named generations sort by batch id by construction
+        # sort by the PARSED batch id, not the name — zero-padding is
+        # 9 digits and a batch_id >= 10^9 would mis-sort a
+        # lexicographic compare and delete the live generation
         fs, jroot, jvm = _hadoop_fs(spark, state_dir)
         gens = sorted(
             (
@@ -231,6 +233,7 @@ def rollup_maintenance_sink(
                 for s in fs.listStatus(jroot)
                 if str(s.getPath().getName()).startswith("gen-")
             ),
+            key=lambda name: int(name[4:]),
             reverse=True,
         )
         for stale in gens[keep_generations:]:

@@ -496,3 +496,115 @@ def test_personalized_pagerank_semantics(spark):
     stranger = spark.createDataFrame([(99,)], "node int")
     with pytest.raises(ValueError, match="share no nodes"):
         pagerank(df, iterations=2, sources=stranger)
+
+
+def test_weighted_guards_reject_bad_weights(spark):
+    """ADVICE r12: every weighted path enforces the non-negative
+    contract. pagerank / label_propagation refuse at call time (the
+    guard rides their localCheckpoint); neighbor_jaccard is fully
+    lazy, so the violation surfaces at execution; zero out-weight
+    sums (rank mass would vanish as null) also refuse; and
+    validate_weights=False skips the guard entirely."""
+    from hermod_spark.operators.graph import (
+        label_propagation,
+        neighbor_jaccard,
+    )
+
+    neg = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, -0.5)], "src int, dst int, w double"
+    )
+    with pytest.raises(ValueError, match="negative edge weight"):
+        pagerank(neg, iterations=1, weight="w")
+    with pytest.raises(ValueError, match="negative edge weight"):
+        label_propagation(neg, iterations=1, weight="w")
+    with pytest.raises(Exception, match="negative edge weight"):
+        neighbor_jaccard(neg, weight="w").collect()
+
+    nullw = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, None)], "src int, dst int, w double"
+    )
+    with pytest.raises(ValueError, match="negative edge weight"):
+        pagerank(nullw, iterations=1, weight="w")
+
+    zerosum = spark.createDataFrame(
+        [(1, 2, 0.0), (1, 3, 0.0), (2, 3, 1.0)], "src int, dst int, w double"
+    )
+    with pytest.raises(ValueError, match="negative edge weight"):
+        pagerank(zerosum, iterations=1, weight="w")
+
+    # skip path: the guard is genuinely off — a negative weight flows
+    # through and corrupts ranks instead of refusing (the documented
+    # validate_weights=False contract); zero out-weight sums under
+    # ANSI mode surface as Spark's own DIVIDE_BY_ZERO instead
+    got = pagerank(
+        neg, iterations=1, weight="w", validate_weights=False
+    ).collect()
+    assert len(got) == 3
+
+
+def test_weighted_guard_passes_valid_weights_unchanged(spark):
+    """The guard is value-transparent: weighted results with the
+    default guard equal validate_weights=False bit-for-bit."""
+    from hermod_spark.operators.graph import (
+        label_propagation,
+        neighbor_jaccard,
+        weighted_sssp,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0), (1, 3, 0.5), (3, 1, 4.0)],
+        "src int, dst int, w double",
+    )
+    for fn, kw in [
+        (pagerank, dict(iterations=3, weight="w")),
+        (label_propagation, dict(iterations=2, weight="w")),
+        (neighbor_jaccard, dict(weight="w")),
+    ]:
+        a = sorted(map(tuple, fn(e, **kw).collect()))
+        b = sorted(map(tuple, fn(e, **kw, validate_weights=False).collect()))
+        assert a == b
+    seeds = spark.createDataFrame([(1,)], "node int")
+    a = sorted(map(tuple, weighted_sssp(e, seeds, weight="w").collect()))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sssp(
+                e, seeds, weight="w", validate_weights=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_weighted_sssp_guard_is_not_an_extra_pass(spark):
+    """VERDICT r12 #3: negative-weight validation is folded into the
+    edge checkpoint — plan construction runs exactly the jobs the
+    unvalidated path runs (no second full-edge aggregate)."""
+    from hermod_spark.operators.graph import weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0)], "src int, dst int, w double"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    def jobs_during(fn):
+        # nextJobId is the DAGScheduler's monotonically-increasing
+        # job counter — py4j unwraps the AtomicInteger to an int
+        sched = spark.sparkContext._jsc.sc().dagScheduler()
+        before = sched.nextJobId().get() if hasattr(
+            sched.nextJobId(), "get"
+        ) else sched.nextJobId()
+        fn()
+        after = sched.nextJobId().get() if hasattr(
+            sched.nextJobId(), "get"
+        ) else sched.nextJobId()
+        return after - before
+
+    n_guarded = jobs_during(
+        lambda: weighted_sssp(e, seeds, weight="w", max_hops=2)
+    )
+    n_plain = jobs_during(
+        lambda: weighted_sssp(
+            e, seeds, weight="w", max_hops=2, validate_weights=False
+        )
+    )
+    assert n_guarded == n_plain

@@ -173,3 +173,27 @@ def test_rollup_stream_restart_e2e(spark, tmp_path):
     assert _served_rows(serve_rollup_state(spark, state)) == _served_rows(
         _direct_serve(ev)
     )
+
+
+def test_rollup_gen_prune_sorts_numerically_past_padding(spark, tmp_path):
+    """ADVICE r12: generation names are zero-padded to 9 digits; a
+    batch_id >= 10^9 overflows the padding and a LEXICOGRAPHIC prune
+    would mis-sort (\"gen-1000000000\" < \"gen-999999999\") and delete
+    the live generation. The prune sorts by the parsed integer, so
+    the numerically-newest generations survive and the served state
+    stays exactly the from-scratch rollup."""
+    state = str(tmp_path / "state")
+    ev = _events(spark)
+    fn = rollup_maintenance_sink(state)
+    # three commits straddling the 9-digit padding boundary; keep=2
+    # must retain {10**9, 10**9 + 1}, prune 999_999_999
+    for bid in (999_999_999, 10**9, 10**9 + 1):
+        fn(ev.filter(F.col("event_id") % 3 == bid % 3), bid)
+    gens = sorted(
+        n for n in os.listdir(state) if n.startswith("gen-")
+    )
+    assert gens == [f"gen-{10**9:09d}", f"gen-{10**9 + 1:09d}"]
+    meta = _read_meta(spark, state)
+    assert meta["generation"] == f"gen-{10**9 + 1:09d}"
+    got = _served_rows(serve_rollup_state(spark, state))
+    assert got == _served_rows(_direct_serve(ev))
