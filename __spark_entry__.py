@@ -291,6 +291,26 @@ _DEDUP_INDEX_CACHE: dict[str, str] = {}
 # sweep run); replayed batch ids skip via the exactly-once meta, so
 # reuse is deterministic
 _ROLLUP_STATE_CACHE: dict[str, str] = {}
+# per-process persisted text-index paths (build+extend once, serve many)
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
+    """Index-served BM25 over ``docs``: build 2/3 + extend 1/3 into a
+    process-cached persisted index (the `_DEDUP_INDEX_CACHE` idiom),
+    then serve the fixed panel — the ONE body behind the
+    `text_bm25_indexed` entry query and bench's 10× serve probe."""
+    from hermod_spark.operators import textindex as TI
+
+    if key not in _TEXT_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
+        TI.build_text_index(docs.filter(F.col("doc_id") % 3 != 2), path)
+        TI.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+        _TEXT_INDEX_CACHE[key] = path
+    idx = TI.load_text_index(docs.sparkSession, _TEXT_INDEX_CACHE[key])
+    return TI.bm25_topk_indexed(idx, BM25_QUERIES, k=10)
 
 
 def dedup_index_path_of(corpus: DataFrame, key: str) -> str:
@@ -2151,6 +2171,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retrieval / targeted-audit primitive. Term-filter-before-shuffle.
     q["text_bm25"] = lambda spark, sf: textops.bm25_topk(
         _t(spark, sf, "documents"), BM25_QUERIES, k=10
+    )
+
+    # BM25 served from the PERSISTED inverted index (VERDICT r12 #1):
+    # built once per process from 2/3 of the corpus and EXTENDED with
+    # the remaining third (one delta generation), so the driver gate
+    # exercises build + extend + serve; the oracle is the direct-
+    # recompute SQL — equality proves the index IS the corpus. The
+    # serve plan scans only postings (token-clustered, query-term IN
+    # pushed down) and doclens; the documents table is never read
+    # (plan-gated in tests/test_textindex.py).
+    q["text_bm25_indexed"] = lambda spark, sf: bm25_indexed_of(
+        _t(spark, sf, "documents"), key=f"text-index:{sf}"
     )
 
     # --- training-data curation ---------------------------------------
@@ -4916,6 +4948,7 @@ r AS (SELECT *, ROW_NUMBER() OVER (
       FROM sc)
 SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 10"""
+    o["text_bm25_indexed"] = o["text_bm25"]
     o["cur_chunks"] = f"""
 WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
 n AS (SELECT doc_id, tk,

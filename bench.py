@@ -209,6 +209,8 @@ BASELINE = {
     "dedup_triangles": 2.1,
     "rel_pagerank_personal": 4.0,
     "rel_components": 5.6,
+    # r13 pins (isolated best-of-5 medians on an idle box)
+    "text_bm25_indexed": 1.5,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -537,6 +539,8 @@ HEADLINE = [
     "dedup_triangles",
     "rel_pagerank_personal",
     "rel_components",
+    # added r13
+    "text_bm25_indexed",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -630,6 +634,12 @@ SCALE10X = [
     # the claim is that candidate volume per query stays flat when
     # n_planes tracks log2(N)
     "sim_knn_join",
+    # r13: index-SERVED BM25 over a pre-built 10× index (unrotated
+    # copies — query-term postings grow honestly 10×): the serve cost
+    # must track matched postings, never the corpus (build+extend are
+    # pre-warmed outside the timed body, as the persisted artifact
+    # they are)
+    "text_bm25_indexed",
 ]
 
 
@@ -818,6 +828,9 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     emb10.count()
     docs10p.count()
     cust10.count()
+    # build+extend the 10× text index ONCE here (it is a persisted
+    # artifact — the probe times SERVE, the claim that matters)
+    E.bm25_indexed_of(docs10p, key="bm25-10x").count()
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
@@ -928,6 +941,10 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # (5000/16 ≈ 312 → 50000/128 ≈ 390), keeping candidates/query
         # flat while the query count grows 10×
         "sim_knn_join": lambda: _knn10(emb10),
+        # index pre-built in the warm block above; this times serve
+        "text_bm25_indexed": lambda: E.bm25_indexed_of(
+            docs10p, key="bm25-10x"
+        ),
     }
 
     def _cooccurrence10():

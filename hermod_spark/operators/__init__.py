@@ -7,6 +7,7 @@ from hermod_spark.operators import (  # noqa: F401
     relational,
     similarity,
     sketches,
+    textindex,
     textops,
     transforms,
 )

@@ -1,0 +1,260 @@
+"""Persisted inverted-text index: BM25 retrieval without corpus scans.
+
+``textops.bm25_topk`` recomputes postings, document lengths, and df
+from raw text on every run — fine for one ad-hoc panel, wrong at
+100 TB where retrieval is a standing service and the INDEX is the
+artifact (VERDICT r12 next-round #1), exactly as the persisted LSH
+corpus index already is for dedup (``dedup.save_dedup_index``).
+
+Index layout (delta generations under one root, committed by the
+shared atomic-meta idiom in ``hermod_spark.state``)::
+
+    <path>/_text_index_meta.json      # {"generations": [...], "seq": n}
+    <path>/gen-000000000/postings/    # (tok, doc_id, tf, dl) parquet
+    <path>/gen-000000000/doclens/     # (doc_id, dl) parquet
+    <path>/gen-000000001/...          # one delta per admitted snapshot
+
+Design decisions, each a 100 TB posture:
+
+- **Deltas, not rewrites.** ``extend_text_index`` tokenizes and
+  writes ONLY the admitted snapshot's postings as a new generation —
+  O(snapshot) work with the existing index untouched (the
+  ``dedup_incremental_index`` discipline: the index is never
+  rebuilt). Generations are doc-disjoint by construction (ids already
+  indexed are anti-joined away, which also makes a crashed extend's
+  re-run idempotent), so the logical index is a plain multi-path
+  parquet read — no merge aggregation on the serve path.
+  ``compact_text_index`` folds the chain back to one generation when
+  the file count warrants it.
+- **dl denormalized into postings.** BM25's length normalization
+  needs dl per (doc, term); carrying it in the posting row costs one
+  long per posting and saves the serve path an N-row doclens join.
+- **Postings clustered by token.** Each generation's postings are
+  repartitioned on ``tok`` and sorted within partitions, so the
+  serve-side ``tok IN (…)`` literal predicate (the query panel is a
+  driver-side list) pushes into the parquet scan and row-group
+  min/max statistics skip everything but the query terms' slivers —
+  the inverted-index access path, expressed as parquet + pushdown.
+- **Readers never blocked.** Committed generations are immutable and
+  the meta swap is rename-aside atomic (``hermod_spark.state``), the
+  versioned-pointer answer to the reader-outage window documented on
+  ``extend_dedup_index``. A crash between generation write and meta
+  commit leaves an unreferenced orphan directory the re-run
+  overwrites; a vanished meta over committed generations REFUSES
+  rather than serving an empty index.
+
+Serve (``bm25_topk_indexed``) matches ``textops.bm25_topk``
+bit-for-bit: both paths share the query tokenization and the scoring
+tail (``textops.bm25_query_terms`` / ``bm25_score_rank``), df comes
+from a window over the candidate postings exactly as the direct form
+computes it, and corpus stats (N, avgdl) aggregate the doclens tables
+— index-sized input, identical values. The raw documents table is
+never touched (plan-gated in tests: zero FileScan of the corpus).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hermod_spark import state as S
+from hermod_spark.functions import text as X
+from hermod_spark.operators.textops import bm25_query_terms, bm25_score_rank
+
+_META = "_text_index_meta.json"
+_EMPTY = {"generations": [], "seq": -1}
+_CTX = "text index"
+
+
+def _components(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for one document batch: tokenize ONCE per
+    row (the scan's CPU cost), then explode → (doc, term) counts.
+    Docs that tokenize to nothing still appear in doclens (they count
+    in N and avgdl, exactly as the direct path's corpus agg counts
+    them) but emit no postings."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.lower(F.col(text_col))).alias("_tk"),
+    )
+    doclens = base.select("doc_id", F.size("_tk").alias("dl"))
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("_tk").alias("dl"),
+            F.explode_outer("_tk").alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    return postings, doclens
+
+
+def _write_generation(
+    spark: SparkSession, root: str, gen: str, postings: DataFrame,
+    doclens: DataFrame,
+) -> None:
+    """One immutable generation dir; mode=overwrite because a crashed
+    prior attempt of the SAME seq may have left a partial orphan that
+    was never referenced by meta. Postings cluster by token so the
+    serve-side IN-predicate prunes row groups."""
+    gdir = os.path.join(root, gen)
+    (
+        postings.repartition(F.col("tok"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(gdir, "postings"))
+    )
+    doclens.write.mode("overwrite").parquet(os.path.join(gdir, "doclens"))
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Create the index at ``path`` from the corpus — generation 0 +
+    meta commit. Refuses over an existing committed index (use
+    :func:`extend_text_index` to admit more documents)."""
+    spark = df.sparkSession
+    meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
+    if meta["generations"]:
+        raise IOError(
+            f"text index at {path!r} already has committed generations "
+            f"{meta['generations']} — extend_text_index admits new docs"
+        )
+    postings, doclens = _components(df, text_col, id_col)
+    gen = S.gen_name(0)
+    _write_generation(spark, path, gen, postings, doclens)
+    S.write_meta(spark, path, _META, {"generations": [gen], "seq": 0})
+
+
+def load_text_index(spark: SparkSession, path: str) -> dict:
+    """{"postings", "doclens", "meta", "path"} over the committed
+    generation chain — one multi-path parquet read per component
+    (generations are doc-disjoint, so the union IS the index)."""
+    meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
+    if not meta["generations"]:
+        raise IOError(f"text index at {path!r} has no committed data")
+    pdirs = [os.path.join(path, g, "postings") for g in meta["generations"]]
+    ddirs = [os.path.join(path, g, "doclens") for g in meta["generations"]]
+    return {
+        "postings": spark.read.parquet(*pdirs),
+        "doclens": spark.read.parquet(*ddirs),
+        "meta": meta,
+        "path": path,
+    }
+
+
+def extend_text_index(
+    new_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_before_commit: Callable[[int], None] | None = None,
+) -> int:
+    """Admit a snapshot into the index: tokenize the NEW docs only,
+    write them as one delta generation, commit the meta pointer.
+    Returns the number of docs added.
+
+    O(snapshot): the existing index contributes nothing but an
+    anti-join of its doclens ids (index-sized, never corpus-text-
+    sized) to drop already-indexed docs — which also makes the extend
+    idempotent under crash-re-run and redelivery (the admitted set of
+    a replay is empty or identical, and the orphan generation a crash
+    left behind is overwritten before the meta ever names it).
+    SINGLE WRITER per index, the standard maintenance contract.
+    ``on_before_commit`` is the test seam between generation write
+    and meta commit — raising there simulates the worst-case crash
+    window."""
+    spark = new_df.sparkSession
+    idx = load_text_index(spark, path)
+    meta = idx["meta"]
+    fresh = new_df.join(
+        idx["doclens"].select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    postings, doclens = _components(fresh, text_col, id_col)
+    # the delta is snapshot-sized: checkpoint once so the add-count
+    # and the generation write share one tokenization pass
+    doclens = doclens.localCheckpoint()
+    n_added = doclens.count()
+    seq = meta["seq"] + 1
+    gen = S.gen_name(seq)
+    _write_generation(spark, path, gen, postings, doclens)
+    if on_before_commit is not None:
+        on_before_commit(seq)
+    S.write_meta(
+        spark,
+        path,
+        _META,
+        {"generations": meta["generations"] + [gen], "seq": seq},
+    )
+    return n_added
+
+
+def compact_text_index(path: str, spark: SparkSession) -> int:
+    """Fold the generation chain into one generation (read the union,
+    rewrite clustered by token, point meta at the new generation,
+    prune the old chain). Returns the number of generations folded.
+    Run off the serve path on whatever cadence keeps the chain short
+    — readers are never blocked (old generations stay intact until
+    the meta swap commits, then prune)."""
+    idx = load_text_index(spark, path)
+    meta = idx["meta"]
+    if len(meta["generations"]) <= 1:
+        return 0
+    seq = meta["seq"] + 1
+    gen = S.gen_name(seq)
+    _write_generation(spark, path, gen, idx["postings"], idx["doclens"])
+    S.write_meta(spark, path, _META, {"generations": [gen], "seq": seq})
+    S.prune_generations(spark, path, 1, protect={gen})
+    return len(meta["generations"])
+
+
+def bm25_topk_indexed(
+    index: dict,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served FROM the persisted index — same contract and
+    bit-identical scores as ``textops.bm25_topk`` (shared query
+    tokenization and scoring tail), but the only scans are:
+
+    - postings, pruned to the query terms by a literal ``IN``
+      predicate pushed into the parquet scan (the panel is a
+      driver-side list — row-group stats skip every non-matching
+      sliver of the token-clustered files);
+    - doclens, one index-sized aggregate for (N, avgdl).
+
+    The raw corpus is never read — k1/b/k stay serve-time parameters
+    because postings are statistic-free (no rebuild to retune)."""
+    if not queries:
+        raise ValueError("bm25_topk_indexed: queries must be non-empty")
+    spark = index["postings"].sparkSession
+    qterms, term_list = bm25_query_terms(spark, queries)
+    tf = index["postings"].filter(F.col("tok").isin(term_list))
+    # df per term over the candidate postings — these rows ARE the
+    # distinct (doc, term) pairs, exactly the direct form's window
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    stats = index["doclens"].agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    out = bm25_score_rank(tf, qterms, stats, k=k, k1=k1, b=b, id_col="doc_id")
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

@@ -952,15 +952,7 @@ def bm25_topk(
     """
     if not queries:
         raise ValueError("bm25_topk: queries must be non-empty")
-    spark = df.sparkSession
-    qterm_rows = []
-    for qid, qtext in queries:
-        seen = set()
-        for t in qtext.strip().lower().split():
-            if t and t not in seen:
-                seen.add(t)
-                qterm_rows.append((int(qid), t))
-    qterms = spark.createDataFrame(qterm_rows, "query_id INT, term STRING")
+    qterms, _ = bm25_query_terms(df.sparkSession, queries)
     terms = qterms.select(F.col("term").alias("tok")).distinct()
 
     # Tokenize ONCE per row (the split is the scan's CPU cost; naming
@@ -989,7 +981,41 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(X.token_count(F.lower(F.col(text_col)))).alias("avgdl"),
     )
+    return bm25_score_rank(tf, qterms, stats, k=k, k1=k1, b=b, id_col=id_col)
 
+
+def bm25_query_terms(spark, queries: list[tuple[int, str]]):
+    """(qterms frame, sorted distinct term list) from a query panel —
+    whitespace-split, lowered, per-query deduped; shared by the
+    direct :func:`bm25_topk` and the persisted-index serve
+    (``textindex.bm25_topk_indexed``) so both retrievals tokenize
+    queries identically."""
+    qterm_rows = []
+    for qid, qtext in queries:
+        seen = set()
+        for t in qtext.strip().lower().split():
+            if t and t not in seen:
+                seen.add(t)
+                qterm_rows.append((int(qid), t))
+    qterms = spark.createDataFrame(qterm_rows, "query_id INT, term STRING")
+    return qterms, sorted({t for _, t in qterm_rows})
+
+
+def bm25_score_rank(
+    tf: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The BM25 scoring + top-k tail over a candidate-postings frame
+    ``tf`` = (id_col, tok, tf, dl, df) with corpus ``stats`` =
+    1×(n_docs, avgdl). ONE expression shared by the direct and
+    index-served paths, so their scores are definitionally identical
+    (the bit-for-bit equality `text_bm25_indexed` is gated on)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

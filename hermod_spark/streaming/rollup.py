@@ -47,13 +47,12 @@ universe, exactly like the reference's materialized rollup table.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hermod_spark.operators.dedup import _hadoop_fs
+from hermod_spark import state as S
 from hermod_spark.operators.relational import (
     merge_rollups,
     rollup_partials,
@@ -61,83 +60,23 @@ from hermod_spark.operators.relational import (
 )
 
 _META = "_rollup_meta.json"
-
-
-def _jpath(jvm, parent, name: str):
-    return jvm.org.apache.hadoop.fs.Path(parent, name)
+_EMPTY = {"generation": None, "previous": None, "last_batch_id": -1}
 
 
 def _read_meta(spark: SparkSession, state_dir: str) -> dict:
-    """Current commit state: {"generation", "previous", "last_batch_id"}.
-
-    Missing meta + existing generations (or a ``.old-…`` aside) means
-    a crashed meta swap — raise with the recovery rename rather than
-    silently treating committed state as empty (which would re-merge
-    every replayed batch)."""
-    fs, jroot, jvm = _hadoop_fs(spark, state_dir)
-    meta_path = _jpath(jvm, jroot, _META)
-    if fs.exists(meta_path):
-        stream = fs.open(meta_path)
-        try:
-            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        return json.loads(raw)
-    if fs.exists(jroot):
-        leftovers = [
-            str(s.getPath().getName()) for s in fs.listStatus(jroot)
-        ]
-        asides = [n for n in leftovers if n.startswith(f".old-{_META}-")]
-        gens = [n for n in leftovers if n.startswith("gen-")]
-        if asides:
-            raise IOError(
-                f"rollup state at {state_dir!r} has no {_META} but a "
-                f"crashed swap left {asides[0]!r} — rename it back to "
-                f"{_META!r} to recover the committed state"
-            )
-        if gens:
-            raise IOError(
-                f"rollup state at {state_dir!r} has generations {gens} "
-                f"but no {_META} and no recovery aside — refusing to "
-                f"restart from empty state over committed data"
-            )
-    return {"generation": None, "previous": None, "last_batch_id": -1}
+    """Current commit state: {"generation", "previous", "last_batch_id"}
+    via the shared versioned-state machinery (``hermod_spark.state``,
+    factored out r13 when the text index adopted the same idiom) —
+    missing meta over committed generations refuses rather than
+    silently re-merging every replayed batch."""
+    return S.read_meta(spark, state_dir, _META, "rollup state", _EMPTY)
 
 
 def _write_meta(spark: SparkSession, state_dir: str, meta: dict) -> None:
-    """Rename-aside meta replace (HDFS has no atomic overwrite): new
-    content lands under a staging name, the live meta moves aside,
-    staging renames in, aside deletes. Crash between the renames is
-    recoverable via the ``.old-…`` file `_read_meta` points at."""
-    fs, jroot, jvm = _hadoop_fs(spark, state_dir)
-    fs.mkdirs(jroot)
-    pid = os.getpid()
-    # sweep dead staging files from crashed prior writers — under the
-    # SINGLE-WRITER contract any pre-existing stage is an orphan (a
-    # live writer's stage only exists between its create and rename,
-    # and there is exactly one writer: this one)
-    for status in fs.listStatus(jroot):
-        nm = str(status.getPath().getName())
-        if nm.startswith(f".stage-{_META}-"):
-            fs.delete(status.getPath(), False)
-    stage = _jpath(jvm, jroot, f".stage-{_META}-{pid}")
-    out = fs.create(stage, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        out.close()
-    live = _jpath(jvm, jroot, _META)
-    old = _jpath(jvm, jroot, f".old-{_META}-{pid}")
-    if fs.exists(live):
-        if not fs.rename(live, old):
-            raise IOError(f"rollup meta rename-aside failed in {state_dir!r}")
-    if not fs.rename(stage, live):
-        raise IOError(
-            f"rollup meta swap-in failed in {state_dir!r}; previous meta "
-            f"preserved at {old.toString()!r} — rename it back to recover"
-        )
-    if fs.exists(old):
-        fs.delete(old, False)
+    """Rename-aside meta replace — the shared idiom in
+    ``hermod_spark.state`` (crash between the renames is recoverable
+    via the ``.old-…`` file `_read_meta` points at)."""
+    S.write_meta(spark, state_dir, _META, meta)
 
 
 def load_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -222,21 +161,9 @@ def rollup_maintenance_sink(
                 "last_batch_id": batch_id,
             },
         )
-        # prune generations beyond the keep window (newest first);
-        # sort by the PARSED batch id, not the name — zero-padding is
-        # 9 digits and a batch_id >= 10^9 would mis-sort a
-        # lexicographic compare and delete the live generation
-        fs, jroot, jvm = _hadoop_fs(spark, state_dir)
-        gens = sorted(
-            (
-                str(s.getPath().getName())
-                for s in fs.listStatus(jroot)
-                if str(s.getPath().getName()).startswith("gen-")
-            ),
-            key=lambda name: int(name[4:]),
-            reverse=True,
-        )
-        for stale in gens[keep_generations:]:
-            fs.delete(_jpath(jvm, jroot, stale), True)
+        # prune generations beyond the keep window — integer-sorted
+        # (a batch_id >= 10^9 overflows the 9-digit zero padding and
+        # a lexicographic compare would delete the live generation)
+        S.prune_generations(spark, state_dir, keep_generations)
 
     return _fn
