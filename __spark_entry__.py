@@ -293,6 +293,7 @@ _DEDUP_INDEX_CACHE: dict[str, str] = {}
 _ROLLUP_STATE_CACHE: dict[str, str] = {}
 # per-process persisted text-index paths (build+extend once, serve many)
 _TEXT_INDEX_CACHE: dict[str, str] = {}
+_ANN_INDEX_CACHE: dict[str, str] = {}
 
 
 def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
@@ -311,6 +312,30 @@ def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
         _TEXT_INDEX_CACHE[key] = path
     idx = TI.load_text_index(docs.sparkSession, _TEXT_INDEX_CACHE[key])
     return TI.bm25_topk_indexed(idx, BM25_QUERIES, k=10)
+
+
+def knn_incremental_of(emb: DataFrame, key: str) -> DataFrame:
+    """Incremental KNN through the persisted ANN band index: corpus =
+    vec_id % 10 != 7 (saved 2/3 + extended 1/3, cached per process),
+    snapshot = the %10==7 slice served against it. ONE body behind
+    the `sim_knn_incremental` entry and bench's fixed-index 10×
+    snapshot probe. Banding matches sim_knn_join (4 planes × 8 OR'd
+    bands, seed 42) so the oracle replays the same bucket SQL."""
+    if key not in _ANN_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hermod-ann-idx-") + "/index"
+        corpus = emb.filter(F.col("vec_id") % 10 != 7)
+        S.save_ann_index(
+            corpus.filter(F.col("vec_id") % 3 != 1), path,
+            n_planes=4, n_bands=8, dim=_EMB_DIM,
+        )
+        S.extend_ann_index(corpus.filter(F.col("vec_id") % 3 == 1), path)
+        _ANN_INDEX_CACHE[key] = path
+    idx = S.load_ann_index(emb.sparkSession, _ANN_INDEX_CACHE[key])
+    return S.knn_join_incremental(
+        emb.filter(F.col("vec_id") % 10 == 7), idx, k=_TOPK
+    )
 
 
 def dedup_index_path_of(corpus: DataFrame, key: str) -> str:
@@ -1964,6 +1989,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_knn_classify"] = sim_knn_classify
+
+    # Incremental ANN serve (VERDICT r12 #2): the corpus banding is
+    # PERSISTED (built 2/3 + extended 1/3 through the process cache,
+    # so the driver gate exercises save + extend + serve); the
+    # snapshot (vec_id % 10 == 7) is the only thing banded at serve
+    # time. Equal to the full knn_join rebuild on (corpus ∪ snapshot)
+    # restricted to snapshot queries — the oracle replays exactly
+    # that (the shared knn core SQL + the query-id filter).
+    q["sim_knn_incremental"] = lambda spark, sf: knn_incremental_of(
+        _t(spark, sf, "embeddings"), key=f"ann-index:{sf}"
+    )
 
     def emb_split_leakage(spark, sf):
         """Semantic split-leakage audit: undirected KNN pairs that
@@ -4652,6 +4688,11 @@ r AS (
 WITH {_knn_core_sql}
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk
 FROM r WHERE rnk <= {_TOPK}"""
+    # incremental serve ≡ full rebuild restricted to snapshot queries
+    o["sim_knn_incremental"] = f"""
+WITH {_knn_core_sql}
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk
+FROM r WHERE rnk <= {_TOPK} AND query_id % 10 = 7"""
     o["sim_knn_classify"] = f"""
 WITH {_knn_core_sql},
 nn AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {_TOPK}),

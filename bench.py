@@ -198,9 +198,12 @@ BASELINE = {
     "rel_cooccurrence_weighted": 2.9,
     # KNN self-join (r12): banded sign-LSH candidates (bare-id-pair
     # distinct), single-fold dot rerank with scan-side norms (3 folds
-    # → 1 measured 10.3 → 7.4 s), rank-window top-k per query
-    "sim_knn_join": 7.5,
-    "sim_knn_recall": 4.2,
+    # → 1 measured 10.3 → 7.4 s), rank-window top-k per query.
+    # Re-pinned r13 after the banding expression moved to ONE parsed
+    # SQL expression (the py4j per-plane construction cost ~3 s of
+    # driver time per plan build); isolated best-of-5 medians
+    "sim_knn_join": 4.1,
+    "sim_knn_recall": 2.4,
     # r12 graph family additions: hop-bounded Bellman-Ford, oriented
     # wedge triangles over the near-dup graph, seed-teleport pagerank,
     # and the distributed star-contraction CC (O(log d) rounds, eager
@@ -211,6 +214,9 @@ BASELINE = {
     "rel_components": 5.6,
     # r13 pins (isolated best-of-5 medians on an idle box)
     "text_bm25_indexed": 1.5,
+    "sim_knn_incremental": 3.3,
+    "sim_knn_classify": 4.3,
+    "emb_split_leakage": 3.9,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -541,6 +547,9 @@ HEADLINE = [
     "rel_components",
     # added r13
     "text_bm25_indexed",
+    "sim_knn_incremental",
+    "sim_knn_classify",
+    "emb_split_leakage",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -640,6 +649,15 @@ SCALE10X = [
     # pre-warmed outside the timed body, as the persisted artifact
     # they are)
     "text_bm25_indexed",
+    # r13: incremental ANN serve with the index FIXED (the sf0.1
+    # corpus banding, already built by the 1× entry runs) and a 10×
+    # snapshot. The banding is part of the index identity, so it
+    # CANNOT grow with log2(N) here like the knn_join probe's does —
+    # the snapshot-self pair leg is honestly quadratic per bucket and
+    # the expected per-row ratio sits near the 2× gate; past the
+    # recall/cost target the remedy is a re-banded rebuild, which is
+    # the documented persisted-ANN trade-off
+    "sim_knn_incremental",
 ]
 
 
@@ -944,6 +962,11 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # index pre-built in the warm block above; this times serve
         "text_bm25_indexed": lambda: E.bm25_indexed_of(
             docs10p, key="bm25-10x"
+        ),
+        # FIXED sf0.1 corpus index (cache key = SF_DIR — built by the
+        # 1× entry runs), 10× snapshot side
+        "sim_knn_incremental": lambda: E.knn_incremental_of(
+            emb10, key=f"ann-index:{SF_DIR}"
         ),
     }
 

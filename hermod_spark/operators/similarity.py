@@ -108,10 +108,18 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit j = sign(vec · plane_j). Planes are
     literal arrays → constant-folded; per-row work is n_planes JVM dot
-    products."""
+    products.
+
+    Each plane is ONE ``F.lit(list)`` array literal, not an
+    ``F.array`` of per-element lits: the per-element form cost 64
+    py4j round-trips per plane, and at 8 bands × 4 planes the DRIVER
+    spent ~3 s just constructing the expression tree on every plan
+    build (measured r13 — the dominant cost of the incremental-KNN
+    serve, whose data side is snapshot-sized). The literal value, the
+    optimized plan, and the oracle arithmetic are identical."""
     bucket = F.lit(0)
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
+        plane = F.lit([float(x) for x in p])
         bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -1618,6 +1626,44 @@ def load_ann_model(spark, path: str) -> dict:
 # ------------------------------------------------------------- KNN self-join
 
 
+def _dot_literal_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of :func:`dot` against a literal plane — identical
+    resolved expression (zip_with multiply + left-to-right aggregate),
+    but ONE parser call instead of ~50 ms of py4j per dot (the
+    `_ivf_dot_sql` discipline; measured r13 on the incremental-KNN
+    serve, where 32 Python-built dots cost ~3 s of DRIVER time per
+    plan while the data side is snapshot-sized)."""
+    arr = "array(" + ",".join(repr(x) + "D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_literal_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`lsh_bucket` (bit j = sign(vec · plane_j))."""
+    terms = [
+        f"(CASE WHEN {_dot_literal_sql(vec_sql, p)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "0 + " + " + ".join(terms)
+
+
+def banded_buckets(
+    vec_col: str, bands: list[list[list[float]]]
+) -> Column:
+    """array(bucket_band0, …, bucket_bandN) for all bands in ONE
+    parsed expression — value-identical to
+    ``F.array(*[lsh_bucket(vec_col, p) for p in bands])`` (pinned by
+    test) at ~1% of its construction cost."""
+    vec_sql = f"`{vec_col}`"
+    return F.expr(
+        "array(" + ",".join(_bucket_literal_sql(vec_sql, p) for p in bands) + ")"
+    )
+
+
 def band_hyperplanes(
     dim: int, n_planes: int = 8, n_bands: int = 4, seed: int = 42
 ) -> list[list[list[float]]]:
@@ -1690,9 +1736,7 @@ def knn_join(
         raise ValueError(f"knn_join: n_bands={n_bands} must be >= 1")
     dim = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     bands = band_hyperplanes(dim, n_planes, n_bands, seed)
-    buckets = F.array(
-        *[lsh_bucket(vec_col, planes) for planes in bands]
-    )
+    buckets = banded_buckets(vec_col, bands)
     # checkpointed: the band table feeds BOTH sides of the self-join —
     # without the cut, each side re-runs the n_bands × n_planes
     # hyperplane fold over the corpus, and the monolithic plan was
@@ -1918,4 +1962,289 @@ def knn_split_leakage(
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+# ----------------------------------------- persisted ANN band index
+#
+# knn_join re-bands the whole corpus per run; the growing-corpus
+# shape — a daily crawl queried against a frozen embedding corpus —
+# needs the banding PERSISTED (VERDICT r12 next-round #2), mirroring
+# the dedup family's `dedup_incremental_index` discipline: the index
+# is never rebuilt, and serve work grows with the snapshot. Layout
+# (delta generations + atomic meta, the shared machinery in
+# `hermod_spark.state` the text index also uses)::
+#
+#     <path>/_ann_index_meta.json   # generations, seq, and the
+#                                   # banding identity (n_planes,
+#                                   # n_bands, seed, dim)
+#     <path>/gen-NNNNNNNNN/bands/   # (corpus_id, band_id, bucket)
+#     <path>/gen-NNNNNNNNN/vectors/ # (corpus_id, vec, nm)
+#
+# The banding parameters are part of the index IDENTITY (a snapshot
+# banded with different planes shares no buckets), so they live in
+# the meta and every serve/extend re-derives the seeded hyperplanes
+# from them — the `save_ann_model` metadata discipline. Fixed planes
+# are also the honest trade-off of any persisted ANN index: bucket
+# occupancy grows with the corpus, and when it degrades past the
+# recall target the remedy is a re-banded rebuild (knn_join's
+# planes ∝ log2 N scale path), not silent in-place mutation.
+
+_ANN_META = "_ann_index_meta.json"
+_ANN_CTX = "ann index"
+
+
+def _ann_components(
+    df: DataFrame, meta: dict, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, vectors) for one doc-disjoint batch: buckets for all
+    bands and the vector norm are computed IN THE SCAN projection
+    (constant-folded plane literals, JVM folds), exactly the
+    :func:`knn_join` scan shape."""
+    planes = band_hyperplanes(
+        meta["dim"], meta["n_planes"], meta["n_bands"], meta["seed"]
+    )
+    buckets = banded_buckets(vec_col, planes)
+    bands = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("corpus_id"), buckets.alias("_bks"))
+        .select(
+            "corpus_id", F.posexplode("_bks").alias("band_id", "bucket")
+        )
+    )
+    vectors = df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("nm"),
+    )
+    return bands, vectors
+
+
+def save_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Create the persisted band index at ``path`` from the corpus —
+    generation 0 + meta commit. Refuses over an existing committed
+    index (use :func:`extend_ann_index` to admit snapshots). Pass
+    ``dim`` (table metadata) to keep construction lazy."""
+    from hermod_spark import state as S
+
+    spark = embeddings.sparkSession
+    meta = S.read_meta(
+        spark, path, _ANN_META, _ANN_CTX, {"generations": [], "seq": -1}
+    )
+    if meta["generations"]:
+        raise IOError(
+            f"ann index at {path!r} already has committed generations "
+            f"{meta['generations']} — extend_ann_index admits snapshots"
+        )
+    dim = dim if dim is not None else len(
+        embeddings.select(vec_col).first()[0]
+    )
+    meta = {
+        "generations": [S.gen_name(0)],
+        "seq": 0,
+        "n_planes": n_planes,
+        "n_bands": n_bands,
+        "seed": seed,
+        "dim": dim,
+    }
+    bands, vectors = _ann_components(embeddings, meta, id_col, vec_col)
+    _write_ann_generation(spark, path, S.gen_name(0), bands, vectors)
+    S.write_meta(spark, path, _ANN_META, meta)
+
+
+def _write_ann_generation(spark, path, gen, bands, vectors) -> None:
+    import os
+
+    gdir = os.path.join(path, gen)
+    # band rows cluster by (band_id, bucket): the serve-side join key
+    # — co-located candidates and row-group stats that prune a
+    # bucket-filtered read
+    (
+        bands.repartition(F.col("band_id"), F.col("bucket"))
+        .sortWithinPartitions("band_id", "bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(gdir, "bands"))
+    )
+    vectors.write.mode("overwrite").parquet(os.path.join(gdir, "vectors"))
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """{"bands", "vectors", "meta", "path"} over the committed
+    generation chain (generations are id-disjoint; the union IS the
+    index)."""
+    import os
+
+    from hermod_spark import state as S
+
+    meta = S.read_meta(
+        spark, path, _ANN_META, _ANN_CTX, {"generations": [], "seq": -1}
+    )
+    if not meta["generations"]:
+        raise IOError(f"ann index at {path!r} has no committed data")
+    bdirs = [os.path.join(path, g, "bands") for g in meta["generations"]]
+    vdirs = [os.path.join(path, g, "vectors") for g in meta["generations"]]
+    return {
+        "bands": spark.read.parquet(*bdirs),
+        "vectors": spark.read.parquet(*vdirs),
+        "meta": meta,
+        "path": path,
+    }
+
+
+def extend_ann_index(
+    new_df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_before_commit=None,
+) -> int:
+    """Admit a snapshot into the index: band the NEW vectors only
+    (anti-join on the index's id column — index-sized, never
+    re-banding the corpus), write them as one delta generation,
+    commit the meta pointer. Returns the number of vectors added.
+    Idempotent under crash-re-run and redelivery exactly like
+    ``textindex.extend_text_index`` (same machinery); SINGLE WRITER
+    per index. ``on_before_commit`` is the crash-window test seam."""
+    from hermod_spark import state as S
+
+    spark = new_df.sparkSession
+    idx = load_ann_index(spark, path)
+    meta = idx["meta"]
+    fresh = new_df.join(
+        idx["vectors"].select(F.col("corpus_id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    bands, vectors = _ann_components(fresh, meta, id_col, vec_col)
+    vectors = vectors.localCheckpoint()
+    n_added = vectors.count()
+    if n_added == 0:
+        return 0  # full redelivery: no empty generation, no commit
+    seq = meta["seq"] + 1
+    gen = S.gen_name(seq)
+    _write_ann_generation(spark, path, gen, bands, vectors)
+    if on_before_commit is not None:
+        on_before_commit(seq)
+    S.write_meta(
+        spark,
+        path,
+        _ANN_META,
+        {**meta, "generations": meta["generations"] + [gen], "seq": seq},
+    )
+    return n_added
+
+
+def knn_join_incremental(
+    new_df: DataFrame,
+    index: dict,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Top-k neighbors of each SNAPSHOT vector over (corpus ∪
+    snapshot) through the persisted index — bit-identical to
+    ``knn_join(corpus ∪ snapshot)`` filtered to snapshot query ids
+    (same seeded banding from the index meta, same bare-id-pair
+    distinct, same exact-cosine rerank and rank window), but the only
+    banding computed is the SNAPSHOT's:
+
+    - snapshot bands come from one scan-side projection (checkpointed
+      once — they feed the pair join's query side AND the union's
+      neighbor side);
+    - the corpus contributes its PERSISTED band rows (3 longs/row)
+      and vector rows — index-sized scans, no corpus re-banding ever;
+    - candidate volume, and with it every downstream shuffle, grows
+      with the snapshot (the `dedup_incremental_index` serve
+      discipline) — the query-side vector rehydration joins only the
+      snapshot's vectors.
+
+    Snapshot ids already present in the index are dropped (they are
+    the corpus; keeping them would duplicate band and vector rows and
+    corrupt the rank window), which also makes serve-after-partial-
+    extend redelivery safe. ``max_bucket`` caps hot buckets counted
+    over the UNION band table, matching ``knn_join`` semantics."""
+    if k < 1:
+        raise ValueError(f"knn_join_incremental: k={k} must be >= 1")
+    meta = index["meta"]
+    new_only = new_df.join(
+        index["vectors"].select(F.col("corpus_id").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    snap_bands, snap_vecs = _ann_components(
+        new_only, meta, id_col, vec_col
+    )
+    snap_bands = snap_bands.localCheckpoint()
+    all_bands = index["bands"].unionByName(snap_bands)
+    if max_bucket is not None:
+        w_b = Window.partitionBy("band_id", "bucket")
+        counted = all_bands.withColumn(
+            "_n", F.count(F.lit(1)).over(w_b)
+        ).filter(F.col("_n") <= max_bucket).drop("_n")
+        snap_side = counted.join(
+            snap_bands.select(F.col("corpus_id").alias("_sid")).distinct(),
+            counted["corpus_id"] == F.col("_sid"),
+        ).drop("_sid")
+        all_side = counted
+    else:
+        snap_side = snap_bands
+        all_side = all_bands
+    a = snap_side.select(
+        "band_id", "bucket", F.col("corpus_id").alias("query_id")
+    )
+    b = all_side.select(
+        "band_id", "bucket", F.col("corpus_id").alias("neighbor_id")
+    )
+    pairs = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    q_emb = snap_vecs.select(
+        F.col("corpus_id").alias("_eid"),
+        F.col("vec").alias("_v"),
+        F.col("nm").alias("_nm"),
+    )
+    n_emb = index["vectors"].unionByName(snap_vecs).select(
+        F.col("corpus_id").alias("_eid"),
+        F.col("vec").alias("_v"),
+        F.col("nm").alias("_nm"),
+    )
+    scored = (
+        pairs.join(q_emb, pairs["query_id"] == q_emb["_eid"])
+        .select(
+            "query_id", "neighbor_id",
+            F.col("_v").alias("_qv"), F.col("_nm").alias("_qn"),
+        )
+        .join(n_emb, F.col("neighbor_id") == n_emb["_eid"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("_qv", "_v") / (F.col("_qn") * F.col("_nm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk"
+        )
     )

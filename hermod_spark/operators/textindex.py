@@ -188,6 +188,8 @@ def extend_text_index(
     # and the generation write share one tokenization pass
     doclens = doclens.localCheckpoint()
     n_added = doclens.count()
+    if n_added == 0:
+        return 0  # full redelivery: no empty generation, no commit
     seq = meta["seq"] + 1
     gen = S.gen_name(seq)
     _write_generation(spark, path, gen, postings, doclens)
