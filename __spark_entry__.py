@@ -1447,6 +1447,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_triangles"] = dedup_triangles
 
+    def dedup_kcore(spark, sf):
+        """Core numbers over the VERIFIED near-dup pair graph
+        (VERDICT r12 #4) — the h-index iteration (Montresor et al.),
+        4 fixed rounds, exactly what the unrolled-CTE oracle replays.
+        High-core nodes are dense dup blocks; unlike dedup_triangles
+        this also catches BIPARTITE template floods (dense,
+        triangle-free)."""
+        from hermod_spark.operators.graph import kcore_numbers
+
+        pairs = dedup.near_dup_pairs(
+            _t(spark, sf, "documents"), threshold=0.5
+        )
+        return kcore_numbers(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+            iterations=4,
+        ).select(F.col("node").alias("doc_id"), "core")
+
+    q["dedup_kcore"] = dedup_kcore
+
     def rel_communities_weighted(spark, sf):
         """Weighted LPA communities: votes carry edge quantity (cast
         to DECIMAL(27,18) before the tally) instead of counting 1 per
@@ -4240,6 +4261,42 @@ corners AS (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
 FROM corners GROUP BY node"""
     )
+    # same banded+verified edge prefix as dedup_triangles, then the
+    # h-index iteration unrolled: 4 rounds of
+    # c(v) <- max over desc-sorted neighbor values of min(rank, value)
+    o["dedup_kcore"] = (
+        _minhash_banded_sql()
+        + f""",
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+ver AS (SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE ROUND({_jaccard_sql("sa.s", "sb.s")}, 6) >= 0.5),
+und AS (SELECT id_a AS node, id_b AS nbr FROM ver
+        UNION ALL SELECT id_b AS node, id_a AS nbr FROM ver),
+c0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY node),
+r1 AS (SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+  SELECT u.node, p.c,
+    ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY p.c DESC) AS rn
+  FROM und u JOIN c0 p ON p.node = u.nbr) GROUP BY node),
+r2 AS (SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+  SELECT u.node, p.c,
+    ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY p.c DESC) AS rn
+  FROM und u JOIN r1 p ON p.node = u.nbr) GROUP BY node),
+r3 AS (SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+  SELECT u.node, p.c,
+    ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY p.c DESC) AS rn
+  FROM und u JOIN r2 p ON p.node = u.nbr) GROUP BY node),
+r4 AS (SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+  SELECT u.node, p.c,
+    ROW_NUMBER() OVER (PARTITION BY u.node ORDER BY p.c DESC) AS rn
+  FROM und u JOIN r3 p ON p.node = u.nbr) GROUP BY node)
+SELECT node AS doc_id, CAST(c AS BIGINT) AS core FROM r4"""
+    )
+
     # same recursive-CC prefix, then the quality-argmax survivor window.
     # The prefix is spliced by replacing the dedup_clusters final SELECT;
     # guard the splice so a reworded tail fails HERE, not at harness

@@ -656,3 +656,86 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def kcore_numbers(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """Core numbers over an UNDIRECTED simple graph (deduped and
+    de-looped internally): (node, core) where core(v) = the largest k
+    such that v survives iterated removal of all degree-<k nodes —
+    the density signal :func:`triangle_counts` misses (VERDICT r12
+    #4: bipartite template floods are dense but triangle-free; a
+    spam subgraph where every page links every hub has high core
+    and zero triangles).
+
+    Algorithm: the distributed H-INDEX iteration (Montresor, De
+    Pellegrini & Miorandi, "Distributed k-core decomposition", 2011 —
+    public literature): c₀(v) = deg(v); each round
+    c(v) ← H({c(u) : u ∈ N(v)}), the largest h such that ≥ h
+    neighbors currently hold c ≥ h. The sequence is monotone
+    non-increasing, lower-bounded by core(v), and equal to it at the
+    fixed point — and unlike the nested peel loop (for each k: strip
+    degree-<k nodes until stable), it computes EVERY node's core
+    number in ONE fixed-round loop, so the unrolled-CTE oracle stays
+    one CTE per round instead of rounds×k.
+
+    Per round: ONE c⋈edges equi-join, one per-node rank window
+    (neighbor values sorted desc; H = max(min(rank, value)) — the
+    h-index is permutation-invariant within ties, so the
+    row_number's tie order cannot change the result), one groupBy
+    max. State is node-bounded; all arithmetic integral, so results
+    are exact at any parallelism. Like the sibling loops the
+    iteration count is a FIXED bound, not a convergence probe (a
+    driver-side stability check would serialize an action per
+    round): an unconverged c(v) is still a valid UPPER bound on
+    core(v), monotonically tightening — bound ``iterations`` by the
+    graph's expected influence-chain length (near-dup cluster graphs
+    converge in 2-3 rounds; tests pin a fixed point on the entry
+    graph).
+    """
+    if iterations < 0:
+        raise ValueError(
+            f"kcore_numbers: iterations={iterations} must be >= 0"
+        )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    und = e.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    ).localCheckpoint()
+    c = und.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    for i in range(iterations):
+        # rename the value frame's key before joining: c derives from
+        # und, so an unaliased join would be an ambiguous self-join
+        cur = c.select(F.col("node").alias("_cn"), "c")
+        nb = und.join(cur, und["nbr"] == F.col("_cn")).select("node", "c")
+        rn = F.row_number().over(
+            Window.partitionBy("node").orderBy(F.desc("c"))
+        )
+        c = (
+            nb.withColumn("rn", rn.cast("long"))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("rn"), F.col("c"))).alias("c"))
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            c = c.localCheckpoint()
+    return c.select("node", F.col("c").alias("core"))

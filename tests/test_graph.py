@@ -608,3 +608,108 @@ def test_weighted_sssp_guard_is_not_an_extra_pass(spark):
         )
     )
     assert n_guarded == n_plain
+
+
+def _ref_core_numbers(edges):
+    """Exact core numbers via the Batagelj–Zaveršnik min-degree peel
+    (pure Python, no NetworkX) — the brute-force truth for
+    kcore_numbers' h-index iteration."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core, k = {}, 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def test_kcore_hand_graph(spark):
+    """K4 (core 3) + a tail path (core 1) + a pendant triangle
+    (core 2) + a triangle-free 2x3 biclique (core 2 — the dense-but-
+    triangle-free shape triangle_counts misses, the operator's whole
+    point)."""
+    from hermod_spark.operators.graph import kcore_numbers
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 9)]  # degree-1 leaf: core 1
+    bridge = [(4, 5), (5, 6)]  # 5 bridges two 2-cores -> survives at 2
+    tri = [(6, 7), (7, 8), (8, 6)]
+    bic = [(a, b) for a in (20, 21) for b in (30, 31, 32)]
+    edges = k4 + pendant + bridge + tri + bic
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["core"]
+        for r in kcore_numbers(df, iterations=6).collect()
+    }
+    assert got == _ref_core_numbers(edges)
+    assert got[1] == 3 and got[9] == 1 and got[5] == 2 and got[7] == 2
+    assert got[20] == 2 and got[30] == 2  # biclique: dense, 0 triangles
+
+
+def test_kcore_dedup_and_selfloop_semantics(spark):
+    """Duplicate and reversed edges collapse; self-loops drop —
+    simple-graph semantics like triangle_counts."""
+    from hermod_spark.operators.graph import kcore_numbers
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (3, 3)],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["core"]
+        for r in kcore_numbers(df, iterations=4).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_reference_random(spark):
+    """Random multigraphs: the h-index iteration at a node-count
+    round bound equals the exact peel."""
+    import random
+
+    from hermod_spark.operators.graph import kcore_numbers
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randint(6, 14)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(n, 3 * n))
+        ]
+        want = _ref_core_numbers(edges)
+        if not want:
+            continue
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {
+            r["node"]: r["core"]
+            for r in kcore_numbers(df, iterations=n).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_kcore_entry_graph_converged(spark):
+    """The dedup_kcore entry runs 4 h-index rounds; on the sf0.001
+    near-dup graph that IS the fixed point (round 5 changes nothing),
+    so the registry output is true core numbers, not a bound."""
+    from hermod_spark.operators import dedup
+    from hermod_spark.operators.graph import kcore_numbers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = dedup.near_dup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    r4 = sorted(map(tuple, kcore_numbers(e, iterations=4).collect()))
+    r5 = sorted(map(tuple, kcore_numbers(e, iterations=5).collect()))
+    assert r4 == r5 and len(r4) > 0

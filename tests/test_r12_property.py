@@ -146,3 +146,30 @@ def test_knn_join_is_subset_of_exact_and_correctly_ranked(
         assert len(rs) <= k
         key = [(-r["sim"], r["neighbor_id"]) for r in rs]
         assert key == sorted(key)  # ranked exactly by (sim desc, id asc)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_kcore_hindex_equals_reference_peel(spark, edges):
+    """r13: the distributed h-index iteration at a node-count round
+    bound equals the exact Batagelj–Zaveršnik min-degree peel on
+    arbitrary small multigraphs (self-loops, duplicates, both
+    orientations)."""
+    from hermod_spark.operators.graph import kcore_numbers
+    from tests.test_graph import _ref_core_numbers
+
+    want = _ref_core_numbers(edges)
+    if not want:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["core"]
+        for r in kcore_numbers(df, iterations=12).collect()
+    }
+    assert got == want
