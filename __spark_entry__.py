@@ -295,6 +295,25 @@ _ROLLUP_STATE_CACHE: dict[str, str] = {}
 _TEXT_INDEX_CACHE: dict[str, str] = {}
 _ANN_INDEX_CACHE: dict[str, str] = {}
 
+# Pinned BPE merge table (cur_token_budget_bpe): trained AT IMPORT from
+# a fixed word-frequency snippet of the synthetic corpus vocabulary —
+# train_bpe is deterministic (lexicographic tie-breaks), so every
+# process (Spark query, DuckDB oracle builder, tests) derives the same
+# 48 merges. Real deployments would train_bpe_from_corpus once and pin
+# the artifact the same way.
+BPE_TRAIN_FREQS = {
+    "scan": 984, "column": 978, "window": 976, "order": 975,
+    "sort": 974, "part": 963, "agg": 953, "value": 950, "line": 946,
+    "key": 945, "join": 936, "merge": 935, "query": 934, "group": 934,
+    "a": 931, "vector": 931, "hash": 923, "slow": 921, "stream": 919,
+    "filter": 917, "fast": 913, "the": 910, "spark": 910, "batch": 910,
+    "table": 903,
+}
+from hermod_spark.functions import bpe as _bpe  # noqa: E402
+
+BPE_MERGES = _bpe.train_bpe(BPE_TRAIN_FREQS, 48)
+
+
 
 def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
     """Index-served BM25 over ``docs``: build 2/3 + extend 1/3 into a
@@ -2326,6 +2345,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cur_sample_weighted"] = lambda spark, sf: CUR.weighted_sample(
         _t(spark, sf, "documents"), k=100
     )
+
+    def cur_token_budget_bpe(spark, sf):
+        """Token budget with TOKENIZER-FAITHFUL counts (VERDICT r12
+        #6): the per-doc count comes from the real BPE merge chain
+        (pinned table, Arrow-batched pandas_udf with a per-type
+        cache) instead of the whitespace proxy — packing budgets for
+        actual training runs. The oracle replays the SAME merge chain
+        as nested replace() calls, so the counts are defined, not
+        approximated."""
+        from hermod_spark.functions import bpe
+
+        return CUR.token_budget_by_split(
+            _t(spark, sf, "documents"),
+            count_expr=bpe.bpe_token_count("text", BPE_MERGES),
+        )
+
+    q["cur_token_budget_bpe"] = cur_token_budget_bpe
 
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -4977,6 +5013,23 @@ WITH s AS (
        ELSE 'test' END AS split,
     len({toksc}) AS nt
   FROM documents)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
+FROM s GROUP BY split"""
+    # BPE budget: per-pretoken merge-chain count (same pinned merges,
+    # nested replaces), summed per doc; empty docs keep nt=0 via the
+    # left join so n_docs matches the whitespace variant exactly
+    _bpe_w = _bpe.merges_sql("w", BPE_MERGES)
+    o["cur_token_budget_bpe"] = f"""
+WITH t AS (SELECT doc_id, unnest({toksc}) AS w FROM documents),
+n AS (SELECT doc_id, SUM({_bpe_w}) AS nt FROM t GROUP BY doc_id),
+s AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_train} THEN 'train'
+       WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            / 4294967296.0 < {b_val} THEN 'val'
+       ELSE 'test' END AS split,
+    COALESCE(n.nt, 0) AS nt
+  FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id)
 SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
 FROM s GROUP BY split"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as

@@ -218,6 +218,7 @@ BASELINE = {
     "sim_knn_classify": 4.3,
     "emb_split_leakage": 3.9,
     "dedup_kcore": 2.3,
+    "cur_token_budget_bpe": 0.45,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -552,6 +553,7 @@ HEADLINE = [
     "sim_knn_classify",
     "emb_split_leakage",
     "dedup_kcore",
+    "cur_token_budget_bpe",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
