@@ -117,6 +117,12 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     build (measured r13 — the dominant cost of the incremental-KNN
     serve, whose data side is snapshot-sized). The literal value, the
     optimized plan, and the oracle arithmetic are identical."""
+    if isinstance(vec, str):
+        # ONE parsed expression (see _dot_literal_sql): py4j latency on
+        # a busy driver is ~1 ms/call, and the per-plane Python
+        # construction costs ~50 ms per dot — material on every
+        # LSH-family plan build
+        return F.expr(_bucket_literal_sql(f"`{vec}`", planes))
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         plane = F.lit([float(x) for x in p])
