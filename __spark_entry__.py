@@ -2261,6 +2261,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), key=f"text-index:{sf}"
     )
 
+    def text_bm25_stream(spark, sf):
+        """Text-index maintenance under STREAMING delivery semantics:
+        the corpus arrives as three micro-batches through
+        `text_index_maintenance_sink` — batch 1 REDELIVERED (the
+        at-least-once hazard) — and BM25 serves from the persisted
+        generation chain. Oracle = the direct recompute: equality
+        proves the chain union AND the idempotent-admit exactly-once
+        story. State dir cached per process like rel_rollup_stream
+        (redeliveries anti-join away, so reuse is deterministic)."""
+        import tempfile
+
+        from hermod_spark.operators import textindex as TI
+
+        d = _t(spark, sf, "documents")
+        key = f"text-index-stream:{sf}"
+        if key not in _TEXT_INDEX_CACHE:
+            _TEXT_INDEX_CACHE[key] = (
+                tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
+            )
+        path = _TEXT_INDEX_CACHE[key]
+        fn = TI.text_index_maintenance_sink(path)
+        for i in range(3):
+            fn(d.filter(F.col("doc_id") % 3 == i), i)
+            if i == 1:
+                fn(d.filter(F.col("doc_id") % 3 == 1), 1)  # redelivery
+        idx = TI.load_text_index(spark, path)
+        return TI.bm25_topk_indexed(idx, BM25_QUERIES, k=10)
+
+    q["text_bm25_stream"] = text_bm25_stream
+
     # --- training-data curation ---------------------------------------
     from hermod_spark.operators import curation as CUR
 
@@ -5100,6 +5130,7 @@ r AS (SELECT *, ROW_NUMBER() OVER (
 SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 10"""
     o["text_bm25_indexed"] = o["text_bm25"]
+    o["text_bm25_stream"] = o["text_bm25"]
     o["cur_chunks"] = f"""
 WITH t AS (SELECT doc_id, {toksc} AS tk FROM documents),
 n AS (SELECT doc_id, tk,

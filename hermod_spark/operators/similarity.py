@@ -2254,3 +2254,25 @@ def knn_join_incremental(
             "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk"
         )
     )
+
+
+def compact_ann_index(path: str, spark) -> int:
+    """Fold the generation chain into one generation (read the union,
+    rewrite clustered by (band_id, bucket), point meta at it, prune
+    the chain) — run off the serve path when daily extends have grown
+    the chain; readers never block (the ``textindex.compact_text_index``
+    contract). Returns the number of generations folded."""
+    from hermod_spark import state as S
+
+    idx = load_ann_index(spark, path)
+    meta = idx["meta"]
+    if len(meta["generations"]) <= 1:
+        return 0
+    seq = meta["seq"] + 1
+    gen = S.gen_name(seq)
+    _write_ann_generation(spark, path, gen, idx["bands"], idx["vectors"])
+    S.write_meta(
+        spark, path, _ANN_META, {**meta, "generations": [gen], "seq": seq}
+    )
+    S.prune_generations(spark, path, 1, protect={gen})
+    return len(meta["generations"])

@@ -204,6 +204,54 @@ def extend_text_index(
     return n_added
 
 
+def text_index_maintenance_sink(
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_before_commit: Callable[[int], None] | None = None,
+):
+    """foreachBatch function maintaining the persisted text index as
+    documents STREAM in. Use::
+
+        q = (docs.writeStream
+             .foreachBatch(text_index_maintenance_sink("/idx/text"))
+             .option("checkpointLocation", ckpt).start())
+
+    Exactly-once WITHOUT a batch-id ledger: unlike the rollup sink
+    (whose merge is not idempotent, hence its last_batch_id gate),
+    extending this index IS idempotent — admitted ids anti-join away
+    on redelivery and an empty redelivery commits nothing — so
+    at-least-once foreachBatch delivery composes to exactly-once by
+    construction. A crash between generation write and meta commit
+    leaves an unreferenced orphan the replay overwrites. The first
+    batch creates the index (build ≡ extend on a virgin root).
+    Duplicate ids WITHIN a batch are collapsed (keep-any — a stream
+    redelivering a doc mid-batch carries identical text).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
+        if not meta["generations"]:
+            postings, doclens = _components(batch, text_col, id_col)
+            gen = S.gen_name(0)
+            _write_generation(spark, path, gen, postings, doclens)
+            if on_before_commit is not None:
+                on_before_commit(0)
+            S.write_meta(
+                spark, path, _META, {"generations": [gen], "seq": 0}
+            )
+        else:
+            extend_text_index(
+                batch, path, text_col=text_col, id_col=id_col,
+                on_before_commit=on_before_commit,
+            )
+
+    return _fn
+
+
 def compact_text_index(path: str, spark: SparkSession) -> int:
     """Fold the generation chain into one generation (read the union,
     rewrite clustered by token, point meta at the new generation,

@@ -161,3 +161,29 @@ def test_banded_buckets_matches_python_construction(spark):
         for r in emb.select(banded_buckets("embedding", bands).alias("b")).collect()
     ]
     assert old == new
+
+
+def test_compact_folds_chain_and_preserves_serve(spark, tmp_path):
+    from hermod_spark.operators.similarity import compact_ann_index
+
+    emb = _emb(spark)
+    snap = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ann")
+    save_ann_index(
+        emb.filter(F.col("vec_id") % 10 == 0), path,
+        n_planes=4, n_bands=4, dim=DIM,
+    )
+    extend_ann_index(emb.filter(F.col("vec_id") % 10 == 1), path)
+    extend_ann_index(
+        emb.filter((F.col("vec_id") % 10 > 1) & (F.col("vec_id") % 10 != 7)),
+        path,
+    )
+    want = _rows(knn_join_incremental(snap, load_ann_index(spark, path), k=5))
+    assert compact_ann_index(path, spark) == 3
+    idx = load_ann_index(spark, path)
+    assert idx["meta"]["generations"] == ["gen-000000003"]
+    assert idx["meta"]["n_planes"] == 4  # banding identity survives
+    on_disk = sorted(n for n in os.listdir(path) if n.startswith("gen-"))
+    assert on_disk == ["gen-000000003"]
+    assert _rows(knn_join_incremental(snap, idx, k=5)) == want
+    assert compact_ann_index(path, spark) == 0

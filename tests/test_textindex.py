@@ -146,3 +146,78 @@ def test_compact_folds_chain_and_preserves_results(spark, tmp_path):
     assert on_disk == ["gen-000000003"]  # old chain pruned
     assert _rows(bm25_topk_indexed(idx, PANEL, k=10)) == want
     assert compact_text_index(path, spark) == 0  # single gen: no-op
+
+
+def test_stream_maintenance_sink_exactly_once(spark, tmp_path):
+    """foreachBatch maintenance: 3 micro-batches with batch 1
+    REDELIVERED and a poisoned commit mid-stream — the served BM25
+    equals the from-scratch direct recompute over all docs (extend's
+    id-idempotency makes at-least-once delivery exactly-once without
+    a batch ledger), and intra-batch duplicate ids collapse."""
+    from hermod_spark.operators.textindex import (
+        text_index_maintenance_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    fn = text_index_maintenance_sink(path)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    fn(b0.unionByName(b0.limit(5)), 0)  # intra-batch dup ids collapse
+    fn(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    fn(docs.filter(F.col("doc_id") % 3 == 1), 1)  # redelivery: no-op
+    # poisoned commit on batch 2, then clean replay
+    boom = text_index_maintenance_sink(
+        path, on_before_commit=lambda seq: (_ for _ in ()).throw(
+            RuntimeError("boom")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        boom(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    fn(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    idx = load_text_index(spark, path)
+    assert len(idx["meta"]["generations"]) == 3
+    assert idx["doclens"].count() == docs.count()  # no dup admits
+    got = _rows(bm25_topk_indexed(idx, PANEL, k=10))
+    assert got == _rows(bm25_topk(docs, PANEL, k=10))
+
+
+def test_stream_maintenance_real_readstream(spark, tmp_path):
+    """A real readStream → foreachBatch run over a json file source
+    maintains the index; serve equals direct."""
+    import json as _json
+    import os as _os
+
+    from hermod_spark.operators.textindex import (
+        text_index_maintenance_sink,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    rows = docs.collect()
+    for i in range(3):
+        with open(f"{src}/part{i}.json", "w") as fh:
+            for r in rows[i * 20 : (i + 1) * 20]:
+                fh.write(_json.dumps(
+                    {"doc_id": r["doc_id"], "text": r["text"]}
+                ) + "\n")
+    path = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(text_index_maintenance_sink(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    idx = load_text_index(spark, path)
+    assert idx["doclens"].count() == 60
+    assert _rows(bm25_topk_indexed(idx, PANEL, k=10)) == _rows(
+        bm25_topk(docs, PANEL, k=10)
+    )
