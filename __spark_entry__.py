@@ -2041,6 +2041,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), key=f"ann-index:{sf}"
     )
 
+    def emb_decontaminate_incremental(spark, sf):
+        """Embedding-space decontamination served from the SAME
+        persisted ANN index: the %10==7 slice plays the benchmark
+        probe panel, and every indexed corpus vector within cosine
+        0.3 of any probe is flagged (count + max sim). Paraphrase
+        leakage the n-gram decontaminators cannot see; the corpus is
+        never re-banded (probe-side banding only). The oracle replays
+        the probe⋈corpus band join and the thresholded 6dp-rounded
+        rerank exactly."""
+        from hermod_spark.operators import textindex as _unused  # noqa: F401
+
+        emb = _t(spark, sf, "embeddings")
+        knn_incremental_of(emb, key=f"ann-index:{sf}")  # ensure index
+        idx = S.load_ann_index(spark, _ANN_INDEX_CACHE[f"ann-index:{sf}"])
+        return S.semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 10 == 7), idx, threshold=0.3
+        )
+
+    q["emb_decontaminate_incremental"] = emb_decontaminate_incremental
+
     def emb_split_leakage(spark, sf):
         """Semantic split-leakage audit: undirected KNN pairs that
         straddle the train/val/test hash split — the leakage the TEXT
@@ -2392,6 +2412,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cur_token_budget_bpe"] = cur_token_budget_bpe
+
+    def cur_pack_bpe(spark, sf):
+        """Context-window packing with TOKENIZER-FAITHFUL lengths:
+        each doc enters the streaming pack as one chunk whose length
+        is its real BPE token count (pinned merge table), so training
+        bins hold ~512 ACTUAL tokens instead of whitespace-count
+        approximations. Same deterministic shard + exclusive-prefix-sum
+        bin assignment as cur_pack; the oracle replays the BPE chain
+        per pretoken and the windowed running sum."""
+        from hermod_spark.functions import bpe
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.lit(0).alias("chunk_id"),
+            bpe.bpe_token_count("text", BPE_MERGES).alias("chunk_len"),
+        )
+        return CUR.pack_chunks(d, budget=512, n_shards=8).select(
+            "doc_id", "chunk_len", "shard", "bin_id"
+        )
+
+    q["cur_pack_bpe"] = cur_pack_bpe
 
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -4816,6 +4857,23 @@ FROM r WHERE rnk <= {_TOPK}"""
 WITH {_knn_core_sql}
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk
 FROM r WHERE rnk <= {_TOPK} AND query_id % 10 = 7"""
+    o["emb_decontaminate_incremental"] = f"""
+WITH kb AS ({_knn_bands_sql}),
+pairs AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
+  FROM kb p JOIN kb c USING (band_id, bucket)
+  WHERE p.vec_id % 10 = 7 AND c.vec_id % 10 <> 7),
+qe AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id % 10 = 7),
+ne AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+       WHERE vec_id % 10 <> 7),
+s AS (
+  SELECT pairs.corpus_id, ROUND({cos}, 6) AS sim
+  FROM pairs
+  JOIN qe ON qe.vec_id = pairs.probe_id
+  JOIN ne ON ne.vec_id = pairs.corpus_id)
+SELECT corpus_id, COUNT(*) AS n_probes, MAX(sim) AS max_sim
+FROM s WHERE sim >= 0.3 GROUP BY corpus_id"""
     o["sim_knn_classify"] = f"""
 WITH {_knn_core_sql},
 nn AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {_TOPK}),
@@ -5062,6 +5120,17 @@ s AS (
   FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id)
 SELECT split, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
 FROM s GROUP BY split"""
+    o["cur_pack_bpe"] = f"""
+WITH t AS (SELECT doc_id, unnest({toksc}) AS w FROM documents),
+n AS (SELECT doc_id, SUM({_bpe_w}) AS nt FROM t GROUP BY doc_id),
+d AS (SELECT d.doc_id, CAST(COALESCE(n.nt, 0) AS BIGINT) AS chunk_len,
+        CAST(d.doc_id % 8 AS INT) AS shard
+      FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id),
+c AS (SELECT *, SUM(chunk_len) OVER (PARTITION BY shard
+        ORDER BY doc_id) - chunk_len AS cum FROM d)
+SELECT doc_id, chunk_len, shard,
+  CAST(FLOOR(cum / 512.0) AS INT) AS bin_id
+FROM c"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)
     _winnow_cte = """nrm AS (

@@ -219,6 +219,8 @@ BASELINE = {
     "emb_split_leakage": 3.9,
     "dedup_kcore": 2.3,
     "cur_token_budget_bpe": 0.45,
+    "emb_decontaminate_incremental": 4.1,
+    "cur_pack_bpe": 0.2,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -554,6 +556,8 @@ HEADLINE = [
     "emb_split_leakage",
     "dedup_kcore",
     "cur_token_budget_bpe",
+    "emb_decontaminate_incremental",
+    "cur_pack_bpe",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

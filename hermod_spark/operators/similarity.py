@@ -2276,3 +2276,78 @@ def compact_ann_index(path: str, spark) -> int:
     )
     S.prune_generations(spark, path, 1, protect={gen})
     return len(meta["generations"])
+
+
+def semantic_decontaminate(
+    probes: DataFrame,
+    index: dict,
+    *,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-space DECONTAMINATION through the persisted ANN
+    index: (corpus_id, n_probes, max_sim) for every indexed corpus
+    vector within cosine ``threshold`` of AT LEAST one probe — the
+    "remove training docs semantically close to the benchmark" pass
+    (paraphrased eval answers share no n-grams; the text-side
+    `cur_decontaminate_*` family cannot see them). Anti-join the
+    corpus on corpus_id to apply the removal.
+
+    Serve shape — the `knn_join_incremental` discipline with the
+    sides swapped: the PROBE panel (benchmark embeddings — small) is
+    banded scan-side with the index's seeded planes; candidates come
+    from the probe⋈index band equi-join (never all-pairs, never a
+    corpus re-band); exact cosine rerank joins probe vectors
+    (O(probes)) and index vectors; the threshold compares the 6dp-
+    ROUNDED sim (`embedding_near_dups`' boundary-flap rule) and the
+    per-corpus rollup is one hash aggregate. Like every sign-LSH
+    pass this is approximate by candidate recall — a contaminated
+    vector colliding with its probe in NO band escapes; size bands
+    for the recall target with `lsh_recall_check`."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"semantic_decontaminate: threshold={threshold} not in (0, 1]"
+        )
+    meta = index["meta"]
+    p_bands, p_vecs = _ann_components(probes, meta, id_col, vec_col)
+    p_bands = p_bands.localCheckpoint()
+    idx_bands = index["bands"]
+    if max_bucket is not None:
+        w_b = Window.partitionBy("band_id", "bucket")
+        idx_bands = idx_bands.withColumn(
+            "_n", F.count(F.lit(1)).over(w_b)
+        ).filter(F.col("_n") <= max_bucket).drop("_n")
+    pairs = (
+        p_bands.select(
+            "band_id", "bucket", F.col("corpus_id").alias("probe_id")
+        )
+        .join(
+            idx_bands.select("band_id", "bucket", "corpus_id"),
+            ["band_id", "bucket"],
+        )
+        .select("probe_id", "corpus_id")
+        .distinct()
+    )
+    pv = p_vecs.select(
+        F.col("corpus_id").alias("_pid"),
+        F.col("vec").alias("_pv"),
+        F.col("nm").alias("_pn"),
+    )
+    scored = (
+        pairs.join(pv, pairs["probe_id"] == F.col("_pid"))
+        .join(index["vectors"], "corpus_id")
+        .select(
+            "corpus_id",
+            "probe_id",
+            F.round(
+                dot("_pv", "vec") / (F.col("_pn") * F.col("nm")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+    return scored.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.max("sim").alias("max_sim"),
+    )

@@ -187,3 +187,47 @@ def test_compact_folds_chain_and_preserves_serve(spark, tmp_path):
     assert on_disk == ["gen-000000003"]
     assert _rows(knn_join_incremental(snap, idx, k=5)) == want
     assert compact_ann_index(path, spark) == 0
+
+
+def test_semantic_decontaminate_flags_probe_duplicates(spark, tmp_path):
+    """Exact duplicates of a probe collide in EVERY sign-LSH bucket
+    (recall 1 for the pairs decontamination cares about): corpus
+    vectors equal to a probe are flagged at max_sim 1.0; near-copies
+    pass the threshold; orthogonal vectors are not flagged; and the
+    anti-join filter form removes exactly the flagged ids."""
+    from hermod_spark.operators.similarity import semantic_decontaminate
+
+    base = [float(i % 5 - 2) for i in range(DIM)]
+    near = list(base)
+    near[0] += 0.05
+    ortho = [0.0] * DIM
+    ortho[1] = 3.0  # base[1] == -1 -> negative cosine
+    corpus = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho), (4, [0.5] * DIM)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ann")
+    save_ann_index(corpus, path, n_planes=4, n_bands=4, dim=DIM)
+    idx = load_ann_index(spark, path)
+    got = {
+        r["corpus_id"]: (r["n_probes"], r["max_sim"])
+        for r in semantic_decontaminate(
+            probes, idx, threshold=0.9
+        ).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert 1 in got and 2 in got and 3 not in got
+    # filter form: anti-join removes exactly the flagged ids
+    flagged = semantic_decontaminate(probes, idx, threshold=0.9).select(
+        F.col("corpus_id").alias("vec_id")
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in corpus.join(flagged, "vec_id", "left_anti").collect()
+    )
+    assert kept == sorted(set([1, 2, 3, 4]) - set(got))
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_decontaminate(probes, idx, threshold=0.0)
