@@ -2434,6 +2434,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_pack_bpe"] = cur_pack_bpe
 
+    def cur_pipeline_v2(spark, sf):
+        """The ASSEMBLED r13 curation pipeline — quality gate →
+        canonical exact dedup → SEMANTIC decontamination through the
+        persisted ANN index (the %10==7 embeddings play the benchmark:
+        those docs leave outright and any surviving doc within cosine
+        0.3 of one is flagged and removed) → BPE-faithful
+        context-window packing. Every stage is an existing
+        oracle-checked operator; this entry proves they COMPOSE (the
+        cur_pipeline story, rebuilt from the r13 components)."""
+        from hermod_spark.functions import bpe
+
+        d = _t(spark, sf, "documents")
+        emb = _t(spark, sf, "embeddings")
+        kept = textops.quality_filter(d, min_quality=0.5, min_tokens=5)
+        uniq = dedup.exact_dedup(kept, canonical=True).select(
+            "doc_id", "text"
+        )
+        knn_incremental_of(emb, key=f"ann-index:{sf}")  # ensure index
+        idx = S.load_ann_index(spark, _ANN_INDEX_CACHE[f"ann-index:{sf}"])
+        flagged = S.semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 10 == 7), idx, threshold=0.3
+        ).select(F.col("corpus_id").alias("doc_id"))
+        clean = uniq.filter(F.col("doc_id") % 10 != 7).join(
+            flagged, "doc_id", "left_anti"
+        )
+        packed_in = clean.select(
+            "doc_id",
+            F.lit(0).alias("chunk_id"),
+            bpe.bpe_token_count("text", BPE_MERGES).alias("chunk_len"),
+        )
+        return CUR.pack_chunks(packed_in, budget=512, n_shards=8).select(
+            "doc_id", "chunk_len", "shard", "bin_id"
+        )
+
+    q["cur_pipeline_v2"] = cur_pipeline_v2
+
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
         out = CUR.group_centroids(e, F.col("label").alias("grp")).orderBy("grp")
@@ -5131,6 +5167,45 @@ c AS (SELECT *, SUM(chunk_len) OVER (PARTITION BY shard
 SELECT doc_id, chunk_len, shard,
   CAST(FLOOR(cum / 512.0) AS INT) AS bin_id
 FROM c"""
+    o["cur_pipeline_v2"] = f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE ({_quality_sql("text")}) >= 0.5 AND len({_toks_sql("text")}) >= 5),
+uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY {_fingerprint_sql("text")}
+                         ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+kb AS ({_knn_bands_sql}),
+cpairs AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
+  FROM kb p JOIN kb c USING (band_id, bucket)
+  WHERE p.vec_id % 10 = 7 AND c.vec_id % 10 <> 7),
+qe AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id % 10 = 7),
+ne AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+       WHERE vec_id % 10 <> 7),
+flagged AS (
+  SELECT DISTINCT cpairs.corpus_id AS doc_id
+  FROM cpairs
+  JOIN qe ON qe.vec_id = cpairs.probe_id
+  JOIN ne ON ne.vec_id = cpairs.corpus_id
+  WHERE ROUND({cos}, 6) >= 0.3),
+clean AS (
+  SELECT u.doc_id, u.text FROM uniq u
+  WHERE u.doc_id % 10 <> 7
+    AND u.doc_id NOT IN (SELECT doc_id FROM flagged)),
+t2 AS (SELECT doc_id, unnest({toksc}) AS w FROM clean),
+n2 AS (SELECT doc_id, SUM({_bpe_w}) AS nt FROM t2 GROUP BY doc_id),
+d2 AS (SELECT c.doc_id, CAST(COALESCE(n2.nt, 0) AS BIGINT) AS chunk_len,
+         CAST(c.doc_id % 8 AS INT) AS shard
+       FROM clean c LEFT JOIN n2 ON n2.doc_id = c.doc_id),
+c2 AS (SELECT *, SUM(chunk_len) OVER (PARTITION BY shard
+         ORDER BY doc_id) - chunk_len AS cum FROM d2)
+SELECT doc_id, chunk_len, shard,
+  CAST(FLOOR(cum / 512.0) AS INT) AS bin_id
+FROM c2"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)
     _winnow_cte = """nrm AS (

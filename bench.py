@@ -221,6 +221,7 @@ BASELINE = {
     "cur_token_budget_bpe": 0.45,
     "emb_decontaminate_incremental": 4.1,
     "cur_pack_bpe": 0.2,
+    "cur_pipeline_v2": 5.9,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -558,6 +559,7 @@ HEADLINE = [
     "cur_token_budget_bpe",
     "emb_decontaminate_incremental",
     "cur_pack_bpe",
+    "cur_pipeline_v2",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
