@@ -2470,6 +2470,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_pipeline_v2"] = cur_pipeline_v2
 
+    def rel_zorder(spark, sf):
+        """Morton z-values for lineitem on (l_partkey, l_suppkey) —
+        the multi-dimensional clustering key behind
+        `layout.zorder_layout` (Delta OPTIMIZE ZORDER shape): scaled
+        16-bit cells, bits interleaved, ONE scan-side integer
+        expression. The oracle runs the SAME SQL string with the
+        anchors as in-query MIN/MAX subselects (identical values,
+        identical double arithmetic); the layout step itself
+        (repartitionByRange + intra-partition sort) is pinned by the
+        measured row-group-pruning test in tests/test_layout.py."""
+        from hermod_spark.operators.layout import zorder_value
+
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_value(
+                li, ["l_partkey", "l_suppkey"], bits=16
+            ).alias("zval"),
+        )
+
+    q["rel_zorder"] = rel_zorder
+
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
         out = CUR.group_centroids(e, F.col("label").alias("grp")).orderBy("grp")
@@ -5206,6 +5229,18 @@ c2 AS (SELECT *, SUM(chunk_len) OVER (PARTITION BY shard
 SELECT doc_id, chunk_len, shard,
   CAST(FLOOR(cum / 512.0) AS INT) AS bin_id
 FROM c2"""
+    from hermod_spark.operators.layout import zorder_sql as _zsql
+
+    _z_expr = _zsql(
+        ["l_partkey", "l_suppkey"],
+        ["SELECT CAST(MIN(l_partkey) AS DOUBLE) FROM lineitem",
+         "SELECT CAST(MIN(l_suppkey) AS DOUBLE) FROM lineitem"],
+        ["SELECT CAST(MAX(l_partkey) AS DOUBLE) FROM lineitem",
+         "SELECT CAST(MAX(l_suppkey) AS DOUBLE) FROM lineitem"],
+        bits=16,
+    )
+    o["rel_zorder"] = f"""
+SELECT l_orderkey, l_linenumber, {_z_expr} AS zval FROM lineitem"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)
     _winnow_cte = """nrm AS (

@@ -3,6 +3,7 @@ from hermod_spark.operators import (  # noqa: F401
     dedup,
     graph,
     joins,
+    layout,
     multimodal,
     relational,
     similarity,
