@@ -2470,7 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_pipeline_v2"] = cur_pipeline_v2
 
-    def rel_zorder(spark, sf):
+    def rel_zorder_layout(spark, sf):
         """Morton z-values for lineitem on (l_partkey, l_suppkey) —
         the multi-dimensional clustering key behind
         `layout.zorder_layout` (Delta OPTIMIZE ZORDER shape): scaled
@@ -2491,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("zval"),
         )
 
-    q["rel_zorder"] = rel_zorder
+    q["rel_zorder_layout"] = rel_zorder_layout
 
     def cur_centroids(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -5239,7 +5239,7 @@ FROM c2"""
          "SELECT CAST(MAX(l_suppkey) AS DOUBLE) FROM lineitem"],
         bits=16,
     )
-    o["rel_zorder"] = f"""
+    o["rel_zorder_layout"] = f"""
 SELECT l_orderkey, l_linenumber, {_z_expr} AS zval FROM lineitem"""
     # winnowing: k=8 grams, window=4; hash = first 8 md5 hex digits as
     # bigint (rolling evaluation is a perf trick, not a semantic one)

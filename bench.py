@@ -222,7 +222,7 @@ BASELINE = {
     "emb_decontaminate_incremental": 4.1,
     "cur_pack_bpe": 0.2,
     "cur_pipeline_v2": 5.9,
-    "rel_zorder": 1.1,
+    "rel_zorder_layout": 0.55,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
 # absolute floor below which a 2× ratio is not meaningful.
@@ -561,7 +561,7 @@ HEADLINE = [
     "emb_decontaminate_incremental",
     "cur_pack_bpe",
     "cur_pipeline_v2",
-    "rel_zorder",
+    "rel_zorder_layout",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale

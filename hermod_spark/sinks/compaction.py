@@ -75,11 +75,19 @@ def compact_table(
 
 
 def zorder_key(x, y, bits: int = 16):
-    """Morton/Z-order interleave of two bucketed ints — the layout
+    """Morton/Z-order interleave of two PRE-BUCKETED ints — the layout
     clustering key behind lakehouse OPTIMIZE ZORDER: sorting (and then
     range-partitioning files) by the interleaved key co-locates rows
     that are close in BOTH dimensions, so two-column range predicates
     prune file-level min/max stats instead of scanning everything.
+
+    The GENERALIZED form lives in ``operators/layout.py`` (r13):
+    N columns, automatic min/max cell scaling with pinnable anchors,
+    one parsed expression, and ``zorder_layout`` doing the
+    range-partition + sort — with the pruning claim MEASURED from
+    parquet footers in tests/test_layout.py. This two-int form stays
+    for callers that already hold bucket ids (bit-identical to the
+    generalized form on identity anchors — pinned by test).
 
     Pure native bit math (2·bits shift/mask/or terms in one codegen
     projection, zero Python, zero shuffle) — the key computation adds

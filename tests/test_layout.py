@@ -189,3 +189,22 @@ def test_zorder_layout_prunes_measured(spark, tmp_path):
     # smaller fraction of z-ordered row groups
     assert z_hit / z_all < s_hit / s_all, (z_hit, z_all, s_hit, s_all)
     assert z_hit / z_all < 0.2  # measured 15/128 vs 27/128 single-sort
+
+
+def test_zorder_value_matches_compaction_zorder_key(spark):
+    """The generalized N-column form reproduces the original two-int
+    `sinks.compaction.zorder_key` bit-for-bit on identity anchors
+    (cell == value for pre-bucketed ints) — one Morton definition."""
+    from hermod_spark.sinks.compaction import zorder_key
+
+    rows = [(a, b) for a in range(0, 60, 7) for b in range(0, 60, 11)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    top = (1 << 6) - 1
+    got = df.select(
+        zorder_value(
+            df, ["x", "y"], bits=6,
+            anchors={"x": (0.0, float(top)), "y": (0.0, float(top))},
+        ).alias("a"),
+        zorder_key("x", "y", bits=6).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got) and len(got) > 0
