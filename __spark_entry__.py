@@ -291,7 +291,13 @@ _DEDUP_INDEX_CACHE: dict[str, str] = {}
 # sweep run); replayed batch ids skip via the exactly-once meta, so
 # reuse is deterministic
 _ROLLUP_STATE_CACHE: dict[str, str] = {}
-# per-process persisted text-index paths (build+extend once, serve many)
+# per-process persisted index paths (build+extend once, serve many) —
+# the _DEDUP_INDEX_CACHE idiom, with the same documented staleness
+# contract: entries are keyed by sf DIR, so a cache hit assumes the
+# underlying testdata is immutable for the process lifetime (true for
+# the driver's read-only parquet; a notebook mutating inputs should
+# clear the dict or use fresh keys). Bounded: one tempdir per (kind,
+# sf) key per process, removed with /tmp.
 _TEXT_INDEX_CACHE: dict[str, str] = {}
 _ANN_INDEX_CACHE: dict[str, str] = {}
 
