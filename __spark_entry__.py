@@ -339,13 +339,14 @@ def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
     return TI.bm25_topk_indexed(idx, BM25_QUERIES, k=10)
 
 
-def knn_incremental_of(emb: DataFrame, key: str) -> DataFrame:
-    """Incremental KNN through the persisted ANN band index: corpus =
-    vec_id % 10 != 7 (saved 2/3 + extended 1/3, cached per process),
-    snapshot = the %10==7 slice served against it. ONE body behind
-    the `sim_knn_incremental` entry and bench's fixed-index 10×
-    snapshot probe. Banding matches sim_knn_join (4 planes × 8 OR'd
-    bands, seed 42) so the oracle replays the same bucket SQL."""
+def ensure_ann_index(emb: DataFrame, key: str) -> dict:
+    """Build-or-reuse the persisted ANN band index for ``emb``'s
+    corpus slice (vec_id % 10 != 7, saved 2/3 + extended 1/3) under a
+    process-cached path — and ONLY that: callers that need the index
+    but not a KNN serve (decontamination, the assembled pipeline,
+    bench warm-up) must not pay a discarded candidate join, which is
+    eager at construction (knn_join_incremental localCheckpoints its
+    band and pair stages)."""
     if key not in _ANN_INDEX_CACHE:
         import tempfile
 
@@ -357,7 +358,17 @@ def knn_incremental_of(emb: DataFrame, key: str) -> DataFrame:
         )
         S.extend_ann_index(corpus.filter(F.col("vec_id") % 3 == 1), path)
         _ANN_INDEX_CACHE[key] = path
-    idx = S.load_ann_index(emb.sparkSession, _ANN_INDEX_CACHE[key])
+    return S.load_ann_index(emb.sparkSession, _ANN_INDEX_CACHE[key])
+
+
+def knn_incremental_of(emb: DataFrame, key: str) -> DataFrame:
+    """Incremental KNN through the persisted ANN band index: corpus =
+    vec_id % 10 != 7 (saved 2/3 + extended 1/3, cached per process),
+    snapshot = the %10==7 slice served against it. ONE body behind
+    the `sim_knn_incremental` entry and bench's fixed-index 10×
+    snapshot probe. Banding matches sim_knn_join (4 planes × 8 OR'd
+    bands, seed 42) so the oracle replays the same bucket SQL."""
+    idx = ensure_ann_index(emb, key)
     return S.knn_join_incremental(
         emb.filter(F.col("vec_id") % 10 == 7), idx, k=_TOPK
     )
@@ -2056,11 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never re-banded (probe-side banding only). The oracle replays
         the probe⋈corpus band join and the thresholded 6dp-rounded
         rerank exactly."""
-        from hermod_spark.operators import textindex as _unused  # noqa: F401
-
         emb = _t(spark, sf, "embeddings")
-        knn_incremental_of(emb, key=f"ann-index:{sf}")  # ensure index
-        idx = S.load_ann_index(spark, _ANN_INDEX_CACHE[f"ann-index:{sf}"])
+        idx = ensure_ann_index(emb, key=f"ann-index:{sf}")
         return S.semantic_decontaminate(
             emb.filter(F.col("vec_id") % 10 == 7), idx, threshold=0.3
         )
@@ -2432,7 +2440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select(
             "doc_id",
             F.lit(0).alias("chunk_id"),
-            bpe.bpe_token_count("text", BPE_MERGES).alias("chunk_len"),
+            # NULL text -> 0 tokens, matching the oracle's COALESCE
+            # (a NULL chunk_len would NULL the running sum and bin)
+            F.coalesce(
+                bpe.bpe_token_count("text", BPE_MERGES), F.lit(0)
+            ).alias("chunk_len"),
         )
         return CUR.pack_chunks(d, budget=512, n_shards=8).select(
             "doc_id", "chunk_len", "shard", "bin_id"
@@ -2457,8 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         uniq = dedup.exact_dedup(kept, canonical=True).select(
             "doc_id", "text"
         )
-        knn_incremental_of(emb, key=f"ann-index:{sf}")  # ensure index
-        idx = S.load_ann_index(spark, _ANN_INDEX_CACHE[f"ann-index:{sf}"])
+        idx = ensure_ann_index(emb, key=f"ann-index:{sf}")
         flagged = S.semantic_decontaminate(
             emb.filter(F.col("vec_id") % 10 == 7), idx, threshold=0.3
         ).select(F.col("corpus_id").alias("doc_id"))
@@ -2468,7 +2479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         packed_in = clean.select(
             "doc_id",
             F.lit(0).alias("chunk_id"),
-            bpe.bpe_token_count("text", BPE_MERGES).alias("chunk_len"),
+            F.coalesce(
+                bpe.bpe_token_count("text", BPE_MERGES), F.lit(0)
+            ).alias("chunk_len"),
         )
         return CUR.pack_chunks(packed_in, budget=512, n_shards=8).select(
             "doc_id", "chunk_len", "shard", "bin_id"

@@ -212,16 +212,19 @@ BASELINE = {
     "dedup_triangles": 2.1,
     "rel_pagerank_personal": 4.0,
     "rel_components": 5.6,
-    # r13 pins (isolated best-of-5 medians on an idle box)
+    # r13 pins (isolated best-of-5 medians on an idle box; the three
+    # index-served entries re-pinned DOWN late-r13 after the review
+    # removed a discarded eager candidate join from the ensure-index
+    # path and checkpointed the twice-consumed snapshot vectors)
     "text_bm25_indexed": 1.5,
-    "sim_knn_incremental": 3.3,
+    "sim_knn_incremental": 2.8,
     "sim_knn_classify": 4.3,
     "emb_split_leakage": 3.9,
     "dedup_kcore": 2.3,
     "cur_token_budget_bpe": 0.45,
-    "emb_decontaminate_incremental": 4.1,
+    "emb_decontaminate_incremental": 2.5,
     "cur_pack_bpe": 0.2,
-    "cur_pipeline_v2": 5.9,
+    "cur_pipeline_v2": 2.8,
     "rel_zorder_layout": 0.55,
 }
 # Short queries are noise-dominated (JVM/GC jitter swamps <0.5s);
@@ -861,6 +864,15 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     # build+extend the 10× text index ONCE here (it is a persisted
     # artifact — the probe times SERVE, the claim that matters)
     E.bm25_indexed_of(docs10p, key="bm25-10x").count()
+    # same for the ANN index at the 1× key: the sim_knn_incremental
+    # probe's scale claim REQUIRES the fixed sf0.1 corpus index — a
+    # cache miss here would silently build from the 10× embeddings
+    # inside the timed body and measure a different experiment
+    from hermod_spark.data import table as _table
+
+    E.ensure_ann_index(
+        _table(spark, SF_DIR, "embeddings"), key=f"ann-index:{SF_DIR}"
+    )
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),

@@ -33,6 +33,8 @@ the repo's whitespace tokens, lowered — same as every text operator.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +42,22 @@ from pyspark.sql.types import LongType
 
 SYM_L = "\x01"
 SYM_R = "\x02"
+
+# pretokenizer: ASCII \s+ — the SAME whitespace class the repo's
+# Spark tokens() (Java regex \s) and the DuckDB oracle
+# (string_split_regex '\s+', RE2) split on. Python's bare
+# str.split()/str.strip() are UNICODE-whitespace-aware and would
+# split on NBSP/thin-space where the other two engines keep one
+# token — a silent three-way divergence on real scraped text
+# (r13 review finding).
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def pretokens(text: str) -> list[str]:
+    """Lowered ASCII-whitespace word split shared by the encoder UDF
+    and the test reference — definitionally the token set
+    ``functions.text.tokens(lower(col))`` produces."""
+    return [w for w in _WS.split(text.lower()) if w]
 
 
 def train_bpe(
@@ -156,7 +174,7 @@ def bpe_token_count(
         def doc_n(t) -> int | None:
             if t is None:
                 return None
-            return sum(word_n(w) for w in str(t).lower().split())
+            return sum(word_n(w) for w in pretokens(str(t)))
 
         return pd.Series([doc_n(t) for t in texts], dtype="Int64")
 

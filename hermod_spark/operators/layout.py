@@ -55,9 +55,14 @@ def _cell_sql(col: str, vmin, vmax, bits: int) -> str:
     if isinstance(vmin, str) or isinstance(vmax, str):
         mn = f"({vmin})" if isinstance(vmin, str) else repr(float(vmin))
         mx = f"({vmax})" if isinstance(vmax, str) else repr(float(vmax))
+        # the degenerate-range guard must live IN the SQL here (the
+        # anchors are runtime subselects): a constant column would
+        # otherwise divide by zero where the float-literal branch
+        # emits the constant-0 cell (r13 review)
         return (
-            f"CAST(LEAST({top}.0, GREATEST(0.0, FLOOR((CAST({col} AS "
-            f"DOUBLE) - {mn}) * {top}.0 / ({mx} - {mn})))) AS BIGINT)"
+            f"CAST(CASE WHEN {mx} <= {mn} THEN 0 ELSE "
+            f"LEAST({top}.0, GREATEST(0.0, FLOOR((CAST({col} AS "
+            f"DOUBLE) - {mn}) * {top}.0 / ({mx} - {mn})))) END AS BIGINT)"
         )
     if vmax <= vmin:
         return "CAST(0 AS BIGINT)"  # constant column: one cell
@@ -106,7 +111,11 @@ def zorder_value(
     (min, max) scaling; omitted columns anchor from ONE bounded 1-row
     aggregate over ``df`` (an eager driver action — pass anchors to
     stay lazy, and ALWAYS pass the original anchors when laying out
-    incremental snapshots of an existing table)."""
+    incremental snapshots of an existing table). Columns must be
+    NUMERIC: the cell scaling is CAST(col AS DOUBLE), and non-numeric
+    casts (timestamps, strings) follow engine-specific rules the
+    shared-SQL contract can't honor — bucket such columns to ints
+    first (epoch seconds, dictionary codes)."""
     anchors = dict(anchors or {})
     missing = [c for c in cols if c not in anchors]
     if missing:

@@ -2000,17 +2000,55 @@ _ANN_META = "_ann_index_meta.json"
 _ANN_CTX = "ann index"
 
 
+_ANN_DIM_MARK = "vector dimension"
+
+
+def _ann_ckpt_guarded(df: DataFrame, ctx: str) -> DataFrame:
+    """localCheckpoint surfacing the per-row dimension guard as the
+    ValueError the contract promises (the graph.py idiom)."""
+    try:
+        return df.localCheckpoint()
+    except Exception as exc:
+        if _ANN_DIM_MARK in str(exc):
+            raise ValueError(
+                f"{ctx}: {_ANN_DIM_MARK} mismatch — vectors must match "
+                f"the index's meta['dim'] (see the error cause for the "
+                f"offending length)"
+            ) from exc
+        raise
+
+
 def _ann_components(
     df: DataFrame, meta: dict, id_col: str, vec_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """(bands, vectors) for one doc-disjoint batch: buckets for all
     bands and the vector norm are computed IN THE SCAN projection
     (constant-folded plane literals, JVM folds), exactly the
-    :func:`knn_join` scan shape."""
+    :func:`knn_join` scan shape.
+
+    Every row carries a dimension guard (per-row CASE, the graph.py
+    `_nonneg_weight` discipline — zero extra passes; it rides the
+    localCheckpoint each extend/serve already performs): a vector
+    whose length differs from the index's ``meta["dim"]`` would
+    otherwise band SILENTLY into bucket 0 (zip_with pads the short
+    side with nulls, the null dot fails every CASE) and persist a
+    corrupted generation. The meta carries dim exactly so this is
+    checkable."""
+    dim = meta["dim"]
     planes = band_hyperplanes(
-        meta["dim"], meta["n_planes"], meta["n_bands"], meta["seed"]
+        dim, meta["n_planes"], meta["n_bands"], meta["seed"]
     )
-    buckets = banded_buckets(vec_col, planes)
+    guard = (
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN {{inner}} "
+        f"ELSE raise_error(concat('ann index: {_ANN_DIM_MARK} ', "
+        f"CAST(size(`{vec_col}`) AS STRING), ' != index dim {dim}')) END"
+    )
+    bucket_sql = (
+        "array("
+        + ",".join(_bucket_literal_sql(f"`{vec_col}`", p) for p in planes)
+        + ")"
+    )
+    buckets = F.expr(guard.format(inner=bucket_sql))
     bands = (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("corpus_id"), buckets.alias("_bks"))
@@ -2021,9 +2059,19 @@ def _ann_components(
     vectors = df.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("vec"),
-        norm(vec_col).alias("nm"),
+        F.expr(guard.format(inner=f"sqrt({_dot_literal_self(vec_col)})"))
+        .alias("nm"),
     )
     return bands, vectors
+
+
+def _dot_literal_self(vec_col: str) -> str:
+    """SQL text of norm²(vec) — the :func:`dot`(v, v) fold."""
+    return (
+        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def save_ann_index(
@@ -2036,11 +2084,15 @@ def save_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    on_before_commit=None,
 ) -> None:
     """Create the persisted band index at ``path`` from the corpus —
-    generation 0 + meta commit. Refuses over an existing committed
-    index (use :func:`extend_ann_index` to admit snapshots). Pass
-    ``dim`` (table metadata) to keep construction lazy."""
+    init meta, generation 0, meta commit (crash-window-safe at every
+    step: the init meta makes a first-build crash replayable instead
+    of tripping the vanished-meta refusal). Refuses over an existing
+    committed index (use :func:`extend_ann_index` to admit
+    snapshots). Pass ``dim`` (table metadata) to keep construction
+    lazy. ``on_before_commit`` is the crash-window test seam."""
     from hermod_spark import state as S
 
     spark = embeddings.sparkSession
@@ -2063,8 +2115,18 @@ def save_ann_index(
         "seed": seed,
         "dim": dim,
     }
+    # INIT meta (empty generations) lands BEFORE the first generation
+    # write: a crash between gen-0 and the final commit then leaves a
+    # committed-empty meta + an unreferenced orphan the re-run
+    # overwrites — without it, read_meta's vanished-meta refusal would
+    # permanently brick the root on a first-build crash (r13 review)
+    S.write_meta(
+        spark, path, _ANN_META, {**meta, "generations": [], "seq": -1}
+    )
     bands, vectors = _ann_components(embeddings, meta, id_col, vec_col)
     _write_ann_generation(spark, path, S.gen_name(0), bands, vectors)
+    if on_before_commit is not None:
+        on_before_commit(0)
     S.write_meta(spark, path, _ANN_META, meta)
 
 
@@ -2133,7 +2195,7 @@ def extend_ann_index(
         "left_anti",
     )
     bands, vectors = _ann_components(fresh, meta, id_col, vec_col)
-    vectors = vectors.localCheckpoint()
+    vectors = _ann_ckpt_guarded(vectors, "extend_ann_index")
     n_added = vectors.count()
     if n_added == 0:
         return 0  # full redelivery: no empty generation, no commit
@@ -2193,7 +2255,10 @@ def knn_join_incremental(
     snap_bands, snap_vecs = _ann_components(
         new_only, meta, id_col, vec_col
     )
-    snap_bands = snap_bands.localCheckpoint()
+    snap_bands = _ann_ckpt_guarded(snap_bands, "knn_join_incremental")
+    # snap_vecs feeds BOTH the query-side rehydration and the neighbor
+    # union — checkpoint once or the anti-join + norm pass runs twice
+    snap_vecs = _ann_ckpt_guarded(snap_vecs, "knn_join_incremental")
     all_bands = index["bands"].unionByName(snap_bands)
     if max_bucket is not None:
         w_b = Window.partitionBy("band_id", "bucket")
@@ -2311,8 +2376,9 @@ def semantic_decontaminate(
             f"semantic_decontaminate: threshold={threshold} not in (0, 1]"
         )
     meta = index["meta"]
+    # probe bands are consumed exactly once (the candidate join) — no
+    # checkpoint; p_vecs is also single-consumer (the rerank join)
     p_bands, p_vecs = _ann_components(probes, meta, id_col, vec_col)
-    p_bands = p_bands.localCheckpoint()
     idx_bands = index["bands"]
     if max_bucket is not None:
         w_b = Window.partitionBy("band_id", "bucket")

@@ -119,10 +119,14 @@ def build_text_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    on_before_commit: Callable[[int], None] | None = None,
 ) -> None:
-    """Create the index at ``path`` from the corpus — generation 0 +
-    meta commit. Refuses over an existing committed index (use
-    :func:`extend_text_index` to admit more documents)."""
+    """Create the index at ``path`` from the corpus — init meta,
+    generation 0, meta commit (the init meta makes a first-build
+    crash replayable instead of tripping the vanished-meta refusal).
+    Refuses over an existing committed index (use
+    :func:`extend_text_index` to admit more documents).
+    ``on_before_commit`` is the crash-window test seam."""
     spark = df.sparkSession
     meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
     if meta["generations"]:
@@ -130,9 +134,16 @@ def build_text_index(
             f"text index at {path!r} already has committed generations "
             f"{meta['generations']} — extend_text_index admits new docs"
         )
+    # INIT meta before the first generation write — a crash between
+    # gen-0 and the commit then leaves a committed-empty meta plus an
+    # unreferenced orphan the re-run overwrites; without it the
+    # vanished-meta refusal bricks the root on a first-build crash
+    S.write_meta(spark, path, _META, {"generations": [], "seq": -1})
     postings, doclens = _components(df, text_col, id_col)
     gen = S.gen_name(0)
     _write_generation(spark, path, gen, postings, doclens)
+    if on_before_commit is not None:
+        on_before_commit(0)
     S.write_meta(spark, path, _META, {"generations": [gen], "seq": 0})
 
 
@@ -235,6 +246,12 @@ def text_index_maintenance_sink(
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
         if not meta["generations"]:
+            # init meta first: a batch-0 crash between the generation
+            # write and the commit must REPLAY, not wedge the stream
+            # on the vanished-meta refusal forever
+            S.write_meta(
+                spark, path, _META, {"generations": [], "seq": -1}
+            )
             postings, doclens = _components(batch, text_col, id_col)
             gen = S.gen_name(0)
             _write_generation(spark, path, gen, postings, doclens)

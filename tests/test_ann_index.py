@@ -231,3 +231,48 @@ def test_semantic_decontaminate_flags_probe_duplicates(spark, tmp_path):
     assert kept == sorted(set([1, 2, 3, 4]) - set(got))
     with pytest.raises(ValueError, match="threshold"):
         semantic_decontaminate(probes, idx, threshold=0.0)
+
+
+def test_first_build_crash_is_replayable(spark, tmp_path):
+    """r13 review: same first-build crash window as the text index —
+    the init meta keeps the root replayable."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ann")
+    with pytest.raises(RuntimeError, match="boom"):
+        save_ann_index(
+            emb, path, n_planes=4, n_bands=4, dim=DIM,
+            on_before_commit=lambda seq: (_ for _ in ()).throw(
+                RuntimeError("boom")
+            ),
+        )
+    with pytest.raises(IOError, match="no committed data"):
+        load_ann_index(spark, path)
+    save_ann_index(emb, path, n_planes=4, n_bands=4, dim=DIM)
+    assert load_ann_index(spark, path)["meta"]["generations"] == [
+        "gen-000000000"
+    ]
+
+
+def test_dimension_guard_refuses_wrong_dim(spark, tmp_path):
+    """r13 review: a wrong-dimension snapshot must REFUSE, not band
+    silently into bucket 0 and persist a corrupted generation. The
+    guard is a per-row CASE riding the existing checkpoints."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ann")
+    save_ann_index(
+        emb.filter(F.col("vec_id") % 10 != 7), path,
+        n_planes=4, n_bands=4, dim=DIM,
+    )
+    bad = spark.createDataFrame(
+        [(9_000_001, [0.5] * (DIM // 2))],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        extend_ann_index(bad, path)
+    idx = load_ann_index(spark, path)
+    assert len(idx["meta"]["generations"]) == 1  # nothing persisted
+    with pytest.raises(ValueError, match="dimension"):
+        knn_join_incremental(bad, idx, k=5)
+    # and the index itself still serves correctly
+    snap = emb.filter(F.col("vec_id") % 10 == 7)
+    assert len(_rows(knn_join_incremental(snap, idx, k=5))) > 0

@@ -61,7 +61,10 @@ def test_udf_matches_reference_and_duckdb(spark):
         .unionByName(
             spark.createDataFrame(
                 [(9_000_001, None), (9_000_002, "  \n\t "),
-                 (9_000_003, "THE Newest  widest")],
+                 (9_000_003, "THE Newest  widest"),
+                 # NBSP is NOT a separator in the shared ASCII \s
+                 # class: all three engines must keep one pretoken
+                 (9_000_004, "the\u00a0widest and\u2009more")],
                 "doc_id long, text string",
             )
         )
@@ -76,7 +79,9 @@ def test_udf_matches_reference_and_duckdb(spark):
     def ref(t):
         if t is None:
             return None
-        return sum(len(bpe.encode_word(w, merges)) for w in t.lower().split())
+        return sum(
+            len(bpe.encode_word(w, merges)) for w in bpe.pretokens(t)
+        )
 
     for row in docs.collect():
         assert got[row["doc_id"]] == ref(row["text"]), row["doc_id"]

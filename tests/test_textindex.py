@@ -221,3 +221,45 @@ def test_stream_maintenance_real_readstream(spark, tmp_path):
     assert _rows(bm25_topk_indexed(idx, PANEL, k=10)) == _rows(
         bm25_topk(docs, PANEL, k=10)
     )
+
+
+def test_first_build_crash_is_replayable(spark, tmp_path):
+    """r13 review: a crash between the FIRST generation write and the
+    first meta commit must REPLAY, not permanently trip the
+    vanished-meta refusal (the init meta makes gen-0 an overwritable
+    orphan like every later generation)."""
+    from hermod_spark.operators.textindex import (
+        text_index_maintenance_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="boom"):
+        build_text_index(
+            docs, path,
+            on_before_commit=lambda seq: (_ for _ in ()).throw(
+                RuntimeError("boom")
+            ),
+        )
+    # the root is NOT bricked: a committed-empty meta + an orphan gen
+    with pytest.raises(IOError, match="no committed data"):
+        load_text_index(spark, path)
+    build_text_index(docs, path)  # replay succeeds (overwrites orphan)
+    got = _rows(bm25_topk_indexed(load_text_index(spark, path), PANEL, k=10))
+    assert got == _rows(bm25_topk(docs, PANEL, k=10))
+
+    # same window through the STREAMING sink's batch-0 branch
+    path2 = str(tmp_path / "idx2")
+    boom = text_index_maintenance_sink(
+        path2, on_before_commit=lambda seq: (_ for _ in ()).throw(
+            RuntimeError("boom")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        boom(docs, 0)
+    fn = text_index_maintenance_sink(path2)
+    fn(docs, 0)  # the stream's batch-0 replay must not wedge
+    got2 = _rows(
+        bm25_topk_indexed(load_text_index(spark, path2), PANEL, k=10)
+    )
+    assert got2 == got
