@@ -187,7 +187,13 @@ def merges_sql(
 ) -> str:
     """DuckDB expression computing the SAME count for one pretoken
     column: wrap chars, chain the replaces, count the symbol markers.
-    Shared by the oracle so Spark and DuckDB run one algorithm."""
+    Shared by the oracle so Spark and DuckDB run one algorithm.
+
+    The guarded zero branch matters for raw columns: DuckDB's
+    ``string_split('', '')`` yields ``['']`` (one empty element → one
+    marker pair → count 1) where ``encode_word('')`` is 0. Current
+    tokenizers never emit empty pretokens, but the SQL should not be
+    one-off if applied to an unfiltered column (ADVICE r13)."""
     expr = (
         f"array_to_string(list_transform(string_split({text_sql}, ''), "
         f"x -> chr(1) || x || chr(2)), '')"
@@ -201,5 +207,6 @@ def merges_sql(
         rep = SYM_L + a + b + SYM_R
         expr = f"replace({expr}, {q(pat)}, {q(rep)})"
     return (
-        f"(length({expr}) - length(replace({expr}, chr(1), '')))"
+        f"(CASE WHEN length({text_sql}) = 0 THEN 0 ELSE "
+        f"(length({expr}) - length(replace({expr}, chr(1), ''))) END)"
     )

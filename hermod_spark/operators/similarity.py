@@ -22,11 +22,30 @@ Vector conversion in the hot path.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hermod_spark.data import ensure_min_partitions
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ident_sql(name: str) -> str:
+    """Backticked SQL reference for a vector column name, refused
+    unless it is a plain identifier (the layout.py ``_IDENT``
+    discipline — ADVICE r13): these names are interpolated into
+    ``F.expr`` strings, where an embedded backtick breaks parsing and
+    a dotted name silently changes resolution semantics versus the
+    ``F.col`` path."""
+    if not _IDENT.match(name):
+        raise ValueError(
+            f"vector column name {name!r} must be a plain identifier "
+            f"(letters, digits, underscore) for the SQL-string LSH path"
+        )
+    return f"`{name}`"
 
 
 def _vec(col: Column | str) -> Column:
@@ -122,7 +141,7 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
         # a busy driver is ~1 ms/call, and the per-plane Python
         # construction costs ~50 ms per dot — material on every
         # LSH-family plan build
-        return F.expr(_bucket_literal_sql(f"`{vec}`", planes))
+        return F.expr(_bucket_literal_sql(_ident_sql(vec), planes))
     bucket = F.lit(0)
     for j, p in enumerate(planes):
         plane = F.lit([float(x) for x in p])
@@ -1664,7 +1683,7 @@ def banded_buckets(
     parsed expression — value-identical to
     ``F.array(*[lsh_bucket(vec_col, p) for p in bands])`` (pinned by
     test) at ~1% of its construction cost."""
-    vec_sql = f"`{vec_col}`"
+    vec_sql = _ident_sql(vec_col)
     return F.expr(
         "array(" + ",".join(_bucket_literal_sql(vec_sql, p) for p in bands) + ")"
     )
@@ -2035,17 +2054,18 @@ def _ann_components(
     corrupted generation. The meta carries dim exactly so this is
     checkable."""
     dim = meta["dim"]
+    vec_sql = _ident_sql(vec_col)
     planes = band_hyperplanes(
         dim, meta["n_planes"], meta["n_bands"], meta["seed"]
     )
     guard = (
-        f"CASE WHEN size(`{vec_col}`) = {dim} THEN {{inner}} "
+        f"CASE WHEN size({vec_sql}) = {dim} THEN {{inner}} "
         f"ELSE raise_error(concat('ann index: {_ANN_DIM_MARK} ', "
-        f"CAST(size(`{vec_col}`) AS STRING), ' != index dim {dim}')) END"
+        f"CAST(size({vec_sql}) AS STRING), ' != index dim {dim}')) END"
     )
     bucket_sql = (
         "array("
-        + ",".join(_bucket_literal_sql(f"`{vec_col}`", p) for p in planes)
+        + ",".join(_bucket_literal_sql(vec_sql, p) for p in planes)
         + ")"
     )
     buckets = F.expr(guard.format(inner=bucket_sql))
@@ -2067,8 +2087,9 @@ def _ann_components(
 
 def _dot_literal_self(vec_col: str) -> str:
     """SQL text of norm²(vec) — the :func:`dot`(v, v) fold."""
+    vec_sql = _ident_sql(vec_col)
     return (
-        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
+        f"aggregate(zip_with({vec_sql}, {vec_sql}, "
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
@@ -2189,12 +2210,20 @@ def extend_ann_index(
     spark = new_df.sparkSession
     idx = load_ann_index(spark, path)
     meta = idx["meta"]
-    fresh = new_df.join(
+    fresh = new_df.select(id_col, vec_col).join(
         idx["vectors"].select(F.col("corpus_id").alias(id_col)),
         id_col,
         "left_anti",
-    )
+    # checkpoint the anti-joined snapshot ONCE so bands and vectors
+    # derive from a single materialization — a non-deterministic or
+    # mutating source can never commit band rows and vector rows from
+    # different evaluations of the anti-join (ADVICE r13; the
+    # textindex._tokenized discipline). Snapshot-sized.
+    ).localCheckpoint()
     bands, vectors = _ann_components(fresh, meta, id_col, vec_col)
+    # the second checkpoint is the dim-guard firing point (ValueError
+    # BEFORE any generation write) and the shared input of count +
+    # vector write
     vectors = _ann_ckpt_guarded(vectors, "extend_ann_index")
     n_added = vectors.count()
     if n_added == 0:
@@ -2247,11 +2276,14 @@ def knn_join_incremental(
     if k < 1:
         raise ValueError(f"knn_join_incremental: k={k} must be >= 1")
     meta = index["meta"]
-    new_only = new_df.join(
+    new_only = new_df.select(id_col, vec_col).join(
         index["vectors"].select(F.col("corpus_id").alias(id_col)),
         id_col,
         "left_anti",
-    )
+    # one materialization of the anti-join: snap_bands and snap_vecs
+    # each checkpoint below, and without this the index-sized
+    # anti-join scan would run once per component (ADVICE r13 shape)
+    ).localCheckpoint()
     snap_bands, snap_vecs = _ann_components(
         new_only, meta, id_col, vec_col
     )

@@ -69,6 +69,19 @@ _EMPTY = {"generations": [], "seq": -1}
 _CTX = "text index"
 
 
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The tokenized base both components derive from — exposed so
+    :func:`extend_text_index` can checkpoint it ONCE and have the
+    add-count and both generation writes read one materialization
+    (ADVICE r13: checkpointing only doclens left postings
+    re-evaluating the un-checkpointed anti-join plan, so a mutating
+    source could commit inconsistent postings/doclens)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        X.tokens(F.lower(F.col(text_col))).alias("_tk"),
+    )
+
+
 def _components(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -77,10 +90,10 @@ def _components(
     Docs that tokenize to nothing still appear in doclens (they count
     in N and avgdl, exactly as the direct path's corpus agg counts
     them) but emit no postings."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        X.tokens(F.lower(F.col(text_col))).alias("_tk"),
-    )
+    return _components_from_base(_tokenized(df, text_col, id_col))
+
+
+def _components_from_base(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     doclens = base.select("doc_id", F.size("_tk").alias("dl"))
     postings = (
         base.select(
@@ -194,11 +207,14 @@ def extend_text_index(
         id_col,
         "left_anti",
     )
-    postings, doclens = _components(fresh, text_col, id_col)
-    # the delta is snapshot-sized: checkpoint once so the add-count
-    # and the generation write share one tokenization pass
-    doclens = doclens.localCheckpoint()
-    n_added = doclens.count()
+    # the delta is snapshot-sized: checkpoint the TOKENIZED BASE once
+    # so the add-count and BOTH generation writes read one
+    # materialization — a non-deterministic or mutating source can
+    # never commit doclens and postings from different evaluations of
+    # the anti-join (ADVICE r13)
+    base = _tokenized(fresh, text_col, id_col).localCheckpoint()
+    postings, doclens = _components_from_base(base)
+    n_added = base.count()
     if n_added == 0:
         return 0  # full redelivery: no empty generation, no commit
     seq = meta["seq"] + 1
@@ -269,22 +285,39 @@ def text_index_maintenance_sink(
     return _fn
 
 
-def compact_text_index(path: str, spark: SparkSession) -> int:
+def compact_text_index(
+    path: str, spark: SparkSession, *, retain: int = 0
+) -> int:
     """Fold the generation chain into one generation (read the union,
     rewrite clustered by token, point meta at the new generation,
     prune the old chain). Returns the number of generations folded.
-    Run off the serve path on whatever cadence keeps the chain short
-    — readers are never blocked (old generations stay intact until
-    the meta swap commits, then prune)."""
+    Run off the serve path on whatever cadence keeps the chain short.
+
+    READER-STALENESS WINDOW (ADVICE r13): the meta swap never blocks
+    readers, but a reader that called :func:`load_text_index` BEFORE
+    the swap holds DataFrames over the old generation directories —
+    pruning them immediately vacuums files out from under that
+    reader's in-flight queries. ``retain`` keeps the N newest old
+    generations on disk past the swap (the lakehouse VACUUM
+    retention idea): with single-process readers the default 0 is
+    safe; with concurrent readers set ``retain`` to cover the longest
+    query over a stale load, and let the NEXT compaction collect
+    them."""
     idx = load_text_index(spark, path)
     meta = idx["meta"]
     if len(meta["generations"]) <= 1:
+        # no fold needed, but still collect generations a prior
+        # retain>0 compaction left behind (they are unreferenced)
+        S.prune_generations(
+            spark, path, 1 + max(0, retain),
+            protect=set(meta["generations"]),
+        )
         return 0
     seq = meta["seq"] + 1
     gen = S.gen_name(seq)
     _write_generation(spark, path, gen, idx["postings"], idx["doclens"])
     S.write_meta(spark, path, _META, {"generations": [gen], "seq": seq})
-    S.prune_generations(spark, path, 1, protect={gen})
+    S.prune_generations(spark, path, 1 + max(0, retain), protect={gen})
     return len(meta["generations"])
 
 

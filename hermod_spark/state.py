@@ -73,14 +73,25 @@ def read_meta(
             stream.close()
         return json.loads(raw)
     if fs.exists(jroot):
-        leftovers = [str(s.getPath().getName()) for s in fs.listStatus(jroot)]
-        asides = [n for n in leftovers if n.startswith(f".old-{meta_name}-")]
+        statuses = list(fs.listStatus(jroot))
+        leftovers = [str(s.getPath().getName()) for s in statuses]
+        # newest aside by modification time: asides from DIFFERENT
+        # crashed swaps can coexist, and only the most recent one holds
+        # the last committed meta (ADVICE r13)
+        asides = sorted(
+            (
+                (s.getModificationTime(), str(s.getPath().getName()))
+                for s in statuses
+                if str(s.getPath().getName()).startswith(f".old-{meta_name}-")
+            ),
+            reverse=True,
+        )
         gens = [n for n in leftovers if n.startswith(GEN_PREFIX)]
         if asides:
             raise IOError(
                 f"{ctx} at {root!r} has no {meta_name} but a crashed swap "
-                f"left {asides[0]!r} — rename it back to {meta_name!r} to "
-                f"recover the committed state"
+                f"left {asides[0][1]!r} — rename it back to {meta_name!r} "
+                f"to recover the committed state"
             )
         if gens:
             raise IOError(
@@ -125,8 +136,15 @@ def write_meta(
             f"meta swap-in failed in {root!r}; previous meta preserved at "
             f"{old.toString()!r} — rename it back to recover"
         )
-    if fs.exists(old):
-        fs.delete(old, False)
+    # after a successful swap, sweep ALL asides for this meta — not
+    # just this pid's. A crash after a prior swap-in but before its
+    # aside delete leaves a stale .old-<otherpid> that would otherwise
+    # never be collected and could shadow a later genuine crashed swap
+    # in read_meta's recovery message (ADVICE r13).
+    for status in fs.listStatus(jroot):
+        nm = str(status.getPath().getName())
+        if nm.startswith(f".old-{meta_name}-"):
+            fs.delete(status.getPath(), False)
 
 
 def prune_generations(

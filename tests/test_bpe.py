@@ -121,3 +121,28 @@ def test_train_from_corpus_bounded_and_effective(spark):
     import __spark_entry__ as E
 
     assert E.BPE_MERGES == bpe.train_bpe(E.BPE_TRAIN_FREQS, 48)
+
+
+def test_merges_sql_empty_pretoken_counts_zero():
+    """ADVICE r13: DuckDB string_split('','') yields [''] — without
+    the zero guard an empty pretoken counted 1 where encode_word('')
+    is 0. NULL stays NULL (matching the UDF's None passthrough)."""
+    import duckdb
+
+    from hermod_spark.functions import bpe
+
+    sql = bpe.merges_sql("w", [("a", "b")])
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {sql} FROM (SELECT '' AS w)"
+    ).fetchone()[0]
+    assert got == 0
+    assert len(bpe.encode_word("", [("a", "b")])) == 0
+    got_null = con.execute(
+        f"SELECT {sql} FROM (SELECT CAST(NULL AS VARCHAR) AS w)"
+    ).fetchone()[0]
+    assert got_null is None
+    got_ab = con.execute(
+        f"SELECT {sql} FROM (SELECT 'ab' AS w)"
+    ).fetchone()[0]
+    assert got_ab == 1

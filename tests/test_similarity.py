@@ -818,3 +818,25 @@ def test_knn_split_leakage_counts_undirected_pairs(spark):
     assert got == want
     for r in out:
         assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+
+def test_sql_string_lsh_paths_reject_non_identifier_columns(spark):
+    """ADVICE r13: the F.expr string paths interpolate the vector
+    column name — a backtick or dot must be refused (the layout.py
+    _IDENT discipline), not parsed into something else."""
+    import pytest
+
+    from hermod_spark.operators import similarity as sim
+
+    planes = sim.hyperplanes(4, 2)
+    bands = sim.band_hyperplanes(4, 2, 2)
+    for bad in ["a`b", "a.b", "a b", "", "1x"]:
+        with pytest.raises(ValueError, match="plain identifier"):
+            sim.lsh_bucket(bad, planes)
+        with pytest.raises(ValueError, match="plain identifier"):
+            sim.banded_buckets(bad, bands)
+        with pytest.raises(ValueError, match="plain identifier"):
+            sim._dot_literal_self(bad)
+    # plain identifiers still work end-to-end
+    df = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], "id int, v array<float>")
+    assert df.select(sim.lsh_bucket("v", planes)).count() == 1
