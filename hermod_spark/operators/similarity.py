@@ -2146,6 +2146,16 @@ def save_ann_index(
     )
     bands, vectors = _ann_components(embeddings, meta, id_col, vec_col)
     _write_ann_generation(spark, path, S.gen_name(0), bands, vectors)
+    # exact corpus size rides the meta (parquet-footer count over the
+    # just-written generation — metadata-only, no data read): it is
+    # what compaction's occupancy-triggered re-banding sizes the new
+    # plane count from
+    import os as _os
+
+    n0 = spark.read.parquet(
+        _os.path.join(path, S.gen_name(0), "vectors")
+    ).count()
+    meta = {**meta, "n_vectors": int(n0)}
     if on_before_commit is not None:
         on_before_commit(0)
     S.write_meta(spark, path, _ANN_META, meta)
@@ -2233,13 +2243,89 @@ def extend_ann_index(
     _write_ann_generation(spark, path, gen, bands, vectors)
     if on_before_commit is not None:
         on_before_commit(seq)
+    # legacy metas (pre-r14) carry no n_vectors: upgrade once with an
+    # index-sized count so occupancy-triggered re-banding can size
+    # the plane count on any index
+    n_before = meta.get("n_vectors")
+    if n_before is None:
+        n_before = idx["vectors"].count()
     S.write_meta(
         spark,
         path,
         _ANN_META,
-        {**meta, "generations": meta["generations"] + [gen], "seq": seq},
+        {
+            **meta,
+            "generations": meta["generations"] + [gen],
+            "seq": seq,
+            "n_vectors": int(n_before) + int(n_added),
+        },
     )
     return n_added
+
+
+def ann_index_maintenance_sink(
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    on_before_commit=None,
+):
+    """foreachBatch function maintaining the persisted ANN band index
+    as embeddings STREAM in (VERDICT r13 #2 — the text index and the
+    rollup already have maintenance sinks; this closes the ANN gap).
+    Use::
+
+        q = (emb.writeStream
+             .foreachBatch(ann_index_maintenance_sink("/idx/ann"))
+             .option("checkpointLocation", ckpt).start())
+
+    Exactly-once WITHOUT a batch-id ledger, the
+    ``textindex.text_index_maintenance_sink`` argument verbatim:
+    :func:`extend_ann_index` is id-idempotent (admitted ids anti-join
+    away on redelivery; an empty redelivery commits nothing), so
+    at-least-once foreachBatch delivery composes to exactly-once by
+    construction. A crash between generation write and meta commit
+    leaves an unreferenced orphan the replay overwrites; a batch-0
+    crash replays through the init meta (committed-empty) that
+    :func:`save_ann_index` writes before gen-0.
+
+    The first batch creates the index — the banding identity
+    (``n_planes``/``n_bands``/``seed``/``dim``) passed here applies
+    ONLY then; afterwards the meta IS the identity (including any
+    occupancy-triggered re-band a concurrent-free
+    :func:`compact_ann_index` maintenance pass committed between
+    micro-batches — extends re-derive planes from the meta, so the
+    stream keeps admitting correctly across a rotation). Duplicate
+    ids WITHIN a batch collapse keep-any (a stream redelivering a
+    vector mid-batch carries identical payload). SINGLE WRITER per
+    index root: schedule compaction in the same maintenance process,
+    between batches."""
+    from hermod_spark import state as S
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        meta = S.read_meta(
+            spark, path, _ANN_META, _ANN_CTX,
+            {"generations": [], "seq": -1},
+        )
+        if not meta["generations"]:
+            save_ann_index(
+                batch, path, n_planes=n_planes, n_bands=n_bands,
+                seed=seed, id_col=id_col, vec_col=vec_col, dim=dim,
+                on_before_commit=on_before_commit,
+            )
+        else:
+            extend_ann_index(
+                batch, path, id_col=id_col, vec_col=vec_col,
+                on_before_commit=on_before_commit,
+            )
+
+    return _fn
 
 
 def knn_join_incremental(
@@ -2353,26 +2439,135 @@ def knn_join_incremental(
     )
 
 
-def compact_ann_index(path: str, spark) -> int:
+def ann_occupancy(index: dict) -> dict:
+    """Measured bucket occupancy of a loaded index: mean and max rows
+    per occupied (band_id, bucket) cell, plus the corpus size the
+    measurement saw. ONE index-sized aggregate (3-long band rows) —
+    the candidate-join cost model: expected candidate pairs per query
+    grow linearly with mean occupancy, so this is the number that
+    says when fixed build-time banding has degraded (SCALE.md r13
+    measured the fixed-banding decade at 3.50×/row vs 1.27× re-banded)."""
+    meta = index["meta"]
+    n_vec = meta.get("n_vectors")
+    if n_vec is None:  # legacy meta (pre-r14): one index-sized count
+        n_vec = index["vectors"].count()
+    row = (
+        index["bands"]
+        .groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.avg("c").alias("mean"), F.max("c").alias("mx"))
+        .first()
+    )
+    return {
+        "mean": float(row["mean"]),
+        "max": int(row["mx"]),
+        "measured_at_n": int(n_vec),
+        "n_planes": meta["n_planes"],
+    }
+
+
+def planes_for_occupancy(n_vectors: int, max_occupancy: float) -> int:
+    """⌈log2(N / target)⌉ — the plane count that brings EXPECTED mean
+    occupancy (N / 2^planes under the sign-LSH uniformity assumption)
+    back under ``max_occupancy``; the knn_join planes ∝ log2 N scale
+    path as a formula. Capped at 30 so bucket ids stay in int range."""
+    import math
+
+    if max_occupancy <= 0:
+        raise ValueError(
+            f"max_occupancy={max_occupancy} must be > 0"
+        )
+    return min(30, max(1, math.ceil(math.log2(max(2.0, n_vectors / max_occupancy)))))
+
+
+def compact_ann_index(
+    path: str,
+    spark,
+    *,
+    max_occupancy: float | None = None,
+    retain: int = 0,
+    on_before_commit=None,
+) -> int:
     """Fold the generation chain into one generation (read the union,
     rewrite clustered by (band_id, bucket), point meta at it, prune
     the chain) — run off the serve path when daily extends have grown
-    the chain; readers never block (the ``textindex.compact_text_index``
-    contract). Returns the number of generations folded."""
+    the chain. Returns the number of generations folded (0 = nothing
+    to do; a pure re-band of a single-generation index returns 1).
+
+    **Occupancy-triggered re-banding** (VERDICT r13 #1): pass
+    ``max_occupancy`` (target mean rows per bucket) and compaction
+    measures the index's real bucket occupancy (:func:`ann_occupancy`
+    — one aggregate over rows it is about to read anyway). When the
+    mean exceeds the target, the fold recomputes the band table from
+    the PERSISTED vectors at ``n_planes =``
+    :func:`planes_for_occupancy` (never fewer planes than built
+    with), and the new plane count commits ATOMICALLY with the folded
+    generation in one meta swap — the banding identity and the band
+    rows can never disagree (a crash before the commit leaves an
+    unreferenced orphan and the old identity; re-run overwrites).
+    Serves and extends pick up the rotated identity on their next
+    ``load_ann_index`` — this is the scale remedy for the documented
+    fixed-banding quadratic (SCALE.md r13: 3.50×/row fixed vs
+    1.27×/row re-banded across a real decade), automated.
+
+    The measured stats land in ``meta["occupancy"]`` (with
+    ``measured_at_n`` so staleness after later extends is checkable).
+    Re-banding is one full-index banding pass — the same work as a
+    fresh build's band side, which is exactly what compaction's
+    off-serve-path cadence is for.
+
+    READER-STALENESS WINDOW: ``retain`` keeps the N newest old
+    generations past the swap for in-flight readers of a pre-swap
+    ``load_ann_index`` (the ``compact_text_index`` contract); the
+    next compaction collects them."""
     from hermod_spark import state as S
 
     idx = load_ann_index(spark, path)
     meta = idx["meta"]
-    if len(meta["generations"]) <= 1:
+    n_gens = len(meta["generations"])
+    new_planes = meta["n_planes"]
+    occ = None
+    if max_occupancy is not None:
+        occ = ann_occupancy(idx)
+        if occ["mean"] > max_occupancy:
+            new_planes = max(
+                meta["n_planes"],
+                planes_for_occupancy(occ["measured_at_n"], max_occupancy),
+            )
+    rebanded = new_planes != meta["n_planes"]
+    if n_gens <= 1 and not rebanded:
+        # no fold, but collect generations a prior retain>0 run left
+        S.prune_generations(
+            spark, path, 1 + max(0, retain),
+            protect=set(meta["generations"]),
+        )
         return 0
     seq = meta["seq"] + 1
     gen = S.gen_name(seq)
-    _write_ann_generation(spark, path, gen, idx["bands"], idx["vectors"])
-    S.write_meta(
-        spark, path, _ANN_META, {**meta, "generations": [gen], "seq": seq}
-    )
-    S.prune_generations(spark, path, 1, protect={gen})
-    return len(meta["generations"])
+    vectors = idx["vectors"]
+    if rebanded:
+        # band the persisted vectors under the NEW identity — vectors
+        # are already dim-guarded, norms already computed; only the
+        # band table is rebuilt
+        bands = _ann_components(
+            vectors, {**meta, "n_planes": new_planes}, "corpus_id", "vec"
+        )[0]
+    else:
+        bands = idx["bands"]
+    _write_ann_generation(spark, path, gen, bands, vectors)
+    if on_before_commit is not None:
+        on_before_commit(seq)
+    new_meta = {
+        **meta,
+        "generations": [gen],
+        "seq": seq,
+        "n_planes": new_planes,
+    }
+    if occ is not None:
+        new_meta["occupancy"] = occ
+    S.write_meta(spark, path, _ANN_META, new_meta)
+    S.prune_generations(spark, path, 1 + max(0, retain), protect={gen})
+    return n_gens
 
 
 def semantic_decontaminate(
