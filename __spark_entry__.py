@@ -300,6 +300,7 @@ _ROLLUP_STATE_CACHE: dict[str, str] = {}
 # sf) key per process, removed with /tmp.
 _TEXT_INDEX_CACHE: dict[str, str] = {}
 _ANN_INDEX_CACHE: dict[str, str] = {}
+_FP_INDEX_CACHE: dict[str, str] = {}
 
 # Pinned BPE merge table (cur_token_budget_bpe): trained AT IMPORT from
 # a fixed word-frequency snippet of the synthetic corpus vocabulary —
@@ -372,6 +373,52 @@ def knn_incremental_of(emb: DataFrame, key: str) -> DataFrame:
     return S.knn_join_incremental(
         emb.filter(F.col("vec_id") % 10 == 7), idx, k=_TOPK
     )
+
+
+def ensure_fp_index(docs: DataFrame, key: str) -> dict:
+    """Build-or-reuse the persisted image-fingerprint index for
+    ``docs``'s corpus slice (doc_id % 10 != 7, saved 2/3 + extended
+    1/3 — the driver gate exercises build + extend + serve) under a
+    process-cached path. The expensive Arrow tile-synth + aHash runs
+    ONCE per corpus blob, at admit time; serves only hash the
+    snapshot."""
+    from hermod_spark.operators import fpindex as FPI
+    from hermod_spark.operators.multimodal import image_ahash
+
+    if key not in _FP_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
+        corpus = docs.filter(F.col("doc_id") % 10 != 7)
+        FPI.save_fp_index(
+            image_ahash(_image_blobs_of(corpus.filter(F.col("doc_id") % 3 != 1))),
+            path, hash_bits=64, max_hamming=4,
+        )
+        FPI.extend_fp_index(
+            image_ahash(_image_blobs_of(corpus.filter(F.col("doc_id") % 3 == 1))),
+            path,
+        )
+        _FP_INDEX_CACHE[key] = path
+    from hermod_spark.operators.fpindex import load_fp_index
+
+    return load_fp_index(docs.sparkSession, _FP_INDEX_CACHE[key])
+
+
+def mm_neardup_incremental_of(docs: DataFrame, key: str) -> DataFrame:
+    """Snapshot-vs-corpus image near-dup pairs through the persisted
+    fingerprint index: corpus = doc_id % 10 != 7 (hashed once, at
+    admit), snapshot = the %10==7 slice — only IT is tile-synthesized
+    and hashed at serve time. ONE body behind the
+    `mm_neardup_incremental` entry and bench's fixed-index 10× probe.
+    EXACT (pigeonhole banding is complete for the ≤4 ball): equals
+    the full ahash_neardup rebuild restricted to pairs touching the
+    snapshot, which is what the oracle replays."""
+    from hermod_spark.operators.fpindex import neardup_pairs_incremental
+    from hermod_spark.operators.multimodal import image_ahash
+
+    idx = ensure_fp_index(docs, key)
+    snap = image_ahash(_image_blobs_of(docs.filter(F.col("doc_id") % 10 == 7)))
+    return neardup_pairs_incremental(snap, idx).orderBy("doc_a", "doc_b")
 
 
 def dedup_index_path_of(corpus: DataFrame, key: str) -> str:
@@ -2773,6 +2820,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_neardup_of(_t(spark, sf, "documents"))
 
     q["mm_image_neardup"] = mm_image_neardup
+
+    def mm_neardup_incremental(spark, sf):
+        """Image near-dup through the PERSISTED fingerprint index
+        (VERDICT r13 #5): the corpus (doc_id % 10 != 7) is hashed and
+        pigeonhole-banded ONCE at admit time (saved 2/3 + extended
+        1/3 via the process cache, like the text/ANN indexes); serve
+        hashes only the %10==7 snapshot and joins its bands against
+        the persisted band table. EXACT — banding is a complete
+        filter for the ≤4 ball — so the oracle is the honest
+        quadratic hamming join restricted to pairs touching the
+        snapshot."""
+        return mm_neardup_incremental_of(
+            _t(spark, sf, "documents"), key=f"fp-index:{sf}"
+        )
+
+    q["mm_neardup_incremental"] = mm_neardup_incremental
 
     def mm_audio_fpdedup(spark, sf):
         """Audio dedup by energy-sign fingerprint, end-to-end on REAL
@@ -6009,6 +6072,32 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+ORDER BY doc_a, doc_b"""
+
+    # incremental serve ≡ full rebuild restricted to pairs touching
+    # the snapshot (pigeonhole banding is COMPLETE for the <= 4 ball,
+    # so unlike the sign-LSH family this equality is exact, not
+    # recall-bounded)
+    o["mm_neardup_incremental"] = """
+WITH px AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+  AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
 ORDER BY doc_a, doc_b"""
 
     # funnel: exact-dup groups collapse to the min-id representative

@@ -244,9 +244,6 @@ def ahash_neardup(
             f"ahash_neardup: hash_bits={hash_bits} < {bands} bands — "
             "pigeonhole needs at least max_hamming+1 bits"
         )
-    # interleaved position groups (see docstring): band k = positions
-    # k, k+bands, k+2*bands, ... — full disjoint coverage
-    positions = [list(range(k, hash_bits, bands)) for k in range(bands)]
     h = hashed.filter(F.col("decode_ok")) if "decode_ok" in hashed.columns else hashed
     # banding and the chunked hamming below are sized to ``hash_bits``;
     # a hash of any other length would band/hamming only a prefix
@@ -257,23 +254,7 @@ def ahash_neardup(
     # (plan-gated: 0 MapInPandas in the final plan). The checkpoint is
     # tiny — id + hash_bits chars per image, never the blobs.
     h = h.select(id_col, hash_col).localCheckpoint()
-    banded = h.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat(
-                            *[F.substring(hash_col, p + 1, 1) for p in pos]
-                        ).alias("bits"),
-                    )
-                    for k, pos in enumerate(positions)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, hash_col, "bk.band", "bk.bits")
+    banded = pigeonhole_bands(h, hash_bits, bands, id_col, hash_col)
     # Partitioning strategy for the candidate join (both measured at
     # sf0.1): on a SMALL hash set AQE's byte-based coalesce sees a
     # tiny pre-join shuffle and serializes the quadratic in-bucket
@@ -311,24 +292,62 @@ def ahash_neardup(
         F.col(f"b.{hash_col}").alias("hb"),
     )
 
-    def _chunk(col: str, k: int):
-        return F.conv(F.substring(col, k + 1, 16), 2, 10).cast("long")
-
-    hamming = sum(
-        F.bit_count(_chunk("ha", k).bitwiseXOR(_chunk("hb", k)))
-        for k in range(0, hash_bits, 16)
-    )
     # hamming + filter BEFORE the pair distinct: a pair sharing
     # several bands repeats with an identical hamming, so distinct on
     # the three small output columns is equivalent — and the exchange
     # ships (id, id, tinyint) for the filtered survivors instead of
     # two full hash strings per banded candidate
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        cand.withColumn("hamming", hamming_expr("ha", "hb", hash_bits))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def pigeonhole_bands(
+    h: DataFrame, hash_bits: int, n_bands: int, id_col: str, hash_col: str
+) -> DataFrame:
+    """(id, hash, band, bits): every row exploded into ``n_bands``
+    INTERLEAVED position groups — band k takes hash positions k,
+    k + n_bands, k + 2·n_bands, … (full disjoint coverage; see
+    :func:`ahash_neardup` for why interleaving beats contiguous runs
+    on structurally skewed hashes). The one banding body behind the
+    ad-hoc near-dup join AND the persisted fingerprint index
+    (``fpindex`` — a drift between them would silently band the index
+    differently from the serve)."""
+    positions = [list(range(k, hash_bits, n_bands)) for k in range(n_bands)]
+    return h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat(
+                            *[F.substring(hash_col, p + 1, 1) for p in pos]
+                        ).alias("bits"),
+                    )
+                    for k, pos in enumerate(positions)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.bits")
+
+
+def hamming_expr(col_a: str, col_b: str, hash_bits: int):
+    """Exact hamming distance of two '1'/'0'-string hash columns,
+    JVM-native: 16-bit ``conv`` chunks, XOR, ``bit_count`` — no
+    Python. Shared by :func:`ahash_neardup` and the fpindex serve."""
+
+    def _chunk(col: str, k: int):
+        return F.conv(F.substring(col, k + 1, 16), 2, 10).cast("long")
+
+    return sum(
+        F.bit_count(_chunk(col_a, k).bitwiseXOR(_chunk(col_b, k)))
+        for k in range(0, hash_bits, 16)
+    ).cast("long")
 
 
 def frame_dedup_pairs(
