@@ -45,11 +45,18 @@ BASELINE = {
     # min-of-mins pin makes the 2x gate trip on scheduler noise
     "rel_top_customers": 0.71, "rel_hourly_rollup": 0.45,
     "rel_asof": 0.275, "rel_sessionize": 0.48, "dedup_exact": 0.228,
-    "dedup_minhash_cand": 0.985, "dedup_clusters": 1.899,
-    "sim_bruteforce_topk": 0.482, "sim_lsh_topk": 0.777,
+    # dedup_minhash_cand / sim_bruteforce_topk / cur_pipeline /
+    # rel_ship_priority re-pinned r14 (the r4 rule: two clean isolated
+    # best-of-6 sessions, lower median) after their r08-r10-era pins
+    # drifted to 1.5-1.9x. NOT a code regression: the r12 code run on
+    # today's box measures SLOWER than current code on all four
+    # (e.g. minhash 2.78s vs 1.47s) — the old pins captured a faster
+    # host era; the honest gate holds today's demonstrated medians.
+    "dedup_minhash_cand": 1.47, "dedup_clusters": 1.899,
+    "sim_bruteforce_topk": 0.78, "sim_lsh_topk": 0.777,
     "sim_ivf_topk": 1.708, "text_doc_metrics": 0.288,
     "text_corpus_stats": 0.229, "text_top_ngrams": 0.756,
-    "xf_new": 1.083, "cur_pipeline": 0.984, "text_repetition": 0.39,
+    "xf_new": 1.083, "cur_pipeline": 1.89, "text_repetition": 0.39,
     "cur_pack": 0.346, "rel_quantiles_twopass": 0.93,  # r03
     "cur_centroids": 0.194, "text_tfidf_top": 0.614,
     "cur_decontaminate_fuzzy": 1.864, "rel_latest_per_key": 0.315,
@@ -94,7 +101,7 @@ BASELINE = {
     "sim_ivf_recall_curve": 1.368, "rel_exists_rewrite": 0.39,
     "rel_scalar_subquery": 0.574,  # re-pinned r9 (branded-subset agg)
     "rel_order_dist": 0.427,
-    "rel_ship_priority": 0.633, "mm_audio_decode": 1.166,
+    "rel_ship_priority": 0.97, "mm_audio_decode": 1.166,
     "flt_quarantine": 1.119, "rel_partition_pruned": 0.327,
     "cur_dsir": 1.133, "xf_udtf": 1.246,
     # re-pinned r9 from isolated-run medians (4 runs, first discarded)

@@ -188,7 +188,16 @@ def test_zorder_layout_prunes_measured(spark, tmp_path):
     # the measured pruning claim: the 2-D box touches a strictly
     # smaller fraction of z-ordered row groups
     assert z_hit / z_all < s_hit / s_all, (z_hit, z_all, s_hit, s_all)
-    assert z_hit / z_all < 0.2  # measured 15/128 vs 27/128 single-sort
+    # pinned to the MEASURED bound (VERDICT r13 #8): r13/r14 runs
+    # measured z 15-16/128 and single-sort 26-27/128, stable across
+    # repartitionByRange's deterministic sampling. A Morton-interleave
+    # regression drags z_hit toward the single-sort count and fails
+    # the <= 18 pin loudly; a baseline that stops discriminating
+    # (s_hit collapsing) would silently weaken the relative assert,
+    # so it is pinned from below too.
+    assert z_all == 128 and s_all == 128, (z_all, s_all)
+    assert z_hit <= 18, (z_hit, z_all)
+    assert s_hit >= 24, (s_hit, s_all)
 
 
 def test_zorder_value_matches_compaction_zorder_key(spark):
