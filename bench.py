@@ -225,6 +225,10 @@ BASELINE = {
     # path and checkpointed the twice-consumed snapshot vectors)
     "text_bm25_indexed": 1.5,
     "sim_knn_incremental": 2.8,
+    # added r14, pinned from an isolated best-of-6 (median 3.40):
+    # fixed-cost dominated at sf0.1 — the serve is ~8 tiny stages
+    # (snapshot hash, anti-join, band join, pair distinct, rehydrate)
+    "mm_neardup_incremental": 3.4,
     "sim_knn_classify": 4.3,
     "emb_split_leakage": 3.9,
     "dedup_kcore": 2.3,
@@ -572,6 +576,9 @@ HEADLINE = [
     "cur_pack_bpe",
     "cur_pipeline_v2",
     "rel_zorder_layout",
+    # added r14: fingerprint-index-served multimodal near-dup (the
+    # image counterpart of sim_knn_incremental / text_bm25_indexed)
+    "mm_neardup_incremental",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
@@ -678,8 +685,15 @@ SCALE10X = [
     # the snapshot-self pair leg is honestly quadratic per bucket and
     # the expected per-row ratio sits near the 2× gate; past the
     # recall/cost target the remedy is a re-banded rebuild, which is
-    # the documented persisted-ANN trade-off
+    # the documented persisted-ANN trade-off (automated in r14:
+    # compact_ann_index(max_occupancy=...))
     "sim_knn_incremental",
+    # r14: fingerprint-index near-dup serve with the index FIXED (the
+    # sf0.1 corpus fingerprints) and a 10× snapshot — unlike the ANN
+    # probe there is no banding-identity growth question (band count
+    # is max_hamming+1 at every corpus size); candidate volume grows
+    # with snapshot bands × bucket occupancy
+    "mm_neardup_incremental",
 ]
 
 
@@ -880,6 +894,11 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     E.ensure_ann_index(
         _table(spark, SF_DIR, "embeddings"), key=f"ann-index:{SF_DIR}"
     )
+    # same for the fingerprint index: the mm_neardup_incremental probe
+    # serves a 10× snapshot against the FIXED sf0.1 corpus fingerprints
+    E.ensure_fp_index(
+        _table(spark, SF_DIR, "documents"), key=f"fp-index:{SF_DIR}"
+    )
     big = {
         "dedup_exact": lambda: dedup.exact_dedup(docs10).select("doc_id"),
         "dedup_minhash_cand": lambda: dedup.near_dup_candidates(docs10),
@@ -998,6 +1017,12 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         # 1× entry runs), 10× snapshot side
         "sim_knn_incremental": lambda: E.knn_incremental_of(
             emb10, key=f"ann-index:{SF_DIR}"
+        ),
+        # r14: fp-index near-dup serve, index FIXED + 10× snapshot;
+        # scrambled copies so snapshot fingerprints decorrelate across
+        # copies (the mm_image_neardup construction rationale)
+        "mm_neardup_incremental": lambda: E.mm_neardup_incremental_of(
+            docs10s, key=f"fp-index:{SF_DIR}"
         ),
     }
 

@@ -2011,9 +2011,13 @@ def knn_split_leakage(
 # the meta and every serve/extend re-derives the seeded hyperplanes
 # from them — the `save_ann_model` metadata discipline. Fixed planes
 # are also the honest trade-off of any persisted ANN index: bucket
-# occupancy grows with the corpus, and when it degrades past the
-# recall target the remedy is a re-banded rebuild (knn_join's
-# planes ∝ log2 N scale path), not silent in-place mutation.
+# occupancy grows with the corpus and the per-bucket candidate work
+# with it. The remedy is AUTOMATED in compaction (r14):
+# `compact_ann_index(max_occupancy=...)` measures real occupancy and
+# rotates the identity to ⌈log2(N/target)⌉ planes atomically with the
+# fold (knn_join's planes ∝ log2 N scale path) — never silent
+# in-place mutation; serves/extends pick the new identity up on their
+# next load. Measured at sf1: serve 54.1 → 7.7 s (SCALE.md r14).
 
 _ANN_META = "_ann_index_meta.json"
 _ANN_CTX = "ann index"
