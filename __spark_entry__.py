@@ -2837,6 +2837,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_neardup_incremental"] = mm_neardup_incremental
 
+    def mm_fp_stream(spark, sf):
+        """Fingerprint-index maintenance under STREAMING delivery
+        semantics — the multimodal leg of the sink family (text_bm25_
+        stream / sim_knn_stream / this): the corpus (doc_id % 10 != 7)
+        is hashed and admitted as three micro-batches through
+        `fp_index_maintenance_sink` — batch 1 REDELIVERED — and the
+        %10==7 snapshot serves near-dup pairs through the streamed
+        generation chain. Oracle = the honest quadratic hamming join
+        restricted to pairs touching the snapshot (the
+        mm_neardup_incremental SQL): equality proves the chain union
+        AND the idempotent-admit exactly-once story. State dir cached
+        per process (redeliveries anti-join away)."""
+        import tempfile
+
+        from hermod_spark.operators import fpindex as FPI
+        from hermod_spark.operators.multimodal import image_ahash
+
+        d = _t(spark, sf, "documents")
+        key = f"fp-index-stream:{sf}"
+        if key not in _FP_INDEX_CACHE:
+            _FP_INDEX_CACHE[key] = (
+                tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
+            )
+        path = _FP_INDEX_CACHE[key]
+        fn = FPI.fp_index_maintenance_sink(path)
+        corpus = d.filter(F.col("doc_id") % 10 != 7)
+        for i in range(3):
+            fn(image_ahash(_image_blobs_of(
+                corpus.filter(F.col("doc_id") % 3 == i)
+            )), i)
+            if i == 1:
+                fn(image_ahash(_image_blobs_of(
+                    corpus.filter(F.col("doc_id") % 3 == 1)
+                )), 1)  # redelivery
+        idx = FPI.load_fp_index(spark, path)
+        snap = image_ahash(
+            _image_blobs_of(d.filter(F.col("doc_id") % 10 == 7))
+        )
+        return FPI.neardup_pairs_incremental(snap, idx).orderBy(
+            "doc_a", "doc_b"
+        )
+
+    q["mm_fp_stream"] = mm_fp_stream
+
     def mm_audio_fpdedup(spark, sf):
         """Audio dedup by energy-sign fingerprint, end-to-end on REAL
         WAV bytes: per document a deterministic 64-sample 16-bit PCM
@@ -6099,6 +6143,9 @@ FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
   AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
 ORDER BY doc_a, doc_b"""
+    # streamed maintenance ≡ batch maintenance ≡ full rebuild (the
+    # sim_knn_stream argument, fingerprint leg)
+    o["mm_fp_stream"] = o["mm_neardup_incremental"]
 
     # funnel: exact-dup groups collapse to the min-id representative
     # (one row per distinct hash), then the quadratic hamming check

@@ -2276,6 +2276,8 @@ def ann_index_maintenance_sink(
     n_bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    compact_every: int | None = None,
+    max_occupancy: float | None = None,
     on_before_commit=None,
 ):
     """foreachBatch function maintaining the persisted ANN band index
@@ -2286,6 +2288,18 @@ def ann_index_maintenance_sink(
         q = (emb.writeStream
              .foreachBatch(ann_index_maintenance_sink("/idx/ann"))
              .option("checkpointLocation", ckpt).start())
+
+    Pass ``compact_every=N`` to run :func:`compact_ann_index` after
+    every Nth batch's admit (folding the generation chain the stream
+    grows), and ``max_occupancy`` to let those compactions re-band on
+    occupancy growth — together they make the index fully
+    self-maintaining: a long-running stream admits deltas, folds its
+    own chain, and rotates the banding identity when the corpus
+    outgrows it, all under the SINGLE-WRITER contract (compaction runs
+    in the sink, between admits, never concurrently with one).
+    Compaction is deliberately NOT crash-coupled to the batch: a crash
+    between admit and compact just defers the fold to the next trigger
+    (compaction is idempotent maintenance, not data).
 
     Exactly-once WITHOUT a batch-id ledger, the
     ``textindex.text_index_maintenance_sink`` argument verbatim:
@@ -2328,6 +2342,8 @@ def ann_index_maintenance_sink(
                 batch, path, id_col=id_col, vec_col=vec_col,
                 on_before_commit=on_before_commit,
             )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ann_index(path, spark, max_occupancy=max_occupancy)
 
     return _fn
 

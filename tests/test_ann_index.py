@@ -505,3 +505,45 @@ def test_ann_sink_first_batch_crash_is_replayable(spark, tmp_path):
     idx = load_ann_index(spark, path)
     got = _rows(knn_join_incremental(snap, idx, k=5))
     assert got == _full_filtered(emb, F.col("query_id") % 10 == 7)
+
+
+def test_ann_sink_self_maintaining_compacts_and_rebands(spark, tmp_path):
+    """compact_every + max_occupancy make the sink fully
+    self-maintaining: the stream folds its own generation chain and
+    rotates the banding identity mid-stream when occupancy outgrows
+    it — later batches admit under the NEW identity and the final
+    serve equals the full rebuild at the rotated plane count."""
+    from hermod_spark.operators.similarity import (
+        ann_index_maintenance_sink,
+        planes_for_occupancy,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    snap = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ann")
+    # compact after every 2nd batch; occupancy target low enough that
+    # the first compaction must re-band
+    fn = ann_index_maintenance_sink(
+        path, n_planes=4, n_bands=4, dim=DIM,
+        compact_every=2, max_occupancy=2.0,
+    )
+    for i in range(4):
+        fn(corpus.filter(F.col("vec_id") % 4 == i), i)
+    idx = load_ann_index(spark, path)
+    n = corpus.count()
+    # chain folded by the batch-3 compaction (batches 2,3 admitted
+    # after the batch-1 fold -> fold again leaves ONE generation)
+    assert len(idx["meta"]["generations"]) == 1
+    assert idx["meta"]["n_vectors"] == n
+    # identity rotated mid-stream; final planes match the formula for
+    # the corpus size the LAST compaction measured (all 4 batches in)
+    assert idx["meta"]["n_planes"] >= planes_for_occupancy(n // 2, 2.0)
+    want_planes = idx["meta"]["n_planes"]
+    got = _rows(knn_join_incremental(snap, idx, k=5))
+    want = _rows(
+        knn_join(emb, k=5, n_planes=want_planes, n_bands=4, dim=DIM).filter(
+            F.col("query_id") % 10 == 7
+        )
+    )
+    assert got == want and len(want) > 0
