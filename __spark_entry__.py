@@ -2573,6 +2573,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cur_pipeline_v2"] = cur_pipeline_v2
 
+    def cur_pipeline_v3(spark, sf):
+        """The r14 pipeline: cur_pipeline_v2's four stages PLUS an
+        image near-dup removal pass between decontamination and
+        packing — survivors' tile fingerprints are banded
+        (pigeonhole, exact for hamming ≤ 4) and from every near-dup
+        pair the later doc_id drops (keep-first; a multimodal corpus
+        dedups its VISUAL duplicates, which text fingerprints cannot
+        see). Every stage remains an existing oracle-checked operator
+        (quality_filter, exact_dedup, semantic_decontaminate,
+        ahash_neardup, pack_chunks); the oracle replays all five."""
+        from hermod_spark.functions import bpe
+        from hermod_spark.operators import multimodal as MM
+
+        d = _t(spark, sf, "documents")
+        emb = _t(spark, sf, "embeddings")
+        kept = textops.quality_filter(d, min_quality=0.5, min_tokens=5)
+        uniq = dedup.exact_dedup(kept, canonical=True).select(
+            "doc_id", "text"
+        )
+        idx = ensure_ann_index(emb, key=f"ann-index:{sf}")
+        flagged = S.semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 10 == 7), idx, threshold=0.3
+        ).select(F.col("corpus_id").alias("doc_id"))
+        # clean feeds THREE consumers (the image-hash stage, the
+        # final anti-join, and packing) and is the output of the
+        # whole quality→dedup→decon chain — checkpoint once or that
+        # chain re-evaluates per consumer (the r12 knn_join staging
+        # lesson; survivor-sized, text only)
+        clean = uniq.filter(F.col("doc_id") % 10 != 7).join(
+            flagged, "doc_id", "left_anti"
+        ).localCheckpoint()
+        pairs = MM.ahash_neardup(
+            MM.image_ahash(_image_blobs_of(clean)), max_hamming=4
+        )
+        final = clean.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        packed_in = final.select(
+            "doc_id",
+            F.lit(0).alias("chunk_id"),
+            F.coalesce(
+                bpe.bpe_token_count("text", BPE_MERGES), F.lit(0)
+            ).alias("chunk_len"),
+        )
+        return CUR.pack_chunks(packed_in, budget=512, n_shards=8).select(
+            "doc_id", "chunk_len", "shard", "bin_id"
+        )
+
+    q["cur_pipeline_v3"] = cur_pipeline_v3
+
     def rel_zorder_layout(spark, sf):
         """Morton z-values for lineitem on (l_partkey, l_suppkey) —
         the multi-dimensional clustering key behind
@@ -5396,6 +5448,40 @@ c2 AS (SELECT *, SUM(chunk_len) OVER (PARTITION BY shard
 SELECT doc_id, chunk_len, shard,
   CAST(FLOOR(cum / 512.0) AS INT) AS bin_id
 FROM c2"""
+    # v3 = v2 with an image near-dup removal stage between clean and
+    # packing: survivors' tile aHashes, honest quadratic hamming join,
+    # keep-first (every pair's later doc_id drops)
+    _v2_sql = o["cur_pipeline_v2"]
+    _v3_prefix = _v2_sql[: _v2_sql.index("t2 AS (")]
+    _v3_tail = _v2_sql[_v2_sql.index("t2 AS (") :].replace(
+        "FROM clean", "FROM final"
+    ).replace("FROM clean c", "FROM final c")
+    o["cur_pipeline_v3"] = (
+        _v3_prefix
+        + """mpx AS (
+  SELECT doc_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN i <= length(text)
+           THEN LEAST(unicode(substr(text, i, 1)), 255)
+           ELSE 32 END) AS codes
+  FROM clean
+), mmh AS (
+  SELECT doc_id,
+    array_to_string(list_transform(codes, c ->
+      CASE WHEN c >= list_aggregate(codes, 'avg') THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM mpx
+), mdrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM mmh a JOIN mmh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash::BIT, b.ahash::BIT)) <= 4
+), final AS (
+  SELECT c.doc_id, c.text FROM clean c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM mdrop)
+),
+"""
+        + _v3_tail
+    )
     from hermod_spark.operators.layout import zorder_sql as _zsql
 
     _z_expr = _zsql(

@@ -60,12 +60,15 @@ BASELINE = {
     "cur_pack": 0.346, "rel_quantiles_twopass": 0.93,  # r03
     "cur_centroids": 0.194, "text_tfidf_top": 0.614,
     "cur_decontaminate_fuzzy": 1.864, "rel_latest_per_key": 0.315,
-    "cur_length_filter": 1.34,  # r03
+    "cur_length_filter": 2.36,  # r03 1.34; re-pinned r14 (see emb_class_stats note)
     "rel_salted_join": 0.398, "sim_ivf_trained": 1.708,
     # added r05, pinned from the r5 build's local bench so they have
     # regression coverage from day one
     "cur_boilerplate_frac": 0.668, "text_oov": 0.307,
-    "emb_class_stats": 0.354, "cur_cdc": 0.501,
+    # emb_class_stats / cur_length_filter re-pinned r14 (same host-era
+    # drift family as the four above: reproduced isolated best-of-6 x2
+    # with no code change; lower session median)
+    "emb_class_stats": 0.59, "cur_cdc": 0.501,
     "text_winnow": 0.209, "emb_pq_codes": 0.378,
     # added r06, pinned from an isolated-run median (4 runs, first
     # discarded, sf0.1 local[32]) recorded before the round's final
@@ -229,6 +232,10 @@ BASELINE = {
     # fixed-cost dominated at sf0.1 — the serve is ~8 tiny stages
     # (snapshot hash, anti-join, band join, pair distinct, rehydrate)
     "mm_neardup_incremental": 3.4,
+    # five-stage pipeline (v2 + image near-dup removal); the wide
+    # band-join stage (ahash_neardup's forced cores*8 repartition)
+    # is the dominant fixed cost
+    "cur_pipeline_v3": 7.5,
     "sim_knn_classify": 4.3,
     "emb_split_leakage": 3.9,
     "dedup_kcore": 2.3,
@@ -578,7 +585,9 @@ HEADLINE = [
     "rel_zorder_layout",
     # added r14: fingerprint-index-served multimodal near-dup (the
     # image counterpart of sim_knn_incremental / text_bm25_indexed)
+    # and the five-stage assembled pipeline
     "mm_neardup_incremental",
+    "cur_pipeline_v3",
 ]
 
 # 10×-scale linearity check (VERDICT r3 #8): the headliners whose scale
