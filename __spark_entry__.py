@@ -399,9 +399,7 @@ def ensure_fp_index(docs: DataFrame, key: str) -> dict:
             path,
         )
         _FP_INDEX_CACHE[key] = path
-    from hermod_spark.operators.fpindex import load_fp_index
-
-    return load_fp_index(docs.sparkSession, _FP_INDEX_CACHE[key])
+    return FPI.load_fp_index(docs.sparkSession, _FP_INDEX_CACHE[key])
 
 
 def mm_neardup_incremental_of(docs: DataFrame, key: str) -> DataFrame:
@@ -5454,8 +5452,8 @@ FROM c2"""
     _v2_sql = o["cur_pipeline_v2"]
     _v3_prefix = _v2_sql[: _v2_sql.index("t2 AS (")]
     _v3_tail = _v2_sql[_v2_sql.index("t2 AS (") :].replace(
-        "FROM clean", "FROM final"
-    ).replace("FROM clean c", "FROM final c")
+        "FROM clean", "FROM final"  # covers both bare and aliased uses
+    )
     o["cur_pipeline_v3"] = (
         _v3_prefix
         + """mpx AS (

@@ -70,20 +70,57 @@ _CTX = "fingerprint index"
 _EMPTY = {"generations": [], "seq": -1}
 
 
+_FP_LEN_MARK = "fingerprint length"
+
+
 def _clean(
     hashed: DataFrame, hash_bits: int, id_col: str, hash_col: str
 ) -> DataFrame:
-    """(doc_id, fp) from a hasher output frame: decode failures and
-    wrong-length hashes drop (the ``ahash_neardup`` contract — a
-    short hash would band/hamming only a prefix)."""
+    """(doc_id, fp) from a hasher output frame. Decode FAILURES
+    (decode_ok false / null hash) drop silently — the hasher contract.
+    A NON-null hash of the wrong length is a different thing entirely:
+    hashers emit null for corrupt blobs, so a wrong length is always a
+    configuration mismatch (e.g. a 32-bit audio fingerprint admitted
+    into a 64-bit index) and silently dropping it would commit an
+    empty/stale index with no signal (r14 review — the ANN dim-guard
+    argument). Per-row raise_error CASE, riding the checkpoints the
+    admit paths already perform."""
     h = (
         hashed.filter(F.col("decode_ok"))
         if "decode_ok" in hashed.columns
         else hashed
     )
-    return h.filter(F.length(hash_col) == hash_bits).select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fp")
+    guarded = (
+        F.when(F.length(hash_col) == hash_bits, F.col(hash_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"fp index: {_FP_LEN_MARK} "),
+                    F.length(hash_col).cast("string"),
+                    F.lit(f" != index hash_bits {hash_bits}"),
+                )
+            )
+        )
     )
+    return h.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), guarded.alias("fp")
+    )
+
+
+def _fp_ckpt_guarded(df: DataFrame, ctx: str) -> DataFrame:
+    """localCheckpoint surfacing the per-row length guard as the
+    ValueError the contract promises (the ``_ann_ckpt_guarded``
+    idiom)."""
+    try:
+        return df.localCheckpoint()
+    except Exception as exc:
+        if _FP_LEN_MARK in str(exc):
+            raise ValueError(
+                f"{ctx}: {_FP_LEN_MARK} mismatch — non-null hashes must "
+                f"match the index's hash_bits (see the error cause for "
+                f"the offending length)"
+            ) from exc
+        raise
 
 
 def _components(clean: DataFrame, meta: dict) -> tuple[DataFrame, DataFrame]:
@@ -146,12 +183,18 @@ def save_fp_index(
         "max_hamming": max_hamming,
     }
     S.write_meta(spark, path, _META, {**meta, "generations": [], "seq": -1})
-    clean = _clean(hashed, hash_bits, id_col, hash_col)
+    # checkpoint ONCE: the Arrow decode+hash chain upstream is the
+    # expensive pass, and bands + hashes + count must come from one
+    # materialization (the extend discipline; r14 review — without
+    # this the build hashed every blob twice and a mutating source
+    # could commit disagreeing components). The length guard fires
+    # here as ValueError, before any generation write.
+    clean = _fp_ckpt_guarded(
+        _clean(hashed, hash_bits, id_col, hash_col), "save_fp_index"
+    )
     bands, hashes = _components(clean, meta)
     _write_generation(spark, path, S.gen_name(0), bands, hashes)
-    n0 = spark.read.parquet(
-        os.path.join(path, S.gen_name(0), "hashes")
-    ).count()
+    n0 = clean.count()
     if on_before_commit is not None:
         on_before_commit(0)
     S.write_meta(spark, path, _META, {**meta, "n_rows": int(n0)})
@@ -193,10 +236,10 @@ def extend_fp_index(
     spark = new_hashed.sparkSession
     idx = load_fp_index(spark, path)
     meta = idx["meta"]
-    fresh = (
+    fresh = _fp_ckpt_guarded(
         _clean(new_hashed, meta["hash_bits"], id_col, hash_col)
-        .join(idx["hashes"].select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint()
+        .join(idx["hashes"].select("doc_id"), "doc_id", "left_anti"),
+        "extend_fp_index",
     )
     bands, hashes = _components(fresh, meta)
     n_added = fresh.count()
@@ -243,6 +286,8 @@ def fp_index_maintenance_sink(
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([id_col])
+        if batch.isEmpty():
+            return  # stay virgin until the first row (the ANN sink rule)
         meta = S.read_meta(spark, path, _META, _CTX, _EMPTY)
         if not meta["generations"]:
             save_fp_index(
@@ -319,10 +364,10 @@ def neardup_pairs_incremental(
             f"index's built radius {meta['max_hamming']} — persisted "
             f"bands are only a complete filter up to the built radius"
         )
-    snap = (
+    snap = _fp_ckpt_guarded(
         _clean(new_hashed, meta["hash_bits"], id_col, hash_col)
-        .join(index["hashes"].select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint()
+        .join(index["hashes"].select("doc_id"), "doc_id", "left_anti"),
+        "neardup_pairs_incremental",
     )
     snap_bands = pigeonhole_bands(
         snap, meta["hash_bits"], meta["max_hamming"] + 1, "doc_id", "fp"

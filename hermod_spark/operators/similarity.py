@@ -2129,9 +2129,14 @@ def save_ann_index(
             f"ann index at {path!r} already has committed generations "
             f"{meta['generations']} — extend_ann_index admits snapshots"
         )
-    dim = dim if dim is not None else len(
-        embeddings.select(vec_col).first()[0]
-    )
+    if dim is None:
+        row = embeddings.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "save_ann_index: cannot infer the vector dimension from "
+                "an empty frame (or a null first vector) — pass dim="
+            )
+        dim = len(row[0])
     meta = {
         "generations": [S.gen_name(0)],
         "seq": 0,
@@ -2327,6 +2332,12 @@ def ann_index_maintenance_sink(
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        if batch.isEmpty():
+            # empty micro-batches are common before data arrives; on a
+            # virgin root building from one would also make the dim
+            # inference crash-loop the stream (r14 review) — the index
+            # stays virgin until the first row
+            return
         meta = S.read_meta(
             spark, path, _ANN_META, _ANN_CTX,
             {"generations": [], "seq": -1},
@@ -2478,9 +2489,12 @@ def ann_occupancy(index: dict) -> dict:
         .agg(F.avg("c").alias("mean"), F.max("c").alias("mx"))
         .first()
     )
+    # an index committed from zero rows has no occupied buckets: the
+    # global agg yields nulls — report occupancy 0 (maintenance is a
+    # no-op) instead of TypeError (r14 review)
     return {
-        "mean": float(row["mean"]),
-        "max": int(row["mx"]),
+        "mean": float(row["mean"]) if row["mean"] is not None else 0.0,
+        "max": int(row["mx"]) if row["mx"] is not None else 0,
         "measured_at_n": int(n_vec),
         "n_planes": meta["n_planes"],
     }

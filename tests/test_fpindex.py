@@ -31,9 +31,10 @@ D = 4
 
 def _hashes(spark, n=120, seed=7):
     """(doc_id, ahash, decode_ok) with planted near-dup structure:
-    ids 3k/3k+1 differ in ≤4 bits (pairs), 3k+2 is random; a few
-    decode failures and one wrong-length hash are planted to exercise
-    the cleaning contract."""
+    ids 3k/3k+1 differ in ≤4 bits (pairs), 3k+2 is random; a decode
+    failure is planted to exercise the silent-drop contract (a
+    wrong-LENGTH non-null hash is a loud ValueError instead — see
+    test_wrong_length_hash_is_loud)."""
     rng = random.Random(seed)
     rows = []
     for k in range(n // 3):
@@ -46,8 +47,7 @@ def _hashes(spark, n=120, seed=7):
         rows.append(
             (3 * k + 2, "".join(rng.choice("01") for _ in range(BITS)), True)
         )
-    rows.append((9_000_001, None, False))        # decode failure
-    rows.append((9_000_002, "1" * 32, True))     # wrong length: drops
+    rows.append((9_000_001, None, False))        # decode failure: drops
     return spark.createDataFrame(
         rows, "doc_id long, ahash string, decode_ok boolean"
     )
@@ -75,7 +75,7 @@ def test_incremental_equals_full_rebuild_exactly(spark, tmp_path):
     save_fp_index(corpus, path, hash_bits=BITS, max_hamming=D)
     idx = load_fp_index(spark, path)
     assert idx["meta"]["n_rows"] == corpus.filter(
-        F.col("decode_ok") & (F.length("ahash") == BITS)
+        F.col("decode_ok")
     ).count()
     got = _rows(neardup_pairs_incremental(snap, idx))
     want = _full_touching(h, snap_ids)
@@ -111,7 +111,7 @@ def test_extend_crash_window_and_idempotency(spark, tmp_path):
     # replay heals; redelivery admits nothing
     n = extend_fp_index(part_b, path)
     assert n == part_b.filter(
-        F.col("decode_ok") & (F.length("ahash") == BITS)
+        F.col("decode_ok")
     ).count()
     assert extend_fp_index(part_b, path) == 0
     idx = load_fp_index(spark, path)
@@ -151,7 +151,7 @@ def test_sink_exactly_once_and_compact(spark, tmp_path):
     idx = load_fp_index(spark, path)
     assert len(idx["meta"]["generations"]) == 3
     clean_n = corpus.filter(
-        F.col("decode_ok") & (F.length("ahash") == BITS)
+        F.col("decode_ok")
     ).count()
     assert idx["meta"]["n_rows"] == clean_n
     assert idx["hashes"].count() == clean_n
@@ -209,3 +209,52 @@ def test_first_build_crash_is_replayable(spark, tmp_path):
     fn(h, 0)
     idx = load_fp_index(spark, path)
     assert idx["hashes"].count() > 0
+
+
+def test_wrong_length_hash_is_loud(spark, tmp_path):
+    """r14 review: a NON-null hash of the wrong length is a config
+    mismatch (hashers emit null for corrupt blobs), and silently
+    dropping it would commit an empty/stale index with no signal —
+    save, extend, and serve all refuse with ValueError; decode
+    failures (null hash) still drop silently."""
+    good = _hashes(spark, n=30)
+    bad = spark.createDataFrame(
+        [(8_000_001, "1" * 32, True)],
+        "doc_id long, ahash string, decode_ok boolean",
+    )
+    path = str(tmp_path / "fp")
+    with pytest.raises(ValueError, match="length mismatch"):
+        save_fp_index(
+            good.unionByName(bad), path, hash_bits=BITS, max_hamming=D
+        )
+    save_fp_index(good, path, hash_bits=BITS, max_hamming=D)
+    with pytest.raises(ValueError, match="length mismatch"):
+        extend_fp_index(bad, path)
+    idx = load_fp_index(spark, path)
+    with pytest.raises(ValueError, match="length mismatch"):
+        neardup_pairs_incremental(bad, idx).count()
+    # a mixed frame whose wrong-length rows are decode FAILURES is
+    # fine — null hashes drop before the guard
+    nulls = spark.createDataFrame(
+        [(8_000_002, None, False)],
+        "doc_id long, ahash string, decode_ok boolean",
+    )
+    assert extend_fp_index(nulls, path) == 0
+
+
+def test_fp_sink_skips_empty_batches(spark, tmp_path):
+    """An empty micro-batch before the first data leaves the root
+    virgin (no empty gen-0, no crash-loop) — the ANN sink rule."""
+    path = str(tmp_path / "fp")
+    fn = fp_index_maintenance_sink(path, hash_bits=BITS, max_hamming=D)
+    empty = spark.createDataFrame(
+        [], "doc_id long, ahash string, decode_ok boolean"
+    )
+    fn(empty, 0)
+    with pytest.raises(IOError, match="no committed data"):
+        load_fp_index(spark, path)
+    h = _hashes(spark, n=30)
+    fn(h, 1)
+    assert load_fp_index(spark, path)["hashes"].count() == h.filter(
+        F.col("decode_ok")
+    ).count()
