@@ -274,6 +274,8 @@ def fp_index_maintenance_sink(
     max_hamming: int = 4,
     id_col: str = "doc_id",
     hash_col: str = "ahash",
+    compact_every: int | None = None,
+    retain: int = 0,
     on_before_commit: Callable[[int], None] | None = None,
 ):
     """foreachBatch function maintaining the fingerprint index as
@@ -281,7 +283,10 @@ def fp_index_maintenance_sink(
     extend's id-idempotency (the ``text_index_maintenance_sink``
     argument verbatim). The first batch creates the index; the
     banding identity args apply only then. Intra-batch duplicate ids
-    collapse keep-any."""
+    collapse keep-any. ``compact_every=N`` folds the chain after
+    every Nth batch (the self-maintaining-sink rule shared by all
+    three index sinks); ``retain`` is the fold's reader-staleness
+    window."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -300,6 +305,8 @@ def fp_index_maintenance_sink(
                 batch, path, id_col=id_col, hash_col=hash_col,
                 on_before_commit=on_before_commit,
             )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_fp_index(path, spark, retain=retain)
 
     return _fn
 

@@ -2283,6 +2283,7 @@ def ann_index_maintenance_sink(
     dim: int | None = None,
     compact_every: int | None = None,
     max_occupancy: float | None = None,
+    retain: int = 0,
     on_before_commit=None,
 ):
     """foreachBatch function maintaining the persisted ANN band index
@@ -2354,7 +2355,9 @@ def ann_index_maintenance_sink(
                 on_before_commit=on_before_commit,
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_ann_index(path, spark, max_occupancy=max_occupancy)
+            compact_ann_index(
+                path, spark, max_occupancy=max_occupancy, retain=retain
+            )
 
     return _fn
 

@@ -236,6 +236,8 @@ def text_index_maintenance_sink(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
+    retain: int = 0,
     on_before_commit: Callable[[int], None] | None = None,
 ):
     """foreachBatch function maintaining the persisted text index as
@@ -255,6 +257,13 @@ def text_index_maintenance_sink(
     batch creates the index (build ≡ extend on a virgin root).
     Duplicate ids WITHIN a batch are collapsed (keep-any — a stream
     redelivering a doc mid-batch carries identical text).
+
+    Pass ``compact_every=N`` to fold the generation chain after every
+    Nth batch's admit (the ``ann_index_maintenance_sink`` rule: a
+    long-running stream maintains its own chain, in the sink, between
+    admits — single writer preserved; a crash between admit and fold
+    just defers the fold). ``retain`` passes through to the
+    compaction's reader-staleness window.
     """
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -281,6 +290,8 @@ def text_index_maintenance_sink(
                 batch, path, text_col=text_col, id_col=id_col,
                 on_before_commit=on_before_commit,
             )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_text_index(path, spark, retain=retain)
 
     return _fn
 

@@ -258,3 +258,24 @@ def test_fp_sink_skips_empty_batches(spark, tmp_path):
     assert load_fp_index(spark, path)["hashes"].count() == h.filter(
         F.col("decode_ok")
     ).count()
+
+
+def test_fp_sink_self_maintaining_compacts(spark, tmp_path):
+    from hermod_spark.operators.multimodal import ahash_neardup
+
+    h = _hashes(spark)
+    corpus = h.filter(F.col("doc_id") % 10 != 7)
+    snap = h.filter(F.col("doc_id") % 10 == 7)
+    snap_ids = [r["doc_id"] for r in snap.collect()]
+    path = str(tmp_path / "fp")
+    fn = fp_index_maintenance_sink(
+        path, hash_bits=BITS, max_hamming=D, compact_every=2
+    )
+    for i in range(4):
+        fn(corpus.filter(F.col("doc_id") % 4 == i), i)
+    idx = load_fp_index(spark, path)
+    assert len(idx["meta"]["generations"]) == 1
+    assert idx["hashes"].count() == corpus.filter(F.col("decode_ok")).count()
+    assert _rows(neardup_pairs_incremental(snap, idx)) == _full_touching(
+        h, snap_ids
+    )

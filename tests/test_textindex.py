@@ -263,3 +263,23 @@ def test_first_build_crash_is_replayable(spark, tmp_path):
         bm25_topk_indexed(load_text_index(spark, path2), PANEL, k=10)
     )
     assert got2 == got
+
+
+def test_sink_self_maintaining_compacts(spark, tmp_path):
+    """compact_every folds the stream's own generation chain between
+    admits (the self-maintaining-sink rule shared by all three index
+    sinks); serve unchanged."""
+    from hermod_spark.operators.textindex import (
+        text_index_maintenance_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    fn = text_index_maintenance_sink(path, compact_every=2)
+    for i in range(4):
+        fn(docs.filter(F.col("doc_id") % 4 == i), i)
+    idx = load_text_index(spark, path)
+    assert len(idx["meta"]["generations"]) == 1  # folded at batch 3
+    assert idx["doclens"].count() == docs.count()
+    got = _rows(bm25_topk_indexed(idx, PANEL, k=10))
+    assert got == _rows(bm25_topk(docs, PANEL, k=10))
