@@ -336,6 +336,111 @@ def compact_fp_index(
     return len(meta["generations"])
 
 
+def distinct_hash_neardup_pairs(
+    index: dict, *, max_hamming: int | None = None
+) -> DataFrame:
+    """(fp_a, fp_b, hamming) for every DISTINCT-hash pair within the
+    indexed corpus at hamming ≤ d — computed from the persisted band
+    and hash tables alone (zero hashing, zero banding at serve).
+
+    Identical hashes band identically, so deduping the persisted band
+    rows at the hash level gives exactly the pigeonhole banding of the
+    distinct hashes — still a complete filter for the ≤ d ball. Each
+    distinct-hash pair corresponds to exactly one pair of exact-dup
+    group REPRESENTATIVES, which is the funnel semantics
+    (``multimodal.hash_dedup_metrics``: collapse exact groups first,
+    band the reps)."""
+    meta = index["meta"]
+    d = meta["max_hamming"] if max_hamming is None else max_hamming
+    if d > meta["max_hamming"]:
+        raise ValueError(
+            f"distinct_hash_neardup_pairs: max_hamming={d} exceeds the "
+            f"index's built radius {meta['max_hamming']}"
+        )
+    # checkpoint ONCE (the self-join would otherwise recompute the
+    # join+distinct on BOTH sides), then force the expansion wide —
+    # the ahash_neardup trap verbatim: on a small hash set AQE's
+    # byte-based coalesce sees a tiny pre-join shuffle and serializes
+    # the quadratic in-bucket expansion onto one task (measured here:
+    # 7.5 s single-task vs 0.6 s at cores×8 on the 4.7k-hash sf0.1
+    # corpus, whose padding-skewed buckets run to ~600 hashes)
+    hb = (
+        index["bands"]
+        .join(index["hashes"], "doc_id")
+        .select("fp", "band", "bits")
+        .distinct()
+        .localCheckpoint()
+    )
+    cores = hb.sparkSession.sparkContext.defaultParallelism
+    n = hb.count()
+    if n < cores * 4096:
+        hb = hb.repartition(min(cores * 8, max(n, 1)), "band", "bits")
+    pairs = (
+        hb.alias("a")
+        .join(
+            hb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", hamming_expr("fp_a", "fp_b", meta["hash_bits"])
+        )
+        .filter(F.col("hamming") <= d)
+    )
+
+
+def dedup_report_indexed(indexes: dict) -> DataFrame:
+    """(metric, value) corpus-health report computed ENTIRELY from
+    persisted fingerprint indexes — ``{modality}_n_items`` (hashed
+    rows), ``{modality}_exact_removable`` (rows minus distinct
+    hashes — what exact collapse deletes), ``{modality}_near_pairs``
+    (distinct-hash pairs at the built radius ≡ the funnel's
+    rep-level pair count). ``indexes`` maps modality name →
+    :func:`load_fp_index` result.
+
+    The 100 TB point of the indexed report: ``mm_dedup_report``
+    re-decodes and re-hashes every blob per run, which is the
+    dominant cost of a multimodal corpus audit; this serves the same
+    numbers from index-sized tables (id + hash_bits chars per row),
+    so the daily corpus-health panel never touches a blob (plan-gated
+    in tests: zero Python stages)."""
+    legs = []
+    for modality in sorted(indexes):
+        idx = indexes[modality]
+        h = idx["hashes"]
+        legs.append(
+            h.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+                F.lit(f"{modality}_n_items").alias("metric"), "value"
+            )
+        )
+        legs.append(
+            h.agg(
+                (F.count(F.lit(1)) - F.count_distinct("fp"))
+                .cast("long")
+                .alias("value")
+            ).select(
+                F.lit(f"{modality}_exact_removable").alias("metric"),
+                "value",
+            )
+        )
+        legs.append(
+            distinct_hash_neardup_pairs(idx)
+            .agg(F.count(F.lit(1)).cast("long").alias("value"))
+            .select(
+                F.lit(f"{modality}_near_pairs").alias("metric"), "value"
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def neardup_pairs_incremental(
     new_hashed: DataFrame,
     index: dict,

@@ -279,3 +279,29 @@ def test_fp_sink_self_maintaining_compacts(spark, tmp_path):
     assert _rows(neardup_pairs_incremental(snap, idx)) == _full_touching(
         h, snap_ids
     )
+
+
+def test_indexed_report_matches_blob_report_and_never_decodes(spark, tmp_path):
+    """dedup_report_indexed serves the funnel metrics from persisted
+    tables: values equal hash_dedup_metrics over the same hashes, and
+    the serve plan contains zero Python stages (no blob decode)."""
+    from hermod_spark.operators.fpindex import dedup_report_indexed
+    from hermod_spark.operators.multimodal import hash_dedup_metrics
+
+    h = _hashes(spark)
+    path = str(tmp_path / "fp")
+    save_fp_index(h, path, hash_bits=BITS, max_hamming=D)
+    idx = load_fp_index(spark, path)
+    report = dedup_report_indexed({"img": idx})
+    got = {r["metric"]: r["value"] for r in report.collect()}
+    legs = hash_dedup_metrics(h, "img", hash_col="ahash")
+    want = {}
+    for leg in legs:
+        for r in leg.collect():
+            want[r["metric"]] = r["value"]
+    assert got["img_exact_removable"] == want["img_exact_removable"]
+    assert got["img_near_pairs"] == want["img_near_pairs"]
+    assert got["img_n_items"] == h.filter(F.col("decode_ok")).count()
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
