@@ -237,26 +237,103 @@ def _audio_blobs_of(docs: DataFrame) -> DataFrame:
     return d.mapInPandas(gen, "doc_id LONG, content BINARY")
 
 
-def audio_fpdedup_of(docs: DataFrame) -> DataFrame:
-    """WAV synth → Arrow energy-sign fingerprint → hash-window dedup
-    over a documents-shaped frame — the ONE body behind the
-    `mm_audio_fpdedup` entry query and bench's 10× probe."""
-    from hermod_spark.operators.multimodal import ahash_dedup, audio_fingerprint
+def _image_hashes_of(
+    docs: DataFrame, frames: int = 1, require_text: bool = False
+) -> DataFrame:
+    """Fused tile-synth + aHash — value-identical to
+    ``image_ahash(_image_blobs_of(docs, frames, require_text))`` (the
+    same ``image_tile_blob`` / ``_ahash_one`` kernels, composed per
+    row; parity pinned by test) in ONE Arrow stage instead of two:
+    the tile blobs never cross the JVM↔Python boundary, and the
+    parallelizing repartition moves (doc_id, text) rows BEFORE the
+    Python stage, so the synth loop runs on every core instead of a
+    small scan's single task (optimization guide §4.1: one boundary
+    crossing, §2.3: shuffle the lightweight rows, not the payload)."""
+    import pandas as _pd
 
-    return ahash_dedup(
-        audio_fingerprint(_audio_blobs_of(docs)), hash_col="afp"
-    ).orderBy("doc_id")
+    d = data.ensure_min_partitions(docs.select("doc_id", "text"))
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import (
+            _ahash_one,
+            image_tile_blob,
+        )
+
+        for pdf in it:
+            ids, hashes = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                for f in range(frames):
+                    if len(t) > 64 * f or (f == 0 and not require_text):
+                        ids.append(i)
+                        hashes.append(
+                            _ahash_one(image_tile_blob(t[64 * f : 64 * (f + 1)]))
+                        )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash": hashes,
+                    "decode_ok": [h is not None for h in hashes],
+                }
+            )
+
+    return d.mapInPandas(gen, "doc_id LONG, ahash STRING, decode_ok BOOLEAN")
+
+
+def _audio_fps_of(docs: DataFrame) -> DataFrame:
+    """Fused WAV-synth + energy-sign fingerprint — value-identical to
+    ``audio_fingerprint(_audio_blobs_of(docs))`` (parity pinned by
+    test): the same ``wav_from_codes`` RIFF writer and
+    ``_audio_fp_one`` stdlib-decoder kernels run back-to-back inside
+    ONE Arrow stage, so the real-codec round trip is preserved per
+    blob while the WAV bytes never ride through the JVM between the
+    two kernels (guide §4.1)."""
+    import pandas as _pd
+
+    d = data.ensure_min_partitions(docs.select("doc_id", "text"))
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import (
+            _audio_fp_one,
+            wav_from_codes,
+        )
+
+        for pdf in it:
+            fps = []
+            for t in pdf["text"]:
+                t = (t or "")[:64]
+                codes = [min(ord(ch), 255) for ch in t] + [32] * (64 - len(t))
+                fps.append(_audio_fp_one(wav_from_codes(codes)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": fps,
+                    "decode_ok": [fp is not None for fp in fps],
+                }
+            )
+
+    return d.mapInPandas(gen, "doc_id LONG, afp STRING, decode_ok BOOLEAN")
+
+
+def audio_fpdedup_of(docs: DataFrame) -> DataFrame:
+    """WAV synth + Arrow energy-sign fingerprint (one fused stage) →
+    hash-window dedup over a documents-shaped frame — the ONE body
+    behind the `mm_audio_fpdedup` entry query and bench's 10× probe."""
+    from hermod_spark.operators.multimodal import ahash_dedup
+
+    return ahash_dedup(_audio_fps_of(docs), hash_col="afp").orderBy("doc_id")
 
 
 def audio_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """WAV synth → fingerprint → pigeonhole-banded near-dup pairs over
-    a documents-shaped frame — shared by the `mm_audio_neardup` entry
-    query and bench's 10× probe. Reuses the image banding machinery
-    verbatim (`ahash_neardup` is hash-source agnostic)."""
-    from hermod_spark.operators.multimodal import ahash_neardup, audio_fingerprint
+    """WAV synth + fingerprint (one fused stage) → pigeonhole-banded
+    near-dup pairs over a documents-shaped frame — shared by the
+    `mm_audio_neardup` entry query and bench's 10× probe. Reuses the
+    image banding machinery verbatim (`ahash_neardup` is hash-source
+    agnostic)."""
+    from hermod_spark.operators.multimodal import ahash_neardup
 
     return ahash_neardup(
-        audio_fingerprint(_audio_blobs_of(docs)), max_hamming, hash_col="afp"
+        _audio_fps_of(docs), max_hamming, hash_col="afp"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -383,7 +460,6 @@ def ensure_fp_index(docs: DataFrame, key: str) -> dict:
     ONCE per corpus blob, at admit time; serves only hash the
     snapshot."""
     from hermod_spark.operators import fpindex as FPI
-    from hermod_spark.operators.multimodal import image_ahash
 
     if key not in _FP_INDEX_CACHE:
         import tempfile
@@ -391,11 +467,11 @@ def ensure_fp_index(docs: DataFrame, key: str) -> dict:
         path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
         corpus = docs.filter(F.col("doc_id") % 10 != 7)
         FPI.save_fp_index(
-            image_ahash(_image_blobs_of(corpus.filter(F.col("doc_id") % 3 != 1))),
+            _image_hashes_of(corpus.filter(F.col("doc_id") % 3 != 1)),
             path, hash_bits=64, max_hamming=4,
         )
         FPI.extend_fp_index(
-            image_ahash(_image_blobs_of(corpus.filter(F.col("doc_id") % 3 == 1))),
+            _image_hashes_of(corpus.filter(F.col("doc_id") % 3 == 1)),
             path,
         )
         _FP_INDEX_CACHE[key] = path
@@ -412,10 +488,9 @@ def mm_neardup_incremental_of(docs: DataFrame, key: str) -> DataFrame:
     the full ahash_neardup rebuild restricted to pairs touching the
     snapshot, which is what the oracle replays."""
     from hermod_spark.operators.fpindex import neardup_pairs_incremental
-    from hermod_spark.operators.multimodal import image_ahash
 
     idx = ensure_fp_index(docs, key)
-    snap = image_ahash(_image_blobs_of(docs.filter(F.col("doc_id") % 10 == 7)))
+    snap = _image_hashes_of(docs.filter(F.col("doc_id") % 10 == 7))
     return neardup_pairs_incremental(snap, idx).orderBy("doc_a", "doc_b")
 
 
@@ -566,21 +641,21 @@ def communities_of(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 
 
 def image_ahash_dedup_of(docs: DataFrame) -> DataFrame:
-    """Tile-synth → Arrow aHash → hash-window dedup over a
-    documents-shaped frame — the ONE body behind the
+    """Tile-synth + Arrow aHash (one fused stage) → hash-window dedup
+    over a documents-shaped frame — the ONE body behind the
     `mm_image_ahash_dedup` entry query and bench's 10× probe."""
-    from hermod_spark.operators.multimodal import ahash_dedup, image_ahash
+    from hermod_spark.operators.multimodal import ahash_dedup
 
-    return ahash_dedup(image_ahash(_image_blobs_of(docs))).orderBy("doc_id")
+    return ahash_dedup(_image_hashes_of(docs)).orderBy("doc_id")
 
 
 def image_neardup_of(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Tile-synth → aHash → pigeonhole-banded near-dup pairs over a
-    documents-shaped frame — shared by the `mm_image_neardup` entry
-    query and bench's 10× probe."""
-    from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
+    """Tile-synth + aHash (one fused stage) → pigeonhole-banded
+    near-dup pairs over a documents-shaped frame — shared by the
+    `mm_image_neardup` entry query and bench's 10× probe."""
+    from hermod_spark.operators.multimodal import ahash_neardup
 
-    return ahash_neardup(image_ahash(_image_blobs_of(docs)), max_hamming).orderBy(
+    return ahash_neardup(_image_hashes_of(docs), max_hamming).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -594,9 +669,9 @@ def image_dedup_funnel_of(docs: DataFrame) -> DataFrame:
     scale, identical reps); banding then sees group-count rows, not
     corpus rows, and every surviving pair has hamming ≥ 1 (reps'
     hashes are distinct by construction)."""
-    from hermod_spark.operators.multimodal import ahash_neardup, image_ahash
+    from hermod_spark.operators.multimodal import ahash_neardup
 
-    hashed = image_ahash(_image_blobs_of(docs))
+    hashed = _image_hashes_of(docs)
     reps = (
         hashed.filter(F.col("decode_ok"))
         .groupBy("ahash")
@@ -613,12 +688,12 @@ def video_framedup_of(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     false sharing) — hashed per frame, then videos sharing ≥
     ``min_shared`` distinct frame hashes pair up. Shared by the
     `mm_video_framedup` entry query and bench's 10× probe; the frame
-    synth is the SAME ``_image_blobs_of`` stage the image queries use
-    (frames=3, text-gated)."""
-    from hermod_spark.operators.multimodal import frame_dedup_pairs, image_ahash
+    synth+hash is the SAME fused ``_image_hashes_of`` stage the image
+    queries use (frames=3, text-gated)."""
+    from hermod_spark.operators.multimodal import frame_dedup_pairs
 
-    frames = _image_blobs_of(docs, frames=3, require_text=True)
-    return frame_dedup_pairs(image_ahash(frames), min_shared).orderBy(
+    frames = _image_hashes_of(docs, frames=3, require_text=True)
+    return frame_dedup_pairs(frames, min_shared).orderBy(
         "video_a", "video_b"
     )
 
@@ -2602,9 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clean = uniq.filter(F.col("doc_id") % 10 != 7).join(
             flagged, "doc_id", "left_anti"
         ).localCheckpoint()
-        pairs = MM.ahash_neardup(
-            MM.image_ahash(_image_blobs_of(clean)), max_hamming=4
-        )
+        pairs = MM.ahash_neardup(_image_hashes_of(clean), max_hamming=4)
         final = clean.join(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
             "doc_id",
@@ -2902,7 +2975,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
 
         from hermod_spark.operators import fpindex as FPI
-        from hermod_spark.operators.multimodal import image_ahash
 
         d = _t(spark, sf, "documents")
         key = f"fp-index-stream:{sf}"
@@ -2914,17 +2986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fn = FPI.fp_index_maintenance_sink(path)
         corpus = d.filter(F.col("doc_id") % 10 != 7)
         for i in range(3):
-            fn(image_ahash(_image_blobs_of(
+            fn(_image_hashes_of(
                 corpus.filter(F.col("doc_id") % 3 == i)
-            )), i)
+            ), i)
             if i == 1:
-                fn(image_ahash(_image_blobs_of(
+                fn(_image_hashes_of(
                     corpus.filter(F.col("doc_id") % 3 == 1)
-                )), 1)  # redelivery
+                ), 1)  # redelivery
         idx = FPI.load_fp_index(spark, path)
-        snap = image_ahash(
-            _image_blobs_of(d.filter(F.col("doc_id") % 10 == 7))
-        )
+        snap = _image_hashes_of(d.filter(F.col("doc_id") % 10 == 7))
         return FPI.neardup_pairs_incremental(snap, idx).orderBy(
             "doc_a", "doc_b"
         )
@@ -2944,16 +3014,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
 
         from hermod_spark.operators import fpindex as FPI
-        from hermod_spark.operators.multimodal import (
-            audio_fingerprint,
-            image_ahash,
-        )
 
         d = _t(spark, sf, "documents")
         out = {}
         for modality, builder, hcol in (
-            ("image", lambda: image_ahash(_image_blobs_of(d)), "ahash"),
-            ("audio", lambda: audio_fingerprint(_audio_blobs_of(d)), "afp"),
+            ("image", lambda: _image_hashes_of(d), "ahash"),
+            ("audio", lambda: _audio_fps_of(d), "afp"),
         ):
             key = f"fp-index-{modality}-full:{sf}"
             if key not in _FP_INDEX_CACHE:
@@ -3000,10 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shared-frame pair count and n_docs. One (metric, value) frame
         — what a curation run reads before choosing thresholds."""
         from hermod_spark.operators.multimodal import (
-            audio_fingerprint,
             frame_dedup_pairs,
             hash_dedup_metrics,
-            image_ahash,
         )
 
         docs = _t(spark, sf, "documents")
@@ -3012,14 +3076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("n_docs").alias("metric"), "value"
             )
         ]
+        parts += hash_dedup_metrics(_image_hashes_of(docs), "image")
         parts += hash_dedup_metrics(
-            image_ahash(_image_blobs_of(docs)), "image"
-        )
-        parts += hash_dedup_metrics(
-            audio_fingerprint(_audio_blobs_of(docs)), "audio", hash_col="afp"
+            _audio_fps_of(docs), "audio", hash_col="afp"
         )
         vid = frame_dedup_pairs(
-            image_ahash(_image_blobs_of(docs, frames=3, require_text=True)),
+            _image_hashes_of(docs, frames=3, require_text=True),
             min_shared=2,
         )
         parts.append(

@@ -1786,9 +1786,18 @@ def knn_join(
     b = keyed.select(
         "band_id", "bucket", F.col("_id").alias("neighbor_id")
     )
+    # UNDIRECTED candidate pairs (r14 optimization): the self-join
+    # keeps only query < neighbor, halving the distinct exchange, the
+    # checkpointed pair RDD, and the rehydration/dot work vs the old
+    # directed (!=) form; the mirrored direction is re-emitted AFTER
+    # scoring by one in-stage explode (no second evaluation of the
+    # join subtree, no extra checkpoint). sim is bit-identical both
+    # ways — zip_with multiply is elementwise-commutative and the
+    # fold order over i is unchanged, as is qn·nm vs nm·qn — so the
+    # rank window sees exactly the old directed row set.
     pairs = (
         a.join(b, ["band_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
         .localCheckpoint()
@@ -1810,6 +1819,23 @@ def knn_join(
             "neighbor_id",
             (dot("_qv", "_v") / (F.col("_qn") * F.col("_nm"))).alias("sim"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("query_id").alias("query_id"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                        F.col("sim").alias("sim"),
+                    ),
+                    F.struct(
+                        F.col("neighbor_id").alias("query_id"),
+                        F.col("query_id").alias("neighbor_id"),
+                        F.col("sim").alias("sim"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.query_id", "_p.neighbor_id", "_p.sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")

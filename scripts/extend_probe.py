@@ -61,7 +61,6 @@ def main() -> None:
     from hermod_spark.operators import fpindex as FPI
     from hermod_spark.operators import similarity as S
     from hermod_spark.operators import textindex as TI
-    from hermod_spark.operators.multimodal import image_ahash
 
     import __spark_entry__ as E
 
@@ -116,13 +115,13 @@ def main() -> None:
     probe(
         "extend_fp_index",
         lambda sf, p: FPI.save_fp_index(
-            image_ahash(E._image_blobs_of(
+            E._image_hashes_of(
                 docs(sf).filter(F.col("doc_id") % 10 != 7)
-            )),
+            ),
             p,
         ),
         lambda p: FPI.extend_fp_index(
-            image_ahash(E._image_blobs_of(snap_docs)), p
+            E._image_hashes_of(snap_docs), p
         ),
     )
 

@@ -111,3 +111,31 @@ def test_each_query_surface_is_canon_safe(spark, name):
         if f.dataType.simpleString().startswith(("array<", "map<", "struct<"))
     ]
     assert not bad, bad
+
+
+def test_fused_hash_stages_match_two_stage_composition(spark):
+    """r14 optimization parity pin: the fused synth+hash Arrow stages
+    (`_image_hashes_of` / `_audio_fps_of`) must emit EXACTLY the rows
+    of the two-stage compositions they replaced (same kernels, one
+    boundary crossing) — a drift here silently re-hashes the whole
+    multimodal family differently from the oracle."""
+    from hermod_spark.data import table
+    from hermod_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(E._image_hashes_of(docs)) == rows(
+        image_ahash(E._image_blobs_of(docs))
+    )
+    assert rows(E._image_hashes_of(docs, frames=3, require_text=True)) == rows(
+        image_ahash(E._image_blobs_of(docs, frames=3, require_text=True))
+    )
+    assert rows(E._audio_fps_of(docs)) == rows(
+        audio_fingerprint(E._audio_blobs_of(docs))
+    )

@@ -574,11 +574,13 @@ def test_dedup_replay_is_single_exchange_aggregate(spark):
 
 
 def test_image_ahash_dedup_single_window_exchange(spark):
-    """mm_image_ahash_dedup: two justified Arrow stages (tile synth +
-    hash kernel), then exactly ONE hash exchange (the ahash window);
-    the group stats must not add a second shuffle."""
+    """mm_image_ahash_dedup: exactly ONE fused Arrow stage (tile
+    synth + hash kernel in one crossing — r14 optimization; two
+    stages would round-trip the blobs through the JVM), then exactly
+    ONE hash exchange (the ahash window); the group stats must not
+    add a second shuffle."""
     plan = plan_of(spark, "mm_image_ahash_dedup")
-    assert count(r"MapInPandas", plan) == 2
+    assert count(r"MapInPandas", plan) == 1
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
 
@@ -614,11 +616,12 @@ def test_video_framedup_hash_join_not_all_pairs(spark):
 
 
 def test_audio_fpdedup_single_window_exchange(spark):
-    """mm_audio_fpdedup: two justified Arrow stages (WAV synth +
-    fingerprint kernel), then exactly ONE hash exchange (the afp
-    window) — the image-dedup plan shape with the audio kernel."""
+    """mm_audio_fpdedup: exactly ONE fused Arrow stage (WAV synth +
+    fingerprint kernel in one crossing — r14 optimization), then
+    exactly ONE hash exchange (the afp window) — the image-dedup plan
+    shape with the audio kernel."""
     plan = plan_of(spark, "mm_audio_fpdedup")
-    assert count(r"MapInPandas", plan) == 2
+    assert count(r"MapInPandas", plan) == 1
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
 
@@ -653,14 +656,14 @@ def test_image_dedup_funnel_reps_collapse_then_band_join(spark):
 def test_mm_dedup_report_no_cartesian_all_python_checkpointed(spark):
     """mm_dedup_report: six metric legs over three modalities compose
     without a nested loop anywhere, and every Python synth/hash stage
-    ran ONCE into its checkpoint — the video leg's two distinct-side
-    Arrow stages are the only MapInPandas left in the final plan."""
+    ran ONCE into its checkpoint — the video leg's single fused
+    Arrow stage is the only MapInPandas left in the final plan."""
     plan = plan_of(spark, "mm_dedup_report")
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
     # image + audio legs are checkpointed (0 Python); the video leg's
-    # synth+hash pair feeds a distinct that is not checkpointed at the
-    # report level (frame_dedup_pairs checkpoints internally)
-    assert count(r"MapInPandas", plan) <= 2
+    # fused synth+hash stage feeds a distinct that is not checkpointed
+    # at the report level (frame_dedup_pairs checkpoints internally)
+    assert count(r"MapInPandas", plan) <= 1
 
 
 def test_kmv_overlap_broadcast_pairs_no_nested_loop(spark):
