@@ -141,6 +141,15 @@ def pagerank(
             w_expr = _nonneg_weight(w_expr, "pagerank")
         cols.append(w_expr.alias("_w"))
     e = edges.select(*cols)
+    # materialize the edge list ONCE before anything derives from it:
+    # nodes and adj below each checkpoint eagerly, and without this
+    # cut BOTH would re-evaluate the caller's edge-build plan (for the
+    # purchase-graph queries that is the fact⋈orders join + distinct —
+    # the expensive pass — run twice per construct; r14 measured the
+    # cut at ~0.7 s off every pagerank-family construct). The weighted
+    # guard rides this checkpoint, so bad weights still refuse at call
+    # time exactly as before.
+    e = _checkpoint_weight_guarded(e, "pagerank")
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -353,10 +362,19 @@ def neighbor_jaccard(
     Weights must be non-negative and non-null — a negative weight
     breaks the Σmax = W_a + W_b − Σmin identity and the [0, 1]
     Jaccard range. ``validate_weights=True`` (default) folds a
-    per-row guard into the plan (:func:`_nonneg_weight`); this
-    operator builds a fully LAZY plan, so a violation surfaces when
-    the query executes (a Spark runtime error carrying the
-    "negative edge weight" message), not at construction.
+    per-row guard into the edge collapse pass (:func:`_nonneg_weight`);
+    the plan stays lazy, so a violation surfaces when the query
+    executes (a Spark runtime error carrying the "negative edge
+    weight" message), not at construction.
+
+    The deduped edge set is LAZY-``localCheckpoint``-ed (r14): it
+    feeds SIX downstream consumers (both degree legs, the optional
+    hot-src cap, and both sides of the shared-src self-join), and
+    un-checkpointed it re-evaluated the caller's edge build per
+    consumer — 12 parquet scans / 15 exchanges measured in
+    rel_cooccurrence's plan, collapsing to one edge-build pass with
+    the cut. ``eager=False`` keeps construction job-free: the first
+    executing job materializes the RDD, the rest reuse it.
     """
     if min_shared < 1:
         raise ValueError(f"neighbor_jaccard: min_shared={min_shared} must be >= 1")
@@ -364,6 +382,11 @@ def neighbor_jaccard(
         e = edges.select(
             F.col(src).alias("_c"), F.col(dst).alias("_s")
         ).distinct()
+        # LAZY checkpoint: materialized by whichever job touches it
+        # first, then reused by the other five consumers — no extra
+        # serialized construct job (the eager form measured ~0.6 s
+        # slower at sf0.1 for the same plan cut)
+        e = e.localCheckpoint(eager=False)
         deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     else:
         w_expr = F.col(weight).cast(PAGERANK_SUM_DECIMAL)
@@ -378,6 +401,10 @@ def neighbor_jaccard(
             .groupBy("_c", "_s")
             .agg(F.sum("_w").alias("_w"))
         )
+        # lazy like the unweighted leg; the weight guard then fires
+        # inside the first executing job (still the documented
+        # "negative edge weight" refusal, now at execution)
+        e = e.localCheckpoint(eager=False)
         deg = e.groupBy("_s").agg(F.sum("_w").alias("_deg"))
     joined = e
     if max_src_degree is not None:

@@ -501,10 +501,11 @@ def test_personalized_pagerank_semantics(spark):
 def test_weighted_guards_reject_bad_weights(spark):
     """ADVICE r12: every weighted path enforces the non-negative
     contract. pagerank / label_propagation refuse at call time (the
-    guard rides their localCheckpoint); neighbor_jaccard is fully
-    lazy, so the violation surfaces at execution; zero out-weight
-    sums (rank mass would vanish as null) also refuse; and
-    validate_weights=False skips the guard entirely."""
+    guard rides their localCheckpoint); neighbor_jaccard's edge set
+    is only LAZY-checkpointed, so its violation surfaces at
+    execution; zero out-weight sums (rank mass would vanish as null)
+    also refuse; and validate_weights=False skips the guard
+    entirely."""
     from hermod_spark.operators.graph import (
         label_propagation,
         neighbor_jaccard,
