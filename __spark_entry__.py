@@ -315,6 +315,66 @@ def _audio_fps_of(docs: DataFrame) -> DataFrame:
     return d.mapInPandas(gen, "doc_id LONG, afp STRING, decode_ok BOOLEAN")
 
 
+def _mm_hashes_of(docs: DataFrame) -> DataFrame:
+    """ONE fused Arrow pass over the documents for the multimodal
+    report — per document the frame-f tile aHashes (f < 3; frame f
+    emitted when the text reaches offset 64·f, frame 0 always) plus
+    the audio energy-sign fingerprint carried on the frame-0 row.
+    Value-contract (pinned by test): the frame-0 rows equal
+    ``_image_hashes_of(docs)`` ∪ ``_audio_fps_of(docs)``, the
+    has_text rows equal ``_image_hashes_of(docs, frames=3,
+    require_text=True)`` — the same kernels, so `mm_dedup_report`'s
+    three modality legs share one corpus scan and one Python stage
+    instead of three of each (guide §1.2: don't compute the frame-0
+    tile hash twice; §4.1: one boundary crossing)."""
+    import pandas as _pd
+
+    d = data.ensure_min_partitions(docs.select("doc_id", "text"))
+
+    def gen(it):
+        from hermod_spark.operators.multimodal import (
+            _ahash_one,
+            _audio_fp_one,
+            image_tile_blob,
+            wav_from_codes,
+        )
+
+        for pdf in it:
+            ids, frames, ahashes, afps, texted = [], [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                for f in range(3):
+                    if len(t) > 64 * f or f == 0:
+                        ids.append(i)
+                        frames.append(f)
+                        ahashes.append(
+                            _ahash_one(image_tile_blob(t[64 * f : 64 * (f + 1)]))
+                        )
+                        texted.append(len(t) > 64 * f)
+                        if f == 0:
+                            s = t[:64]
+                            codes = [min(ord(ch), 255) for ch in s] + [32] * (
+                                64 - len(s)
+                            )
+                            afps.append(_audio_fp_one(wav_from_codes(codes)))
+                        else:
+                            afps.append(None)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame": frames,
+                    "ahash": ahashes,
+                    "afp": afps,
+                    "has_text": texted,
+                }
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id LONG, frame INT, ahash STRING, afp STRING, has_text BOOLEAN",
+    )
+
+
 def audio_fpdedup_of(docs: DataFrame) -> DataFrame:
     """WAV synth + Arrow energy-sign fingerprint (one fused stage) →
     hash-window dedup over a documents-shaped frame — the ONE body
@@ -3064,24 +3124,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         near-dup pair count from ONE checkpointed hash pass each
         (multimodal.py::hash_dedup_metrics), plus the video
         shared-frame pair count and n_docs. One (metric, value) frame
-        — what a curation run reads before choosing thresholds."""
+        — what a curation run reads before choosing thresholds.
+
+        All three modality legs read ONE fused hash pass
+        (`_mm_hashes_of`, checkpointed once): the corpus text is
+        scanned and Python-hashed exactly once for the whole report
+        instead of once per leg (r14 optimization; the frame-0 tile
+        hash used to be computed twice, by the image and video
+        legs)."""
         from hermod_spark.operators.multimodal import (
             frame_dedup_pairs,
             hash_dedup_metrics,
         )
 
         docs = _t(spark, sf, "documents")
+        mm = _mm_hashes_of(docs).localCheckpoint()
+        f0 = mm.filter(F.col("frame") == 0)
         parts = [
             docs.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
                 F.lit("n_docs").alias("metric"), "value"
             )
         ]
-        parts += hash_dedup_metrics(_image_hashes_of(docs), "image")
         parts += hash_dedup_metrics(
-            _audio_fps_of(docs), "audio", hash_col="afp"
+            f0.select(
+                "doc_id", "ahash",
+                F.col("ahash").isNotNull().alias("decode_ok"),
+            ),
+            "image",
+        )
+        parts += hash_dedup_metrics(
+            f0.select(
+                "doc_id", "afp",
+                F.col("afp").isNotNull().alias("decode_ok"),
+            ),
+            "audio",
+            hash_col="afp",
         )
         vid = frame_dedup_pairs(
-            _image_hashes_of(docs, frames=3, require_text=True),
+            mm.filter(F.col("has_text")).select(
+                "doc_id", "ahash",
+                F.col("ahash").isNotNull().alias("decode_ok"),
+            ),
             min_shared=2,
         )
         parts.append(

@@ -254,31 +254,26 @@ def ahash_neardup(
     # (plan-gated: 0 MapInPandas in the final plan). The checkpoint is
     # tiny — id + hash_bits chars per image, never the blobs.
     h = h.select(id_col, hash_col).localCheckpoint()
+    # Map-side parallelism guard (r14 — replaces the old forced
+    # REPARTITION_BY_NUM on the join key): the serialized-expansion
+    # trap was never the JOIN's exchange, it was the checkpointed
+    # INPUT arriving AQE-coalesced to one partition (a groupBy-reps
+    # upstream shuffles ~1 MB, AQE folds it to a single partition,
+    # the checkpoint freezes that, and the banding explode + the
+    # join's map side then run on ONE task — measured 7.4 s vs 1.0 s
+    # at sf0.1). Round-robin re-spreading the tiny checkpointed
+    # (id, hash) frame fixes the root cause, and the join exchange is
+    # then left to ENSURE_REQUIREMENTS + AQE, which (a) broadcast-
+    # converts band tables under the threshold — with round-robin
+    # input a flooded bucket's quadratic expansion spreads across ALL
+    # streaming tasks instead of hashing onto one core, strictly
+    # better than any bucket-keyed repartition — and (b) skew-splits
+    # oversized partitions on big corpora where sort-merge runs
+    # (the 50 k-row probe measured 1.9 s vs 3.3 s forced). Measured
+    # at sf0.1, full leg: image 2.7 s forced → 1.4 s, audio (flooded
+    # buckets) 2.2 → 1.1, funnel reps 1.9 → 1.0, identical pairs.
+    h = ensure_min_partitions(h)
     banded = pigeonhole_bands(h, hash_bits, bands, id_col, hash_col)
-    # Partitioning strategy for the candidate join (both measured at
-    # sf0.1): on a SMALL hash set AQE's byte-based coalesce sees a
-    # tiny pre-join shuffle and serializes the quadratic in-bucket
-    # expansion onto one task (4.8k reps: 14 s single-task vs 2.8 s
-    # with an explicit-width repartition — the dedup_linkage trap), so
-    # force REPARTITION_BY_NUM, which AQE cannot coalesce. On a BIG
-    # set, leave the exchange to ENSURE_REQUIREMENTS: the bytes keep
-    # AQE from coalescing anyway, and — unlike REPARTITION_BY_NUM —
-    # AQE may skew-SPLIT a flooded bucket (50k rows: 1.9 s vs 3.3 s
-    # forced). The count is free: h is already localCheckpointed.
-    # Spread the forced exchange 8× wider than the core count: the
-    # critical path is the task holding the hottest (band, bits)
-    # buckets, and hashing into more partitions keeps large buckets
-    # from COLLIDING onto one core (measured on the audio fingerprint
-    # set, join leg only: ×1 3.09 s, ×2 2.25 s, ×8 1.89 s). The
-    # one-bucket floor remains — a single flooded bucket is
-    # irreducible under bucket-keyed hashing; collapse exact dups
-    # first (ahash_dedup) so buckets hold representatives.
-    cores = banded.sparkSession.sparkContext.defaultParallelism
-    n = h.count()
-    if n * bands < cores * 4096:
-        banded = banded.repartition(
-            min(cores * 8, max(n * bands, 1)), "band", "bits"
-        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,

@@ -139,3 +139,37 @@ def test_fused_hash_stages_match_two_stage_composition(spark):
     assert rows(E._audio_fps_of(docs)) == rows(
         audio_fingerprint(E._audio_blobs_of(docs))
     )
+
+
+def test_mm_shared_pass_matches_per_leg_fused_stages(spark):
+    """r14 optimization parity pin for the report's shared pass: the
+    frame-0 rows of `_mm_hashes_of` must equal `_image_hashes_of` ∪
+    `_audio_fps_of`, and its has_text rows must equal the video leg's
+    `_image_hashes_of(frames=3, require_text=True)` — same kernels,
+    one corpus scan."""
+    from pyspark.sql import functions as F
+
+    from hermod_spark.data import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    mm = E._mm_hashes_of(docs).localCheckpoint()
+    f0 = mm.filter(F.col("frame") == 0)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        f0.select(
+            "doc_id", "ahash", F.col("ahash").isNotNull().alias("decode_ok")
+        )
+    ) == rows(E._image_hashes_of(docs))
+    assert rows(
+        f0.select(
+            "doc_id", "afp", F.col("afp").isNotNull().alias("decode_ok")
+        )
+    ) == rows(E._audio_fps_of(docs))
+    assert rows(
+        mm.filter(F.col("has_text")).select(
+            "doc_id", "ahash", F.col("ahash").isNotNull().alias("decode_ok")
+        )
+    ) == rows(E._image_hashes_of(docs, frames=3, require_text=True))

@@ -470,13 +470,13 @@ def test_audio_fingerprint_dedup_and_neardup_reuse(spark):
     assert (1, 3) in near_pairs and (2, 3) in near_pairs
 
 
-def test_ahash_neardup_partitioning_strategy_by_size(spark):
-    """The candidate-join exchange strategy is size-conditional (both
-    regimes measured at sf0.1 — see ahash_neardup): a SMALL hash set
-    forces an explicit-width repartition (AQE's byte-based coalesce
-    would serialize the quadratic in-bucket expansion onto one task);
-    a BIG set leaves the exchange to the planner so AQE keeps its
-    skew-split option. Pin both branches via the physical plan."""
+def test_ahash_neardup_partitioning_strategy(spark):
+    """r14 policy pin (see ahash_neardup): the candidate join never
+    forces a bucket-keyed exchange — the only explicit repartition is
+    the round-robin re-spread of an under-partitioned checkpointed
+    hash frame; the join's own exchange is left to
+    ENSURE_REQUIREMENTS + AQE so broadcast conversion and skew-split
+    stay available. Pin both regimes via the plan."""
     import random
 
     from hermod_spark.operators.multimodal import ahash_neardup
@@ -492,14 +492,24 @@ def test_ahash_neardup_partitioning_strategy_by_size(spark):
             rows, "doc_id LONG, ahash STRING, decode_ok BOOLEAN"
         )
 
-    width = spark.sparkContext.defaultParallelism
-    small_n = 50
-    big_n = (width * 4096) // 5 + 100  # count*bands >= width*4096
-    assert small_n * 5 < width * 4096 <= big_n * 5
-    small_plan = ahash_neardup(frame(small_n))._jdf.queryExecution().toString()
-    assert "REPARTITION_BY_NUM" in small_plan
-    big_plan = ahash_neardup(frame(big_n))._jdf.queryExecution().toString()
-    assert "REPARTITION_BY_NUM" not in big_plan
+    # Already-spread input: no explicit repartition of ANY kind — the
+    # checkpointed frame keeps its width and the join exchange (if
+    # one survives AQE) is planner-inserted, not forced.
+    wide_plan = ahash_neardup(frame(50))._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" not in wide_plan
+    # Under-partitioned input (the serialized-expansion trap): the
+    # checkpointed (id, hash) frame is round-robin re-spread; no
+    # bucket-keyed force anywhere — every explicit exchange line is
+    # the round-robin one.
+    narrow_plan = (
+        ahash_neardup(frame(50).coalesce(1))
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "RoundRobinPartitioning" in narrow_plan
+    for line in narrow_plan.splitlines():
+        if "REPARTITION_BY_NUM" in line:
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_wav_from_codes_rejects_out_of_range():
