@@ -1800,7 +1800,14 @@ def knn_join(
         .filter(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-        .localCheckpoint()
+        # LAZY (r14): pairs has ONE downstream consumer (the rerank
+        # chain), so the lineage cut costs no separate construct job —
+        # the rerank job materializes the id-pair RDD in-line
+        # (measured 3.33 → 3.16 s count3 at sf0.1, identical rows).
+        # keyed above stays EAGER: it feeds both concurrent sides of
+        # the self-join, where lazy risks double-computing the
+        # scan+fold at scale.
+        .localCheckpoint(eager=False)
     )
     emb = embeddings.select(
         F.col(id_col).alias("_eid"),
@@ -2462,7 +2469,8 @@ def knn_join_incremental(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-        .localCheckpoint()
+        # LAZY for the same single-consumer reason as knn_join's pairs
+        .localCheckpoint(eager=False)
     )
     q_emb = snap_vecs.select(
         F.col("corpus_id").alias("_eid"),
