@@ -2733,7 +2733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # final anti-join, and packing) and is the output of the
         # whole quality→dedup→decon chain — checkpoint once or that
         # chain re-evaluates per consumer (the r12 knn_join staging
-        # lesson; survivor-sized, text only)
+        # lesson; survivor-sized, text only). Stays EAGER: the r14
+        # A/B (same session, warm index) measured eager 4.14 s vs
+        # lazy 4.42 s count3 — materializing the survivor set before
+        # the Python hash job beats folding the whole chain into it.
         clean = uniq.filter(F.col("doc_id") % 10 != 7).join(
             flagged, "doc_id", "left_anti"
         ).localCheckpoint()

@@ -512,7 +512,6 @@ def star_contraction_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        chg_ls = ls.filter(F.col("_chg")).limit(1).count()
         # ---- small-star: smaller siblings collapse onto min(N) -----
         # ls edges are already oriented big→small, the orientation
         # small-star wants; group by the big endpoint.
@@ -532,9 +531,23 @@ def star_contraction_components(
             F.lit(False).alias("_chg"),
         )
         ss = sib.unionByName(own).distinct().localCheckpoint(eager=True)
-        chg_ss = ss.filter(F.col("_chg")).limit(1).count()
+        # ONE convergence probe per round (r14: was one limit(1)
+        # count per half-round — 2 extra jobs/round of pure scheduler
+        # tax on small graphs): both frames are checkpointed, so the
+        # union of their limit(1) change-flags is a single cheap job
+        # and 0 rows iff BOTH half-rounds were no-ops, exactly the
+        # old chg_ls == 0 and chg_ss == 0 test.
+        changed = (
+            ls.filter(F.col("_chg")).select(F.lit(1).alias("_one")).limit(1)
+            .unionAll(
+                ss.filter(F.col("_chg"))
+                .select(F.lit(1).alias("_one"))
+                .limit(1)
+            )
+            .count()
+        )
         star = ss.drop("_chg")
-        if chg_ls == 0 and chg_ss == 0:
+        if changed == 0:
             converged = True
             edges = star
             break
