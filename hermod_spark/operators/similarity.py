@@ -1800,18 +1800,27 @@ def knn_join(
         .filter(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-        # LAZY (r14): pairs has ONE downstream consumer (the rerank
-        # chain), so the lineage cut costs no separate construct job —
-        # the rerank job materializes the id-pair RDD in-line
-        # (measured 3.33 → 3.16 s count3 at sf0.1, identical rows).
-        # keyed above stays EAGER: it feeds both concurrent sides of
-        # the self-join, where lazy risks double-computing the
-        # scan+fold at scale.
-        .localCheckpoint(eager=False)
+        # NO checkpoint (r14 opt round): pairs has ONE downstream
+        # consumer (the rerank chain), so a lineage cut buys no reuse —
+        # and measured A/B (7 interleaved runs each at sf0.1) the
+        # un-checkpointed form has both the best median and the
+        # tightest tail (nockpt 3.14 / lazy 3.25 / eager 3.25 median;
+        # max 4.51 / 5.37 / 8.66), because the whole candidate→rerank
+        # chain stays one AQE-planned query and no per-construction
+        # persisted RDD accumulates in the block manager. keyed above
+        # stays EAGER: it feeds both concurrent sides of the
+        # self-join, where lazy risks double-computing the scan+fold
+        # at scale.
     )
+    # vectors cast to array<double> ONCE at the rehydration scan
+    # (float→double is exact, and dot()'s per-element casts collapse
+    # to no-ops), so the per-pair lambda multiplies doubles directly
+    # instead of casting 2·dim floats per candidate pair — measured
+    # 1.57 → 1.31 s on the 810k-pair rerank at sf0.1, zero value
+    # mismatches (bit-level <> join).
     emb = embeddings.select(
         F.col(id_col).alias("_eid"),
-        F.col(vec_col).alias("_v"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         norm(vec_col).alias("_nm"),
     )
     scored = (
@@ -2469,17 +2478,20 @@ def knn_join_incremental(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-        # LAZY for the same single-consumer reason as knn_join's pairs
-        .localCheckpoint(eager=False)
+        # no checkpoint: single consumer, same A/B evidence as
+        # knn_join's pairs (un-checkpointed had the best median and
+        # tail; no persisted RDD accumulates per serve)
     )
+    # serve-side array<double> cast, as in knn_join (exact, collapses
+    # dot()'s per-element casts; persisted index format untouched)
     q_emb = snap_vecs.select(
         F.col("corpus_id").alias("_eid"),
-        F.col("vec").alias("_v"),
+        F.col("vec").cast("array<double>").alias("_v"),
         F.col("nm").alias("_nm"),
     )
     n_emb = index["vectors"].unionByName(snap_vecs).select(
         F.col("corpus_id").alias("_eid"),
-        F.col("vec").alias("_v"),
+        F.col("vec").cast("array<double>").alias("_v"),
         F.col("nm").alias("_nm"),
     )
     scored = (
@@ -2694,14 +2706,19 @@ def semantic_decontaminate(
         .select("probe_id", "corpus_id")
         .distinct()
     )
+    # serve-side array<double> cast, as in knn_join (exact, collapses
+    # dot()'s per-element casts; persisted index format untouched)
     pv = p_vecs.select(
         F.col("corpus_id").alias("_pid"),
-        F.col("vec").alias("_pv"),
+        F.col("vec").cast("array<double>").alias("_pv"),
         F.col("nm").alias("_pn"),
+    )
+    iv = index["vectors"].select(
+        "corpus_id", F.col("vec").cast("array<double>").alias("vec"), "nm"
     )
     scored = (
         pairs.join(pv, pairs["probe_id"] == F.col("_pid"))
-        .join(index["vectors"], "corpus_id")
+        .join(iv, "corpus_id")
         .select(
             "corpus_id",
             "probe_id",

@@ -717,12 +717,17 @@ def test_knn_join_plan_has_no_cartesian_and_ships_bare_ids(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     opt = out._jdf.queryExecution().optimizedPlan().toString()
-    # the pair-dedup stage is checkpointed carrying EXACTLY the bare
-    # id pair — vectors must not ride the candidate exchange
+    # the pair dedup carries EXACTLY the bare id pair — vectors must
+    # not ride the candidate exchange. (r14 opt round: the pairs
+    # frame is no longer checkpointed — single consumer, measured
+    # slower with any lineage cut — so the gate pins the pair-dedup
+    # Aggregate node's grouping list instead of a LogicalRDD schema;
+    # distinct() groups on every output column, so a vector riding
+    # along would appear in this list.)
     pairs_rows = [
-        ln for ln in opt.splitlines() if "LogicalRDD [query_id" in ln
+        ln for ln in opt.splitlines() if "Aggregate [query_id" in ln
     ]
-    assert pairs_rows, "checkpointed bare-id pairs stage missing from plan"
+    assert pairs_rows, "bare-id pair dedup stage missing from plan"
     assert "neighbor_id#" in pairs_rows[0]
     assert "embedding" not in pairs_rows[0] and "_v" not in pairs_rows[0]
 
