@@ -241,41 +241,50 @@ def _image_hashes_of(
     docs: DataFrame, frames: int = 1, require_text: bool = False
 ) -> DataFrame:
     """Fused tile-synth + aHash — value-identical to
-    ``image_ahash(_image_blobs_of(docs, frames, require_text))`` (the
-    same ``image_tile_blob`` / ``_ahash_one`` kernels, composed per
-    row; parity pinned by test) in ONE Arrow stage instead of two:
-    the tile blobs never cross the JVM↔Python boundary, and the
+    ``image_ahash(_image_blobs_of(docs, frames, require_text))``
+    (parity pinned by test) in ONE Arrow stage instead of two: the
+    tile blobs never cross the JVM↔Python boundary, and the
     parallelizing repartition moves (doc_id, text) rows BEFORE the
     Python stage, so the synth loop runs on every core instead of a
     small scan's single task (optimization guide §4.1: one boundary
-    crossing, §2.3: shuffle the lightweight rows, not the payload)."""
+    crossing, §2.3: shuffle the lightweight rows, not the payload).
+    r14 opt round: the per-row ``image_tile_blob`` → ``_ahash_one``
+    composition is replaced by the vectorized ``ahash_text_batch``
+    numpy kernel (guide §4.2; batch==row parity pinned by test).
+    Rows are emitted per-frame-block rather than per-doc-interleaved —
+    a partition-internal ordering no consumer observes (aggregates,
+    hash joins, keyed windows only)."""
     import pandas as _pd
 
     d = data.ensure_min_partitions(docs.select("doc_id", "text"))
 
     def gen(it):
-        from hermod_spark.operators.multimodal import (
-            _ahash_one,
-            image_tile_blob,
-        )
+        from hermod_spark.operators.multimodal import ahash_text_batch
 
         for pdf in it:
-            ids, hashes = [], []
-            for i, t in zip(pdf["doc_id"], pdf["text"]):
-                t = t or ""
-                for f in range(frames):
-                    if len(t) > 64 * f or (f == 0 and not require_text):
-                        ids.append(i)
-                        hashes.append(
-                            _ahash_one(image_tile_blob(t[64 * f : 64 * (f + 1)]))
-                        )
-            yield _pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "ahash": hashes,
-                    "decode_ok": [h is not None for h in hashes],
-                }
-            )
+            texts = [t or "" for t in pdf["text"]]
+            parts = []
+            for f in range(frames):
+                if f == 0 and not require_text:
+                    sub_ids, sub_txt = pdf["doc_id"], texts
+                else:
+                    keep = [j for j, t in enumerate(texts) if len(t) > 64 * f]
+                    sub_ids = pdf["doc_id"].iloc[keep]
+                    sub_txt = [texts[j] for j in keep]
+                hashes = ahash_text_batch(sub_txt, 64 * f)
+                parts.append(
+                    _pd.DataFrame(
+                        {
+                            "doc_id": sub_ids.to_numpy(),
+                            "ahash": hashes,
+                            # synthetic tiles are always well-formed;
+                            # the batch kernel never yields None (the
+                            # per-row parity test pins this)
+                            "decode_ok": True,
+                        }
+                    )
+                )
+            yield _pd.concat(parts) if len(parts) > 1 else parts[0]
 
     return d.mapInPandas(gen, "doc_id LONG, ahash STRING, decode_ok BOOLEAN")
 
@@ -283,32 +292,28 @@ def _image_hashes_of(
 def _audio_fps_of(docs: DataFrame) -> DataFrame:
     """Fused WAV-synth + energy-sign fingerprint — value-identical to
     ``audio_fingerprint(_audio_blobs_of(docs))`` (parity pinned by
-    test): the same ``wav_from_codes`` RIFF writer and
-    ``_audio_fp_one`` stdlib-decoder kernels run back-to-back inside
-    ONE Arrow stage, so the real-codec round trip is preserved per
-    blob while the WAV bytes never ride through the JVM between the
-    two kernels (guide §4.1)."""
+    test). r14 opt round: the per-row ``wav_from_codes`` →
+    ``_audio_fp_one`` RIFF round-trip is replaced by the vectorized
+    ``audio_fp_text_batch`` numpy kernel (guide §4.2) — identical by
+    construction because 16-bit PCM round-trips the (code-128)·256
+    samples bit-exactly, so skipping the container changes no energy,
+    mean, or sign decision (batch==row parity pinned by test)."""
     import pandas as _pd
 
     d = data.ensure_min_partitions(docs.select("doc_id", "text"))
 
     def gen(it):
-        from hermod_spark.operators.multimodal import (
-            _audio_fp_one,
-            wav_from_codes,
-        )
+        from hermod_spark.operators.multimodal import audio_fp_text_batch
 
         for pdf in it:
-            fps = []
-            for t in pdf["text"]:
-                t = (t or "")[:64]
-                codes = [min(ord(ch), 255) for ch in t] + [32] * (64 - len(t))
-                fps.append(_audio_fp_one(wav_from_codes(codes)))
+            fps = audio_fp_text_batch([t or "" for t in pdf["text"]])
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "afp": fps,
-                    "decode_ok": [fp is not None for fp in fps],
+                    # synth WAVs are always mono/16-bit/64-sample; the
+                    # batch kernel never yields None (parity-pinned)
+                    "decode_ok": True,
                 }
             )
 
@@ -333,41 +338,34 @@ def _mm_hashes_of(docs: DataFrame) -> DataFrame:
 
     def gen(it):
         from hermod_spark.operators.multimodal import (
-            _ahash_one,
-            _audio_fp_one,
-            image_tile_blob,
-            wav_from_codes,
+            ahash_text_batch,
+            audio_fp_text_batch,
         )
 
         for pdf in it:
-            ids, frames, ahashes, afps, texted = [], [], [], [], []
-            for i, t in zip(pdf["doc_id"], pdf["text"]):
-                t = t or ""
-                for f in range(3):
-                    if len(t) > 64 * f or f == 0:
-                        ids.append(i)
-                        frames.append(f)
-                        ahashes.append(
-                            _ahash_one(image_tile_blob(t[64 * f : 64 * (f + 1)]))
-                        )
-                        texted.append(len(t) > 64 * f)
-                        if f == 0:
-                            s = t[:64]
-                            codes = [min(ord(ch), 255) for ch in s] + [32] * (
-                                64 - len(s)
-                            )
-                            afps.append(_audio_fp_one(wav_from_codes(codes)))
-                        else:
-                            afps.append(None)
-            yield _pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "frame": frames,
-                    "ahash": ahashes,
-                    "afp": afps,
-                    "has_text": texted,
-                }
-            )
+            texts = [t or "" for t in pdf["text"]]
+            parts = []
+            for f in range(3):
+                if f == 0:
+                    sub_ids, sub_txt = pdf["doc_id"], texts
+                    afp = audio_fp_text_batch(sub_txt)
+                else:
+                    keep = [j for j, t in enumerate(texts) if len(t) > 64 * f]
+                    sub_ids = pdf["doc_id"].iloc[keep]
+                    sub_txt = [texts[j] for j in keep]
+                    afp = None
+                parts.append(
+                    _pd.DataFrame(
+                        {
+                            "doc_id": sub_ids.to_numpy(),
+                            "frame": f,
+                            "ahash": ahash_text_batch(sub_txt, 64 * f),
+                            "afp": afp,
+                            "has_text": [len(t) > 64 * f for t in sub_txt],
+                        }
+                    )
+                )
+            yield _pd.concat(parts)
 
     return d.mapInPandas(
         gen,

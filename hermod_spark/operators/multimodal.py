@@ -765,6 +765,68 @@ def _audio_fp_one(blob: bytes, n_bits: int = 64) -> str | None:
     return "".join("1" if float(e) >= mean else "0" for e in en)
 
 
+def _tile_codes_batch(texts: list[str], offset: int = 0, n: int = 64):
+    """(len(texts), n) int64 codepoint matrix of text[offset:offset+n],
+    space(32)-padded, codepoints clamped at 255 — the vectorized body
+    of ``image_tile_blob``'s per-char loop (min(ord(ch), 255), pad 32).
+    One utf-32 encode of the joined padded slices replaces len(texts)·n
+    Python char ops."""
+    import numpy as np
+
+    padded = "".join(
+        (t or "")[offset : offset + n].ljust(n, " ") for t in texts
+    )
+    # surrogatepass: a lone surrogate is a valid Python str char whose
+    # ord() the row kernel clamps like any other >255 codepoint; the
+    # strict codec would raise where the row path does not
+    cp = np.frombuffer(
+        padded.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+    ).reshape(-1, n)
+    return np.minimum(cp, 255).astype(np.int64)
+
+
+def _bits_to_hash_strings(bits) -> list[str]:
+    """Render a (rows, 64) boolean matrix as '1'/'0' strings — one
+    vectorized byte map + one ascii decode instead of a per-bit join."""
+    import numpy as np
+
+    n = bits.shape[1]
+    chars = np.where(bits, np.uint8(49), np.uint8(48)).astype(np.uint8)
+    flat = chars.tobytes().decode("ascii")
+    return [flat[i * n : (i + 1) * n] for i in range(bits.shape[0])]
+
+
+def ahash_text_batch(texts: list[str], offset: int = 0) -> list[str]:
+    """Vectorized ``_ahash_one(image_tile_blob(text[offset:offset+64]))``
+    for a whole batch (guide §4.2: hand batches to numpy, don't loop
+    rows in Python). Bit-identical to the per-row composition — pinned
+    by tests/test_multimodal.py — because every decision matches:
+    pixel = min(codepoint, 255) space-padded (exact), mean = int
+    sum / 64 (exact double, 64 a power of two), bit = pixel >= mean
+    (int≤255 converts to double exactly, so the IEEE comparison is the
+    same one the row kernel makes). Synthetic tiles are always
+    well-formed, so no None branch exists on this path."""
+    px = _tile_codes_batch(texts, offset)
+    mean = px.sum(axis=1) / px.shape[1]
+    return _bits_to_hash_strings(px >= mean[:, None])
+
+
+def audio_fp_text_batch(texts: list[str]) -> list[str]:
+    """Vectorized ``_audio_fp_one(wav_from_codes(codes))`` where codes
+    are ``image_tile_blob``'s clamped codepoints of text[:64] — the
+    synth+fingerprint composition every fused entry stage runs.
+    Skipping the per-row RIFF write/read round-trip is value-identical
+    BY CONSTRUCTION: ``wav_from_codes`` pins sample j = (codes[j] -
+    128) * 256 exactly through 16-bit PCM, so energy, mean (int
+    square-sum < 2^53 → exact double) and every >= decision come out
+    the same (pinned by tests/test_multimodal.py)."""
+    codes = _tile_codes_batch(texts, 0)
+    samples = (codes - 128) * 256
+    en = samples * samples
+    mean = en.sum(axis=1) / en.shape[1]
+    return _bits_to_hash_strings(en >= mean[:, None])
+
+
 def audio_fingerprint(
     df: DataFrame,
     n_bits: int = 64,

@@ -544,3 +544,47 @@ def test_hash_dedup_metrics_values(spark):
         for r in p.collect()
     }
     assert got == {"image_exact_removable": 1, "image_near_pairs": 1}
+
+
+def test_batch_hash_kernels_match_row_kernels():
+    """r14 opt round: the vectorized numpy kernels must be
+    bit-identical to the per-row synth+hash compositions they replace
+    (ahash_text_batch == _ahash_one∘image_tile_blob,
+    audio_fp_text_batch == _audio_fp_one∘wav_from_codes) on the
+    adversarial corners: empty text, exact-64/65 lengths, codepoints
+    above 255, a lone surrogate, NUL bytes, and non-zero offsets."""
+    from hermod_spark.operators.multimodal import (
+        _ahash_one,
+        _audio_fp_one,
+        ahash_text_batch,
+        audio_fp_text_batch,
+        image_tile_blob,
+        wav_from_codes,
+    )
+
+    texts = [
+        "",
+        " ",
+        "a" * 63,
+        "b" * 64,
+        "c" * 65,
+        "héllo wörld — ünïcode ẞ" * 4,
+        "中文\U0001f600 emoji and CJK " * 5,
+        "\ud800 lone surrogate",
+        "\x00nul\x00bytes\x00",
+        "mixed āAＡ widths" * 7,
+    ]
+    for offset in (0, 64, 128):
+        batch = ahash_text_batch(texts, offset)
+        rowwise = [
+            _ahash_one(image_tile_blob(t[offset : offset + 64]))
+            for t in texts
+        ]
+        assert batch == rowwise, f"ahash mismatch at offset {offset}"
+    fp_batch = audio_fp_text_batch(texts)
+    fp_rows = []
+    for t in texts:
+        s = t[:64]
+        codes = [min(ord(ch), 255) for ch in s] + [32] * (64 - len(s))
+        fp_rows.append(_audio_fp_one(wav_from_codes(codes)))
+    assert fp_batch == fp_rows
