@@ -1812,15 +1812,20 @@ def knn_join(
         # self-join, where lazy risks double-computing the scan+fold
         # at scale.
     )
-    # vectors cast to array<double> ONCE at the rehydration scan
-    # (float→double is exact, and dot()'s per-element casts collapse
-    # to no-ops), so the per-pair lambda multiplies doubles directly
-    # instead of casting 2·dim floats per candidate pair — measured
-    # 1.57 → 1.31 s on the 810k-pair rerank at sf0.1, zero value
-    # mismatches (bit-level <> join).
+    # vectors stay FLOAT in transit (dot() casts per element inside
+    # the fold — float→double is exact, so sim is bit-identical either
+    # way; parity re-proven by a 0-mismatch full-outer join). A
+    # scan-side array<double> cast was tried (it collapses the fold's
+    # casts, −0.14 s at sf0.1 where both rehydration joins broadcast)
+    # but it DOUBLES every byte the rerank moves: at the 10× probe the
+    # emb frame crosses the broadcast threshold, both joins degrade to
+    # SortMergeJoin, and the pair exchange ships a 512 B double vector
+    # per candidate — interleaved A/B read 12.42 s (double) vs 8.19 s
+    # (float) median at 10×, with far worse double tails (74 s cold).
+    # Narrow types in the shuffle win at scale (guide §2.3, §3.1).
     emb = embeddings.select(
         F.col(id_col).alias("_eid"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(vec_col).alias("_v"),
         norm(vec_col).alias("_nm"),
     )
     scored = (
@@ -2482,16 +2487,19 @@ def knn_join_incremental(
         # knn_join's pairs (un-checkpointed had the best median and
         # tail; no persisted RDD accumulates per serve)
     )
-    # serve-side array<double> cast, as in knn_join (exact, collapses
-    # dot()'s per-element casts; persisted index format untouched)
+    # vectors stay FLOAT in transit, as in knn_join: the corpus-sized
+    # n_emb side and the pair exchanges ship half the bytes vs an
+    # up-front array<double> cast, and dot()'s in-fold casts keep sim
+    # bit-identical (see knn_join's rehydration comment for the 10×
+    # A/B that reversed the scan-side-cast decision).
     q_emb = snap_vecs.select(
         F.col("corpus_id").alias("_eid"),
-        F.col("vec").cast("array<double>").alias("_v"),
+        F.col("vec").alias("_v"),
         F.col("nm").alias("_nm"),
     )
     n_emb = index["vectors"].unionByName(snap_vecs).select(
         F.col("corpus_id").alias("_eid"),
-        F.col("vec").cast("array<double>").alias("_v"),
+        F.col("vec").alias("_v"),
         F.col("nm").alias("_nm"),
     )
     scored = (
@@ -2706,16 +2714,16 @@ def semantic_decontaminate(
         .select("probe_id", "corpus_id")
         .distinct()
     )
-    # serve-side array<double> cast, as in knn_join (exact, collapses
-    # dot()'s per-element casts; persisted index format untouched)
+    # vectors stay FLOAT in transit, as in knn_join: the corpus-sized
+    # index side ships half the bytes vs an up-front array<double>
+    # cast, and dot()'s in-fold casts keep sim bit-identical (see
+    # knn_join's rehydration comment for the 10× A/B).
     pv = p_vecs.select(
         F.col("corpus_id").alias("_pid"),
-        F.col("vec").cast("array<double>").alias("_pv"),
+        F.col("vec").alias("_pv"),
         F.col("nm").alias("_pn"),
     )
-    iv = index["vectors"].select(
-        "corpus_id", F.col("vec").cast("array<double>").alias("vec"), "nm"
-    )
+    iv = index["vectors"].select("corpus_id", "vec", "nm")
     scored = (
         pairs.join(pv, pairs["probe_id"] == F.col("_pid"))
         .join(iv, "corpus_id")
