@@ -437,6 +437,17 @@ _TEXT_INDEX_CACHE: dict[str, str] = {}
 _ANN_INDEX_CACHE: dict[str, str] = {}
 _FP_INDEX_CACHE: dict[str, str] = {}
 
+# One re-entrant lock guards every cache-miss build above: queries may
+# be CONSTRUCTED from concurrent driver threads (the in-suite parity
+# gate overlaps independent queries per guide §2.6), and two threads
+# missing the same key must not both build the index (wasted minutes,
+# and for the maintenance-sink queries a half-written path could leak
+# through the cache). Reads of a populated key stay lock-free-cheap —
+# the lock is only held around the miss check + build.
+import threading as _threading  # noqa: E402
+
+_INDEX_CACHE_LOCK = _threading.RLock()
+
 # Pinned BPE merge table (cur_token_budget_bpe): trained AT IMPORT from
 # a fixed word-frequency snippet of the synthetic corpus vocabulary —
 # train_bpe is deterministic (lexicographic tie-breaks), so every
@@ -464,13 +475,14 @@ def bm25_indexed_of(docs: DataFrame, key: str) -> DataFrame:
     `text_bm25_indexed` entry query and bench's 10× serve probe."""
     from hermod_spark.operators import textindex as TI
 
-    if key not in _TEXT_INDEX_CACHE:
-        import tempfile
+    with _INDEX_CACHE_LOCK:
+        if key not in _TEXT_INDEX_CACHE:
+            import tempfile
 
-        path = tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
-        TI.build_text_index(docs.filter(F.col("doc_id") % 3 != 2), path)
-        TI.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), path)
-        _TEXT_INDEX_CACHE[key] = path
+            path = tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
+            TI.build_text_index(docs.filter(F.col("doc_id") % 3 != 2), path)
+            TI.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+            _TEXT_INDEX_CACHE[key] = path
     idx = TI.load_text_index(docs.sparkSession, _TEXT_INDEX_CACHE[key])
     return TI.bm25_topk_indexed(idx, BM25_QUERIES, k=10)
 
@@ -483,17 +495,18 @@ def ensure_ann_index(emb: DataFrame, key: str) -> dict:
     bench warm-up) must not pay a discarded candidate join, which is
     eager at construction (knn_join_incremental localCheckpoints its
     band and pair stages)."""
-    if key not in _ANN_INDEX_CACHE:
-        import tempfile
+    with _INDEX_CACHE_LOCK:
+        if key not in _ANN_INDEX_CACHE:
+            import tempfile
 
-        path = tempfile.mkdtemp(prefix="hermod-ann-idx-") + "/index"
-        corpus = emb.filter(F.col("vec_id") % 10 != 7)
-        S.save_ann_index(
-            corpus.filter(F.col("vec_id") % 3 != 1), path,
-            n_planes=4, n_bands=8, dim=_EMB_DIM,
-        )
-        S.extend_ann_index(corpus.filter(F.col("vec_id") % 3 == 1), path)
-        _ANN_INDEX_CACHE[key] = path
+            path = tempfile.mkdtemp(prefix="hermod-ann-idx-") + "/index"
+            corpus = emb.filter(F.col("vec_id") % 10 != 7)
+            S.save_ann_index(
+                corpus.filter(F.col("vec_id") % 3 != 1), path,
+                n_planes=4, n_bands=8, dim=_EMB_DIM,
+            )
+            S.extend_ann_index(corpus.filter(F.col("vec_id") % 3 == 1), path)
+            _ANN_INDEX_CACHE[key] = path
     return S.load_ann_index(emb.sparkSession, _ANN_INDEX_CACHE[key])
 
 
@@ -519,20 +532,21 @@ def ensure_fp_index(docs: DataFrame, key: str) -> dict:
     snapshot."""
     from hermod_spark.operators import fpindex as FPI
 
-    if key not in _FP_INDEX_CACHE:
-        import tempfile
+    with _INDEX_CACHE_LOCK:
+        if key not in _FP_INDEX_CACHE:
+            import tempfile
 
-        path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
-        corpus = docs.filter(F.col("doc_id") % 10 != 7)
-        FPI.save_fp_index(
-            _image_hashes_of(corpus.filter(F.col("doc_id") % 3 != 1)),
-            path, hash_bits=64, max_hamming=4,
-        )
-        FPI.extend_fp_index(
-            _image_hashes_of(corpus.filter(F.col("doc_id") % 3 == 1)),
-            path,
-        )
-        _FP_INDEX_CACHE[key] = path
+            path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
+            corpus = docs.filter(F.col("doc_id") % 10 != 7)
+            FPI.save_fp_index(
+                _image_hashes_of(corpus.filter(F.col("doc_id") % 3 != 1)),
+                path, hash_bits=64, max_hamming=4,
+            )
+            FPI.extend_fp_index(
+                _image_hashes_of(corpus.filter(F.col("doc_id") % 3 == 1)),
+                path,
+            )
+            _FP_INDEX_CACHE[key] = path
     return FPI.load_fp_index(docs.sparkSession, _FP_INDEX_CACHE[key])
 
 
@@ -560,10 +574,11 @@ def dedup_index_path_of(corpus: DataFrame, key: str) -> str:
 
     from hermod_spark.operators import dedup
 
-    if key not in _DEDUP_INDEX_CACHE:
-        path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
-        dedup.save_dedup_index(corpus, path)
-        _DEDUP_INDEX_CACHE[key] = path
+    with _INDEX_CACHE_LOCK:
+        if key not in _DEDUP_INDEX_CACHE:
+            path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
+            dedup.save_dedup_index(corpus, path)
+            _DEDUP_INDEX_CACHE[key] = path
     return _DEDUP_INDEX_CACHE[key]
 
 
@@ -605,11 +620,12 @@ def dedup_index_extended_path_of(
 
     from hermod_spark.operators import dedup
 
-    if key not in _DEDUP_INDEX_CACHE:
-        path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
-        dedup.save_dedup_index(corpus_a, path)
-        dedup.extend_dedup_index(corpus_b, path)
-        _DEDUP_INDEX_CACHE[key] = path
+    with _INDEX_CACHE_LOCK:
+        if key not in _DEDUP_INDEX_CACHE:
+            path = tempfile.mkdtemp(prefix="hermod-dedup-idx-") + "/index"
+            dedup.save_dedup_index(corpus_a, path)
+            dedup.extend_dedup_index(corpus_b, path)
+            _DEDUP_INDEX_CACHE[key] = path
     return _DEDUP_INDEX_CACHE[key]
 
 
@@ -1779,10 +1795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _t(spark, sf, "events")
         key = f"rollup-stream:{sf}"
-        if key not in _ROLLUP_STATE_CACHE:
-            _ROLLUP_STATE_CACHE[key] = (
-                tempfile.mkdtemp(prefix="hermod-rollup-state-") + "/state"
-            )
+        with _INDEX_CACHE_LOCK:
+            if key not in _ROLLUP_STATE_CACHE:
+                _ROLLUP_STATE_CACHE[key] = (
+                    tempfile.mkdtemp(prefix="hermod-rollup-state-") + "/state"
+                )
         state = _ROLLUP_STATE_CACHE[key]
         fn = rollup_maintenance_sink(state)
         for i in range(3):
@@ -2253,10 +2270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _t(spark, sf, "embeddings")
         key = f"ann-index-stream:{sf}"
-        if key not in _ANN_INDEX_CACHE:
-            _ANN_INDEX_CACHE[key] = (
-                tempfile.mkdtemp(prefix="hermod-ann-idx-") + "/index"
-            )
+        with _INDEX_CACHE_LOCK:
+            if key not in _ANN_INDEX_CACHE:
+                _ANN_INDEX_CACHE[key] = (
+                    tempfile.mkdtemp(prefix="hermod-ann-idx-") + "/index"
+                )
         path = _ANN_INDEX_CACHE[key]
         fn = S.ann_index_maintenance_sink(
             path, n_planes=4, n_bands=8, dim=_EMB_DIM
@@ -2311,17 +2329,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _pinned_centroids(spark, sf):
         key = ("pinned", sf)
-        if key not in _centroid_cache:
-            _centroid_cache[key] = S.centroids_of(_t(spark, sf, "embeddings"), 8)
-        return _centroid_cache[key]
+        with _INDEX_CACHE_LOCK:
+            if key not in _centroid_cache:
+                _centroid_cache[key] = S.centroids_of(
+                    _t(spark, sf, "embeddings"), 8
+                )
+            return _centroid_cache[key]
 
     def _trained_centroids(spark, sf):
         key = ("trained", sf)
-        if key not in _centroid_cache:
-            _centroid_cache[key] = S.train_centroids_kmeans(
-                _t(spark, sf, "embeddings"), 8
-            )
-        return _centroid_cache[key]
+        with _INDEX_CACHE_LOCK:
+            if key not in _centroid_cache:
+                _centroid_cache[key] = S.train_centroids_kmeans(
+                    _t(spark, sf, "embeddings"), 8
+                )
+            return _centroid_cache[key]
 
     q["sim_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         _t(spark, sf, "embeddings"),
@@ -2525,10 +2547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents")
         key = f"text-index-stream:{sf}"
-        if key not in _TEXT_INDEX_CACHE:
-            _TEXT_INDEX_CACHE[key] = (
-                tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
-            )
+        with _INDEX_CACHE_LOCK:
+            if key not in _TEXT_INDEX_CACHE:
+                _TEXT_INDEX_CACHE[key] = (
+                    tempfile.mkdtemp(prefix="hermod-text-idx-") + "/index"
+                )
         path = _TEXT_INDEX_CACHE[key]
         fn = TI.text_index_maintenance_sink(path)
         for i in range(3):
@@ -3039,10 +3062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents")
         key = f"fp-index-stream:{sf}"
-        if key not in _FP_INDEX_CACHE:
-            _FP_INDEX_CACHE[key] = (
-                tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
-            )
+        with _INDEX_CACHE_LOCK:
+            if key not in _FP_INDEX_CACHE:
+                _FP_INDEX_CACHE[key] = (
+                    tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
+                )
         path = _FP_INDEX_CACHE[key]
         fn = FPI.fp_index_maintenance_sink(path)
         corpus = d.filter(F.col("doc_id") % 10 != 7)
@@ -3083,10 +3107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("audio", lambda: _audio_fps_of(d), "afp"),
         ):
             key = f"fp-index-{modality}-full:{sf}"
-            if key not in _FP_INDEX_CACHE:
-                path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
-                FPI.save_fp_index(builder(), path, hash_col=hcol)
-                _FP_INDEX_CACHE[key] = path
+            with _INDEX_CACHE_LOCK:
+                if key not in _FP_INDEX_CACHE:
+                    path = tempfile.mkdtemp(prefix="hermod-fp-idx-") + "/index"
+                    FPI.save_fp_index(builder(), path, hash_col=hcol)
+                    _FP_INDEX_CACHE[key] = path
             out[modality] = FPI.load_fp_index(spark, _FP_INDEX_CACHE[key])
         return FPI.dedup_report_indexed(out).orderBy("metric")
 
@@ -3132,35 +3157,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scanned and Python-hashed exactly once for the whole report
         instead of once per leg (r14 optimization; the frame-0 tile
         hash used to be computed twice, by the image and video
-        legs)."""
+        legs). The three SCALAR metrics (n_docs and both
+        exact-removable counts) collapse into ONE multi-aggregate
+        pass over the frame-0 rows (r15, guide §2.1: every frame-0
+        row exists for every doc, so count(1) ≡ n_docs and
+        count(col) − count_distinct(col) ≡ each modality's
+        exact-removable) — one Expand+aggregate instead of three
+        single-metric exchanges; the near-pair legs keep their banded
+        joins (`ahash_neardup` over the min-id representatives,
+        exactly `hash_dedup_metrics`'s near leg inlined over the
+        already-checkpointed pass)."""
         from hermod_spark.operators.multimodal import (
+            ahash_neardup,
             frame_dedup_pairs,
-            hash_dedup_metrics,
         )
 
         docs = _t(spark, sf, "documents")
         mm = _mm_hashes_of(docs).localCheckpoint()
         f0 = mm.filter(F.col("frame") == 0)
         parts = [
-            docs.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
-                F.lit("n_docs").alias("metric"), "value"
+            f0.agg(
+                F.count(F.lit(1)).cast("long").alias("_n_docs"),
+                (F.count("ahash") - F.count_distinct("ahash"))
+                .cast("long")
+                .alias("_img"),
+                (F.count("afp") - F.count_distinct("afp"))
+                .cast("long")
+                .alias("_aud"),
+            ).select(
+                F.expr(
+                    "stack(3, 'n_docs', _n_docs, "
+                    "'image_exact_removable', _img, "
+                    "'audio_exact_removable', _aud) AS (metric, value)"
+                )
             )
         ]
-        parts += hash_dedup_metrics(
-            f0.select(
-                "doc_id", "ahash",
-                F.col("ahash").isNotNull().alias("decode_ok"),
-            ),
-            "image",
-        )
-        parts += hash_dedup_metrics(
-            f0.select(
-                "doc_id", "afp",
-                F.col("afp").isNotNull().alias("decode_ok"),
-            ),
-            "audio",
-            hash_col="afp",
-        )
+        for col, modality in (("ahash", "image"), ("afp", "audio")):
+            reps = (
+                f0.filter(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("ahash"))
+                .agg(F.min("doc_id").alias("doc_id"))
+            )
+            parts.append(
+                ahash_neardup(reps, 4)
+                .agg(F.count(F.lit(1)).cast("long").alias("value"))
+                .select(
+                    F.lit(f"{modality}_near_pairs").alias("metric"), "value"
+                )
+            )
         vid = frame_dedup_pairs(
             mm.filter(F.col("has_text")).select(
                 "doc_id", "ahash",

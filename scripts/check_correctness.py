@@ -133,6 +133,14 @@ def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
     sdf = fn(spark, sf_dir)
     spdf = sdf.toPandas()
     opdf = con.execute(sql).df()
+    return compare_frames(sdf.schema, spdf, opdf)
+
+
+def compare_frames(sdf_schema, spdf, opdf) -> list[str]:
+    """The pure compare half of :func:`compare_query` — both sides
+    already fetched through pandas. Split out so callers can overlap
+    the fetches (the in-suite parity gate runs them from a thread
+    pool, guide §2.6) without duplicating the canon."""
     problems: list[str] = []
     if len(spdf) != len(opdf):
         problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
@@ -141,7 +149,7 @@ def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
             f"schema spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
         )
     if not problems:
-        problems.extend(surface_lint(sdf.schema, spdf, opdf))
+        problems.extend(surface_lint(sdf_schema, spdf, opdf))
     if not problems:
         try:
             sc, oc = pdf_canon(spdf), pdf_canon(opdf)

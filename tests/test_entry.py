@@ -91,23 +91,49 @@ def test_driver_window_prioritizes_unevidenced_queries():
         )
 
 
+@pytest.fixture(scope="module")
+def built_schemas(spark):
+    """Construct every queries() entry ONCE (not once per assertion)
+    and in parallel (guide §2.6; the entry's index caches are
+    lock-guarded) — both parametrized contract tests below only need
+    the analyzed schema. Exceptions are stored per query so failure
+    attribution stays per-name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    queries = E.queries()
+
+    def one(name):
+        try:
+            return queries[name](spark, SF_SMOKE).schema
+        except Exception as ex:  # noqa: BLE001 — re-raised by the test
+            return ex
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = {n: pool.submit(one, n) for n in sorted(queries)}
+        return {n: f.result() for n, f in futures.items()}
+
+
 @pytest.mark.parametrize("name", sorted(E.queries()))
-def test_each_query_builds_a_plan(spark, name):
+def test_each_query_builds_a_plan(built_schemas, name):
     """Every entry must at least analyze at sf0.001 (no execution)."""
-    df = E.queries()[name](spark, SF_SMOKE)
-    assert df.schema is not None and len(df.columns) > 0
+    schema = built_schemas[name]
+    if isinstance(schema, Exception):
+        raise schema
+    assert schema is not None and len(schema.fields) > 0
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
-def test_each_query_surface_is_canon_safe(spark, name):
+def test_each_query_surface_is_canon_safe(built_schemas, name):
     """Driver-canon contract (VERDICT r5): no array/map/struct column
     may reach the gated surface — the driver's pandas canon dies on
     container cells (the literal r5 `err` rows). Library APIs keep the
     real array forms; the queries() wrapper must serialize them."""
-    df = E.queries()[name](spark, SF_SMOKE)
+    schema = built_schemas[name]
+    if isinstance(schema, Exception):
+        raise schema
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
-        for f in df.schema.fields
+        for f in schema.fields
         if f.dataType.simpleString().startswith(("array<", "map<", "struct<"))
     ]
     assert not bad, bad

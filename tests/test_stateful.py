@@ -569,6 +569,10 @@ def test_lsh_dedup_stream_with_ttl_still_emits(spark, tmp_path):
     docs.coalesce(1).write.parquet(src)
     stream = message_stream(spark, src, schema=docs.schema)
     out = lsh_dedup_stream(stream, num_hashes=8, bands=4, state_ttl="1 hour")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
+    }
     sink = f"s_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -579,16 +583,29 @@ def test_lsh_dedup_stream_with_ttl_still_emits(spark, tmp_path):
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # A processing-time TTL keeps scheduling wall-clock timeout
+        # batches, so the availableNow query may never self-terminate
+        # (the livelock the operator docstring records). Poll the sink
+        # for the expected pairs instead of burning the whole cap —
+        # the 120 s deadline stays as the failure bound.
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        got: set = set()
+        while _time.monotonic() < deadline:
+            if q.awaitTermination(1):
+                break
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in spark.sql(f"SELECT * FROM {sink}").collect()
+            }
+            if want and got == want:
+                break
     finally:
         q.stop()
     got = {
         (r["id_a"], r["id_b"])
         for r in spark.sql(f"SELECT * FROM {sink}").collect()
-    }
-    want = {
-        (r["id_a"], r["id_b"])
-        for r in near_dup_candidates(docs, num_hashes=8, bands=4).collect()
     }
     assert want and got == want
 
