@@ -1,6 +1,14 @@
 """Property-based as-of join conformance: the union+window encoding
 must agree with pandas ``merge_asof`` (the de-facto reference
-semantics for backward as-of) on random inputs."""
+semantics for backward as-of) on random inputs.
+
+r15: each hypothesis example carries a LIST of independent scenarios,
+unioned into one Spark job on disjoint user-id ranges — same scenario
+coverage as the old one-job-per-example form (as-of matches only
+within a key, so disjoint keys make the union exactly the product of
+its parts) at a fifth of the Spark round-trips. Shrinking still works:
+hypothesis shrinks the scenario list and each scenario's rows.
+"""
 
 from __future__ import annotations
 
@@ -29,135 +37,84 @@ rows_right = st.lists(
     unique_by=lambda r: (r[0], r[1]),
 )
 
+scenarios = st.lists(
+    st.tuples(rows_left, rows_right), min_size=1, max_size=5
+)
 
-@settings(max_examples=25, deadline=None)
-@given(left_rows=rows_left, right_rows=rows_right)
-def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
-    left_pdf = pd.DataFrame(
-        {
-            "event_id": range(len(left_rows)),
-            "user_id": [k for k, _ in left_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m in left_rows],
-        }
-    )
-    right_pdf = pd.DataFrame(
-        {
-            "user_id": [k for k, _, _ in right_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m, _ in right_rows],
-            "payload": [p for _, _, p in right_rows],
-        }
-    )
 
+def _frames(scs):
+    """Union the example's scenarios into one (left_pdf, right_pdf)
+    pair on disjoint user/event id ranges per scenario."""
+    le, ri = [], []
+    for si, (left_rows, right_rows) in enumerate(scs):
+        for i, (k, m) in enumerate(left_rows):
+            le.append(
+                (si * 1000 + i, si * 10 + k, BASE + dt.timedelta(minutes=m))
+            )
+        for k, m, p in right_rows:
+            ri.append((si * 10 + k, BASE + dt.timedelta(minutes=m), p))
+    left_pdf = pd.DataFrame(le, columns=["event_id", "user_id", "ts"])
+    right_pdf = pd.DataFrame(ri, columns=["user_id", "ts", "payload"])
+    return left_pdf, right_pdf
+
+
+def _check_direction(spark, left_pdf, right_pdf, direction, tolerance=None):
+    kwargs = {}
+    pd_kwargs = {}
+    if tolerance is not None:
+        kwargs["tolerance"] = f"{tolerance} minutes"
+        pd_kwargs["tolerance"] = pd.Timedelta(minutes=tolerance)
     left = spark.createDataFrame(left_pdf)
     right = spark.createDataFrame(right_pdf)
     got = {
         r["event_id"]: r["payload_asof"]
         for r in asof_join(
             left, right, key="user_id", time_left="ts", time_right="ts",
-            right_cols=["payload"],
+            right_cols=["payload"], direction=direction, **kwargs,
         ).collect()
     }
-
     expected = pd.merge_asof(
         left_pdf.sort_values("ts", kind="stable"),
         right_pdf.sort_values("ts", kind="stable"),
         on="ts",
         by="user_id",
-        direction="backward",
+        direction=direction,
+        **pd_kwargs,
     )
     for _, row in expected.iterrows():
         want = None if pd.isna(row["payload"]) else int(row["payload"])
-        assert got[row["event_id"]] == want, (left_rows, right_rows, row["event_id"])
+        assert got[row["event_id"]] == want, (
+            direction, tolerance, row["event_id"],
+        )
 
 
-@settings(max_examples=15, deadline=None)
-@given(left_rows=rows_left, right_rows=rows_right)
-def test_asof_forward_and_nearest_match_pandas(spark, left_rows, right_rows):
+@settings(max_examples=5, deadline=None)
+@given(scs=scenarios)
+def test_asof_matches_pandas_merge_asof(spark, scs):
+    left_pdf, right_pdf = _frames(scs)
+    _check_direction(spark, left_pdf, right_pdf, "backward")
+
+
+@settings(max_examples=4, deadline=None)
+@given(scs=scenarios)
+def test_asof_forward_and_nearest_match_pandas(spark, scs):
     """The forward and nearest directions must agree with pandas
     merge_asof on random inputs (pandas breaks exact nearest-ties
     backward — verified convention, mirrored in the operator)."""
-    left_pdf = pd.DataFrame(
-        {
-            "event_id": range(len(left_rows)),
-            "user_id": [k for k, _ in left_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m in left_rows],
-        }
-    )
-    right_pdf = pd.DataFrame(
-        {
-            "user_id": [k for k, _, _ in right_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m, _ in right_rows],
-            "payload": [p for _, _, p in right_rows],
-        }
-    )
-    left = spark.createDataFrame(left_pdf)
-    right = spark.createDataFrame(right_pdf)
+    left_pdf, right_pdf = _frames(scs)
     for direction in ("forward", "nearest"):
-        got = {
-            r["event_id"]: r["payload_asof"]
-            for r in asof_join(
-                left, right, key="user_id", time_left="ts", time_right="ts",
-                right_cols=["payload"], direction=direction,
-            ).collect()
-        }
-        expected = pd.merge_asof(
-            left_pdf.sort_values("ts", kind="stable"),
-            right_pdf.sort_values("ts", kind="stable"),
-            on="ts",
-            by="user_id",
-            direction=direction,
-        )
-        for _, row in expected.iterrows():
-            want = None if pd.isna(row["payload"]) else int(row["payload"])
-            assert got[row["event_id"]] == want, (
-                direction, left_rows, right_rows, row["event_id"],
-            )
+        _check_direction(spark, left_pdf, right_pdf, direction)
 
 
-@settings(max_examples=15, deadline=None)
-@given(left_rows=rows_left, right_rows=rows_right)
-def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows):
+@settings(max_examples=4, deadline=None)
+@given(scs=scenarios)
+def test_asof_tolerance_matches_pandas(spark, scs):
     """All three directions with a tolerance window must agree with
     pandas merge_asof(tolerance=...), including keys that only have a
     match on ONE side (the r8 null-safety regression)."""
-    left_pdf = pd.DataFrame(
-        {
-            "event_id": range(len(left_rows)),
-            "user_id": [k for k, _ in left_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m in left_rows],
-        }
-    )
-    right_pdf = pd.DataFrame(
-        {
-            "user_id": [k for k, _, _ in right_rows],
-            "ts": [BASE + dt.timedelta(minutes=m) for _, m, _ in right_rows],
-            "payload": [p for _, _, p in right_rows],
-        }
-    )
-    left = spark.createDataFrame(left_pdf)
-    right = spark.createDataFrame(right_pdf)
+    left_pdf, right_pdf = _frames(scs)
     for direction in ("backward", "forward", "nearest"):
-        got = {
-            r["event_id"]: r["payload_asof"]
-            for r in asof_join(
-                left, right, key="user_id", time_left="ts", time_right="ts",
-                right_cols=["payload"], direction=direction,
-                tolerance="17 minutes",
-            ).collect()
-        }
-        expected = pd.merge_asof(
-            left_pdf.sort_values("ts", kind="stable"),
-            right_pdf.sort_values("ts", kind="stable"),
-            on="ts",
-            by="user_id",
-            direction=direction,
-            tolerance=pd.Timedelta(minutes=17),
-        )
-        for _, row in expected.iterrows():
-            want = None if pd.isna(row["payload"]) else int(row["payload"])
-            assert got[row["event_id"]] == want, (
-                direction, left_rows, right_rows, row["event_id"],
-            )
+        _check_direction(spark, left_pdf, right_pdf, direction, tolerance=17)
 
 
 def test_asof_null_value_in_nearest_row_is_served(spark):

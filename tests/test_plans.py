@@ -17,8 +17,44 @@ import __spark_entry__ as E
 from conftest import SF_SMOKE
 
 
-def plan_of(spark, name: str) -> str:
-    return E.queries()[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+_PLANS: dict[str, str] = {}
+
+
+def plan_of(spark, name: str, fresh: bool = False) -> str:
+    """Executed-plan string for a query, memoized per module run.
+    ``fresh=True`` bypasses the cache — required by tests that tweak
+    session conf (the warm fixture builds under the default conf)."""
+    if fresh:
+        return (
+            E.queries()[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    if name not in _PLANS:
+        _PLANS[name] = plan_of(spark, name, fresh=True)
+    return _PLANS[name]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm_plans(spark):
+    """Build every plan this module gates ONCE, in parallel (guide
+    §2.6): plan construction is independent per query and the entry's
+    index caches are lock-guarded. Failures are swallowed here — the
+    owning test rebuilds on demand and reports the real error."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with open(__file__, encoding="utf-8") as fh:
+        names = sorted(set(re.findall(r'plan_of\(spark, "(\w+)"\)', fh.read())))
+
+    def one(name):
+        try:
+            plan_of(spark, name)
+        except Exception:  # noqa: BLE001 — the owning test reports it
+            pass
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(one, names))
 
 
 def count(pattern: str, plan: str) -> int:
@@ -288,7 +324,7 @@ def test_bucketed_join_no_join_shuffle(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = plan_of(spark, "rel_bucketed_join")
+        plan = plan_of(spark, "rel_bucketed_join", fresh=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert count(r"Bucketed: true", plan) == 2
