@@ -843,6 +843,24 @@ def _customer_10x(spark):
     return _stack10(spark, "customer", ["c_custkey"], rot)
 
 
+def _quiesce(spark) -> None:
+    """Measurement isolation between TIMED queries (untimed, r15):
+    earlier queries' dropped ``localCheckpoint`` RDD blocks and py4j
+    garbage otherwise bill into later measurements — reproduced at
+    6× inflation on the 10× cooccurrence probe after 25 dead
+    checkpoints (38–44 s vs 6.6 s clean), fully restored by one
+    explicit Python+JVM collect (~0.35 s; see OPTIMIZATION_r15.md).
+    Nothing is computed, cached, or reused here — this only stops
+    query N's garbage from being charged to query N+1."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - isolation must never fail the bench
+        pass
+
+
 def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
     """Time each SCALE10X query on sf0.1 (best-of-2) and on the 10×
     synthesized frame (single run — long enough to be noise-stable),
@@ -1140,11 +1158,13 @@ def _scale10x_run(spark, queries) -> dict[str, dict[str, float]]:
         return R.supplier_variety(li, table(spark, SF_DIR, "part"))
     out: dict[str, dict[str, float]] = {}
     for name in SCALE10X:
+        _quiesce(spark)
         t1 = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
             t1 = min(t1, time.perf_counter() - t0)
+        _quiesce(spark)
         t0 = time.perf_counter()
         n10 = big[name]().count()
         t10 = time.perf_counter() - t0
@@ -1208,6 +1228,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        _quiesce(spark)
         best, n = float("inf"), 0
         for _ in range(3):
             t0 = time.perf_counter()

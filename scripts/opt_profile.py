@@ -1,4 +1,4 @@
-"""r14 optimization profiler: per-query cost breakdown + plan capture.
+"""r14/r15 optimization profiler: per-query cost breakdown + plan capture.
 
 For each named query (default: the bench HEADLINE set) at
 $SPARK_GRAFT_SF_DIR this measures, with the bench's session config:
@@ -35,7 +35,7 @@ from bench import HEADLINE  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLAN_DIR = os.path.join(HERE, "plans", "r14")
+PLAN_DIR = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"))
 
 
 def main() -> None:

@@ -48,13 +48,16 @@ def session():
     return spark
 
 
-def noop_time(df, desc):
-    spark = df.sparkSession
-    spark.sparkContext.setJobDescription(desc)
+def noop_time(build, desc):
+    """Time CONSTRUCTION + noop execution together — eager checkpoints
+    run Spark jobs at construction, so timing only the sink would bias
+    any eager-vs-lazy comparison."""
     t0 = time.perf_counter()
+    df = build()
+    df.sparkSession.sparkContext.setJobDescription(desc)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    spark.sparkContext.setJobDescription(None)
+    df.sparkSession.sparkContext.setJobDescription(None)
     return dt
 
 
@@ -65,7 +68,7 @@ def interleave(variants: dict, reps: int):
     times = {k: [] for k in variants}
     for r in range(reps):
         for name, build in variants.items():
-            dt = noop_time(build(), f"{name}#r{r}")
+            dt = noop_time(build, f"{name}#r{r}")
             times[name].append(dt)
             print(f"  run {r} {name}: {dt:.3f}s", flush=True)
     print("--- medians ---")
@@ -193,18 +196,25 @@ def mode_base(spark, reps):
     interleave(variants, reps)
 
 
-def mode_coocw(spark, reps):
-    """rel_cooccurrence_weighted with/without the lazy edge ckpt, 1x."""
+def mode_coocw(spark, reps, at10x=False):
+    """rel_cooccurrence_weighted with/without the lazy edge ckpt."""
     from hermod_spark.data import table
     from hermod_spark.operators.graph import (
         PAGERANK_SUM_DECIMAL,
         _nonneg_weight,
     )
 
-    li = table(spark, SF_DIR, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    if at10x:
+        li10, orders10g = graph_inputs(spark)
+        li = li10.select("l_orderkey", "l_suppkey", "l_quantity")
+        orders = orders10g.select("o_orderkey", "o_custkey")
+    else:
+        li = table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        orders = table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
 
     def raw():
         return li.join(
@@ -288,9 +298,13 @@ def main():
     spark = session()
     # warm like the bench does
     E.queries()["rel_recent_events"](spark, SF_DIR).count()
-    {"locate": mode_locate, "base": mode_base, "coocw": mode_coocw}[mode](
-        spark, reps
-    )
+    modes = {
+        "locate": mode_locate,
+        "base": mode_base,
+        "coocw": mode_coocw,
+        "coocw10": lambda s, r: mode_coocw(s, r, at10x=True),
+    }
+    modes[mode](spark, reps)
     spark.stop()
 
 
