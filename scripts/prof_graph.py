@@ -61,13 +61,16 @@ def noop_time(build, desc):
     return dt
 
 
-def interleave(variants: dict, reps: int):
+def interleave(variants: dict, reps: int, spark=None):
     """variants: name -> zero-arg DataFrame builder. Runs reps rounds,
-    alternating variants inside each round; prints per-run times and
-    median/tail per variant."""
+    alternating variants inside each round with a bench-identical
+    quiesce between runs; prints per-run times and median/tail per
+    variant."""
     times = {k: [] for k in variants}
     for r in range(reps):
         for name, build in variants.items():
+            if spark is not None:
+                bench._quiesce(spark)
             dt = noop_time(build, f"{name}#r{r}")
             times[name].append(dt)
             print(f"  run {r} {name}: {dt:.3f}s", flush=True)
@@ -112,7 +115,7 @@ def mode_locate(spark, reps):
         .distinct(),
         "pairs_agg": lambda: _pairs_agg(raw_edges()),
     }
-    interleave(legs, reps)
+    interleave(legs, reps, spark)
     # row counts for context (once)
     e = (
         raw_edges()
@@ -193,7 +196,7 @@ def mode_base(spark, reps):
         "edges_union": edges_union,
         "edges_explode": edges_explode,
     }
-    interleave(variants, reps)
+    interleave(variants, reps, spark)
 
 
 def mode_coocw(spark, reps, at10x=False):
@@ -289,7 +292,7 @@ def mode_coocw(spark, reps, at10x=False):
         "no_ckpt": lambda: jacc("none"),
         "eager_ckpt": lambda: jacc("eager"),
     }
-    interleave(variants, reps)
+    interleave(variants, reps, spark)
 
 
 def main():
